@@ -1,0 +1,60 @@
+"""Shared helpers for the query registry.
+
+Determinism discipline (critical for the DuckDB oracle hash-compare):
+
+- **Floating-point aggregates are order-dependent.** Spark and DuckDB sum
+  doubles in different orders, so ``SUM(double)`` can differ in the last
+  few ulps and break a value-hash. Every money/quantity aggregate here
+  first casts to an exact DECIMAL (the source data has fixed scale), sums
+  exactly, and only then casts the *result* to double — both engines then
+  produce bit-identical doubles.
+- **Statistical moments** (variance/correlation/skew) are computed from
+  exact integer/decimal power sums with one final double expression,
+  identical in both engines, instead of the built-in order-dependent
+  accumulators.
+- **Arrays**: anything collected into a list is sorted
+  (``sort_array``/``list_sort``) so set-like results are deterministic.
+- Column names are aliased identically in Spark and oracle SQL — the
+  driver sorts columns by name before hashing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one of the driver tables from the sf dir.
+
+    Defensively sets ``nanosAsLong`` on whatever session the caller
+    built — events.parquet stores TIMESTAMP(NANOS), which Spark rejects
+    at schema conversion otherwise (runtime-settable, verified)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def dec(col, scale: int = 2, precision: int = 12):
+    """Cast to an exact decimal so sums are order-independent.
+
+    All driver money/quantity columns are exact at scale 2 (verified);
+    tight precision keeps multi-way decimal products inside Spark's
+    38-digit cap with zero precision loss.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({precision},{scale})")
+
+
+def dsum(col, alias: str, scale: int = 2):
+    """Order-independent double sum: exact decimal sum, then one cast."""
+    return F.sum(dec(col, scale)).cast("double").alias(alias)
+
+
+def events_ts(spark, sf_dir: str):
+    """events table with its TIMESTAMP(NANOS) column converted to a real
+    µs TimestampType (read as long via nanosAsLong). Oracle side uses
+    CAST(ts AS TIMESTAMP) — DuckDB truncates ns→µs identically."""
+    e = T(spark, sf_dir, "events")
+    return e.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
