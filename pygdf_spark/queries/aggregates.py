@@ -1,0 +1,335 @@
+"""Aggregation queries (SURVEY.md §2.4): the cuDF aggregation-kind
+inventory (cpp/include/cudf/aggregation.hpp:60-88) re-expressed as
+Spark aggregates with partial/final hash aggregation (the same two-phase
+shape as dask_cudf/groupby.py:153's partial→tree-reduce→finalize).
+
+Determinism: statistical moments (VARIANCE/STD/M2, skew, kurtosis,
+corr/cov) are computed from exact integer/decimal power sums with one
+final double formula evaluated identically by Spark and DuckDB, instead
+of the order-dependent streaming accumulators.
+
+Reference parity:
+- SUM/MIN/MAX/COUNT/MEAN      : aggregation.hpp:60-71; groupby.py:690-747
+- VARIANCE/STD/M2             : aggregation.hpp:71-73 (M2 combiner :88)
+- ARGMIN/ARGMAX (idxmin/max)  : aggregation.hpp:76-77; group_argmax.cu
+- NUNIQUE                     : aggregation.hpp:78; group_nunique.cu
+- COLLECT_LIST/SET            : aggregation.hpp:80-81; group_collect.cu
+- ANY/ALL                     : aggregation.hpp:66-67
+- QUANTILE/MEDIAN             : aggregation.hpp:74-75; group_quantiles.cu
+- PRODUCT                     : aggregation.hpp:61
+- corr/cov (frame-level)      : series.py:4933 / :4890
+- skew/kurtosis               : dataframe.py method list
+- cube/rollup                 : net-new Spark surface (SURVEY §2.4 bonus)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pygdf_spark.queries._util import T, dec
+
+
+def agg_basic_stats(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_price"),
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_BASIC_SQL = """
+SELECT l_returnflag, COUNT(*) AS n, MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+       MIN(l_shipdate) AS first_ship, MAX(l_shipdate) AS last_ship
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def agg_moments(spark, sf_dir):
+    """VARIANCE/STD/skew/kurtosis from exact integer power sums
+    (M2/M3/M4 decomposition — the distributed-combiner form of
+    aggregation.hpp:73/:88, dask_cudf/groupby.py var path)."""
+    li = T(spark, sf_dir, "lineitem").withColumn("q", F.col("l_quantity").cast("long"))
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("q").cast("double").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).cast("double").alias("s2"),
+        F.sum(F.col("q") * F.col("q") * F.col("q")).cast("double").alias("s3"),
+        F.sum(F.col("q") * F.col("q") * F.col("q") * F.col("q")).cast("double").alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    mean = s1 / n
+    m2 = s2 - s1 * s1 / n  # = sum((x-mean)^2) * 1
+    var_samp = m2 / (n - 1)
+    std = F.sqrt(var_samp)
+    # central moments via raw-sum expansion (identical algebra in oracle)
+    c3 = s3 - 3 * mean * s2 + 2 * mean * mean * s1
+    c4 = s4 - 4 * mean * s3 + 6 * mean * mean * s2 - 3 * mean * mean * mean * s1
+    pop_var = m2 / n
+    skew = (c3 / n) / F.pow(pop_var, 1.5)
+    kurt = (c4 / n) / (pop_var * pop_var) - 3
+    return sums.select(
+        "l_returnflag",
+        F.round(mean, 10).alias("mean_qty"),
+        F.round(var_samp, 10).alias("var_qty"),
+        F.round(std, 10).alias("std_qty"),
+        F.round(skew, 10).alias("skew_qty"),
+        F.round(kurt, 10).alias("kurt_qty"),
+    ).orderBy("l_returnflag")
+
+
+AGG_MOMENTS_SQL = """
+WITH sums AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(q) AS DOUBLE) AS s1,
+         CAST(SUM(q*q) AS DOUBLE) AS s2,
+         CAST(SUM(q*q*q) AS DOUBLE) AS s3,
+         CAST(SUM(q*q*q*q) AS DOUBLE) AS s4
+  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem)
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       ROUND(s1/n, 10) AS mean_qty,
+       ROUND((s2 - s1*s1/n) / (n-1), 10) AS var_qty,
+       ROUND(SQRT((s2 - s1*s1/n) / (n-1)), 10) AS std_qty,
+       ROUND(((s3 - 3*(s1/n)*s2 + 2*(s1/n)*(s1/n)*s1) / n) / POW((s2 - s1*s1/n)/n, 1.5), 10) AS skew_qty,
+       ROUND(((s4 - 4*(s1/n)*s3 + 6*(s1/n)*(s1/n)*s2 - 3*(s1/n)*(s1/n)*(s1/n)*s1) / n) / POW((s2 - s1*s1/n)/n, 2) - 3, 10) AS kurt_qty
+FROM sums ORDER BY l_returnflag
+"""
+
+
+def agg_quantiles(spark, sf_dir):
+    """QUANTILE with linear interpolation (group_quantiles.cu;
+    interpolation enum types.hpp) — exact percentile at quarter points
+    on integer-valued data is deterministic in both engines."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.percentile("l_quantity", 0.25).alias("q25"),
+            F.median("l_quantity").alias("q50"),
+            F.percentile("l_quantity", 0.75).alias("q75"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+AGG_QUANTILES_SQL = """
+SELECT l_linestatus,
+       quantile_cont(l_quantity, 0.25) AS q25,
+       quantile_cont(l_quantity, 0.50) AS q50,
+       quantile_cont(l_quantity, 0.75) AS q75
+FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def agg_idxmax(spark, sf_dir):
+    """ARGMAX / idxmax (aggregation.hpp:77, group_argmax.cu): key of the
+    max value, deterministic tiebreak — window formulation."""
+    li = T(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_orderkey").alias("argmax_order"), F.col("l_extendedprice").alias("max_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_IDXMAX_SQL = """
+SELECT l_returnflag, l_orderkey AS argmax_order, l_extendedprice AS max_price
+FROM (
+  SELECT l_returnflag, l_orderkey, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rn
+  FROM lineitem
+) WHERE rn = 1 ORDER BY l_returnflag
+"""
+
+
+def agg_collect_set(spark, sf_dir):
+    """COLLECT_SET (aggregation.hpp:81, group_collect.cu) — emitted as a
+    sorted joined string so the value is hasher-agnostic."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.concat_ws("|", F.sort_array(F.collect_set("o_orderstatus"))).alias("statuses"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+AGG_COLLECT_SQL = """
+SELECT o_orderpriority,
+       string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus) AS statuses,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def agg_bool_any_all(spark, sf_dir):
+    """ANY/ALL (aggregation.hpp:66-67) via bool_or/bool_and."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.bool_or(F.col("value") > 30).alias("any_big"),
+            F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+AGG_BOOL_SQL = """
+SELECT event_type, bool_or(value > 30) AS any_big, bool_and(value >= 0) AS all_nonneg, COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def agg_corr_cov(spark, sf_dir):
+    """corr (series.py:4933) / cov (series.py:4890) from exact decimal
+    power sums — the M2-style decomposition made deterministic."""
+    li = T(spark, sf_dir, "lineitem")
+    x = dec("l_quantity")
+    y = dec("l_extendedprice")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy"))
+    cov = (sxy - sx * sy / n) / (n - 1)
+    corr = (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+    return sums.select(
+        "l_returnflag",
+        F.round(cov, 8).alias("cov_qty_price"),
+        F.round(corr, 12).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+AGG_CORR_SQL = """
+WITH sums AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       ROUND((sxy - sx*sy/n) / (n-1), 8) AS cov_qty_price,
+       ROUND((n*sxy - sx*sy) / (SQRT(n*sxx - sx*sx) * SQRT(n*syy - sy*sy)), 12) AS corr_qty_price
+FROM sums ORDER BY l_returnflag
+"""
+
+
+def agg_rollup(spark, sf_dir):
+    """ROLLUP grouping sets — net-new surface vs the reference
+    (SURVEY §2.4: 'no grouping sets in reference — Spark free bonus')."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+        )
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+AGG_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def agg_product(spark, sf_dir):
+    """PRODUCT (aggregation.hpp:61). Products of integer-valued doubles
+    below 2^53 are exact in fp regardless of order → deterministic."""
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.product("l_quantity").alias("qty_product"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("l_orderkey")
+    )
+
+
+AGG_PRODUCT_SQL = """
+SELECT l_orderkey, product(l_quantity) AS qty_product, COUNT(*) AS n_items
+FROM lineitem WHERE l_orderkey < 1000 GROUP BY l_orderkey ORDER BY l_orderkey
+"""
+
+
+def agg_global_reduce(spark, sf_dir):
+    """whole-frame reduction (cudf::reduce reduction.hpp:66) — single-row
+    multi-agg over lineitem."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey", "l_suppkey").alias("n_part_supp"),
+        F.sum(dec("l_quantity")).cast("double").alias("total_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+AGG_GLOBAL_SQL = """
+SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_orders,
+       COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+       MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+FROM lineitem
+"""
+
+
+QUERIES = {
+    "agg_basic_stats": agg_basic_stats,
+    "agg_moments": agg_moments,
+    "agg_quantiles": agg_quantiles,
+    "agg_idxmax": agg_idxmax,
+    "agg_collect_set": agg_collect_set,
+    "agg_bool_any_all": agg_bool_any_all,
+    "agg_corr_cov": agg_corr_cov,
+    "agg_rollup": agg_rollup,
+    "agg_product": agg_product,
+    "agg_global_reduce": agg_global_reduce,
+}
+
+ORACLE = {
+    "agg_basic_stats": AGG_BASIC_SQL,
+    "agg_moments": AGG_MOMENTS_SQL,
+    "agg_quantiles": AGG_QUANTILES_SQL,
+    "agg_idxmax": AGG_IDXMAX_SQL,
+    "agg_collect_set": AGG_COLLECT_SQL,
+    "agg_bool_any_all": AGG_BOOL_SQL,
+    "agg_corr_cov": AGG_CORR_SQL,
+    "agg_rollup": AGG_ROLLUP_SQL,
+    "agg_product": AGG_PRODUCT_SQL,
+    "agg_global_reduce": AGG_GLOBAL_SQL,
+}
