@@ -1,0 +1,239 @@
+"""Restructuring queries (SURVEY.md §2.7/§2.8): melt/pivot/explode/
+one-hot/binning/factorize/interleave/sequence.
+
+Reference parity:
+- melt            : py core/reshape.py:394 → df.unpivot
+- pivot/unstack   : py reshape.py:843,924 → groupBy().pivot()
+- explode(+pos)   : lists/explode.hpp:63,107 → F.posexplode
+- get_dummies     : reshape.py:566 (one_hot_encoding)
+- cut / label_bins: core/cut.py:15; labeling/label_bins.hpp:72
+- factorize       : core/algorithms.py:61 → dense_rank over distinct
+- sequence/repeat : filling.hpp:84,121,147 → F.sequence + explode
+- interleave_cols : reshape.hpp:49 → posexplode(array(...))
+- concat axis=0   : core/reshape.py:90 → unionByName
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pygdf_spark.queries._util import T, dec
+
+
+def reshape_melt(spark, sf_dir):
+    p = T(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return (
+        p.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("p_size"),
+            F.col("p_retailprice").alias("p_retailprice"),
+        )
+        .unpivot(["p_partkey"], ["p_size", "p_retailprice"], "variable", "value")
+        .orderBy("p_partkey", "variable")
+    )
+
+
+RESHAPE_MELT_SQL = """
+SELECT p_partkey, 'p_size' AS variable, CAST(p_size AS DOUBLE) AS value FROM part WHERE p_partkey < 500
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS variable, p_retailprice AS value FROM part WHERE p_partkey < 500
+ORDER BY p_partkey, variable
+"""
+
+
+def reshape_pivot(spark, sf_dir):
+    """pivot wide (reshape.py:843): linestatus → columns."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(dec("l_quantity")).cast("double"))
+        .orderBy("l_returnflag")
+    )
+
+
+RESHAPE_PIVOT_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS "F",
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS "O"
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def reshape_get_dummies(spark, sf_dir):
+    """one-hot encode o_orderstatus (reshape.py:566), aggregated per
+    priority so the result is compact."""
+    o = T(spark, sf_dir, "orders")
+    dummies = [
+        F.when(F.col("o_orderstatus") == v, 1).otherwise(0).alias(f"status_{v}")
+        for v in ("F", "O", "P")
+    ]
+    return (
+        o.select("o_orderpriority", *dummies)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("status_F").alias("n_F"),
+            F.sum("status_O").alias("n_O"),
+            F.sum("status_P").alias("n_P"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+RESHAPE_DUMMIES_SQL = """
+SELECT o_orderpriority,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_F,
+       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_O,
+       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_P
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def reshape_explode(spark, sf_dir):
+    """posexplode of a split string (lists/explode.hpp:107)."""
+    p = T(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    return (
+        p.select("p_partkey", F.posexplode(F.split(F.col("p_name"), " ")).alias("pos", "word"))
+        .orderBy("p_partkey", "pos")
+    )
+
+
+RESHAPE_EXPLODE_SQL = """
+SELECT p_partkey,
+       CAST(generate_subscripts(string_split(p_name, ' '), 1) - 1 AS INT) AS pos,
+       UNNEST(string_split(p_name, ' ')) AS word
+FROM part WHERE p_partkey < 200
+ORDER BY p_partkey, pos
+"""
+
+
+def reshape_sequence(spark, sf_dir):
+    """fill/sequence (filling.hpp:84): explode a generated range."""
+    n = T(spark, sf_dir, "nation")
+    return (
+        n.select("n_nationkey", F.explode(F.sequence(F.lit(1), F.col("n_regionkey") + 2)).alias("i"))
+        .orderBy("n_nationkey", "i")
+    )
+
+
+RESHAPE_SEQUENCE_SQL = """
+SELECT n_nationkey, CAST(t.i AS INT) AS i
+FROM nation, UNNEST(generate_series(1, n_regionkey + 2)) AS t(i)
+ORDER BY n_nationkey, i
+"""
+
+
+def reshape_interleave(spark, sf_dir):
+    """interleave_columns (reshape.hpp:49): row-wise alternation of two
+    columns via posexplode(array(...))."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    return (
+        c.select(
+            "c_custkey",
+            F.posexplode(F.array(F.col("c_acctbal"), F.col("c_custkey").cast("double"))).alias("pos", "val"),
+        )
+        .orderBy("c_custkey", "pos")
+    )
+
+
+RESHAPE_INTERLEAVE_SQL = """
+SELECT c_custkey, 0 AS pos, c_acctbal AS val FROM customer WHERE c_custkey < 100
+UNION ALL
+SELECT c_custkey, 1 AS pos, CAST(c_custkey AS DOUBLE) AS val FROM customer WHERE c_custkey < 100
+ORDER BY c_custkey, pos
+"""
+
+
+def reshape_cut_bins(spark, sf_dir):
+    """cut / label_bins (core/cut.py:15, label_bins.hpp:72): fixed-width
+    binning with identical floor arithmetic in both engines."""
+    c = T(spark, sf_dir, "customer")
+    bucket = F.floor((F.col("c_acctbal") + 1000.0) / 1100.0).cast("int")
+    return (
+        c.select(bucket.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bin")
+    )
+
+
+RESHAPE_CUT_SQL = """
+SELECT CAST(FLOOR((c_acctbal + 1000.0) / 1100.0) AS INT) AS bin, COUNT(*) AS n
+FROM customer GROUP BY 1 ORDER BY bin
+"""
+
+
+def reshape_factorize(spark, sf_dir):
+    """factorize/label_encoding (core/algorithms.py:61): stable codes via
+    dense_rank over the sorted distinct domain."""
+    o = T(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderpriority")
+    return (
+        o.select("o_orderpriority").distinct()
+        .withColumn("code", F.dense_rank().over(w) - 1)
+        .orderBy("code")
+    )
+
+
+RESHAPE_FACTORIZE_SQL = """
+SELECT o_orderpriority, DENSE_RANK() OVER (ORDER BY o_orderpriority) - 1 AS code
+FROM (SELECT DISTINCT o_orderpriority FROM orders) ORDER BY code
+"""
+
+
+def reshape_concat_union(spark, sf_dir):
+    """concat axis=0 with outer column alignment (core/reshape.py:90) →
+    unionByName(allowMissingColumns=True)."""
+    a = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("bal"), F.lit("cust").alias("src")
+    )
+    b = T(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("key"), F.col("s_acctbal").alias("bal"), F.lit("supp").alias("src"),
+        F.col("s_nationkey").alias("nk"),
+    )
+    return (
+        a.unionByName(b, allowMissingColumns=True)
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("bal")).cast("double").alias("sum_bal"),
+            F.count("nk").alias("n_nk"),
+        )
+        .orderBy("src")
+    )
+
+
+RESHAPE_CONCAT_SQL = """
+SELECT src, COUNT(*) AS n, CAST(SUM(CAST(bal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal, COUNT(nk) AS n_nk
+FROM (
+  SELECT c_custkey AS key, c_acctbal AS bal, 'cust' AS src, NULL AS nk FROM customer
+  UNION ALL
+  SELECT s_suppkey, s_acctbal, 'supp', s_nationkey FROM supplier
+) GROUP BY src ORDER BY src
+"""
+
+
+QUERIES = {
+    "reshape_melt": reshape_melt,
+    "reshape_pivot": reshape_pivot,
+    "reshape_get_dummies": reshape_get_dummies,
+    "reshape_explode": reshape_explode,
+    "reshape_sequence": reshape_sequence,
+    "reshape_interleave": reshape_interleave,
+    "reshape_cut_bins": reshape_cut_bins,
+    "reshape_factorize": reshape_factorize,
+    "reshape_concat_union": reshape_concat_union,
+}
+
+ORACLE = {
+    "reshape_melt": RESHAPE_MELT_SQL,
+    "reshape_pivot": RESHAPE_PIVOT_SQL,
+    "reshape_get_dummies": RESHAPE_DUMMIES_SQL,
+    "reshape_explode": RESHAPE_EXPLODE_SQL,
+    "reshape_sequence": RESHAPE_SEQUENCE_SQL,
+    "reshape_interleave": RESHAPE_INTERLEAVE_SQL,
+    "reshape_cut_bins": RESHAPE_CUT_SQL,
+    "reshape_factorize": RESHAPE_FACTORIZE_SQL,
+    "reshape_concat_union": RESHAPE_CONCAT_SQL,
+}
