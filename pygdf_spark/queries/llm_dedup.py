@@ -1,0 +1,198 @@
+"""Deduplication queries over ``documents`` (exact, MinHash+LSH,
+SimHash, n-gram Jaccard) — north-star extensions, built on
+``pygdf_spark.operators.dedup``. The oracle SQL re-derives the exact
+same hash arithmetic (md5_number_lower ≡ functions.hashing.md5_u64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pygdf_spark.functions.hashing import MERSENNE_P, minhash_perm_sql
+from pygdf_spark.operators import dedup as D
+from pygdf_spark.queries._util import T
+
+_SHINGLE_SQL = r"""
+shingles AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+  )
+)
+"""
+
+
+def dedup_exact_hash(spark, sf_dir):
+    """exact dedup summary: fingerprint groups + corpus totals."""
+    d = T(spark, sf_dir, "documents")
+    groups = D.exact_dedup_stats(d)
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_copies").alias("n_docs"),
+        F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+        F.min("keep_doc").alias("first_doc"),
+    )
+
+
+DEDUP_EXACT_SQL = r"""
+SELECT COUNT(*) AS n_groups, SUM(n_copies) AS n_docs,
+       SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
+       MIN(keep_doc) AS first_doc
+FROM (
+  SELECT md5(LOWER(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+         COUNT(*) AS n_copies, MIN(doc_id) AS keep_doc
+  FROM documents GROUP BY fp
+)
+"""
+
+
+def dedup_prefix_groups(spark, sf_dir):
+    """coarse dedup key: first-3-token prefix groups with >1 member."""
+    d = T(spark, sf_dir, "documents")
+    from pygdf_spark.operators.text import tokens
+
+    w = tokens("text")
+    key = F.concat_ws(" ", F.element_at(w, 1), F.element_at(w, 2), F.element_at(w, 3))
+    return (
+        d.select(key.alias("prefix"), "doc_id")
+        .groupBy("prefix")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keep_doc"))
+        .filter(F.col("n") > 1)
+        .orderBy(F.col("n").desc(), F.col("prefix").asc())
+    )
+
+
+DEDUP_PREFIX_SQL = r"""
+SELECT w[1] || ' ' || w[2] || ' ' || w[3] AS prefix, COUNT(*) AS n, MIN(doc_id) AS keep_doc
+FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+GROUP BY prefix HAVING COUNT(*) > 1
+ORDER BY n DESC, prefix ASC
+"""
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(6 perms) + band-1 LSH candidates + exact Jaccard verify."""
+    d = T(spark, sf_dir, "documents")
+    out = D.minhash_lsh_dedup(d, num_perms=6, threshold=0.05)
+    return out.orderBy(F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()).limit(50)
+
+
+def _minhash_sql() -> str:
+    p = MERSENNE_P
+    perm_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS perm, {minhash_perm_sql('x', i)} AS h FROM hashed"
+        for i in range(6)
+    )
+    return rf"""
+WITH {_SHINGLE_SQL},
+hashed AS (
+  SELECT doc_id, CAST(md5_number_lower(shingle) % {p} AS BIGINT) AS x FROM shingles
+),
+sigs AS (
+  SELECT doc_id, perm, MIN(h) AS minhash FROM ({perm_rows}) GROUP BY doc_id, perm
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b ON a.perm = b.perm AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, COUNT(*) AS inter
+  FROM shingles s1 JOIN shingles s2 ON s1.shingle = s2.shingle
+  JOIN cand ON cand.doc_a = s1.doc_id AND cand.doc_b = s2.doc_id
+  GROUP BY s1.doc_id, s2.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 8) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter) >= 0.05
+ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT 50
+"""
+
+
+def dedup_simhash(spark, sf_dir):
+    """16-bit SimHash per document (token multiplicity preserved)."""
+    d = T(spark, sf_dir, "documents")
+    return D.simhash16(d).orderBy("doc_id")
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN (x // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    packed = " + ".join(f"(CASE WHEN v{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+),
+hx AS (SELECT doc_id, CAST(md5_number_lower(tok) % {1 << bits} AS BIGINT) AS x FROM toks),
+votes AS (SELECT doc_id, {votes} FROM hx GROUP BY doc_id)
+SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM votes ORDER BY doc_id
+"""
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    """pairwise bigram-set Jaccard among a bounded slice (doc_id<150) —
+    the exact quadratic baseline the LSH path approximates."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    sh = D.shingles(d, n=2)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "na"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"}), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")), 8).alias("jaccard"),
+        )
+    )
+    return jac.orderBy(F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()).limit(30)
+
+
+DEDUP_NGRAM_SQL = r"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(generate_series(1, greatest(len(w)-1, 0)),
+                                 i -> w[i] || ' ' || w[i+1])) AS shingle
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents WHERE doc_id < 150)
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, ROUND(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 8) AS jaccard
+FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b
+ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT 30
+"""
+
+
+QUERIES = {
+    "dedup_exact_hash": dedup_exact_hash,
+    "dedup_prefix_groups": dedup_prefix_groups,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+}
+
+ORACLE = {
+    "dedup_exact_hash": DEDUP_EXACT_SQL,
+    "dedup_prefix_groups": DEDUP_PREFIX_SQL,
+    "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_simhash": _simhash_sql(),
+    "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
+}

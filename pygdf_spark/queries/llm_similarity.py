@@ -1,0 +1,129 @@
+"""Similarity-search queries over ``embeddings`` (brute-force cosine
+top-k baseline + hyperplane-LSH bucketing) — north-star extensions,
+built on ``pygdf_spark.operators.similarity``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pygdf_spark.operators import similarity as SIM
+from pygdf_spark.queries._util import T
+
+_DEC = "CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))"
+
+_ELEMENTS_SQL = r"""
+el AS (
+  SELECT vec_id AS vid,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(CAST(UNNEST(embedding) AS DOUBLE) AS DECIMAL(18,9)) AS x
+  FROM embeddings
+),
+nrm AS (
+  SELECT vid, CAST(SUM(x * x) AS DOUBLE) AS norm2 FROM el GROUP BY vid
+)
+"""
+
+
+def sim_cosine_topk(spark, sf_dir):
+    """exact top-5 cosine neighbors for queries vec_id < 5."""
+    vecs = T(spark, sf_dir, "embeddings")
+    queries = vecs.filter(F.col("vec_id") < 5)
+    return SIM.brute_topk(vecs, queries, k=5).orderBy("q_id", "rank")
+
+
+SIM_TOPK_SQL = rf"""
+WITH {_ELEMENTS_SQL},
+dots AS (
+  SELECT q.vid AS q_id, v.vid AS v_id, CAST(SUM(q.x * v.x) AS DOUBLE) AS dot
+  FROM el q JOIN el v ON q.pos = v.pos AND q.vid <> v.vid
+  WHERE q.vid < 5
+  GROUP BY q.vid, v.vid
+),
+cosv AS (
+  SELECT q_id, v_id, ROUND(dot / SQRT(nq.norm2 * nv.norm2), 8) AS cos
+  FROM dots JOIN nrm nq ON nq.vid = q_id JOIN nrm nv ON nv.vid = v_id
+),
+ranked AS (
+  SELECT q_id, v_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, v_id ASC) AS rank
+  FROM cosv
+)
+SELECT q_id, v_id, cos, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
+"""
+
+
+def sim_lsh_buckets(spark, sf_dir):
+    """hyperplane-LSH bucket histogram (the ANN candidate-pruning
+    stage): 8 deterministic integer planes → 256 buckets."""
+    vecs = T(spark, sf_dir, "embeddings")
+    b = SIM.hyperplane_buckets(vecs)
+    return (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vid").alias("first_vec"))
+        .orderBy("bucket")
+    )
+
+
+SIM_LSH_SQL = rf"""
+WITH {_ELEMENTS_SQL},
+contrib AS (
+  -- (pos - 1): generate_subscripts is 1-based, Spark posexplode 0-based
+  SELECT el.vid, p.p, el.x * CAST(((p.p * 31 + (el.pos - 1) * 17) % 7) - 3 AS DECIMAL(2,0)) AS c
+  FROM el CROSS JOIN (SELECT UNNEST(generate_series(0, {SIM.N_PLANES - 1})) AS p) p
+),
+bits AS (
+  SELECT vid, p, CASE WHEN SUM(c) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM contrib GROUP BY vid, p
+),
+buckets AS (
+  SELECT vid, CAST(SUM(bit * CAST(POW(2.0, p) AS BIGINT)) AS BIGINT) AS bucket
+  FROM bits GROUP BY vid
+)
+SELECT bucket, COUNT(*) AS n_vecs, MIN(vid) AS first_vec
+FROM buckets GROUP BY bucket ORDER BY bucket
+"""
+
+
+def sim_neardup_pairs(spark, sf_dir):
+    """embedding-cosine near-dup pairs among vec_id < 100 — top-20 most
+    similar pairs (the embedding analog of minhash near-dup)."""
+    vecs = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    cos = SIM.cosine_pairs(vecs, vecs).filter(F.col("q_id") < F.col("v_id"))
+    return (
+        cos.select(F.col("q_id").alias("vec_a"), F.col("v_id").alias("vec_b"), "cos")
+        .orderBy(F.col("cos").desc(), F.col("vec_a").asc(), F.col("vec_b").asc())
+        .limit(20)
+    )
+
+
+SIM_NEARDUP_SQL = r"""
+WITH el AS (
+  SELECT vec_id AS vid,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(CAST(UNNEST(embedding) AS DOUBLE) AS DECIMAL(18,9)) AS x
+  FROM embeddings WHERE vec_id < 100
+),
+nrm AS (SELECT vid, CAST(SUM(x * x) AS DOUBLE) AS norm2 FROM el GROUP BY vid),
+dots AS (
+  SELECT a.vid AS vec_a, b.vid AS vec_b, CAST(SUM(a.x * b.x) AS DOUBLE) AS dot
+  FROM el a JOIN el b ON a.pos = b.pos AND a.vid < b.vid
+  GROUP BY a.vid, b.vid
+)
+SELECT vec_a, vec_b, ROUND(dot / SQRT(na.norm2 * nb.norm2), 8) AS cos
+FROM dots JOIN nrm na ON na.vid = vec_a JOIN nrm nb ON nb.vid = vec_b
+ORDER BY cos DESC, vec_a ASC, vec_b ASC LIMIT 20
+"""
+
+
+QUERIES = {
+    "sim_cosine_topk": sim_cosine_topk,
+    "sim_lsh_buckets": sim_lsh_buckets,
+    "sim_neardup_pairs": sim_neardup_pairs,
+}
+
+ORACLE = {
+    "sim_cosine_topk": SIM_TOPK_SQL,
+    "sim_lsh_buckets": SIM_LSH_SQL,
+    "sim_neardup_pairs": SIM_NEARDUP_SQL,
+}

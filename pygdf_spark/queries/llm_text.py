@@ -1,0 +1,150 @@
+"""Text-analysis queries over ``documents`` (token counting, n-grams,
+language-ID, quality scoring, fingerprinting) — SURVEY.md §7 step 8 /
+north-star extensions, built on ``pygdf_spark.operators.text``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pygdf_spark.operators import text as X
+from pygdf_spark.queries._util import T
+
+
+def text_token_stats(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        X.token_count("text").alias("n_tokens"),
+        X.bpe_ish_count("text").alias("n_bpe_ish"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length(X.normalize_spaces("text")).alias("n_chars_norm"),
+    ).orderBy("doc_id")
+
+
+TEXT_TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+       LENGTH(text) AS n_chars,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_ish,
+       CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS INT) AS n_distinct_tokens,
+       LENGTH(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS n_chars_norm
+FROM documents ORDER BY doc_id
+"""
+
+
+def text_ngrams_top(spark, sf_dir):
+    """top word-bigrams corpus-wide (generate_ngrams.hpp:58): explode →
+    count → deterministic top-25."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(X.ngrams("text", 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+        .limit(25)
+    )
+
+
+TEXT_NGRAMS_SQL = r"""
+WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+grams AS (
+  SELECT UNNEST(list_transform(generate_series(1, greatest(len(w)-1, 0)),
+                i -> w[i] || ' ' || w[i+1])) AS bigram
+  FROM words
+)
+SELECT bigram, COUNT(*) AS cnt FROM grams
+GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 25
+"""
+
+
+def text_langid(spark, sf_dir):
+    """heuristic language-ID vs the labeled lang column."""
+    d = T(spark, sf_dir, "documents")
+    pred = X.lang_id("text")
+    return (
+        d.select("lang", pred.alias("pred"))
+        .groupBy("lang", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred")
+    )
+
+
+def _langid_sql() -> str:
+    score = {
+        lg: f"len(regexp_extract_all(LOWER(text), '\\b({'|'.join(ws)})\\b'))"
+        for lg, ws in X.LANG_MARKERS.items()
+    }
+    langs = list(X.LANG_MARKERS)
+    best = "greatest(" + ", ".join(score[lg] for lg in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' "
+    for lg in langs:
+        case += f"WHEN {score[lg]} = {best} THEN '{lg}' "
+    case += "ELSE 'und' END"
+    return f"""
+SELECT lang, {case} AS pred, COUNT(*) AS n
+FROM documents GROUP BY lang, pred ORDER BY lang, pred
+"""
+
+
+def text_quality(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return X.quality_features(d).orderBy("doc_id")
+
+
+TEXT_QUALITY_SQL = r"""
+SELECT doc_id,
+       LENGTH(text) AS n_chars,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+       ROUND(CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / greatest(LENGTH(text), 1), 8) AS punct_ratio,
+       ROUND(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(LENGTH(text), 1), 8) AS digit_ratio,
+       ROUND(CAST(len(regexp_extract_all(LOWER(text), '\b(the|a|of|and|to|is|in)\b')) AS DOUBLE)
+             / greatest(len(string_split_regex(trim(text), '\s+')), 1), 8) AS stop_ratio,
+       ROUND(
+         0.3 * least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0)
+       + 0.3 * (1.0 - least(CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / greatest(LENGTH(text),1) * 10.0, 1.0))
+       + 0.2 * (1.0 - least(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(LENGTH(text),1) * 10.0, 1.0))
+       + 0.2 * least(CAST(len(regexp_extract_all(LOWER(text), '\b(the|a|of|and|to|is|in)\b')) AS DOUBLE)
+                     / greatest(len(string_split_regex(trim(text), '\s+')), 1) * 5.0, 1.0)
+       , 8) AS quality
+FROM documents ORDER BY doc_id
+"""
+
+
+def text_fingerprint(spark, sf_dir):
+    """doc fingerprint: md5 hex + u64-mod numeric bucket key."""
+    from pygdf_spark.functions.hashing import MERSENNE_P
+
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.doc_fingerprint("text").alias("fp"),
+        (X.fingerprint_u64("text") % MERSENNE_P).cast("long").alias("fp_bucket"),
+    ).orderBy("doc_id")
+
+
+TEXT_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(LOWER(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+       CAST(md5_number_lower(LOWER(trim(regexp_replace(text, '\s+', ' ', 'g')))) % 2147483647 AS BIGINT) AS fp_bucket
+FROM documents ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_ngrams_top": text_ngrams_top,
+    "text_langid": text_langid,
+    "text_quality": text_quality,
+    "text_fingerprint": text_fingerprint,
+}
+
+ORACLE = {
+    "text_token_stats": TEXT_TOKEN_STATS_SQL,
+    "text_ngrams_top": TEXT_NGRAMS_SQL,
+    "text_langid": _langid_sql(),
+    "text_quality": TEXT_QUALITY_SQL,
+    "text_fingerprint": TEXT_FINGERPRINT_SQL,
+}
