@@ -57,4 +57,5 @@ def events_ts(spark, sf_dir: str):
     µs TimestampType (read as long via nanosAsLong). Oracle side uses
     CAST(ts AS TIMESTAMP) — DuckDB truncates ns→µs identically."""
     e = T(spark, sf_dir, "events")
-    return e.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # integer div — double division rounds at ~1e18 ns and shifts 1 µs
+    return e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

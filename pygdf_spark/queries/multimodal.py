@@ -1,0 +1,131 @@
+"""Multimodal-column queries: opaque binary payloads with typed
+metadata, decode/feature plumbing via Arrow-batched ``mapInPandas``
+(north-star extension; the container has no image/audio codecs, so the
+decode kernel is a clearly-marked deterministic stub — the Spark-side
+schema/batching/partitioning is real).
+
+The binary payloads are derived (``encode(text)``) since the driver
+tables carry no media; at production the same plan reads parquet
+``binary`` columns straight from the scan (no decode until after
+filter pushdown — bytes stay columnar until the Pandas UDF boundary).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pygdf_spark.queries._util import T
+
+
+def _payloads(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("img_bytes"),
+        "source",
+    )
+
+
+def mm_binary_meta(spark, sf_dir):
+    """binary column + typed metadata, no UDF: byte length, content
+    hash, leading byte — all pushdown-friendly expressions."""
+    p = _payloads(spark, sf_dir)
+    return p.select(
+        "doc_id",
+        F.octet_length("img_bytes").alias("n_bytes"),
+        F.md5("img_bytes").alias("content_md5"),
+        F.ascii(F.substring(F.col("img_bytes").cast("string"), 1, 1)).alias("first_byte"),
+        "source",
+    ).orderBy("doc_id")
+
+
+MM_BINARY_META_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5,
+       ascii(SUBSTR(text, 1, 1)) AS first_byte,
+       source
+FROM documents ORDER BY doc_id
+"""
+
+
+def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB image decode. Real codecs (PIL/libjpeg) are unavailable in
+    this container; the deterministic fake derives dimensions from the
+    byte length so the full Arrow plumbing is exercised and
+    oracle-checkable. Swap the body for a real decoder in production —
+    signature, schema and batching stay identical."""
+    for pdf in batches:
+        try:
+            raise NotImplementedError("image codec not available in this container")
+        except NotImplementedError:
+            n = pdf["img_bytes"].map(len)
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n.astype("int32"),
+                "width": (n % 64 + 16).astype("int32"),
+                "height": (n // 64 % 64 + 16).astype("int32"),
+            }
+        )
+        out["n_pixels"] = (out["width"].astype("int64") * out["height"]).astype("int64")
+        out["codec"] = "stub/v1"
+        yield out
+
+
+def mm_image_decode_stub(spark, sf_dir):
+    """mapInPandas decode pipeline: binary in → typed features out
+    (DataFrame.apply_chunks parity, dataframe.py:4779 / mapInPandas)."""
+    p = _payloads(spark, sf_dir)
+    schema = "doc_id long, n_bytes int, width int, height int, n_pixels long, codec string"
+    return p.mapInPandas(_fake_decode, schema).orderBy("doc_id")
+
+
+MM_DECODE_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 64 + 16 AS INT) AS width,
+       CAST(octet_length(encode(text)) // 64 % 64 + 16 AS INT) AS height,
+       CAST((octet_length(encode(text)) % 64 + 16) * (octet_length(encode(text)) // 64 % 64 + 16) AS BIGINT) AS n_pixels,
+       'stub/v1' AS codec
+FROM documents ORDER BY doc_id
+"""
+
+
+def mm_frame_sample(spark, sf_dir):
+    """frame-sampling plumbing (video analog): derive a deterministic
+    frame index range per payload and explode — JVM-side, no UDF."""
+    p = _payloads(spark, sf_dir).filter(F.col("doc_id") < 100)
+    n_frames = F.octet_length("img_bytes") / F.lit(40)
+    return (
+        p.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), n_frames.cast("int"))).alias("frame_id"),
+        )
+        .withColumn("byte_offset", F.col("frame_id") * 40)
+        .orderBy("doc_id", "frame_id")
+    )
+
+
+MM_FRAME_SQL = """
+SELECT doc_id, CAST(t.f AS INT) AS frame_id, CAST(t.f * 40 AS INT) AS byte_offset
+FROM documents, UNNEST(generate_series(0, octet_length(encode(text)) // 40)) AS t(f)
+WHERE doc_id < 100
+ORDER BY doc_id, frame_id
+"""
+
+
+QUERIES = {
+    "mm_binary_meta": mm_binary_meta,
+    "mm_image_decode_stub": mm_image_decode_stub,
+    "mm_frame_sample": mm_frame_sample,
+}
+
+ORACLE = {
+    "mm_binary_meta": MM_BINARY_META_SQL,
+    "mm_image_decode_stub": MM_DECODE_SQL,
+    "mm_frame_sample": MM_FRAME_SQL,
+}

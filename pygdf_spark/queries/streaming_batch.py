@@ -1,0 +1,158 @@
+"""Streaming-operator semantics, batch-checkable (SURVEY.md §2.10).
+
+The reference's streaming is offset-range Kafka micro-batches
+(custreamz/kafka.py:92 read_gdf) with no event-time semantics; our
+engine adds Spark Structured Streaming event-time operators. Each
+query here runs the *same plan shape* a readStream pipeline uses —
+``F.window``/``session_window``/keyed dedup — in batch mode so the
+DuckDB oracle can verify the semantics; tests/test_streaming.py runs
+the genuinely streaming versions (readStream → availableNow → memory
+sink) and asserts they match these batch results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pygdf_spark.queries._util import T, dec, events_ts
+
+
+def stream_tumbling_window(spark, sf_dir):
+    """5-minute tumbling event-time windows per event_type."""
+    e = events_ts(spark, sf_dir)
+    win = F.window("ts", "5 minutes")
+    return (
+        e.groupBy(win.start.alias("w_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec("value")).cast("double").alias("sum_val"))
+        .orderBy("w_start", "event_type")
+    )
+
+
+STREAM_TUMBLING_SQL = """
+SELECT CAST(to_timestamp((epoch_ns(ts) // 300000000000) * 300) AS TIMESTAMP) AS w_start,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_val
+FROM events GROUP BY 1, 2 ORDER BY w_start, event_type
+"""
+
+
+def stream_sliding_window(spark, sf_dir):
+    """10-minute windows sliding every 5 — each event lands in 2
+    windows."""
+    e = events_ts(spark, sf_dir)
+    win = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        e.groupBy(win.start.alias("w_start"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("w_start")
+    )
+
+
+STREAM_SLIDING_SQL = """
+SELECT w_start, COUNT(*) AS n FROM (
+  SELECT CAST(to_timestamp((epoch_ns(ts) // 300000000000) * 300) AS TIMESTAMP) AS w_start FROM events
+  UNION ALL
+  SELECT CAST(to_timestamp((epoch_ns(ts) // 300000000000) * 300 - 300) AS TIMESTAMP) FROM events
+) GROUP BY w_start ORDER BY w_start
+"""
+
+
+def stream_session_window(spark, sf_dir):
+    """session windows with a 10-minute inactivity gap per user
+    (net-new vs reference; Spark session_window in batch mode)."""
+    e = events_ts(spark, sf_dir)
+    sw = F.session_window("ts", "10 minutes")
+    return (
+        e.groupBy("user_id", sw)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(dec("value")).cast("double").alias("sum_val"))
+        .select("user_id", F.col("session_window.start").alias("s_start"), "n_events", "sum_val")
+        .orderBy("user_id", "s_start")
+    )
+
+
+# gaps-and-islands mirror: a new session starts when the gap since the
+# previous event is >= 600s (Spark windows are [start, start+gap)).
+STREAM_SESSION_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) >= 600000000
+                 OR LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+            THEN 1 ELSE 0 END AS new_s
+  FROM ev
+),
+islands AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS s_start, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_val
+FROM islands GROUP BY user_id, sid ORDER BY user_id, s_start
+"""
+
+
+def stream_dedup_keys(spark, sf_dir):
+    """streaming dropDuplicates semantics (first event per key under
+    event order) made deterministic for batch comparison."""
+    e = events_ts(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("event_id").alias("first_event"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+STREAM_DEDUP_SQL = """
+SELECT user_id, event_type, event_id AS first_event FROM (
+  SELECT user_id, event_type, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+  FROM events
+) WHERE rn = 1 ORDER BY user_id, event_type
+"""
+
+
+def stream_late_data_cutoff(spark, sf_dir):
+    """watermark semantics, batch-checkable: drop events older than
+    (max event time − 1 hour) — the filter a 1h watermark applies."""
+    e = events_ts(spark, sf_dir)
+    max_ts = e.agg(F.max("ts").alias("m"))
+    return (
+        e.crossJoin(F.broadcast(max_ts))
+        .filter(F.col("ts") >= F.col("m") - F.expr("INTERVAL 1 HOUR"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_recent"))
+        .orderBy("event_type")
+    )
+
+
+STREAM_LATE_SQL = """
+SELECT event_type, COUNT(*) AS n_recent
+FROM events
+WHERE CAST(ts AS TIMESTAMP) >= (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 1 HOUR
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "stream_tumbling_window": stream_tumbling_window,
+    "stream_sliding_window": stream_sliding_window,
+    "stream_session_window": stream_session_window,
+    "stream_dedup_keys": stream_dedup_keys,
+    "stream_late_data_cutoff": stream_late_data_cutoff,
+}
+
+ORACLE = {
+    "stream_tumbling_window": STREAM_TUMBLING_SQL,
+    "stream_sliding_window": STREAM_SLIDING_SQL,
+    "stream_session_window": STREAM_SESSION_SQL,
+    "stream_dedup_keys": STREAM_DEDUP_SQL,
+    "stream_late_data_cutoff": STREAM_LATE_SQL,
+}
