@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Headline benchmark for the PySpark engine (driver contract).
+
+Runs a representative slice of the query registry at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with the ``noop`` sink (computes every
+column/row, no driver collect) so the timing reflects the distributed
+plan, not a ``count()`` shortcut that Catalyst could prune.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pygdf_spark import get_spark
+from pygdf_spark.queries import registry
+
+# One headline per operator family (SURVEY.md §2 / §7 build phases).
+HEADLINE = [
+    "q1_pricing_summary",   # scan→filter→agg→sort (TPC-H Q1 shape)
+    "q6_forecast_revenue",  # pushdown-heavy filter + global agg
+    "join_inner_q3",        # 3-way join + agg + top-k
+    "join_full_outer",      # shuffle join
+    "agg_basic_stats",      # wide grouped agg
+    "agg_quantiles",        # sort-based agg path
+    "win_rolling_time",     # range-frame window
+    "win_rank_methods",     # rank pack over window
+    "reshape_pivot",        # pivot
+    "dedup_keep_first",     # window dedup
+    "str_regex_pack",       # string/regex expressions
+    "dt_extract_pack",      # datetime expressions
+    "text_token_stats",     # LLM text analysis
+    "dedup_minhash_lsh",    # MinHash+LSH near-dup
+    "sim_cosine_topk",      # embedding similarity top-k
+    "stream_tumbling_window",  # event-time windowed agg (batch semantics)
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("pygdf-spark-bench")
+    queries, _ = registry()
+
+    # Warm the JVM/codegen paths on the smallest SF so per-query times
+    # measure execution, not first-run class loading.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        _force(queries["q1_pricing_summary"](spark, warm_dir))
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(times.values()), 4)
+    print(json.dumps({
+        "metric": "headline_query_wall_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
