@@ -39,22 +39,51 @@ def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     )
 
 
-def minhash_signatures(
-    sh: DataFrame, num_perms: int = 6, p: int = MERSENNE_P
+def shingle_sets(
+    docs: DataFrame, text_col: str = "text", n: int = 3,
+    hashed: bool = False, p: int = MERSENNE_P,
 ) -> DataFrame:
-    """(doc_id, perm, minhash): base-hash each shingle once, then take
-    per-permutation minima — one groupBy(doc_id, perm) shuffle."""
-    hashed = sh.select("doc_id", md5_mod("shingle", p).alias("x"))
-    perms = hashed.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(i).alias("perm"), minhash_perm(F.col("x"), i, p).alias("h"))
-                for i in range(num_perms)
-            ])
-        ).alias("ph"),
-    ).select("doc_id", F.col("ph.perm").alias("perm"), F.col("ph.h").alias("h"))
-    return perms.groupBy("doc_id", "perm").agg(F.min("h").alias("minhash"))
+    """(doc_id, sh: array<string>, n_sh[, xs: array<long>]) — the
+    distinct shingle SET of each document as a map-side array. This is
+    the scale-friendly representation: the set stays inside its row (no
+    explode/distinct shuffle), and every downstream stage — hashing,
+    signatures, pairwise intersection — becomes a codegen'd array
+    expression. ``hashed=True`` additionally materializes the base hash
+    of every shingle (one md5 per shingle, ever — permutation hashes
+    downstream are integer folds over ``xs``)."""
+    arr = F.array_distinct(ngrams(text_col, n))
+    out = docs.select("doc_id", arr.alias("sh"), F.size(arr).alias("n_sh"))
+    if hashed:
+        out = out.withColumn("xs", F.transform("sh", lambda s: md5_mod(s, p)))
+    return out
+
+
+def minhash_signatures(
+    docs_or_sets: DataFrame, num_perms: int = 6, p: int = MERSENNE_P
+) -> DataFrame:
+    """(doc_id, perm, minhash) long-form signatures, computed map-side:
+    per-permutation minima are `array_min` folds over the in-row shingle
+    set — no explode, no groupBy. The only post-scan movement is the
+    final posexplode (num_perms rows per doc, for the LSH band join).
+
+    Accepts the output of :func:`shingle_sets` (or raw docs)."""
+    sets_df = (
+        docs_or_sets if "sh" in docs_or_sets.columns else shingle_sets(docs_or_sets)
+    )
+
+    def perm_fn(i: int):
+        return lambda v: minhash_perm(v, i, p)
+
+    xs = (
+        F.col("xs") if "xs" in sets_df.columns
+        else F.transform(F.col("sh"), lambda s: md5_mod(s, p))
+    )
+    sig = F.array(*[
+        F.array_min(F.transform(xs, perm_fn(i))) for i in range(num_perms)
+    ])
+    return sets_df.select(
+        "doc_id", F.posexplode(sig).alias("perm", "minhash")
+    )
 
 
 def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
@@ -70,25 +99,25 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
     )
 
 
-def jaccard_verify(sh: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs only."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    shared = (
-        sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
-        .join(pairs, ["doc_a", "doc_b"])  # semi-restrict to candidates
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+def jaccard_verify(sets_df: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs only: join each
+    side's shingle ARRAY onto the (sparse) candidate list, intersect
+    in-row. Two doc_id-keyed joins of the pair list — never a
+    shingle-keyed self-join, whose output is quadratic in per-shingle
+    document frequency and collapses under hot shingles at scale."""
+    a = sets_df.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
+                       F.col("n_sh").alias("na"))
+    b = sets_df.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
+                       F.col("n_sh").alias("nb"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     return (
-        shared.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "na"}), "doc_a")
-        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"}), "doc_b")
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             F.round(
-                F.col("inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("inter")),
+                inter.cast("double") / (F.col("na") + F.col("nb") - inter),
                 8,
             ).alias("jaccard"),
         )
@@ -98,11 +127,25 @@ def jaccard_verify(sh: DataFrame, pairs: DataFrame) -> DataFrame:
 def minhash_lsh_dedup(
     docs: DataFrame, text_col: str = "text", num_perms: int = 6, threshold: float = 0.05
 ) -> DataFrame:
-    """Full near-dup pipeline: shingle → sign → band-join → verify."""
-    sh = shingles(docs, text_col)
-    sig = minhash_signatures(sh, num_perms)
+    """Full near-dup pipeline: shingle-sets → sign (map-side) →
+    band-join → in-row verify.
+
+    The set table is persisted: it feeds three plan branches (both band
+    sides and the verify join) and would otherwise re-run the
+    md5-per-shingle scan per branch. At 100 TB the same role is played
+    by writing the shingle-set table to storage once and reusing it.
+
+    The input is repartitioned to full cluster parallelism first: the
+    shingle+hash map is CPU-bound, and its parallelism must come from an
+    explicit exchange, not from the input split count (a handful of
+    small parquet files would otherwise serialize the whole scan)."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sets_df = shingle_sets(
+        docs.repartition(par, "doc_id"), text_col, hashed=True
+    ).persist()
+    sig = minhash_signatures(sets_df, num_perms)
     pairs = lsh_candidate_pairs(sig)
-    return jaccard_verify(sh, pairs).filter(F.col("jaccard") >= threshold)
+    return jaccard_verify(sets_df, pairs).filter(F.col("jaccard") >= threshold)
 
 
 def simhash16(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:

@@ -1,69 +1,103 @@
 """Similarity search over embedding columns (north-star extension;
 array<float> cosine, brute-force + LSH-bucketed ANN).
 
-Scale design:
-- dot products run as explode → position join → exact-decimal partial
-  sums: a narrow shuffle keyed on vec_id pairs. For the oracle-checked
-  path everything is order-independent decimal arithmetic.
-- brute-force top-k is quadratic per query set — correct baseline,
-  used with a bounded query set. The scale path is hyperplane-LSH
-  bucketing: candidates are restricted to same-bucket vectors, which
-  is a short-key equi-join (broadcast-able bucket histogram).
-- at production scale the decimal dot product swaps for a
-  float64 `F.aggregate`/`zip_with` fold or a vectorized pandas_udf —
-  same plan shape (see bench.py variants).
+Scale design (100 TB posture):
+- all per-vector math (norms, dots, hyperplane projections) runs as
+  MAP-SIDE array expressions (`zip_with` + `aggregate` folds) inside
+  whole-stage codegen — no explode, no position join, no shuffle until
+  the final top-k / histogram step. An exploded (vid, pos, x) plan
+  joins on `pos`, whose cardinality is just the vector dimension, so at
+  scale every partition of a position-keyed shuffle receives N·d/d = N
+  rows — maximal skew. The array plan shuffles nothing but results.
+- brute-force top-k broadcasts the (small) query set against the full
+  corpus: one broadcast-nested-loop stage, embarrassingly parallel over
+  corpus partitions, then a per-query top-k. This is the exact-baseline
+  ANN shape that holds at 1000 executors when |queries| is bounded.
+- hyperplane-LSH bucketing is the scale path: 8 sign bits → 256
+  buckets computed map-side; candidate verification then joins only
+  within buckets (short uniform keys).
+- arithmetic is exact-decimal (float32 → double → decimal(18,9) is
+  lossless; products/sums accumulate in decimal(38,18)) so results are
+  bit-identical to the DuckDB oracle regardless of partitioning or
+  accumulation order — the correctness discipline float sums can't give.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: number of hyperplanes for the LSH bucketer
 N_PLANES = 8
 
+# Accumulator type for exact folds: scale 18 preserves every fractional
+# digit of a decimal(18,9)×decimal(18,9) product; precision 32 leaves
+# headroom so `acc + element` widens to (38,18) — still scale-exact —
+# and the cast back to (32,18) is lossless for |sum| < 10^14.
+_ACC = "decimal(32,18)"
 
-def _elements(vecs: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """(id, pos, x_decimal) exploded elements; float→double→decimal(18,9)
-    is exact for float32 inputs."""
+
+def _dec_vec(vec_col) -> Column:
+    """array<float> → array<decimal(18,9)> (lossless for float32)."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(c, lambda v: v.cast("double").cast("decimal(18,9)"))
+
+
+def _fold_sum(arr: Column) -> Column:
+    """Exact decimal sum of an array — a map-side `aggregate` fold."""
+    return F.aggregate(arr, F.lit(0).cast(_ACC), lambda acc, v: (acc + v).cast(_ACC))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Exact-decimal dot product of two decimal arrays → double."""
+    return _fold_sum(F.zip_with(a, b, lambda x, y: x * y)).cast("double")
+
+
+def norm2(arr: Column) -> Column:
+    """Exact-decimal squared L2 norm → double."""
+    return _fold_sum(F.transform(arr, lambda v: v * v)).cast("double")
+
+
+def with_vec(vecs: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+             id_out: str = "vid", vec_out: str = "vec") -> DataFrame:
+    """Project (id, decimal-vector, norm2) — all map-side."""
+    dv = _dec_vec(vec_col)
     return vecs.select(
-        F.col(id_col).alias("vid"),
-        F.posexplode(vec_col).alias("pos", "xf"),
-    ).select("vid", "pos", F.col("xf").cast("double").cast("decimal(18,9)").alias("x"))
+        F.col(id_col).alias(id_out), dv.alias(vec_out), norm2(dv).alias(f"{id_out}_norm2")
+    )
 
 
 def norms(vecs: DataFrame) -> DataFrame:
-    """(vid, norm2 double) squared L2 norms via exact decimal sums."""
-    el = _elements(vecs)
-    return el.groupBy("vid").agg(F.sum(F.col("x") * F.col("x")).cast("double").alias("norm2"))
+    """(vid, norm2 double) squared L2 norms — no shuffle."""
+    return with_vec(vecs).select("vid", F.col("vid_norm2").alias("norm2"))
 
 
 def cosine_pairs(vecs: DataFrame, queries: DataFrame) -> DataFrame:
-    """(q_id, vec_id, cos) for every query×vector pair (excl. self).
-    Join on position, decimal-exact dot, one final double formula."""
-    qe = _elements(queries).withColumnsRenamed({"vid": "q_id", "x": "qx"})
-    ve = _elements(vecs).withColumnsRenamed({"vid": "v_id", "x": "vx"})
-    dots = (
-        qe.join(ve, "pos")
-        .filter(F.col("q_id") != F.col("v_id"))
-        .groupBy("q_id", "v_id")
-        .agg(F.sum(F.col("qx") * F.col("vx")).cast("double").alias("dot"))
-    )
-    nn = norms(vecs)
+    """(q_id, v_id, cos) for every query×vector pair (excl. self).
+
+    The query side is broadcast; the dot product and both norms are
+    computed inside the broadcast-nested-loop join's projection, so the
+    corpus is scanned exactly once with zero shuffle.
+    """
+    q = with_vec(queries, id_out="q_id", vec_out="qvec")
+    v = with_vec(vecs, id_out="v_id", vec_out="vvec")
     return (
-        dots.join(nn.withColumnsRenamed({"vid": "q_id", "norm2": "qn"}), "q_id")
-        .join(nn.withColumnsRenamed({"vid": "v_id", "norm2": "vn"}), "v_id")
+        v.join(F.broadcast(q), F.col("q_id") != F.col("v_id"))
         .select(
             "q_id",
             "v_id",
-            F.round(F.col("dot") / F.sqrt(F.col("qn") * F.col("vn")), 8).alias("cos"),
+            F.round(
+                dot(F.col("qvec"), F.col("vvec"))
+                / F.sqrt(F.col("q_id_norm2") * F.col("v_id_norm2")),
+                8,
+            ).alias("cos"),
         )
     )
 
 
 def brute_topk(vecs: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     """Exact top-k neighbors per query (rounded-cos ranking with vec_id
-    tiebreak → deterministic)."""
+    tiebreak → deterministic). One shuffle: the per-query rank."""
     cos = cosine_pairs(vecs, queries)
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("v_id").asc())
     return (
@@ -81,23 +115,19 @@ def plane_coef(p, j):
 
 def hyperplane_buckets(vecs: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     """(vid, bucket): sign-bit bucketing against N deterministic integer
-    hyperplanes. Dot products are decimal-exact; at scale this is the
-    candidate-pruning stage ahead of in-bucket verification."""
-    el = _elements(vecs)
-    # per-plane dot via one broadcast cross join with the plane ids; the
-    # coefficient is derived from (p, pos) arithmetically, so no plane
-    # matrix ever materializes
-    contrib = (
-        el.crossJoin(F.broadcast(vecs.sparkSession.range(n_planes).select(F.col("id").cast("int").alias("p"))))
-        .select(
-            "vid",
-            "p",
-            (F.col("x") * (((F.col("p") * 31 + F.col("pos") * 17) % 7) - 3).cast("decimal(2,0)")).alias("c"),
-        )
-    )
-    bits = contrib.groupBy("vid", "p").agg(
-        F.when(F.sum("c") >= 0, F.lit(1)).otherwise(F.lit(0)).alias("bit")
-    )
-    return bits.groupBy("vid").agg(
-        F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("p")).cast("long")).cast("long").alias("bucket")
-    )
+    hyperplanes, computed entirely map-side — the projection onto plane
+    p is an indexed `transform` fold (coefficients derived from (p, j)
+    arithmetically, so no plane matrix ever materializes or broadcasts).
+    """
+    def plane_term(p: int):
+        def term(v, j):
+            return v * (((F.lit(p * 31) + j * 17) % 7) - 3).cast("decimal(2,0)")
+        return term
+
+    dv = _dec_vec("embedding")
+    bucket = None
+    for p in range(n_planes):
+        proj = _fold_sum(F.transform(dv, plane_term(p)))
+        bit = F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return vecs.select(F.col("vec_id").alias("vid"), bucket.cast("long").alias("bucket"))
