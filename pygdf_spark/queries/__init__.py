@@ -15,8 +15,10 @@ _MODULES = [
     "aggregates",
     "windows",
     "reshape",
+    "copying",
     "strings",
     "datetimes",
+    "scalar_math",
     "lists_structs",
     "llm_text",
     "llm_dedup",
