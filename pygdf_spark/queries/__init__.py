@@ -24,7 +24,9 @@ _MODULES = [
     "llm_dedup",
     "llm_similarity",
     "multimodal",
+    "udf_apply",
     "streaming_batch",
+    "streaming_live",
 ]
 
 

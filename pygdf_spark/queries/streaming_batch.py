@@ -5,9 +5,9 @@ The reference's streaming is offset-range Kafka micro-batches
 engine adds Spark Structured Streaming event-time operators. Each
 query here runs the *same plan shape* a readStream pipeline uses —
 ``F.window``/``session_window``/keyed dedup — in batch mode so the
-DuckDB oracle can verify the semantics; tests/test_streaming.py runs
-the genuinely streaming versions (readStream → availableNow → memory
-sink) and asserts they match these batch results.
+DuckDB oracle can verify the semantics; ``queries/streaming_live.py``
+runs the genuinely streaming versions (readStream → availableNow →
+memory sink) against the same oracles.
 """
 
 from __future__ import annotations

@@ -1,0 +1,75 @@
+"""Genuinely-streaming queries (SURVEY.md §2.10): each runs a real
+``readStream`` pipeline (file micro-batch source → event-time operator
+→ memory sink, ``trigger(availableNow=True)``) to completion and
+returns the sink contents. The DuckDB oracle verifies the final state
+against plain batch SQL — streaming and batch semantics must agree on
+bounded input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pygdf_spark.streaming import (
+    dedup_first_per_key,
+    read_events_stream,
+    run_available_now,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+def sstream_tumbling_live(spark, sf_dir):
+    """readStream → 5-min tumbling windows → complete-mode memory sink."""
+    ev = read_events_stream(spark, sf_dir)
+    out = run_available_now(tumbling_counts(ev), "complete")
+    return out.orderBy("w_start", "event_type")
+
+
+SSTREAM_TUMBLING_SQL = """
+SELECT CAST(to_timestamp((epoch_ns(ts) // 300000000000) * 300) AS TIMESTAMP) AS w_start,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_val
+FROM events GROUP BY 1, 2 ORDER BY w_start, event_type
+"""
+
+
+def sstream_sliding_live(spark, sf_dir):
+    """readStream → 10/5-min sliding windows → complete-mode sink."""
+    ev = read_events_stream(spark, sf_dir)
+    out = run_available_now(sliding_counts(ev), "complete")
+    return out.orderBy("w_start")
+
+
+SSTREAM_SLIDING_SQL = """
+SELECT w_start, COUNT(*) AS n FROM (
+  SELECT CAST(to_timestamp((epoch_ns(ts) // 300000000000) * 300) AS TIMESTAMP) AS w_start FROM events
+  UNION ALL
+  SELECT CAST(to_timestamp((epoch_ns(ts) // 300000000000) * 300 - 300) AS TIMESTAMP) FROM events
+) GROUP BY w_start ORDER BY w_start
+"""
+
+
+def sstream_dedup_live(spark, sf_dir):
+    """readStream → watermarked dropDuplicates state → append sink."""
+    ev = read_events_stream(spark, sf_dir)
+    out = run_available_now(dedup_first_per_key(ev), "append")
+    return out.orderBy("user_id", "event_type")
+
+
+SSTREAM_DEDUP_SQL = """
+SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type
+"""
+
+
+QUERIES = {
+    "sstream_tumbling_live": sstream_tumbling_live,
+    "sstream_sliding_live": sstream_sliding_live,
+    "sstream_dedup_live": sstream_dedup_live,
+}
+
+ORACLE = {
+    "sstream_tumbling_live": SSTREAM_TUMBLING_SQL,
+    "sstream_sliding_live": SSTREAM_SLIDING_SQL,
+    "sstream_dedup_live": SSTREAM_DEDUP_SQL,
+}

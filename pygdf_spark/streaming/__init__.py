@@ -1,0 +1,7 @@
+from pygdf_spark.streaming.pipelines import (  # noqa: F401
+    dedup_first_per_key,
+    read_events_stream,
+    run_available_now,
+    sliding_counts,
+    tumbling_counts,
+)

@@ -1,0 +1,100 @@
+"""Structured Streaming pipelines (SURVEY.md §2.10).
+
+The reference's streaming surface is offset-range Kafka micro-batches
+(custreamz/kafka.py:92 ``read_gdf(start, end)`` with format decode, no
+event-time semantics). Our engine maps that model onto Spark Structured
+Streaming and then adds what the reference lacks: event-time windows,
+watermarks, and stateful dedup.
+
+Source parity: ``read_gdf``'s offset-bounded batch corresponds to a
+bounded file/Kafka micro-batch here — ``trigger(availableNow=True)``
+processes exactly the data present and terminates, which is the same
+"read offsets [a, b) as one DataFrame" contract, generalized. A real
+Kafka deployment swaps ``readStream.parquet`` for
+``readStream.format("kafka")`` + ``from_json``/``from_avro`` with
+``startingOffsets``/``endingOffsets`` — identical downstream plan.
+
+State at scale: windowed aggregations and dropDuplicates keep per-key
+state in the state store, partitioned by grouping key across executors;
+watermarks bound that state (and are REQUIRED for append-mode windows
+and for dedup state eviction at 100 TB/day rates). Complete mode is
+used only for bounded verification runs — unbounded production streams
+use append/update + watermark.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pygdf_spark.queries._util import dec
+
+_MEM_IDS = itertools.count()
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file-source stream with its TIMESTAMP(NANOS)
+    column converted to µs TimestampType (same truncation as the batch
+    reader — SURVEY.md §1.2, types.hpp:216-220)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the file source wants a directory; stream the sf dir filtered down
+    # to the events file (a real deployment streams a landing directory)
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """5-minute tumbling event-time windows per event_type — the same
+    plan shape as the batch `stream_tumbling_window` query."""
+    win = F.window("ts", "5 minutes")
+    return events.groupBy(win.start.alias("w_start"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value")).cast("double").alias("sum_val"),
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """10-minute windows sliding every 5."""
+    win = F.window("ts", "10 minutes", "5 minutes")
+    return events.groupBy(win.start.alias("w_start")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def dedup_first_per_key(events: DataFrame) -> DataFrame:
+    """Streaming dropDuplicates on (user_id, event_type) with a 1-hour
+    watermark bounding the dedup state. Only the key columns are
+    emitted: WHICH duplicate row survives depends on arrival order
+    (nondeterministic under parallel file listing), the key set does
+    not."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+
+
+def run_available_now(sdf: DataFrame, mode: str = "complete") -> DataFrame:
+    """Execute a streaming DataFrame over exactly the data currently in
+    the source (availableNow) into a memory sink; returns the sink as a
+    batch DataFrame once the stream terminates."""
+    name = f"pygdf_stream_sink_{next(_MEM_IDS)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
