@@ -19,6 +19,7 @@ _MODULES = [
     "strings",
     "datetimes",
     "scalar_math",
+    "misc_ops",
     "lists_structs",
     "llm_text",
     "llm_dedup",

@@ -1,0 +1,197 @@
+"""Inventory-completion queries (SURVEY.md §2): transpose
+(transpose.hpp, dataframe.py:4292), GroupBy.describe (groupby.py:621),
+Rolling.apply custom window UDFs (rolling.py:249, aggregation.hpp:84),
+and the string conversion family (convert_ipv4.hpp:53 ip2int, htoi
+string.py:244, code_points string.py:3955, find_multiple
+find_multiple.hpp:52).
+
+transpose is documented small-data: cuDF transposes a device table;
+the Spark analog is an unpivot(stack)→pivot with an explicit column
+value list — a plan over an already-aggregated (tiny) frame, never over
+the fact table itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pygdf_spark.queries._util import T, dec
+
+
+def transpose_small(spark, sf_dir):
+    """.T of a 3×3 aggregate: metrics-by-flag → flag-by-metrics via
+    stack (unpivot) + pivot with a declared value list."""
+    li = T(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        (F.sum(dec("l_extendedprice")) * 100).cast("long").alias("price_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    long = agg.select(
+        "l_returnflag",
+        F.expr(
+            "stack(3, 'n', n, 'price_cents', price_cents, 'sum_qty', sum_qty) AS (metric, value)"
+        ),
+    )
+    return (
+        long.groupBy("metric")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.first("value"))
+        .orderBy("metric")
+    )
+
+
+TRANSPOSE_SQL = """
+WITH agg AS (
+  SELECT l_returnflag,
+         SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS price_cents,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT metric,
+       MAX(CASE WHEN l_returnflag = 'A' THEN value END) AS A,
+       MAX(CASE WHEN l_returnflag = 'N' THEN value END) AS N,
+       MAX(CASE WHEN l_returnflag = 'R' THEN value END) AS R
+FROM (
+  SELECT l_returnflag, 'n' AS metric, n AS value FROM agg
+  UNION ALL SELECT l_returnflag, 'price_cents', price_cents FROM agg
+  UNION ALL SELECT l_returnflag, 'sum_qty', sum_qty FROM agg
+)
+GROUP BY metric ORDER BY metric
+"""
+
+
+def groupby_describe(spark, sf_dir):
+    """GroupBy.describe (groupby.py:621): count/mean/std/min/quartiles/
+    max; std from exact power sums, quartiles exact-interpolated."""
+    li = T(spark, sf_dir, "lineitem").withColumn("q", F.col("l_quantity").cast("long"))
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("q").cast("double").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).cast("double").alias("s2"),
+        F.min("q").alias("min_q"),
+        F.percentile("q", 0.25).alias("q25"),
+        F.percentile("q", 0.5).alias("q50"),
+        F.percentile("q", 0.75).alias("q75"),
+        F.max("q").alias("max_q"),
+    )
+    n = F.col("cnt").cast("double")
+    mean = F.col("s1") / n
+    std = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1))
+    return sums.select(
+        "l_returnflag",
+        "cnt",
+        F.round(mean, 10).alias("mean_q"),
+        F.round(std, 10).alias("std_q"),
+        "min_q", "q25", "q50", "q75", "max_q",
+    ).orderBy("l_returnflag")
+
+
+DESCRIBE_SQL = """
+SELECT l_returnflag, COUNT(*) AS cnt,
+       ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(*), 10) AS mean_q,
+       ROUND(SQRT((CAST(SUM(q*q) AS DOUBLE) - CAST(SUM(q) AS DOUBLE)*CAST(SUM(q) AS DOUBLE)/COUNT(*))
+                  / (COUNT(*) - 1)), 10) AS std_q,
+       MIN(q) AS min_q,
+       quantile_cont(q, 0.25) AS q25,
+       quantile_cont(q, 0.5) AS q50,
+       quantile_cont(q, 0.75) AS q75,
+       MAX(q) AS max_q
+FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem)
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def rolling_apply_fold(spark, sf_dir):
+    """Rolling.apply with a custom function (rolling.py:249): an
+    arbitrary fold (sum of squares) over a 3-row rolling window —
+    collect_list over the frame, then a JVM-side `aggregate` fold (the
+    no-Python path for custom window functions)."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    cents = (dec("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey").rowsBetween(-2, 0)
+    vals = F.collect_list(cents).over(w)
+    fold = F.aggregate(vals, F.lit(0).cast("long"), lambda a, x: a + x * x)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.size(vals).alias("win_n"),
+        fold.alias("sumsq_cents"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+ROLLING_APPLY_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(COUNT(*) OVER w AS INT) AS win_n,
+       CAST(SUM(cents * cents) OVER w AS BIGINT) AS sumsq_cents
+FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM orders WHERE o_custkey < 200
+)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def str_convert_pack(spark, sf_dir):
+    """string→number conversions: htoi (string.py:244), ip2int
+    (convert_ipv4.hpp:53), code_points (string.py:3955), find_multiple
+    (find_multiple.hpp:52)."""
+    p = T(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    k = F.col("p_partkey")
+    hex6 = F.substring(F.md5(F.col("p_name")), 1, 6)
+    ip = F.concat_ws(
+        ".",
+        (k % 224 + 1).cast("string"), (k % 256).cast("string"),
+        ((k * 7) % 256).cast("string"), ((k * 13) % 256).cast("string"),
+    )
+    oct_ = F.split(ip, r"\.")
+    ip2int = (
+        F.element_at(oct_, 1).cast("long") * 16777216
+        + F.element_at(oct_, 2).cast("long") * 65536
+        + F.element_at(oct_, 3).cast("long") * 256
+        + F.element_at(oct_, 4).cast("long")
+    )
+    return p.select(
+        "p_partkey",
+        hex6.alias("hex6"),
+        F.conv(hex6, 16, 10).cast("long").alias("htoi"),
+        ip.alias("ip"),
+        ip2int.alias("ip2int"),
+        F.transform(F.split(F.substring("p_name", 1, 8), ""), F.ascii).alias("code_points"),
+        F.array(F.instr("p_name", "a"), F.instr("p_name", "ol"), F.instr("p_name", "e")).alias("find_multiple"),
+    ).orderBy("p_partkey")
+
+
+STR_CONVERT_SQL = r"""
+SELECT p_partkey,
+       substring(md5(p_name), 1, 6) AS hex6,
+       list_reduce(list_transform(string_split(substring(md5(p_name), 1, 6), ''),
+                                  c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                   (a, b) -> a * 16 + b) AS htoi,
+       (p_partkey % 224 + 1) || '.' || (p_partkey % 256) || '.' ||
+       ((p_partkey * 7) % 256) || '.' || ((p_partkey * 13) % 256) AS ip,
+       (p_partkey % 224 + 1) * 16777216 + (p_partkey % 256) * 65536 +
+       ((p_partkey * 7) % 256) * 256 + ((p_partkey * 13) % 256) AS ip2int,
+       list_transform(string_split(substring(p_name, 1, 8), ''), c -> CAST(ascii(c) AS INT)) AS code_points,
+       [CAST(strpos(p_name, 'a') AS INT), CAST(strpos(p_name, 'ol') AS INT),
+        CAST(strpos(p_name, 'e') AS INT)] AS find_multiple
+FROM part WHERE p_partkey < 500 ORDER BY p_partkey
+"""
+
+
+QUERIES = {
+    "transpose_small": transpose_small,
+    "groupby_describe": groupby_describe,
+    "rolling_apply_fold": rolling_apply_fold,
+    "str_convert_pack": str_convert_pack,
+}
+
+ORACLE = {
+    "transpose_small": TRANSPOSE_SQL,
+    "groupby_describe": DESCRIBE_SQL,
+    "rolling_apply_fold": ROLLING_APPLY_SQL,
+    "str_convert_pack": STR_CONVERT_SQL,
+}

@@ -1,0 +1,163 @@
+"""Sources & sinks (SURVEY.md §2.1) — the cuIO reader/writer surface
+re-expressed as Spark DataFrameReader/Writer calls.
+
+Reference parity (cpp/include/cudf/io/, python/cudf/cudf/io/):
+- read_csv / write_csv       : csv.hpp:1124 / :1452 (options builder
+  csv.hpp:40-1115 — delimiter, header, dtypes, usecols, skiprows,
+  na_values, compression)
+- read_parquet / write_parquet: parquet.hpp:371 / :802; column
+  selection + predicate→row-group pruning (io/parquet.py:213-237) is
+  Catalyst-native here (PushedFilters reach the parquet scan).
+- read_orc / write_orc        : orc.hpp:363 / :579 (stripe-statistics
+  pruning io/orc.py:110-169 → built-in ORC pushdown)
+- read_json                   : json.hpp:308 (JSON-lines + inference)
+- read_avro                   : avro.hpp:212 (needs the spark-avro
+  module; gated at call time)
+
+Compression, remote filesystems (s3://, gs://, hdfs://) and partitioned
+directory layouts ride on Hadoop FS + the format codecs — no code here,
+by design: at 100 TB the scan surface IS the optimization surface, and
+everything (pruning, pushdown, split planning) must stay inside the
+native readers, not in Python shims.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as ST
+
+_DTYPE_MAP = {
+    "int8": ST.ByteType(), "int16": ST.ShortType(), "int32": ST.IntegerType(),
+    "int64": ST.LongType(), "float32": ST.FloatType(), "float64": ST.DoubleType(),
+    "float": ST.DoubleType(), "int": ST.LongType(), "str": ST.StringType(),
+    "string": ST.StringType(), "bool": ST.BooleanType(), "date": ST.DateType(),
+    "datetime64[ns]": ST.TimestampType(), "datetime64[us]": ST.TimestampType(),
+    "timestamp": ST.TimestampType(),
+}
+
+
+def _schema(names, dtype) -> ST.StructType | None:
+    """cuDF-style names+dtype → StructType (dtype: dict or single str)."""
+    if names is None:
+        return None
+    if isinstance(dtype, dict):
+        f = [ST.StructField(n, _DTYPE_MAP[str(dtype.get(n, "string")).lower()], True) for n in names]
+    elif dtype is not None:
+        f = [ST.StructField(n, _DTYPE_MAP[str(dtype).lower()], True) for n in names]
+    else:
+        f = [ST.StructField(n, ST.StringType(), True) for n in names]
+    return ST.StructType(f)
+
+
+def read_csv(
+    spark: SparkSession,
+    filepath: str,
+    sep: str = ",",
+    header: bool | str = "infer",
+    names: list[str] | None = None,
+    dtype=None,
+    usecols: list[str] | None = None,
+    na_values: str | list[str] | None = None,
+    quotechar: str = '"',
+    comment: str | None = None,
+    dayfirst: bool = False,
+    compression: str = "infer",
+) -> DataFrame:
+    """read_csv (csv.hpp:1124; py io/csv.py). ``names`` + ``dtype``
+    supply an explicit schema (cuDF semantics); otherwise the header is
+    used with type inference. ``usecols`` prunes columns — Catalyst
+    pushes the pruning into the scan."""
+    r = spark.read.option("sep", sep).option("quote", quotechar)
+    schema = _schema(names, dtype)
+    if schema is not None:
+        r = r.schema(schema).option("header", "false" if header == "infer" else str(bool(header)).lower())
+    else:
+        r = r.option("header", "true").option("inferSchema", "true")
+    if na_values is not None:
+        vals = [na_values] if isinstance(na_values, str) else list(na_values)
+        r = r.option("nullValue", vals[0])  # Spark supports one sentinel
+    if comment is not None:
+        r = r.option("comment", comment)
+    df = r.csv(filepath)
+    if usecols:
+        df = df.select(*usecols)
+    return df
+
+
+def write_csv(df: DataFrame, path: str, sep: str = ",", header: bool = True,
+              mode: str = "overwrite") -> None:
+    """write_csv (csv.hpp:1452)."""
+    df.write.option("sep", sep).option("header", str(header).lower()).mode(mode).csv(path)
+
+
+def read_parquet(
+    spark: SparkSession,
+    filepath: str,
+    columns: list[str] | None = None,
+    filters=None,
+) -> DataFrame:
+    """read_parquet (parquet.hpp:371; py io/parquet.py:164). ``filters``
+    is a SQL predicate string — expressed declaratively so Catalyst
+    pushes it into the scan (row-group pruning, the Spark analog of
+    io/parquet.py:213-237's pyarrow-stats pruning)."""
+    df = spark.read.parquet(filepath)
+    if filters is not None:
+        df = df.filter(filters)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def write_parquet(df: DataFrame, path: str, partition_cols: list[str] | None = None,
+                  mode: str = "overwrite", compression: str = "snappy") -> None:
+    """write_parquet incl. Hive-partitioned layout (parquet.hpp:802;
+    partition_cols io/parquet.py:86-112)."""
+    w = df.write.option("compression", compression).mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)
+
+
+def read_orc(spark: SparkSession, filepath: str, columns: list[str] | None = None,
+             filters=None) -> DataFrame:
+    """read_orc (orc.hpp:363) — predicate reaches ORC stripe pruning."""
+    df = spark.read.orc(filepath)
+    if filters is not None:
+        df = df.filter(filters)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """write_orc (orc.hpp:579)."""
+    df.write.mode(mode).orc(path)
+
+
+def read_json(spark: SparkSession, filepath: str, lines: bool = True,
+              dtype=None, names: list[str] | None = None) -> DataFrame:
+    """read_json (json.hpp:308): JSON-lines with inference, or an
+    explicit schema via names+dtype."""
+    r = spark.read
+    schema = _schema(names, dtype)
+    if schema is not None:
+        r = r.schema(schema)
+    if not lines:
+        r = r.option("multiLine", "true")
+    return r.json(filepath)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def read_avro(spark: SparkSession, filepath: str) -> DataFrame:
+    """read_avro (avro.hpp:212). The spark-avro module is an external
+    jar; without it this raises a clear error instead of a Py4J wall."""
+    try:
+        return spark.read.format("avro").load(filepath)
+    except Exception as e:  # pragma: no cover - environment-dependent
+        raise RuntimeError(
+            "avro support needs the spark-avro package "
+            "(--packages org.apache.spark:spark-avro_2.13:<spark-version>)"
+        ) from e
