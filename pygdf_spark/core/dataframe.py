@@ -1,0 +1,259 @@
+"""cuDF-compatible DataFrame veneer over Spark (SURVEY.md §1.1 mapping).
+
+The reference exposes pandas semantics (cudf.DataFrame,
+core/dataframe.py:104) over an eager columnar engine; this wrapper
+exposes the same *API shape* over a lazy Spark plan. A user of the
+reference keeps their call sites — ``merge``/``groupby``/``query``/
+``sort_values``/``head``/``assign``/… — and gains Catalyst planning,
+shuffle-based scale-out, and spill-safe execution.
+
+Row-order discipline (SURVEY.md §7 hard-parts): cuDF rows are ordered;
+Spark DataFrames are unordered multisets. Every wrapper carries a
+hidden ``__row_id`` column — ``monotonically_increasing_id()`` at
+ingest (stable per partition layout), replaced by ``row_number`` over
+the sort keys after ``sort_values``. Order-sensitive ops (``head``,
+``tail``, ``shift``, ``cumsum``, dedup ``keep=first/last``) are defined
+against that column, never physical layout, so they stay correct under
+AQE re-planning and 1000-way parallelism.
+
+Scale notes: ``head/tail`` are global-order limits (TakeOrdered at the
+driver's k, not a full sort); ``merge`` defers join strategy to
+Catalyst/AQE (broadcast below threshold, else shuffle); nothing here
+ever collects to the driver except ``to_pandas`` (documented
+small-data, like cuDF's own host round-trips).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import Column
+from pyspark.sql import DataFrame as SDF
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+_RID = "__row_id"
+
+
+def from_spark(sdf: SDF) -> "DataFrame":
+    """Wrap a Spark DataFrame, materializing the ingest order."""
+    return DataFrame(sdf.withColumn(_RID, F.monotonically_increasing_id()))
+
+
+class DataFrame:
+    """pandas/cuDF-style API over a Spark plan (core/dataframe.py:104)."""
+
+    def __init__(self, sdf: SDF):
+        if _RID not in sdf.columns:
+            sdf = sdf.withColumn(_RID, F.monotonically_increasing_id())
+        self._sdf = sdf
+
+    # -- plumbing -------------------------------------------------------
+
+    @property
+    def spark(self) -> SDF:
+        """The underlying Spark DataFrame (order column dropped)."""
+        return self._sdf.drop(_RID)
+
+    @property
+    def columns(self) -> list[str]:
+        return [c for c in self._sdf.columns if c != _RID]
+
+    def _with(self, sdf: SDF) -> "DataFrame":
+        return DataFrame(sdf)
+
+    def _ordered(self) -> SDF:
+        return self._sdf.orderBy(_RID)
+
+    def __len__(self) -> int:
+        return self._sdf.count()
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (len(self), len(self.columns))
+
+    def to_pandas(self):
+        """Host round-trip (small-data, like cuDF to_pandas)."""
+        return self._ordered().drop(_RID).toPandas()
+
+    # -- selection / projection (dataframe.py __getitem__/assign) -------
+
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return F.col(key)
+        if isinstance(key, Column):  # boolean-mask filter
+            return self._with(self._sdf.filter(key))
+        if isinstance(key, Iterable):
+            return self._with(self._sdf.select(_RID, *list(key)))
+        raise TypeError(f"unsupported key {key!r}")
+
+    def assign(self, **kwargs) -> "DataFrame":
+        """assign (dataframe.py method list): add/replace columns."""
+        sdf = self._sdf
+        for name, expr in kwargs.items():
+            sdf = sdf.withColumn(name, expr)
+        return self._with(sdf)
+
+    def drop(self, columns: list[str] | str) -> "DataFrame":
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        return self._with(self._sdf.drop(*cols))
+
+    def rename(self, columns: dict[str, str]) -> "DataFrame":
+        return self._with(self._sdf.withColumnsRenamed(columns))
+
+    def astype(self, dtypes: dict[str, str]) -> "DataFrame":
+        sdf = self._sdf
+        for c, t in dtypes.items():
+            sdf = sdf.withColumn(c, F.col(c).cast(t))
+        return self._with(sdf)
+
+    # -- filters (§2.2) --------------------------------------------------
+
+    def query(self, expr: str) -> "DataFrame":
+        """query (dataframe.py:4610 → queryutils.py numba kernel);
+        Spark's SQL parser + codegen replace the CUDA JIT."""
+        return self._with(self._sdf.filter(expr))
+
+    def isin_filter(self, col: str, values) -> "DataFrame":
+        """isin-mask filter (dataframe.py:5975, search.hpp:164)."""
+        return self._with(self._sdf.filter(F.col(col).isin(list(values))))
+
+    def dropna(self, subset=None, how: str = "any", thresh: int | None = None) -> "DataFrame":
+        """dropna (frame.py:1079, stream_compaction.hpp:69)."""
+        data_cols = subset or self.columns
+        return self._with(self._sdf.na.drop(how=how, thresh=thresh, subset=data_cols))
+
+    def fillna(self, value) -> "DataFrame":
+        """fillna (frame.py:1193, replace.hpp:50)."""
+        return self._with(self._sdf.na.fill(value))
+
+    def clip(self, col: str, lower, upper) -> "DataFrame":
+        """clip (frame.py:700, replace.hpp:202)."""
+        c = F.greatest(F.lit(lower), F.least(F.lit(upper), F.col(col)))
+        return self._with(self._sdf.withColumn(col, c))
+
+    # -- order-sensitive ops (§7 discipline) -----------------------------
+
+    def sort_values(self, by, ascending=True, na_position: str = "last") -> "DataFrame":
+        """sort_values (dataframe.py:3949, sorting.hpp:114): re-keys the
+        order column to the new sort (stable: old order breaks ties)."""
+        by = [by] if isinstance(by, str) else list(by)
+        asc = [ascending] * len(by) if isinstance(ascending, bool) else list(ascending)
+        keys = []
+        for c, a in zip(by, asc):
+            col = F.col(c)
+            if a:
+                keys.append(col.asc_nulls_last() if na_position == "last" else col.asc_nulls_first())
+            else:
+                keys.append(col.desc_nulls_last() if na_position == "last" else col.desc_nulls_first())
+        keys.append(F.col(_RID))  # stability
+        w = Window.orderBy(*keys)
+        sdf = (
+            self._sdf.withColumn("__new_rid", F.row_number().over(w))
+            .drop(_RID)
+            .withColumnRenamed("__new_rid", _RID)
+        )
+        return self._with(sdf)
+
+    def head(self, n: int = 5) -> "DataFrame":
+        return self._with(self._ordered().limit(n))
+
+    def tail(self, n: int = 5) -> "DataFrame":
+        return self._with(self._sdf.orderBy(F.col(_RID).desc()).limit(n))
+
+    def shift(self, col: str, periods: int = 1) -> "DataFrame":
+        """Series.shift (frame.py:1644, copying.hpp:375) over the row
+        order."""
+        w = Window.orderBy(_RID)
+        fn = F.lag(col, periods) if periods >= 0 else F.lead(col, -periods)
+        return self._with(self._sdf.withColumn(f"{col}_shift", fn.over(w)))
+
+    def cumsum(self, col: str) -> "DataFrame":
+        """cumsum (dataframe.py cummethods, reduction.hpp:90 scan)."""
+        w = Window.orderBy(_RID).rowsBetween(Window.unboundedPreceding, 0)
+        return self._with(self._sdf.withColumn(f"{col}_cumsum", F.sum(col).over(w)))
+
+    def drop_duplicates(self, subset=None, keep: str = "first") -> "DataFrame":
+        """drop_duplicates keep=first/last (frame.py:2155,
+        stream_compaction.hpp:238) — keep resolved against row order."""
+        subset = subset or self.columns
+        order = F.col(_RID).asc() if keep == "first" else F.col(_RID).desc()
+        w = Window.partitionBy(*subset).orderBy(order)
+        return self._with(
+            self._sdf.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def nlargest(self, n: int, col: str) -> "DataFrame":
+        """nlargest (dataframe.py:4142) — TakeOrdered on the full data
+        (never a global sort), then the n-row result is re-keyed to the
+        value order, matching pandas' sorted output."""
+        top = self._with(self._sdf.orderBy(F.col(col).desc(), F.col(_RID)).limit(n))
+        return top.sort_values(col, ascending=False)
+
+    def nsmallest(self, n: int, col: str) -> "DataFrame":
+        bot = self._with(self._sdf.orderBy(F.col(col).asc(), F.col(_RID)).limit(n))
+        return bot.sort_values(col, ascending=True)
+
+    # -- joins (§2.3, dataframe.py:4365) ---------------------------------
+
+    def merge(self, right: "DataFrame", on=None, how: str = "inner",
+              suffixes: tuple[str, str] = ("_x", "_y")) -> "DataFrame":
+        """merge (dataframe.py:4365 → core/join/join.py:60). Join
+        strategy (broadcast/shuffle/sort-merge) is Catalyst's choice."""
+        on = [on] if isinstance(on, str) else list(on)
+        lsdf, rsdf = self._sdf, right._sdf.drop(_RID)
+        overlap = (set(lsdf.columns) & set(rsdf.columns)) - set(on) - {_RID}
+        for c in overlap:
+            lsdf = lsdf.withColumnRenamed(c, c + suffixes[0])
+            rsdf = rsdf.withColumnRenamed(c, c + suffixes[1])
+        joined = lsdf.join(rsdf, on=on, how=how)
+        if _RID not in joined.columns:  # right/outer rows lack a left rid
+            joined = joined.withColumn(_RID, F.monotonically_increasing_id())
+        return self._with(joined)
+
+    # -- groupby (§2.4, dataframe.py:4554) -------------------------------
+
+    def groupby(self, by) -> "GroupBy":
+        return GroupBy(self, [by] if isinstance(by, str) else list(by))
+
+
+_AGG_MAP = {
+    "sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max,
+    "count": F.count, "nunique": F.countDistinct, "std": F.stddev_samp,
+    "var": F.var_samp, "median": F.median, "first": F.first, "last": F.last,
+    "collect": F.collect_list, "unique": F.collect_set, "product": F.product,
+    "any": F.bool_or, "all": F.bool_and,
+}
+
+
+class GroupBy:
+    """GroupBy.agg with cuDF's str/list/dict spellings
+    (core/groupby/groupby.py:140, _normalize_aggs :193)."""
+
+    def __init__(self, df: DataFrame, keys: list[str]):
+        self._df = df
+        self._keys = keys
+
+    def agg(self, spec) -> DataFrame:
+        exprs = []
+        if isinstance(spec, str):
+            spec = {c: spec for c in self._df.columns if c not in self._keys}
+        if isinstance(spec, dict):
+            for col, fns in spec.items():
+                for fn in [fns] if isinstance(fns, str) else fns:
+                    exprs.append(_AGG_MAP[fn](col).alias(f"{fn}_{col}"))
+        else:
+            raise TypeError("agg spec must be str or dict")
+        out = self._df._sdf.groupBy(*self._keys).agg(*exprs)
+        return DataFrame(out.withColumn(_RID, F.monotonically_increasing_id()))
+
+    def size(self) -> DataFrame:
+        out = self._df._sdf.groupBy(*self._keys).agg(F.count(F.lit(1)).alias("size"))
+        return DataFrame(out.withColumn(_RID, F.monotonically_increasing_id()))
+
+    def apply(self, func, schema) -> DataFrame:
+        """GroupBy.apply (groupby.py:384) → applyInPandas."""
+        out = self._df._sdf.drop(_RID).groupBy(*self._keys).applyInPandas(func, schema=schema)
+        return DataFrame(out.withColumn(_RID, F.monotonically_increasing_id()))

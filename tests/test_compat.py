@@ -1,0 +1,143 @@
+"""pandas-oracle tests for the cuDF-compat DataFrame layer — the
+reference's own test strategy (SURVEY.md §5.1: build a small pandas
+frame, run the same op in the engine, assert_eq)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pandas.testing as pdt
+import pytest
+
+from pyspark.sql import functions as F
+
+from pygdf_spark.core import DataFrame, from_spark
+
+
+@pytest.fixture(scope="module")
+def pdf():
+    return pd.DataFrame({
+        "k": ["a", "b", "a", "c", "b", "a", None, "c"],
+        "x": [1, 2, 3, 4, 5, 6, 7, 8],
+        "y": [1.5, None, 2.5, 4.0, None, 0.5, 3.5, 2.0],
+    })
+
+
+@pytest.fixture(scope="module")
+def gdf(spark, pdf):
+    return from_spark(spark.createDataFrame(pdf))
+
+
+def eq(gdf_result, pdf_expected, sort_by=None):
+    got = gdf_result.to_pandas().reset_index(drop=True)
+    exp = pdf_expected.reset_index(drop=True)
+    if sort_by:
+        got = got.sort_values(sort_by).reset_index(drop=True)
+        exp = exp.sort_values(sort_by).reset_index(drop=True)
+    pdt.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_head_tail_preserve_ingest_order(gdf, pdf):
+    eq(gdf.head(3), pdf.head(3))
+    eq(gdf.tail(2).sort_values("x"), pdf.tail(2))
+
+
+def test_query_filter(gdf, pdf):
+    eq(gdf.query("x > 3 and y is not null"), pdf.query("x > 3 and y == y"))
+
+
+def test_boolean_mask(gdf, pdf):
+    eq(gdf[F.col("x") % 2 == 0], pdf[pdf.x % 2 == 0])
+
+
+def test_assign_astype(gdf, pdf):
+    got = gdf.assign(z=F.col("x") * 2).astype({"x": "double"})
+    exp = pdf.assign(z=pdf.x * 2).astype({"x": "float64"})
+    eq(got, exp)
+
+
+def test_sort_values_nulls_last(gdf, pdf):
+    eq(gdf.sort_values("y"), pdf.sort_values("y", na_position="last"))
+
+
+def test_sort_values_desc_stable(gdf, pdf):
+    eq(
+        gdf.sort_values(["k", "x"], ascending=[True, False]),
+        pdf.sort_values(["k", "x"], ascending=[True, False], na_position="last"),
+    )
+
+
+def test_drop_duplicates_keep_first_last(gdf, pdf):
+    eq(gdf.drop_duplicates(["k"], keep="first").sort_values("x"),
+       pdf.drop_duplicates(["k"], keep="first").sort_values("x"))
+    eq(gdf.drop_duplicates(["k"], keep="last").sort_values("x"),
+       pdf.drop_duplicates(["k"], keep="last").sort_values("x"))
+
+
+def test_shift_cumsum(gdf, pdf):
+    eq(gdf.shift("x")[["x", "x_shift"]],
+       pdf.assign(x_shift=pdf.x.shift(1))[["x", "x_shift"]])
+    eq(gdf.cumsum("x")[["x", "x_cumsum"]],
+       pdf.assign(x_cumsum=pdf.x.cumsum())[["x", "x_cumsum"]])
+
+
+def test_fillna_dropna_clip(gdf, pdf):
+    eq(gdf.fillna(0.0)[["y"]], pdf.fillna({"y": 0.0})[["y"]])
+    eq(gdf.dropna(subset=["k", "y"]).sort_values("x"),
+       pdf.dropna(subset=["k", "y"]).sort_values("x"))
+    eq(gdf.clip("x", 2, 6)[["x"]], pdf.assign(x=pdf.x.clip(2, 6))[["x"]])
+
+
+def test_nlargest_nsmallest(gdf, pdf):
+    eq(gdf.nlargest(3, "x"), pdf.nlargest(3, "x"))
+    eq(gdf.nsmallest(2, "x"), pdf.nsmallest(2, "x"))
+
+
+def test_merge_inner_and_left(spark, gdf, pdf):
+    dim_pd = pd.DataFrame({"k": ["a", "b"], "w": [10, 20]})
+    dim = from_spark(spark.createDataFrame(dim_pd))
+    eq(gdf.merge(dim, on="k", how="inner").sort_values(["x"]),
+       pdf.merge(dim_pd, on="k", how="inner").sort_values(["x"]))
+    got = gdf.merge(dim, on="k", how="left").sort_values(["x"])
+    exp = pdf.merge(dim_pd, on="k", how="left").sort_values(["x"])
+    eq(got, exp)
+
+
+def test_merge_suffixes(spark, gdf, pdf):
+    other_pd = pd.DataFrame({"k": ["a", "b"], "x": [100, 200]})
+    other = from_spark(spark.createDataFrame(other_pd))
+    got = gdf.merge(other, on="k", how="inner").sort_values(["x_x"])
+    exp = pdf.merge(other_pd, on="k", how="inner").sort_values(["x_x"])
+    eq(got[["k", "x_x", "x_y"]], exp[["k", "x_x", "x_y"]])
+
+
+def test_groupby_agg_dict(gdf, pdf):
+    got = gdf.groupby("k").agg({"x": ["sum", "max"], "y": "mean"})
+    exp = (
+        pdf.groupby("k", dropna=False)
+        .agg(sum_x=("x", "sum"), max_x=("x", "max"), mean_y=("y", "mean"))
+        .reset_index()
+    )
+    eq(got[["k", "sum_x", "max_x", "mean_y"]], exp, sort_by=["sum_x"])
+
+
+def test_groupby_size_and_apply(gdf, pdf):
+    got = gdf.groupby("k").size()
+    exp = pdf.groupby("k", dropna=False).size().reset_index(name="size")
+    eq(got, exp, sort_by=["size"])
+
+    def top1(g):
+        return g.nlargest(1, "x")[["k", "x"]]
+
+    got2 = gdf.groupby("k").apply(top1, "k string, x long")
+    exp2 = (
+        pdf.groupby("k", dropna=False, group_keys=False)[["k", "x"]]
+        .apply(lambda g: g.nlargest(1, "x"))
+        .reset_index(drop=True)
+    )
+    eq(got2[["k", "x"]], exp2, sort_by=["x"])
+
+
+def test_rename_drop_shape(gdf, pdf):
+    assert gdf.shape == pdf.shape
+    got = gdf.rename({"x": "xx"}).drop("y")
+    assert got.columns == ["k", "xx"]
