@@ -18,16 +18,21 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pygdf_spark.functions.hashing import md5_u64
+from pygdf_spark.operators.order import global_row_number
 from pygdf_spark.queries._util import T, dec, dsum
 
 
 def take_slice_split(spark, sf_dir):
     """slice rows [50,150) + gather every-7th position over the
-    o_orderkey order (copying.hpp:411 slice, :78 gather)."""
+    o_orderkey order (copying.hpp:411 slice, :78 gather). Positions come
+    from the DISTRIBUTED global row number (operators/order.py), not a
+    single-partition window."""
     o = T(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
-    rn = F.row_number().over(w)
-    ranked = o.select("o_orderkey", "o_custkey", dec("o_totalprice").alias("price")).withColumn("rn", rn)
+    ranked = global_row_number(
+        o.select("o_orderkey", "o_custkey", dec("o_totalprice").alias("price")),
+        ["o_orderkey"],
+        rn_col="rn",
+    ).withColumn("rn", F.col("rn").cast("int"))
     return (
         ranked.filter(((F.col("rn") > 50) & (F.col("rn") <= 150)) | (F.col("rn") % 700 == 0))
         .select(
@@ -126,10 +131,11 @@ def merge_sorted_union(spark, sf_dir):
     lo = o.filter(F.col("o_orderkey") % 3 == 0)
     hi = o.filter(F.col("o_orderkey") % 3 == 1)
     merged = lo.unionByName(hi)
-    w = Window.orderBy("o_orderkey")
     return (
-        merged.select("o_orderkey", "o_orderdate")
-        .withColumn("pos", F.row_number().over(w))
+        global_row_number(
+            merged.select("o_orderkey", "o_orderdate"), ["o_orderkey"], rn_col="pos"
+        )
+        .withColumn("pos", F.col("pos").cast("int"))
         .filter(F.col("pos") <= 100)
         .orderBy("pos")
     )
