@@ -22,6 +22,7 @@ _MODULES = [
     "misc_ops",
     "lists_structs",
     "llm_text",
+    "nlp",
     "llm_dedup",
     "llm_similarity",
     "multimodal",

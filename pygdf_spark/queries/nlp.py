@@ -1,0 +1,179 @@
+"""nvtext parity queries (SURVEY.md §2.9-text): replace/filter_tokens
+(nvtext/replace.hpp:84,131), character ngrams (generate_ngrams.hpp:88),
+porter stemmer measure (stemmer.hpp:77), character normalization
+(normalize.hpp:51,99), edit-distance matrix (edit_distance.hpp:96).
+
+All are JVM-side array/regex expressions — the Python boundary is never
+crossed, so the ops scale as narrow maps over document partitions.
+
+The porter measure here counts V+C+ spans over the plain-vowel class
+(the y-as-vowel context rule is intentionally simplified; the oracle
+applies the identical definition so the test pins OUR documented
+semantics, matching the reference's measure for y-free stems).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pygdf_spark.operators.text import tokens
+from pygdf_spark.queries._util import T
+
+_STOPLIST = ("the", "and", "of", "to", "a")
+
+
+def nlp_token_filter(spark, sf_dir):
+    """replace_tokens + filter_tokens → re-join: stopwords replaced by
+    a marker, tokens shorter than 3 chars dropped."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = tokens(F.lower("text"))
+    replaced = F.transform(
+        toks, lambda t: F.when(t.isin(*_STOPLIST), F.lit("<stop>")).otherwise(t)
+    )
+    kept = F.filter(replaced, lambda t: F.length(t) >= 3)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.size(kept).alias("n_kept"),
+        F.substring(F.array_join(kept, " "), 1, 80).alias("prefix"),
+    ).orderBy("doc_id")
+
+
+NLP_TOKEN_FILTER_SQL = rf"""
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_toks,
+       CAST(len(kept) AS INT) AS n_kept,
+       substring(array_to_string(kept, ' '), 1, 80) AS prefix
+FROM (
+  SELECT doc_id, toks,
+         list_filter(list_transform(toks,
+                     t -> CASE WHEN t IN ('the','and','of','to','a') THEN '<stop>' ELSE t END),
+                     t -> len(t) >= 3) AS kept
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents WHERE doc_id < 200)
+)
+ORDER BY doc_id
+"""
+
+
+def nlp_char_ngrams(spark, sf_dir):
+    """character ngrams (generate_ngrams.hpp:88): distinct char trigrams
+    of the first 30 chars per document — an indexed substring transform,
+    all inside codegen."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.substring(F.lower("text"), 1, 30).alias("head"),
+    ).select(
+        "doc_id",
+        F.size(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length("head") - 2, F.lit(0))),
+                    lambda i: F.substring(F.col("head"), 1, 30).substr(i, F.lit(3)),
+                )
+            )
+        ).alias("n_tri"),
+    ).orderBy("doc_id")
+
+
+NLP_CHAR_NGRAMS_SQL = """
+SELECT doc_id,
+       CAST(len(list_distinct(list_transform(
+              generate_series(1, greatest(len(head) - 2, 0)),
+              i -> substring(head, i, 3)))) AS INT) AS n_tri
+FROM (SELECT doc_id, substring(lower(text), 1, 30) AS head
+      FROM documents WHERE doc_id < 200)
+ORDER BY doc_id
+"""
+
+
+def nlp_porter_measure(spark, sf_dir):
+    """porter_stemmer_measure (stemmer.hpp:77): m of the first token —
+    the count of V+C+ spans after lowercasing/letter-filtering."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    w0 = F.element_at(tokens(F.lower("text")), 1)
+    letters = F.regexp_replace(w0, "[^a-z]", "")
+    m = F.regexp_count(letters, F.lit("[aeiou]+[^aeiou]+"))
+    return d.select(
+        "doc_id", letters.alias("stem_word"), m.alias("measure")
+    ).orderBy("doc_id")
+
+
+NLP_PORTER_SQL = r"""
+SELECT doc_id,
+       regexp_replace(w0, '[^a-z]', '', 'g') AS stem_word,
+       CAST(len(regexp_extract_all(regexp_replace(w0, '[^a-z]', '', 'g'),
+                                   '[aeiou]+[^aeiou]+')) AS INT) AS measure
+FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')[1] AS w0
+      FROM documents WHERE doc_id < 500)
+ORDER BY doc_id
+"""
+
+
+def nlp_normalize_chars(spark, sf_dir):
+    """normalize_spaces + normalize_characters (normalize.hpp:51,99):
+    lowercase, strip punctuation, collapse whitespace."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), r"[^a-z0-9\s]", ""), r"\s+", " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.substring(norm, 1, 60).alias("norm_prefix"),
+        (F.length("text") - F.length(norm)).alias("chars_removed"),
+    ).orderBy("doc_id")
+
+
+NLP_NORMALIZE_SQL = r"""
+SELECT doc_id,
+       substring(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                     '\s+', ' ', 'g')), 1, 60) AS norm_prefix,
+       CAST(len(text) - len(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                                '\s+', ' ', 'g'))) AS INT) AS chars_removed
+FROM documents WHERE doc_id < 200 ORDER BY doc_id
+"""
+
+
+def nlp_edit_distance_matrix(spark, sf_dir):
+    """edit_distance_matrix (edit_distance.hpp:96): pairwise levenshtein
+    over the nation-name domain (a small broadcast cross join; the
+    per-pair DP runs JVM-side)."""
+    n = T(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 10).select("n_name")
+    a = n.select(F.col("n_name").alias("name_a"))
+    b = n.select(F.col("n_name").alias("name_b"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b", F.levenshtein("name_a", "name_b").alias("dist"))
+        .orderBy("name_a", "name_b")
+    )
+
+
+NLP_EDIT_MATRIX_SQL = """
+SELECT a.n_name AS name_a, b.n_name AS name_b,
+       CAST(levenshtein(a.n_name, b.n_name) AS INT) AS dist
+FROM (SELECT n_name FROM nation WHERE n_nationkey < 10) a,
+     (SELECT n_name FROM nation WHERE n_nationkey < 10) b
+WHERE a.n_name < b.n_name
+ORDER BY name_a, name_b
+"""
+
+
+QUERIES = {
+    "nlp_token_filter": nlp_token_filter,
+    "nlp_char_ngrams": nlp_char_ngrams,
+    "nlp_porter_measure": nlp_porter_measure,
+    "nlp_normalize_chars": nlp_normalize_chars,
+    "nlp_edit_distance_matrix": nlp_edit_distance_matrix,
+}
+
+ORACLE = {
+    "nlp_token_filter": NLP_TOKEN_FILTER_SQL,
+    "nlp_char_ngrams": NLP_CHAR_NGRAMS_SQL,
+    "nlp_porter_measure": NLP_PORTER_SQL,
+    "nlp_normalize_chars": NLP_NORMALIZE_SQL,
+    "nlp_edit_distance_matrix": NLP_EDIT_MATRIX_SQL,
+}

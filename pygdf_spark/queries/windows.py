@@ -216,7 +216,31 @@ ORDER BY o_custkey, o_orderkey
 """
 
 
+def win_rolling_center(spark, sf_dir):
+    """centered rolling window (Rolling center=True rolling.py:24-37;
+    SURVEY §7 hard-parts): frame [-1, +1] around the current row."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(-1, 1)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(dec("o_totalprice")).over(w).cast("double") / F.count(F.lit(1)).over(w)).alias("c_avg"),
+        F.count(F.lit(1)).over(w).alias("c_n"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+WIN_ROLLING_CENTER_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) / COUNT(*) OVER w AS c_avg,
+       COUNT(*) OVER w AS c_n
+FROM orders WHERE o_custkey < 300
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
 QUERIES = {
+    "win_rolling_center": win_rolling_center,
     "win_group_cumsum": win_group_cumsum,
     "win_shift_diff": win_shift_diff,
     "win_rank_methods": win_rank_methods,
@@ -227,6 +251,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "win_rolling_center": WIN_ROLLING_CENTER_SQL,
     "win_group_cumsum": WIN_GROUP_CUMSUM_SQL,
     "win_shift_diff": WIN_SHIFT_SQL,
     "win_rank_methods": WIN_RANK_SQL,
