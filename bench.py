@@ -43,6 +43,8 @@ HEADLINE = [
     "dedup_minhash_lsh",    # MinHash+LSH near-dup
     "sim_cosine_topk",      # embedding similarity top-k
     "stream_tumbling_window",  # event-time windowed agg (batch semantics)
+    "udf_apply_rows_charge",   # Arrow-batched pandas UDF path
+    "sstream_tumbling_live",   # real readStream → memory sink
 ]
 
 
