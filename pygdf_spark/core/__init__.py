@@ -1,1 +1,2 @@
 from pygdf_spark.core.dataframe import DataFrame, from_spark  # noqa: F401
+from pygdf_spark.core.series import Series  # noqa: F401

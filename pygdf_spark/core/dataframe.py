@@ -80,7 +80,9 @@ class DataFrame:
 
     def __getitem__(self, key):
         if isinstance(key, str):
-            return F.col(key)
+            from pygdf_spark.core.series import Series
+
+            return Series(self, key)
         if isinstance(key, Column):  # boolean-mask filter
             return self._with(self._sdf.filter(key))
         if isinstance(key, Iterable):

@@ -1,0 +1,212 @@
+"""cuDF-compatible Series veneer (core/series.py:66) + the ``.str``
+(core/column/string.py) and ``.dt`` (series.py:6080-6397) accessors.
+
+A Series is a named column bound to its parent wrapper — operations
+either return Spark ``Column`` expressions (composable, lazy) or, for
+reductions, host scalars (cuDF returns host scalars from reductions
+too: ``Series.sum`` et al., series.py:4110+). ``value_counts``/
+``unique`` return frames/lists since they change cardinality.
+
+The ``.str`` accessor delegates to ``pygdf_spark.functions.strings`` —
+every method is a JVM-side expression (no Python row loop), so a
+``s.str.lower().contains(...)`` chain compiles into the same
+whole-stage-codegen span as hand-written SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from pygdf_spark.functions import strings as _str
+
+
+class StrAccessor:
+    """cuDF .str accessor over a column expression."""
+
+    def __init__(self, col: Column):
+        self._c = col
+
+    def __getattr__(self, name: str):
+        fn = getattr(_str, name, None) or getattr(_str, name + "_", None)
+        if fn is None:
+            raise AttributeError(f".str has no method {name!r}")
+
+        def bound(*args, **kwargs):
+            return fn(self._c, *args, **kwargs)
+
+        return bound
+
+
+class DtAccessor:
+    """cuDF .dt accessor (series.py:6080-6397; datetime.hpp:45-205)."""
+
+    def __init__(self, col: Column):
+        self._c = col
+
+    @property
+    def year(self) -> Column:
+        return F.year(self._c)
+
+    @property
+    def month(self) -> Column:
+        return F.month(self._c)
+
+    @property
+    def day(self) -> Column:
+        return F.dayofmonth(self._c)
+
+    @property
+    def hour(self) -> Column:
+        return F.hour(self._c)
+
+    @property
+    def minute(self) -> Column:
+        return F.minute(self._c)
+
+    @property
+    def second(self) -> Column:
+        return F.second(self._c)
+
+    @property
+    def weekday(self) -> Column:
+        # cuDF weekday: Monday=0 (pandas semantics); Spark dayofweek: Sunday=1
+        return (F.dayofweek(self._c) + 5) % 7
+
+    @property
+    def dayofyear(self) -> Column:
+        return F.dayofyear(self._c)
+
+    @property
+    def is_leap_year(self) -> Column:
+        y = F.year(self._c)
+        return ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
+
+    def strftime(self, fmt: str) -> Column:
+        # translate the common strftime directives to Spark's pattern
+        pat = (
+            fmt.replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")
+            .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")
+        )
+        return F.date_format(self._c, pat)
+
+
+class Series:
+    """Single named column of a core.DataFrame (series.py:66)."""
+
+    def __init__(self, parent, name: str):
+        self._parent = parent
+        self._name = name
+
+    @property
+    def col(self) -> Column:
+        return F.col(self._name)
+
+    # arithmetic/comparison dunders delegate to the Column expression so
+    # ``df["x"] + 1`` / ``df[df["x"] > 3]`` read like cuDF call sites
+    def _other(self, other):
+        return other.col if isinstance(other, Series) else other
+
+    def __add__(self, o):
+        return self.col + self._other(o)
+
+    def __sub__(self, o):
+        return self.col - self._other(o)
+
+    def __mul__(self, o):
+        return self.col * self._other(o)
+
+    def __truediv__(self, o):
+        return self.col / self._other(o)
+
+    def __mod__(self, o):
+        return self.col % self._other(o)
+
+    def __gt__(self, o):
+        return self.col > self._other(o)
+
+    def __ge__(self, o):
+        return self.col >= self._other(o)
+
+    def __lt__(self, o):
+        return self.col < self._other(o)
+
+    def __le__(self, o):
+        return self.col <= self._other(o)
+
+    def __eq__(self, o):  # noqa: D105 - expression, not identity (pandas-style)
+        return self.col == self._other(o)
+
+    def __ne__(self, o):
+        return self.col != self._other(o)
+
+    __hash__ = None
+
+    def isin(self, values) -> Column:
+        return self.col.isin(list(values))
+
+    def isnull(self) -> Column:
+        return self.col.isNull()
+
+    def notnull(self) -> Column:
+        return self.col.isNotNull()
+
+    def astype(self, t: str) -> Column:
+        return self.col.cast(t)
+
+    def fillna(self, v) -> Column:
+        return F.coalesce(self.col, F.lit(v))
+
+    @property
+    def str(self) -> StrAccessor:
+        return StrAccessor(self.col)
+
+    @property
+    def dt(self) -> DtAccessor:
+        return DtAccessor(self.col)
+
+    # -- reductions (host scalars, series.py:4110+) ----------------------
+
+    def _agg(self, expr):
+        return self._parent._sdf.agg(expr.alias("v")).collect()[0]["v"]
+
+    def sum(self):
+        return self._agg(F.sum(self.col))
+
+    def mean(self):
+        return self._agg(F.avg(self.col))
+
+    def min(self):
+        return self._agg(F.min(self.col))
+
+    def max(self):
+        return self._agg(F.max(self.col))
+
+    def count(self):
+        return self._agg(F.count(self.col))
+
+    def nunique(self):
+        return self._agg(F.countDistinct(self.col))
+
+    def any(self):
+        return bool(self._agg(F.bool_or(self.col.cast("boolean"))))
+
+    def all(self):
+        return bool(self._agg(F.bool_and(self.col.cast("boolean"))))
+
+    # -- cardinality-changing (series.py:5023,5091) ----------------------
+
+    def unique(self) -> list:
+        rows = self._parent._sdf.select(self.col).distinct().collect()
+        return sorted((r[0] for r in rows), key=lambda v: (v is None, v))
+
+    def value_counts(self):
+        """value_counts (series.py:5091) as a core.DataFrame."""
+        from pygdf_spark.core.dataframe import DataFrame
+
+        out = (
+            self._parent._sdf.groupBy(self.col.alias(self._name))
+            .agg(F.count(F.lit(1)).alias("count"))
+            .orderBy(F.col("count").desc(), F.col(self._name).asc_nulls_last())
+        )
+        return DataFrame(out)

@@ -20,6 +20,7 @@ _MODULES = [
     "datetimes",
     "scalar_math",
     "misc_ops",
+    "dtypes",
     "lists_structs",
     "llm_text",
     "nlp",

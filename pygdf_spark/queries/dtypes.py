@@ -1,0 +1,139 @@
+"""Type-system queries (SURVEY.md §1.2): the cast matrix (unary.hpp:111),
+unsigned-integer widening rules (UINT8→Short … UINT64→Decimal(20,0) —
+Spark has no unsigned types), decimal32/64 arithmetic semantics
+(Decimal64Dtype core/dtypes.py:419 — cuDF caps precision at 18, Spark
+extends to 38), and dictionary encode/decode
+(dictionary/encode.hpp:57,76) as a code⇄value mapping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pygdf_spark.queries._util import T, dec
+
+
+def cast_matrix_pack(spark, sf_dir):
+    """cast (unary.hpp:111) across the §1.2 mapping: numeric widen/
+    narrow, string⇄number, date⇄timestamp, bool⇄int — plus the unsigned
+    widening rules (UINT32→Long, UINT64→Decimal(20,0))."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.cast("int").alias("as_i32"),
+        k.cast("smallint").alias("as_i16_of_small"),       # values < 2000: lossless
+        (k % 100).cast("tinyint").alias("as_i8"),
+        k.cast("double").alias("as_f64"),
+        k.cast("string").alias("as_str"),
+        (k % 2 == 0).cast("int").alias("bool_as_int"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("as_dec18_4"),
+        # UINT64 widening rule: value reinterpreted into decimal(20,0)
+        k.cast("decimal(20,0)").alias("u64_as_dec20"),
+        F.col("o_orderdate").cast("date").alias("ts_as_date"),
+        F.col("o_orderdate").cast("date").cast("timestamp").alias("date_as_ts"),
+        F.concat(F.lit("4"), (k % 10).cast("string")).cast("long").alias("str_as_i64"),
+    ).orderBy("o_orderkey")
+
+
+CAST_MATRIX_SQL = """
+SELECT o_orderkey,
+       CAST(o_orderkey AS INT) AS as_i32,
+       CAST(o_orderkey AS SMALLINT) AS as_i16_of_small,
+       CAST(o_orderkey % 100 AS TINYINT) AS as_i8,
+       CAST(o_orderkey AS DOUBLE) AS as_f64,
+       CAST(o_orderkey AS VARCHAR) AS as_str,
+       CAST(o_orderkey % 2 = 0 AS INT) AS bool_as_int,
+       CAST(o_totalprice AS DECIMAL(18,4)) AS as_dec18_4,
+       CAST(o_orderkey AS DECIMAL(20,0)) AS u64_as_dec20,
+       CAST(o_orderdate AS DATE) AS ts_as_date,
+       CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS date_as_ts,
+       CAST('4' || CAST(o_orderkey % 10 AS VARCHAR) AS BIGINT) AS str_as_i64
+FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey
+"""
+
+
+def decimal_arith_pack(spark, sf_dir):
+    """decimal32/64 semantics (core/dtypes.py:311,419): fixed-point
+    add/mul/div with explicit precision/scale results; cuDF caps at
+    precision 18, we document Spark's 38-cap as the superset and keep
+    every result inside 18 for parity."""
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    p = dec("l_extendedprice")            # decimal(12,2)
+    d = F.col("l_discount").cast("decimal(4,3)")
+    t = F.col("l_tax").cast("decimal(4,3)")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        p.alias("price"),
+        (p + p).cast("decimal(13,2)").alias("dec_add"),
+        (p * d).cast("decimal(16,5)").alias("dec_mul"),
+        (p * (F.lit(1).cast("decimal(2,0)") - d) * (F.lit(1).cast("decimal(2,0)") + t))
+        .cast("decimal(18,8)").alias("dec_chain"),
+        (p / F.lit(4).cast("decimal(2,0)")).cast("decimal(16,6)").alias("dec_div"),
+        F.round(p * d, 2).cast("decimal(14,2)").alias("dec_round"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+DECIMAL_ARITH_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) + CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(13,2)) AS dec_add,
+       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,3)) AS DECIMAL(16,5)) AS dec_mul,
+       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,3)))
+            * (1 + CAST(l_tax AS DECIMAL(4,3))) AS DECIMAL(18,8)) AS dec_chain,
+       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) / 4 AS DECIMAL(16,6)) AS dec_div,
+       CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,3)), 2) AS DECIMAL(14,2)) AS dec_round
+FROM lineitem WHERE l_orderkey < 2000 ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def dict_encode_decode(spark, sf_dir):
+    """dictionary encode/decode (dictionary/encode.hpp:57,76): build the
+    value→code dictionary (dense ranks over the distinct domain), encode
+    the column, then decode back via a broadcast join — the §1.2
+    categorical-as-dim-table representation."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    domain = o.select("o_orderpriority").distinct()
+    codes = domain.withColumn(
+        "code", F.dense_rank().over(Window.orderBy("o_orderpriority")) - 1
+    )
+    encoded = o.join(F.broadcast(codes), "o_orderpriority")
+    decoded = encoded.join(
+        F.broadcast(codes.withColumnsRenamed({"o_orderpriority": "decoded", "code": "code2"})),
+        F.col("code") == F.col("code2"),
+    )
+    return (
+        decoded.groupBy("code", "o_orderpriority", "decoded")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("roundtrip_ok", F.col("o_orderpriority") == F.col("decoded"))
+        .orderBy("code")
+    )
+
+
+DICT_ENCODE_SQL = """
+WITH codes AS (
+  SELECT o_orderpriority, DENSE_RANK() OVER (ORDER BY o_orderpriority) - 1 AS code
+  FROM (SELECT DISTINCT o_orderpriority FROM orders WHERE o_orderkey < 2000)
+)
+SELECT c.code AS code, o.o_orderpriority, c2.o_orderpriority AS decoded, COUNT(*) AS n,
+       o.o_orderpriority = c2.o_orderpriority AS roundtrip_ok
+FROM (SELECT * FROM orders WHERE o_orderkey < 2000) o
+JOIN codes c ON o.o_orderpriority = c.o_orderpriority
+JOIN codes c2 ON c.code = c2.code
+GROUP BY 1, 2, 3 ORDER BY c.code
+"""
+
+
+QUERIES = {
+    "cast_matrix_pack": cast_matrix_pack,
+    "decimal_arith_pack": decimal_arith_pack,
+    "dict_encode_decode": dict_encode_decode,
+}
+
+ORACLE = {
+    "cast_matrix_pack": CAST_MATRIX_SQL,
+    "decimal_arith_pack": DECIMAL_ARITH_SQL,
+    "dict_encode_decode": DICT_ENCODE_SQL,
+}

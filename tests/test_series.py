@@ -1,0 +1,86 @@
+"""pandas-oracle tests for the Series veneer + .str/.dt accessors."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from pygdf_spark.core import from_spark
+
+
+@pytest.fixture(scope="module")
+def pdf():
+    return pd.DataFrame({
+        "s": ["Hello World", "spark SQL", None, "  pad  ", "abc123"],
+        "x": [1, 2, 3, 4, 5],
+        "d": pd.to_datetime([
+            "2020-02-29 10:30:00", "2021-07-04 00:00:00", "2022-12-31 23:59:59",
+            "2023-01-01 01:02:03", "2024-06-15 12:00:00",
+        ]),
+    })
+
+
+@pytest.fixture(scope="module")
+def gdf(spark, pdf):
+    return from_spark(spark.createDataFrame(pdf))
+
+
+def test_series_reductions(gdf, pdf):
+    assert gdf["x"].sum() == pdf.x.sum()
+    assert gdf["x"].mean() == pdf.x.mean()
+    assert gdf["x"].min() == pdf.x.min()
+    assert gdf["x"].max() == pdf.x.max()
+    assert gdf["x"].count() == len(pdf)
+    assert gdf["x"].nunique() == pdf.x.nunique()
+
+
+def test_series_exprs_filter(gdf, pdf):
+    got = gdf[gdf["x"] > 3].to_pandas()
+    assert list(got.x) == [4, 5]
+    got2 = gdf.assign(y=gdf["x"] * 2 + 1).to_pandas()
+    assert list(got2.y) == list(pdf.x * 2 + 1)
+
+
+def test_series_unique_value_counts(gdf, pdf):
+    assert gdf["x"].unique() == sorted(pdf.x.unique())
+    vc = gdf["s"].value_counts().to_pandas()
+    assert vc["count"].tolist() == [1, 1, 1, 1, 1]
+
+
+def test_str_accessor(gdf, pdf):
+    got = gdf.assign(
+        lo=gdf["s"].str.lower(),
+        n=gdf["s"].str.len(),
+        has=gdf["s"].str.contains("o", regex=False),
+        st=gdf["s"].str.strip(),
+    ).to_pandas()
+    exp_lo = pdf.s.str.lower()
+    exp_n = pdf.s.str.len()
+    assert list(got.lo) == [v if pd.notna(v) else None for v in exp_lo]
+    assert [int(v) for v in got.n if pd.notna(v)] == [int(v) for v in exp_n.dropna()]
+    assert list(got.st)[3] == "pad"
+    assert bool(got.has[0]) is True and bool(got.has[4]) is False
+
+
+def test_dt_accessor(gdf, pdf):
+    got = gdf.assign(
+        yr=gdf["d"].dt.year,
+        mo=gdf["d"].dt.month,
+        wd=gdf["d"].dt.weekday,
+        leap=gdf["d"].dt.is_leap_year,
+        fmt=gdf["d"].dt.strftime("%Y-%m-%d %H:%M"),
+    ).to_pandas()
+    assert list(got.yr) == list(pdf.d.dt.year)
+    assert list(got.mo) == list(pdf.d.dt.month)
+    assert list(got.wd) == list(pdf.d.dt.weekday)
+    assert list(got.leap) == [y % 4 == 0 and (y % 100 != 0 or y % 400 == 0) for y in pdf.d.dt.year]
+    assert list(got.fmt) == list(pdf.d.dt.strftime("%Y-%m-%d %H:%M"))
+
+
+def test_series_null_helpers(gdf):
+    assert gdf[gdf["s"].isnull()].shape[0] == 1
+    assert gdf[gdf["s"].notnull()].shape[0] == 4
+    filled = gdf.assign(f=gdf["s"].fillna("??")).to_pandas()
+    assert "??" in list(filled.f)
