@@ -126,13 +126,56 @@ GROUP BY 1, 2, 3 ORDER BY c.code
 """
 
 
+def interval_range_ops(spark, sf_dir):
+    """IntervalDtype as struct(left,right) (core/dtypes.py:527) +
+    interval_range (core/index.py:2620) + interval membership: the
+    boundary table is built with `sequence` and BROADCAST against the
+    fact side — a range join whose build side is the (tiny) interval
+    list, the shape that scales."""
+    o = T(spark, sf_dir, "orders")
+    iv = spark.range(1).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(250000), F.lit(50000)),
+                lambda lo: F.struct(lo.alias("left"), (lo + 50000).alias("right")),
+            )
+        ).alias("iv")
+    ).select("iv.left", "iv.right")
+    price = dec("o_totalprice")
+    joined = o.join(
+        F.broadcast(iv),
+        (price >= F.col("left")) & (price < F.col("right")),
+        "inner",
+    )
+    return (
+        joined.groupBy("left", "right")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("o_orderkey").alias("first_key"))
+        .orderBy("left")
+    )
+
+
+INTERVAL_RANGE_SQL = """
+WITH iv AS (
+  SELECT lo AS "left", lo + 50000 AS "right"
+  FROM (SELECT UNNEST(generate_series(0, 250000, 50000)) AS lo)
+)
+SELECT iv."left" AS "left", iv."right" AS "right", COUNT(*) AS n, MIN(o_orderkey) AS first_key
+FROM orders o JOIN iv
+  ON CAST(o.o_totalprice AS DECIMAL(12,2)) >= iv."left"
+ AND CAST(o.o_totalprice AS DECIMAL(12,2)) < iv."right"
+GROUP BY 1, 2 ORDER BY "left"
+"""
+
+
 QUERIES = {
+    "interval_range_ops": interval_range_ops,
     "cast_matrix_pack": cast_matrix_pack,
     "decimal_arith_pack": decimal_arith_pack,
     "dict_encode_decode": dict_encode_decode,
 }
 
 ORACLE = {
+    "interval_range_ops": INTERVAL_RANGE_SQL,
     "cast_matrix_pack": CAST_MATRIX_SQL,
     "decimal_arith_pack": DECIMAL_ARITH_SQL,
     "dict_encode_decode": DICT_ENCODE_SQL,

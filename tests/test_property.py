@@ -1,0 +1,88 @@
+"""Property-based Spark-vs-DuckDB parity (the reference's fuzz tier,
+SURVEY.md §5.3: _fuzz_testing randomizes shapes/dtypes/null fractions;
+here hypothesis generates frames and core relational ops must agree)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+ROW = st.tuples(
+    st.integers(min_value=0, max_value=4),                      # group key
+    st.one_of(st.none(), st.integers(-1000, 1000)),             # nullable int
+    st.text(alphabet="abcde ", min_size=0, max_size=8),         # short string
+)
+
+FRAMES = st.lists(ROW, min_size=0, max_size=60)
+
+
+def _to_engines(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["k", "v", "s"]).astype({"k": "int64", "v": "Int64"})
+    sdf = spark.createDataFrame(
+        [(int(k), None if pd.isna(v) else int(v), s) for k, v, s in pdf.itertuples(index=False)],
+        schema="k long, v long, s string",
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)  # Int64 nullable → real NULLs (not NaN) in DuckDB
+    return sdf, con
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(FRAMES)
+def test_groupby_sum_count_parity(spark, rows):
+    sdf, con = _to_engines(spark, rows)
+    got = {
+        (r["k"], r["sum_v"], r["n"], r["n_valid"])
+        for r in sdf.groupBy("k")
+        .agg(
+            F.sum("v").alias("sum_v"),
+            F.count(F.lit(1)).alias("n"),
+            F.count("v").alias("n_valid"),
+        )
+        .collect()
+    }
+    exp = {
+        (int(k), None if pd.isna(sv) else int(sv), int(n), int(nv))
+        for k, sv, n, nv in con.execute(
+            "SELECT k, SUM(v), COUNT(*), COUNT(v) FROM t GROUP BY k"
+        ).fetchall()
+    }
+    assert got == exp
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(FRAMES)
+def test_distinct_filter_parity(spark, rows):
+    sdf, con = _to_engines(spark, rows)
+    got = {
+        (r["k"], r["s"]) for r in sdf.filter(F.col("v").isNotNull() & (F.col("v") > 0))
+        .select("k", "s").distinct().collect()
+    }
+    exp = set(
+        con.execute("SELECT DISTINCT k, s FROM t WHERE v IS NOT NULL AND v > 0").fetchall()
+    )
+    assert got == exp
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(FRAMES)
+def test_sort_topk_parity(spark, rows):
+    sdf, con = _to_engines(spark, rows)
+    got = [
+        (r["k"], None if r["v"] is None else int(r["v"]), r["s"])
+        for r in sdf.orderBy(
+            F.col("v").desc_nulls_last(), F.col("k").asc(), F.col("s").asc()
+        ).limit(10).collect()
+    ]
+    exp = [
+        (int(k), None if pd.isna(v) else int(v), s)
+        for k, v, s in con.execute(
+            "SELECT k, v, s FROM t ORDER BY v DESC NULLS LAST, k ASC, s ASC LIMIT 10"
+        ).fetchall()
+    ]
+    assert got == exp
