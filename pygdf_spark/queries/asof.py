@@ -1,0 +1,125 @@
+"""As-of join + group fill queries (SURVEY.md §2.3 extension / §2.4
+ffill-bfill parity — groupby::replace_nulls groupby.hpp:348).
+
+The oracle uses DuckDB's native ASOF JOIN, so the distributed
+union+window implementation is checked against an independent engine's
+definition of as-of semantics — not against itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pygdf_spark.operators.asof import asof_join_backward
+from pygdf_spark.queries._util import T, dec, events_ts
+
+
+def asof_join_events(spark, sf_dir):
+    """each click gets the latest same-user purchase at-or-before it."""
+    e = events_ts(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", dec("value").alias("value")
+    )
+    out = asof_join_backward(
+        clicks, buys, by=["user_id"], ts="ts", payload=["event_id", "value"]
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("event_id_r").alias("purchase_id"),
+        F.col("value_r").alias("purchase_value"),
+    ).orderBy("user_id", "click_id")
+
+
+ASOF_JOIN_SQL = """
+SELECT c.user_id AS user_id, c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       CAST(p.value AS DECIMAL(12,2)) AS purchase_value
+FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+      FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+                FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY user_id, click_id
+"""
+
+
+def group_fill_bfill(spark, sf_dir):
+    """groupby bfill (backfill groupby.py:821): next non-null value
+    within the group — F.first(ignorenulls) over the forward frame."""
+    e = events_ts(spark, sf_dir).filter(F.col("user_id") < 100)
+    v = F.when(F.col("event_type") == "purchase", dec("value"))
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        v.alias("v"),
+        F.last(v, ignorenulls=True).over(wf).alias("v_ffill"),
+        F.first(v, ignorenulls=True).over(wb).alias("v_bfill"),
+    ).orderBy("user_id", "event_id")
+
+
+GROUP_BFILL_SQL = """
+SELECT user_id, event_id, v,
+       LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill,
+       FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_bfill
+FROM (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END AS v
+  FROM events WHERE user_id < 100
+)
+ORDER BY user_id, event_id
+"""
+
+
+def ast_filter_string(spark, sf_dir):
+    """DataFrame.query(expr) parity (dataframe.py:4610 →
+    queryutils.py:38 query_parser → numba CUDA kernel): the expression
+    arrives as a STRING and is parsed/compiled by the engine — Spark's
+    SQL parser + codegen replace the reference's Python-AST → CUDA
+    pipeline."""
+    li = T(spark, sf_dir, "lineitem")
+    expr = (
+        "l_quantity > 45 and (l_returnflag = 'A' or l_returnflag = 'R') "
+        "and l_shipdate >= timestamp'1994-01-01' and not (l_discount < 0.01)"
+    )
+    return (
+        li.filter(expr)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+AST_FILTER_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem
+WHERE l_quantity > 45 AND (l_returnflag = 'A' OR l_returnflag = 'R')
+  AND l_shipdate >= TIMESTAMP '1994-01-01' AND NOT (l_discount < 0.01)
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+QUERIES = {
+    "asof_join_events": asof_join_events,
+    "group_fill_bfill": group_fill_bfill,
+    "ast_filter_string": ast_filter_string,
+}
+
+ORACLE = {
+    "asof_join_events": ASOF_JOIN_SQL,
+    "group_fill_bfill": GROUP_BFILL_SQL,
+    "ast_filter_string": AST_FILTER_SQL,
+}

@@ -1,0 +1,85 @@
+"""Physical-plan audit: the ".explain until it's the plan you want"
+loop, automated. For every headline query (or --all) it prints the
+scale-relevant facts of the executed plan:
+
+- join strategies (broadcast vs shuffle vs nested-loop)
+- exchange (shuffle) count
+- parquet pushdown evidence (PushedFilters / pruned ReadSchema)
+- single-partition windows (empty partition spec — the 100 TB hazard)
+- Python eval mode (Arrow-batched good, row-at-a-time BatchEvalPython bad)
+
+Exit code 1 if a hazard appears (row-Python or unexpected global
+window), so this can run as a regression gate.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pygdf_spark import get_spark
+from pygdf_spark.queries import registry
+import bench
+
+# global-order windows that are semantically global AND bounded (tiny
+# domains or driver-documented positional ops)
+GLOBAL_WINDOW_OK = {"reshape_factorize", "take_slice_split", "merge_sorted_union"}
+
+
+def audit(name, df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    facts = {
+        "bhj": plan.count("BroadcastHashJoin"),
+        "smj": plan.count("SortMergeJoin"),
+        "shj": plan.count("ShuffledHashJoin"),
+        "bnlj": plan.count("BroadcastNestedLoopJoin"),
+        "exchanges": plan.count("Exchange "),
+        "pushed": "PushedFilters: [" in plan and "PushedFilters: []" not in plan,
+        "arrow_py": sum(plan.count(k) for k in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas", "AggregateInPandas")),
+        "row_py": plan.count("BatchEvalPython"),
+    }
+    # Window specs: `Window [exprs], [partition], [order]` — a window
+    # whose partition spec is empty funnels data through one task.
+    global_windows = len(re.findall(r"Window \[[^\]]*\], \[[^\]]*\]$", plan, re.M))
+    facts["global_win"] = sum(
+        1 for m in re.finditer(r"Window (?:\[[^\]]*\], ){1}\[\]", plan)
+    ) + plan.count("], [], [")  # empty partition spec forms
+    hazard = facts["row_py"] > 0 or (facts["global_win"] > 0 and name not in GLOBAL_WINDOW_OK)
+    return facts, hazard
+
+
+def main():
+    names = sys.argv[1:] or bench.HEADLINE
+    spark = get_spark("plan-audit")
+    queries, _ = registry()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    if names == ["--all"]:
+        names = sorted(queries)
+    bad = 0
+    print(f"{'query':28s} {'joins(B/S/H/N)':>14s} {'exch':>4s} {'push':>4s} {'pyA':>3s} {'pyR':>3s} {'gWin':>4s}")
+    for name in names:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        try:
+            facts, hazard = audit(name, fn(spark, sf_dir))
+        except Exception as e:
+            print(f"{name:28s} ERROR {type(e).__name__}: {str(e)[:60]}")
+            bad += 1
+            continue
+        flag = " <-- HAZARD" if hazard else ""
+        bad += int(hazard)
+        print(
+            f"{name:28s} {facts['bhj']}/{facts['smj']}/{facts['shj']}/{facts['bnlj']:>10} "
+            f"{facts['exchanges']:>4d} {str(facts['pushed'])[0]:>4s} "
+            f"{facts['arrow_py']:>3d} {facts['row_py']:>3d} {facts['global_win']:>4d}{flag}"
+        )
+    print(f"\n{'HAZARDS: ' + str(bad) if bad else 'ALL CLEAN'}")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
