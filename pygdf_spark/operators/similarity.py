@@ -38,9 +38,21 @@ _ACC = "decimal(32,18)"
 
 
 def _dec_vec(vec_col) -> Column:
-    """array<float> → array<decimal(18,9)> (lossless for float32)."""
+    """array<float> → array<decimal(18,9)> via µ-unit quantization.
+
+    A direct double→decimal cast rounds at digit 9 with HALF_UP in
+    Spark but HALF_EVEN in DuckDB — float32 values whose decimal
+    expansion terminates in an exact .5 tie there diverge by 1e-9.
+    ``round()`` on doubles is half-away-from-zero in BOTH engines, so
+    round(x·1e6)/1e6 produces identical decimals everywhere."""
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    return F.transform(c, lambda v: v.cast("double").cast("decimal(18,9)"))
+    return F.transform(
+        c,
+        lambda v: (
+            F.round(v.cast("double") * 1000000, 0).cast("decimal(16,0)")
+            / F.lit(1000000)
+        ).cast("decimal(18,9)"),
+    )
 
 
 def _fold_sum(arr: Column) -> Column:

@@ -49,16 +49,17 @@ def list_fold_norm(spark, sf_dir):
     explode → exact decimal sum → regroup (order-independent, scales as
     a shuffle-free partial agg per vec_id)."""
     e = T(spark, sf_dir, "embeddings")
-    x = F.col("x").cast("double").cast("decimal(18,9)")
+    # µ-quantized integer folds: decimal(18,9) casts hit exact .5 ties
+    # where Spark (HALF_UP) and DuckDB (HALF_EVEN) disagree; round() on
+    # doubles is half-AWAY-from-zero in both engines, so integer
+    # micro-units are tie-identical and every sum below is exact int64.
+    xi = F.round(F.col("x").cast("double") * 1000000, 0).cast("long")
     return (
         e.select("vec_id", F.explode("embedding").alias("x"))
         .groupBy("vec_id")
         .agg(
-            # scale-18 decimal → double conversion rounds differently in
-            # DuckDB's int128 path at the 17th digit; one final round
-            # pins it (sum itself is exact in both engines)
-            F.round(F.sum(x * x).cast("double"), 9).alias("norm2"),
-            F.sum(x).cast("double").alias("sum_e"),
+            F.sum(xi * xi).alias("norm2_u"),
+            F.sum(xi).alias("sum_u"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("vec_id")
@@ -67,10 +68,11 @@ def list_fold_norm(spark, sf_dir):
 
 LIST_FOLD_SQL = """
 SELECT vec_id,
-       ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE), 9) AS norm2,
-       CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) AS sum_e,
+       CAST(SUM(xi * xi) AS BIGINT) AS norm2_u,
+       CAST(SUM(xi) AS BIGINT) AS sum_u,
        COUNT(*) AS n
-FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings)
+FROM (SELECT vec_id, CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT) AS xi
+      FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings))
 GROUP BY vec_id ORDER BY vec_id
 """
 

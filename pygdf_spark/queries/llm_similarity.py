@@ -10,13 +10,17 @@ from pyspark.sql import functions as F
 from pygdf_spark.operators import similarity as SIM
 from pygdf_spark.queries._util import T
 
-_DEC = "CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))"
+#: tie-identical decimal derivation (see operators/similarity._dec_vec):
+#: round() is half-away-from-zero in both engines; a plain decimal cast
+#: is HALF_UP vs HALF_EVEN and splits on exact .5 ties.
+_DEC = ("CAST(CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS DECIMAL(16,0)) / 1000000 "
+        "AS DECIMAL(18,9))")
 
-_ELEMENTS_SQL = r"""
+_ELEMENTS_SQL = rf"""
 el AS (
   SELECT vec_id AS vid,
          generate_subscripts(embedding, 1) AS pos,
-         CAST(CAST(UNNEST(embedding) AS DOUBLE) AS DECIMAL(18,9)) AS x
+         {_DEC.replace('x', 'UNNEST(embedding)')} AS x
   FROM embeddings
 ),
 nrm AS (
@@ -97,11 +101,11 @@ def sim_neardup_pairs(spark, sf_dir):
     )
 
 
-SIM_NEARDUP_SQL = r"""
+SIM_NEARDUP_SQL = rf"""
 WITH el AS (
   SELECT vec_id AS vid,
          generate_subscripts(embedding, 1) AS pos,
-         CAST(CAST(UNNEST(embedding) AS DOUBLE) AS DECIMAL(18,9)) AS x
+         {_DEC.replace('x', 'UNNEST(embedding)')} AS x
   FROM embeddings WHERE vec_id < 100
 ),
 nrm AS (SELECT vid, CAST(SUM(x * x) AS DOUBLE) AS norm2 FROM el GROUP BY vid),
