@@ -68,7 +68,11 @@ def ngrams(col, n: int = 2, sep: str = " ") -> Column:
     """word n-grams (generate_ngrams.hpp:58) as an array column —
     built from transform over an index sequence (JVM-side, no UDF)."""
     w = tokens(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
+    # guard: sequence(1, 0) steps BACKWARD in Spark ([1, 0]) — short
+    # texts (< n tokens) must yield an empty ngram array, not index-0
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(
         idx,
         lambda i: F.concat_ws(sep, *[F.element_at(w, i + j) for j in range(n)]),

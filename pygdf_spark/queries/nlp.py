@@ -69,7 +69,12 @@ def nlp_char_ngrams(spark, sf_dir):
         F.size(
             F.array_distinct(
                 F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.length("head") - 2, F.lit(0))),
+                    # guard: Spark sequence(1, 0) steps backward — short
+                    # heads must yield an empty trigram set
+                    F.when(
+                        F.length("head") >= 3,
+                        F.sequence(F.lit(1), F.length("head") - 2),
+                    ).otherwise(F.array().cast("array<int>")),
                     lambda i: F.substring(F.col("head"), 1, 30).substr(i, F.lit(3)),
                 )
             )

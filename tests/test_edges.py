@@ -1,0 +1,85 @@
+"""Edge-case matrix (the reference's C++ test fixtures stress empties,
+all-null and single-row inputs — SURVEY.md §5.2): operators must not
+throw and must produce shape-correct results on degenerate frames."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from pygdf_spark.core import from_spark
+from pygdf_spark.operators.asof import asof_join_backward
+from pygdf_spark.operators.dedup import minhash_lsh_dedup, simhash16
+from pygdf_spark.operators.order import global_row_number
+from pygdf_spark.operators.similarity import brute_topk
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+def test_minhash_empty(spark, empty_docs):
+    assert minhash_lsh_dedup(empty_docs).count() == 0
+
+
+def test_minhash_degenerate_text(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "one two"), (4, None if False else "x y z"), (5, "x y z")],
+        "doc_id long, text string",
+    )
+    out = minhash_lsh_dedup(df).collect()  # docs 4,5 identical → 1 pair
+    assert {(r["doc_a"], r["doc_b"]) for r in out} == {(4, 5)}
+
+
+def test_simhash_empty_and_single(spark, empty_docs):
+    assert simhash16(empty_docs).count() == 0
+    one = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    rows = simhash16(one).collect()
+    assert len(rows) == 1 and 0 <= rows[0]["simhash"] < (1 << 16)
+
+
+def test_global_row_number_empty_and_single(spark):
+    e = spark.createDataFrame([], "k long")
+    assert global_row_number(e, ["k"]).count() == 0
+    s = spark.createDataFrame([(7,)], "k long")
+    assert global_row_number(s, ["k"]).collect()[0]["rn"] == 1
+
+
+def test_asof_empty_right(spark):
+    left = spark.createDataFrame([(1, 10, "a")], "k long, ts long, pay string")
+    right = spark.createDataFrame([], "k long, ts long, val long")
+    out = asof_join_backward(left, right, by=["k"], ts="ts", payload=["val"]).collect()
+    assert len(out) == 1 and out[0]["val_r"] is None
+
+
+def test_asof_tie_is_inclusive(spark):
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right = spark.createDataFrame([(1, 10, 99)], "k long, ts long, val long")
+    out = asof_join_backward(left, right, by=["k"], ts="ts", payload=["val"]).collect()
+    assert out[0]["val_r"] == 99  # right at equal ts matches (<= semantics)
+
+
+def test_brute_topk_fewer_than_k(spark):
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.5, 0.5])], "vec_id long, embedding array<float>"
+    )
+    out = brute_topk(vecs, vecs, k=5).collect()
+    assert len(out) == 2  # one neighbor each, not k
+
+def test_compat_empty_frame(spark):
+    g = from_spark(spark.createDataFrame([], "k string, x long"))
+    assert g.shape == (0, 2)
+    assert g.head(3).shape[0] == 0
+    assert g.groupby("k").agg({"x": "sum"}).shape[0] == 0
+    assert g.sort_values("x").drop_duplicates(["k"]).shape[0] == 0
+
+
+def test_compat_all_null_column(spark):
+    pdf = pd.DataFrame({"k": ["a", "b"], "v": [None, None]})
+    g = from_spark(spark.createDataFrame(pdf.astype({"v": "float64"})))
+    agg = g.groupby("k").agg({"v": "sum"}).to_pandas()
+    assert agg["sum_v"].isna().all()
+    assert g.dropna(subset=["v"]).shape[0] == 0
