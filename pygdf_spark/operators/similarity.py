@@ -143,3 +143,43 @@ def hyperplane_buckets(vecs: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
         bit = F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return vecs.select(F.col("vec_id").alias("vid"), bucket.cast("long").alias("bucket"))
+
+
+def bucketed_topk(vecs: DataFrame, k: int = 3, n_planes: int = 4) -> DataFrame:
+    """ANN search, scale path: LSH-bucket the corpus, then search ONLY
+    within buckets (candidate generation = equi-join on the short
+    bucket key; the quadratic work shrinks by ~2^n_planes). The exact
+    rerank inside each bucket reuses the map-side cosine arithmetic.
+
+    This is the IVF-style two-stage plan: coarse partition (here
+    hyperplane buckets standing in for IVF centroids) → exact distance
+    inside the probed cell. Recall < 1 by design; the oracle mirrors
+    the same bucket definition so the result is still deterministic."""
+    b = hyperplane_buckets(vecs, n_planes)
+    v = with_vec(vecs, id_out="v_id", vec_out="vvec").join(
+        b.withColumnRenamed("vid", "v_id"), "v_id"
+    )
+    q = (
+        v.select(
+            F.col("v_id").alias("q_id"),
+            F.col("vvec").alias("qvec"),
+            F.col("v_id_norm2").alias("q_norm2"),
+            "bucket",
+        )
+    )
+    cand = q.join(v, "bucket").filter(F.col("q_id") != F.col("v_id"))
+    cos = cand.select(
+        "q_id",
+        "v_id",
+        F.round(
+            dot(F.col("qvec"), F.col("vvec"))
+            / F.sqrt(F.col("q_norm2") * F.col("v_id_norm2")),
+            8,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("v_id").asc())
+    return (
+        cos.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "v_id", "cos", "rank")
+    )

@@ -18,6 +18,7 @@ _MODULES = [
     "reshape",
     "copying",
     "strings",
+    "str_url",
     "datetimes",
     "scalar_math",
     "misc_ops",

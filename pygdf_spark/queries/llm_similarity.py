@@ -120,13 +120,65 @@ ORDER BY cos DESC, vec_a ASC, vec_b ASC LIMIT 20
 """
 
 
+def sim_ivf_topk(spark, sf_dir):
+    """bucketed ANN (IVF-style two-stage): 4-plane LSH partition →
+    exact cosine rerank within buckets, top-3 per query — restricted to
+    vec_id < 300 so the oracle's in-bucket quadratic stays cheap."""
+    vecs = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return SIM.bucketed_topk(vecs, k=3, n_planes=4).orderBy("q_id", "rank")
+
+
+SIM_IVF_SQL = rf"""
+WITH el AS (
+  SELECT vec_id AS vid,
+         generate_subscripts(embedding, 1) AS pos,
+         {_DEC.replace('x', 'UNNEST(embedding)')} AS x
+  FROM embeddings WHERE vec_id < 300
+),
+nrm AS (SELECT vid, CAST(SUM(x * x) AS DOUBLE) AS norm2 FROM el GROUP BY vid),
+contrib AS (
+  SELECT el.vid, p.p, el.x * CAST(((p.p * 31 + (el.pos - 1) * 17) % 7) - 3 AS DECIMAL(2,0)) AS c
+  FROM el CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS p) p
+),
+bits AS (
+  SELECT vid, p, CASE WHEN SUM(c) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM contrib GROUP BY vid, p
+),
+buckets AS (
+  SELECT vid, CAST(SUM(bit * CAST(POW(2.0, p) AS BIGINT)) AS BIGINT) AS bucket
+  FROM bits GROUP BY vid
+),
+cand AS (
+  SELECT a.vid AS q_id, b.vid AS v_id
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vid <> b.vid
+),
+dots AS (
+  SELECT cand.q_id, cand.v_id, CAST(SUM(q.x * v.x) AS DOUBLE) AS dot
+  FROM cand JOIN el q ON q.vid = cand.q_id JOIN el v ON v.vid = cand.v_id AND v.pos = q.pos
+  GROUP BY cand.q_id, cand.v_id
+),
+cosv AS (
+  SELECT q_id, v_id, ROUND(dot / SQRT(nq.norm2 * nv.norm2), 8) AS cos
+  FROM dots JOIN nrm nq ON nq.vid = q_id JOIN nrm nv ON nv.vid = v_id
+),
+ranked AS (
+  SELECT q_id, v_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, v_id ASC) AS rank
+  FROM cosv
+)
+SELECT q_id, v_id, cos, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 3 ORDER BY q_id, rank
+"""
+
+
 QUERIES = {
+    "sim_ivf_topk": sim_ivf_topk,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_neardup_pairs": sim_neardup_pairs,
 }
 
 ORACLE = {
+    "sim_ivf_topk": SIM_IVF_SQL,
     "sim_cosine_topk": SIM_TOPK_SQL,
     "sim_lsh_buckets": SIM_LSH_SQL,
     "sim_neardup_pairs": SIM_NEARDUP_SQL,

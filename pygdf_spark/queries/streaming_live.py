@@ -15,6 +15,7 @@ from pygdf_spark.streaming import (
     read_events_stream,
     run_available_now,
     sliding_counts,
+    stateful_user_counts,
     tumbling_counts,
 )
 
@@ -62,13 +63,29 @@ SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type
 """
 
 
+def sstream_stateful_counts(spark, sf_dir):
+    """readStream → applyInPandasWithState per-user counter → update
+    sink. One micro-batch (one file) ⇒ the emitted update per key IS
+    the final total, so the batch COUNT(*) oracle checks it exactly."""
+    ev = read_events_stream(spark, sf_dir)
+    out = run_available_now(stateful_user_counts(ev), "update")
+    return out.orderBy("user_id")
+
+
+SSTREAM_STATEFUL_SQL = """
+SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "sstream_stateful_counts": sstream_stateful_counts,
     "sstream_tumbling_live": sstream_tumbling_live,
     "sstream_sliding_live": sstream_sliding_live,
     "sstream_dedup_live": sstream_dedup_live,
 }
 
 ORACLE = {
+    "sstream_stateful_counts": SSTREAM_STATEFUL_SQL,
     "sstream_tumbling_live": SSTREAM_TUMBLING_SQL,
     "sstream_sliding_live": SSTREAM_SLIDING_SQL,
     "sstream_dedup_live": SSTREAM_DEDUP_SQL,

@@ -3,5 +3,6 @@ from pygdf_spark.streaming.pipelines import (  # noqa: F401
     read_events_stream,
     run_available_now,
     sliding_counts,
+    stateful_user_counts,
     tumbling_counts,
 )

@@ -84,6 +84,35 @@ def dedup_first_per_key(events: DataFrame) -> DataFrame:
     )
 
 
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` — the
+    arbitrary-state surface the reference has no analog for (its
+    streaming is stateless micro-batch decode). Keeps one counter per
+    user in the state store (partitioned by key across executors) and
+    emits the updated total each micro-batch.
+
+    The kernel is plain Python over Arrow batches, so any per-key
+    custom state machine (sessionization, CDC merge, dedup-with-TTL)
+    drops into the same shape."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(sdf: DataFrame, mode: str = "complete") -> DataFrame:
     """Execute a streaming DataFrame over exactly the data currently in
     the source (availableNow) into a memory sink; returns the sink as a
