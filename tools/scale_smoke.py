@@ -1,0 +1,79 @@
+"""Scale-stress smoke: replicate the sf0.1 tables N× into /tmp and time
+the headline operator families on the inflated data. The point is the
+SHAPE of the scaling curve, not the absolute numbers — a plan that is
+linear from sf0.1 → N×sf0.1 on local[32] is shuffle/skew-sane; a
+super-linear one has a hidden quadratic (hot-key join, unpartitioned
+window) that would fall over on a real cluster.
+
+Usage: python tools/scale_smoke.py [N]      (default 8)
+Prints one JSON line per timed query with rows_in and seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pygdf_spark import get_spark
+from pygdf_spark.queries import registry
+
+SRC = "/root/testdata/sf0.1"
+TABLES = ("lineitem", "orders", "customer", "documents", "embeddings",
+          "events", "nation", "region", "supplier", "part")
+TIMED = ["q1_pricing_summary", "join_inner_q3", "agg_basic_stats",
+         "win_rolling_time", "dedup_minhash_lsh", "sim_cosine_topk",
+         "text_token_stats", "dedup_keep_first"]
+
+
+def build(spark, n: int, dst: str) -> None:
+    """N-fold replication with key-shifting so join/group cardinalities
+    scale too (a pure UNION of identical keys would just deepen hot
+    keys instead of widening the domain)."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(dst, exist_ok=True)
+    shifts = {
+        "lineitem": ("l_orderkey", 10_000_000), "orders": ("o_orderkey", 10_000_000),
+        "documents": ("doc_id", 1_000_000), "embeddings": ("vec_id", 1_000_000),
+        "events": ("event_id", 10_000_000),
+    }
+    for t in TABLES:
+        src = os.path.join(SRC, f"{t}.parquet")
+        out = os.path.join(dst, f"{t}.parquet")
+        if os.path.exists(out):
+            continue
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(src)
+        if t in shifts and n > 1:
+            key, stride = shifts[t]
+            parts = [df.withColumn(key, (F.col(key) + i * stride).cast(df.schema[key].dataType)) for i in range(n)]
+            big = parts[0]
+            for p in parts[1:]:
+                big = big.unionByName(p)
+        else:
+            big = df
+        big.write.mode("overwrite").parquet(out)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    dst = f"/tmp/scale_smoke_x{n}"
+    spark = get_spark("scale-smoke")
+    build(spark, n, dst)
+    queries, _ = registry()
+    li = spark.read.parquet(os.path.join(dst, "lineitem.parquet")).count()
+    for name in TIMED:
+        t0 = time.perf_counter()
+        queries[name](spark, dst).write.format("noop").mode("overwrite").save()
+        print(json.dumps({"query": name, "x": n, "lineitem_rows": li,
+                          "sec": round(time.perf_counter() - t0, 2)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
