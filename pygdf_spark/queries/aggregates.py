@@ -135,6 +135,85 @@ FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
 """
 
 
+def agg_quantile_interp(spark, sf_dir):
+    """QUANTILE with the full interpolation enum (types.hpp
+    interpolation: LINEAR/LOWER/HIGHER/NEAREST/MIDPOINT; cuDF
+    Series.quantile interpolation=). Spark's percentile is LINEAR-only,
+    so the other modes are derived from the sorted group array by
+    explicit index arithmetic — the same definition the oracle uses, so
+    each mode is pinned independently."""
+    li = T(spark, sf_dir, "lineitem")
+    q = 0.25
+    grouped = li.groupBy("l_linestatus").agg(
+        F.sort_array(F.collect_list(F.col("l_quantity").cast("long"))).alias("xs"),
+        F.percentile(F.col("l_quantity").cast("long"), q).alias("q_linear"),
+    )
+    n = F.size("xs")
+    # h is the fractional index (0-based): h = (n-1)*q
+    h = (n - 1) * F.lit(q)
+    lo = F.floor(h).cast("int")
+    hi = F.ceil(h).cast("int")
+    x_lo = F.element_at("xs", lo + 1).cast("double")
+    x_hi = F.element_at("xs", hi + 1).cast("double")
+    nearest = F.when(h - lo <= 0.5, x_lo).otherwise(x_hi)
+    return grouped.select(
+        "l_linestatus",
+        F.col("q_linear").cast("double").alias("q_linear"),
+        x_lo.alias("q_lower"),
+        x_hi.alias("q_higher"),
+        nearest.alias("q_nearest"),
+        ((x_lo + x_hi) / 2).alias("q_midpoint"),
+        n.alias("n"),
+    ).orderBy("l_linestatus")
+
+
+AGG_QUANTILE_INTERP_SQL = """
+WITH g AS (
+  SELECT l_linestatus,
+         list_sort(list(CAST(l_quantity AS BIGINT))) AS xs,
+         quantile_cont(CAST(l_quantity AS BIGINT), 0.25) AS q_linear,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY l_linestatus
+)
+SELECT l_linestatus,
+       CAST(q_linear AS DOUBLE) AS q_linear,
+       CAST(xs[CAST(FLOOR((n-1) * 0.25) AS INT) + 1] AS DOUBLE) AS q_lower,
+       CAST(xs[CAST(CEIL((n-1) * 0.25) AS INT) + 1] AS DOUBLE) AS q_higher,
+       CAST(CASE WHEN (n-1) * 0.25 - FLOOR((n-1) * 0.25) <= 0.5
+                 THEN xs[CAST(FLOOR((n-1) * 0.25) AS INT) + 1]
+                 ELSE xs[CAST(CEIL((n-1) * 0.25) AS INT) + 1] END AS DOUBLE) AS q_nearest,
+       (CAST(xs[CAST(FLOOR((n-1) * 0.25) AS INT) + 1] AS DOUBLE)
+        + CAST(xs[CAST(CEIL((n-1) * 0.25) AS INT) + 1] AS DOUBLE)) / 2 AS q_midpoint,
+       CAST(n AS BIGINT) AS n
+FROM g ORDER BY l_linestatus
+"""
+
+
+def agg_replace_values(spark, sf_dir):
+    """find_and_replace_all (replace.hpp:151; frame.py:2205 replace):
+    dictionary value replacement, JVM-side CASE mapping."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    mapping = {"1-URGENT": "P1", "2-HIGH": "P2", "3-MEDIUM": "P3"}
+    repl = F.col("o_orderpriority")
+    for old, new in mapping.items():
+        repl = F.when(F.col("o_orderpriority") == old, F.lit(new)).otherwise(repl)
+    return (
+        o.select(repl.alias("prio"))
+        .groupBy("prio")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("prio")
+    )
+
+
+AGG_REPLACE_SQL = """
+SELECT CASE o_orderpriority
+         WHEN '1-URGENT' THEN 'P1' WHEN '2-HIGH' THEN 'P2'
+         WHEN '3-MEDIUM' THEN 'P3' ELSE o_orderpriority END AS prio,
+       COUNT(*) AS n
+FROM orders WHERE o_orderkey < 5000 GROUP BY 1 ORDER BY prio
+"""
+
+
 def agg_idxmax(spark, sf_dir):
     """ARGMAX / idxmax (aggregation.hpp:77, group_argmax.cu): key of the
     max value, deterministic tiebreak — window formulation."""
@@ -312,6 +391,8 @@ QUERIES = {
     "agg_basic_stats": agg_basic_stats,
     "agg_moments": agg_moments,
     "agg_quantiles": agg_quantiles,
+    "agg_quantile_interp": agg_quantile_interp,
+    "agg_replace_values": agg_replace_values,
     "agg_idxmax": agg_idxmax,
     "agg_collect_set": agg_collect_set,
     "agg_bool_any_all": agg_bool_any_all,
@@ -325,6 +406,8 @@ ORACLE = {
     "agg_basic_stats": AGG_BASIC_SQL,
     "agg_moments": AGG_MOMENTS_SQL,
     "agg_quantiles": AGG_QUANTILES_SQL,
+    "agg_quantile_interp": AGG_QUANTILE_INTERP_SQL,
+    "agg_replace_values": AGG_REPLACE_SQL,
     "agg_idxmax": AGG_IDXMAX_SQL,
     "agg_collect_set": AGG_COLLECT_SQL,
     "agg_bool_any_all": AGG_BOOL_SQL,
