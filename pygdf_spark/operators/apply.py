@@ -68,3 +68,11 @@ def groupby_apply(
     """GroupBy.apply (groupby.py:384): one shuffle on ``keys``, then
     ``func`` receives each group as a pandas DataFrame."""
     return df.groupBy(*keys).applyInPandas(func, schema=schema)
+
+
+def apply_arrow(df: DataFrame, func, schema) -> DataFrame:
+    """Lowest-overhead batch surface: ``func`` maps an iterator of
+    pyarrow RecordBatches (no pandas conversion at all) — the closest
+    Spark analog to cuDF's zero-copy device-batch kernels
+    (`__cuda_array_interface__`, _lib/column.pyx:53)."""
+    return df.mapInArrow(func, schema=schema)
