@@ -240,7 +240,44 @@ JOIN (SELECT o_orderkey, o_orderdate FROM orders) b USING (o_orderkey)
 """
 
 
+def join_salted_skew(spark, sf_dir):
+    """Salted equi-join (operators/skew.py): lineitem⋈nation on a
+    deliberately hot key (nationkey % 3 — 3 values across the whole
+    fact table). The salt fans each hot key over 8 reducers; results
+    are identical to the plain join, which is exactly what the oracle
+    checks."""
+    from pygdf_spark.operators.skew import salted_join
+    from pygdf_spark.queries._util import T, dec
+
+    li = T(spark, sf_dir, "lineitem").withColumn(
+        "hot_key", (F.col("l_suppkey") % 3).cast("int")
+    )
+    n = T(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey") % 3).cast("int").alias("hot_key"), "n_name"
+    ).filter(F.col("n_nationkey") < 3)
+    joined = salted_join(li, n, key="hot_key", salt_from="l_orderkey", n_salt=8)
+    return (
+        joined.groupBy("hot_key", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_price"),
+        )
+        .orderBy("hot_key", "n_name")
+    )
+
+
+JOIN_SALTED_SQL = """
+SELECT hot_key, n_name, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+FROM (SELECT *, CAST(l_suppkey % 3 AS INT) AS hot_key FROM lineitem) li
+JOIN (SELECT CAST(n_nationkey % 3 AS INT) AS hot_key, n_name
+      FROM nation WHERE n_nationkey < 3) n USING (hot_key)
+GROUP BY hot_key, n_name ORDER BY hot_key, n_name
+"""
+
+
 QUERIES = {
+    "join_salted_skew": join_salted_skew,
     "join_inner_q3": join_inner_q3,
     "join_left_outer": join_left_outer,
     "join_full_outer": join_full_outer,
@@ -254,6 +291,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "join_salted_skew": JOIN_SALTED_SQL,
     "join_inner_q3": JOIN_INNER_Q3_SQL,
     "join_left_outer": JOIN_LEFT_SQL,
     "join_full_outer": JOIN_FULL_SQL,
