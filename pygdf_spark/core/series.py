@@ -157,6 +157,12 @@ class Series:
     def fillna(self, v) -> Column:
         return F.coalesce(self.col, F.lit(v))
 
+    def map(self, mapping: dict) -> Column:
+        """Series.map with a dict (series.py:934) — a literal MapType
+        lookup, evaluated JVM-side (unmapped values → null, as cuDF)."""
+        pairs = [x for kv in mapping.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+        return F.element_at(F.create_map(*pairs), self.col)
+
     @property
     def str(self) -> StrAccessor:
         return StrAccessor(self.col)

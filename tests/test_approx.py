@@ -1,0 +1,51 @@
+"""Approximate aggregates — the documented scale path for NUNIQUE /
+QUANTILE (SURVEY.md §2.4: countDistinct→approx_count_distinct,
+percentile→percentile_approx at 100 TB). Sketches can't hash-match a
+DuckDB oracle, so they are pinned by tolerance against the exact
+answer instead."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pygdf_spark.queries._util import T
+
+
+def test_approx_count_distinct_within_5pct(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+
+def test_percentile_approx_close_to_exact(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.percentile("l_extendedprice", 0.5).alias("exact"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.02
+
+
+def test_approx_grouped_deterministic(spark, sf_dir):
+    """HLL merge is commutative: two runs over different partitionings
+    must agree with each other (determinism, not accuracy)."""
+    li = T(spark, sf_dir, "lineitem")
+    a = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    b = {
+        r["l_returnflag"]: r["n"]
+        for r in li.repartition(7, "l_partkey")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    assert a == b

@@ -79,6 +79,12 @@ def test_dt_accessor(gdf, pdf):
     assert list(got.fmt) == list(pdf.d.dt.strftime("%Y-%m-%d %H:%M"))
 
 
+def test_series_map_dict(gdf, pdf):
+    got = gdf.assign(mapped=gdf["x"].map({1: "one", 2: "two"})).to_pandas()
+    exp = pdf.x.map({1: "one", 2: "two"})
+    assert [v if pd.notna(v) else None for v in exp] == list(got.mapped)
+
+
 def test_series_null_helpers(gdf):
     assert gdf[gdf["s"].isnull()].shape[0] == 1
     assert gdf[gdf["s"].notnull()].shape[0] == 4
