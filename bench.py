@@ -45,6 +45,9 @@ HEADLINE = [
     "stream_tumbling_window",  # event-time windowed agg (batch semantics)
     "udf_apply_rows_charge",   # Arrow-batched pandas UDF path
     "sstream_tumbling_live",   # real readStream → memory sink
+    "asof_join_events",        # distributed as-of join
+    "sim_ivf_topk",            # bucketed (IVF-style) ANN
+    "join_salted_skew",        # skew-salted join
 ]
 
 
