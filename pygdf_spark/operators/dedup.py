@@ -155,6 +155,29 @@ def minhash_lsh_dedup(
     return jaccard_verify(sets_df, pairs).filter(F.col("jaccard") >= threshold)
 
 
+def dedup_group_assignment(
+    docs: DataFrame, text_col: str = "text", num_perms: int = 6
+) -> DataFrame:
+    """(doc_id, rep): the dedup KEEP-LIST — every document assigned to a
+    group representative (the minimum doc_id over all its LSH buckets).
+    ``rep == doc_id`` means "keep"; anything else is a near-dup of rep.
+
+    One pass (no iterative connected components): docs sharing any band
+    bucket with a smaller doc collapse onto that doc. Shuffles: the
+    bucket groupBy + one doc_id groupBy — both on short uniform keys.
+    This is the production shape for corpus-scale dedup, where the
+    output is a keep-list, not the quadratic pair list."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sets_df = shingle_sets(docs.repartition(par, "doc_id"), text_col, hashed=True)
+    sig = minhash_signatures(sets_df, num_perms).persist()
+    bmin = sig.groupBy("perm", "minhash").agg(F.min("doc_id").alias("bucket_rep"))
+    return (
+        sig.join(bmin, ["perm", "minhash"])
+        .groupBy("doc_id")
+        .agg(F.min("bucket_rep").alias("rep"))
+    )
+
+
 def simhash16(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
     """SimHash over whitespace tokens (with multiplicity): per-bit
     signed vote, sign → bit, packed little-endian. One groupBy(doc_id)

@@ -185,7 +185,46 @@ ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT 30
 """
 
 
+def dedup_keep_list(spark, sf_dir):
+    """one-pass dedup group assignment (operators/dedup.
+    dedup_group_assignment): group-size histogram + kept-doc count."""
+    d = T(spark, sf_dir, "documents")
+    groups = D.dedup_group_assignment(d)
+    sizes = groups.groupBy("rep").agg(F.count(F.lit(1)).alias("n_members"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_members").alias("n_docs"),
+        F.sum(F.when(F.col("n_members") > 1, F.col("n_members") - 1).otherwise(0)).alias("n_dropped"),
+        F.max("n_members").alias("max_group"),
+    )
+
+
+DEDUP_KEEP_LIST_SQL = rf"""
+WITH {_SHINGLE_SQL},
+hashed AS (
+  SELECT doc_id, CAST(md5_number_lower(shingle) % {MERSENNE_P} AS BIGINT) AS x FROM shingles
+),
+sigs AS (
+  SELECT doc_id, perm, MIN(h) AS minhash FROM (
+    {" UNION ALL ".join(f"SELECT doc_id, {i} AS perm, {minhash_perm_sql('x', i)} AS h FROM hashed" for i in range(6))}
+  ) GROUP BY doc_id, perm
+),
+bmin AS (SELECT perm, minhash, MIN(doc_id) AS bucket_rep FROM sigs GROUP BY perm, minhash),
+rep AS (
+  SELECT s.doc_id, MIN(b.bucket_rep) AS rep
+  FROM sigs s JOIN bmin b ON s.perm = b.perm AND s.minhash = b.minhash
+  GROUP BY s.doc_id
+),
+sizes AS (SELECT rep, COUNT(*) AS n_members FROM rep GROUP BY rep)
+SELECT COUNT(*) AS n_groups, CAST(SUM(n_members) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_members > 1 THEN n_members - 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       MAX(n_members) AS max_group
+FROM sizes
+"""
+
+
 QUERIES = {
+    "dedup_keep_list": dedup_keep_list,
     "dedup_exact_hash": dedup_exact_hash,
     "dedup_prefix_groups": dedup_prefix_groups,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -194,6 +233,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "dedup_keep_list": DEDUP_KEEP_LIST_SQL,
     "dedup_exact_hash": DEDUP_EXACT_SQL,
     "dedup_prefix_groups": DEDUP_PREFIX_SQL,
     "dedup_minhash_lsh": _minhash_sql(),

@@ -61,6 +61,32 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def reshape_pivot_multi(spark, sf_dir):
+    """pivot_table with MULTIPLE aggregates per cell (reshape.py:843 +
+    pandas pivot_table semantics): each pivot value × agg pair becomes
+    a column, one shuffle total."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+RESHAPE_PIVOT_MULTI_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS "F_sum_price",
+       COUNT(*) FILTER (WHERE l_linestatus = 'F') AS "F_n",
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS "O_sum_price",
+       COUNT(*) FILTER (WHERE l_linestatus = 'O') AS "O_n"
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def reshape_get_dummies(spark, sf_dir):
     """one-hot encode o_orderstatus (reshape.py:566), aggregated per
     priority so the result is compact."""
@@ -217,6 +243,7 @@ FROM (
 QUERIES = {
     "reshape_melt": reshape_melt,
     "reshape_pivot": reshape_pivot,
+    "reshape_pivot_multi": reshape_pivot_multi,
     "reshape_get_dummies": reshape_get_dummies,
     "reshape_explode": reshape_explode,
     "reshape_sequence": reshape_sequence,
@@ -229,6 +256,7 @@ QUERIES = {
 ORACLE = {
     "reshape_melt": RESHAPE_MELT_SQL,
     "reshape_pivot": RESHAPE_PIVOT_SQL,
+    "reshape_pivot_multi": RESHAPE_PIVOT_MULTI_SQL,
     "reshape_get_dummies": RESHAPE_DUMMIES_SQL,
     "reshape_explode": RESHAPE_EXPLODE_SQL,
     "reshape_sequence": RESHAPE_SEQUENCE_SQL,
