@@ -29,6 +29,7 @@ _MODULES = [
     "llm_dedup",
     "llm_similarity",
     "multimodal",
+    "pipeline",
     "udf_apply",
     "streaming_batch",
     "streaming_live",
