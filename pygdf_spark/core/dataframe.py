@@ -172,8 +172,24 @@ class DataFrame:
 
     def cumsum(self, col: str) -> "DataFrame":
         """cumsum (dataframe.py cummethods, reduction.hpp:90 scan)."""
+        return self._cum(col, F.sum, "cumsum")
+
+    def cummax(self, col: str) -> "DataFrame":
+        return self._cum(col, F.max, "cummax")
+
+    def cummin(self, col: str) -> "DataFrame":
+        return self._cum(col, F.min, "cummin")
+
+    def _cum(self, col: str, fn, suffix: str) -> "DataFrame":
         w = Window.orderBy(_RID).rowsBetween(Window.unboundedPreceding, 0)
-        return self._with(self._sdf.withColumn(f"{col}_cumsum", F.sum(col).over(w)))
+        return self._with(self._sdf.withColumn(f"{col}_{suffix}", fn(col).over(w)))
+
+    def diff(self, col: str) -> "DataFrame":
+        """Series.diff (series.py:5652): c − lag(c) over the row order."""
+        w = Window.orderBy(_RID)
+        return self._with(
+            self._sdf.withColumn(f"{col}_diff", F.col(col) - F.lag(col).over(w))
+        )
 
     def drop_duplicates(self, subset=None, keep: str = "first") -> "DataFrame":
         """drop_duplicates keep=first/last (frame.py:2155,

@@ -80,6 +80,12 @@ def test_shift_cumsum(gdf, pdf):
        pdf.assign(x_cumsum=pdf.x.cumsum())[["x", "x_cumsum"]])
 
 
+def test_cummax_cummin_diff(gdf, pdf):
+    eq(gdf.cummax("x")[["x_cummax"]], pdf.assign(x_cummax=pdf.x.cummax())[["x_cummax"]])
+    eq(gdf.cummin("x")[["x_cummin"]], pdf.assign(x_cummin=pdf.x.cummin())[["x_cummin"]])
+    eq(gdf.diff("x")[["x_diff"]], pdf.assign(x_diff=pdf.x.diff())[["x_diff"]])
+
+
 def test_fillna_dropna_clip(gdf, pdf):
     eq(gdf.fillna(0.0)[["y"]], pdf.fillna({"y": 0.0})[["y"]])
     eq(gdf.dropna(subset=["k", "y"]).sort_values("x"),

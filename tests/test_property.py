@@ -69,6 +69,30 @@ def test_distinct_filter_parity(spark, rows):
     assert got == exp
 
 
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(FRAMES, FRAMES)
+def test_inner_join_parity(spark, rows_l, rows_r):
+    sdf_l, con = _to_engines(spark, rows_l)
+    import pandas as pd2
+
+    pdf_r = pd.DataFrame(rows_r, columns=["k", "v", "s"]).astype({"k": "int64", "v": "Int64"})
+    sdf_r = spark.createDataFrame(
+        [(int(k), None if pd.isna(v) else int(v), s) for k, v, s in pdf_r.itertuples(index=False)],
+        schema="k long, v long, s string",
+    )
+    con.register("r", pdf_r)
+    got = sorted(
+        (r["k"], r["s"], r["s_r"])
+        for r in sdf_l.select("k", "s").join(
+            sdf_r.select("k", F.col("s").alias("s_r")), "k", "inner"
+        ).collect()
+    )
+    exp = sorted(con.execute(
+        "SELECT t.k, t.s, r.s FROM t JOIN r ON t.k = r.k"
+    ).fetchall())
+    assert got == exp
+
+
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
 @given(FRAMES)
 def test_sort_topk_parity(spark, rows):
