@@ -167,11 +167,51 @@ GROUP BY 1, 2 ORDER BY "left"
 """
 
 
+def byte_cast_pack(spark, sf_dir):
+    """byte_cast (reshape.hpp:95): reinterpret fixed-width values as
+    their byte lists, big- and little-endian, plus the i32 view — pure
+    shift/mask arithmetic, fully inside whole-stage codegen."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    k = F.col("o_orderkey")
+
+    def byte_at(col, pos):  # pos-th byte, 0 = most significant of 8
+        return F.shiftright(col, 8 * (7 - pos)).bitwiseAND(F.lit(255)).cast("int")
+
+    be = [byte_at(k, i) for i in range(8)]
+    i32 = k.cast("int").cast("long")
+    be32 = [F.shiftright(i32, 8 * (3 - i)).bitwiseAND(F.lit(255)).cast("int") for i in range(4)]
+    return o.select(
+        "o_orderkey",
+        F.array(*be).alias("bytes_be"),
+        F.array(*reversed(be)).alias("bytes_le"),
+        F.array(*be32).alias("bytes_be_i32"),
+        be[7].alias("lo_byte"),
+    ).orderBy("o_orderkey")
+
+
+BYTE_CAST_SQL = """
+SELECT o_orderkey,
+       [CAST((o_orderkey >> 56) & 255 AS INT), CAST((o_orderkey >> 48) & 255 AS INT),
+        CAST((o_orderkey >> 40) & 255 AS INT), CAST((o_orderkey >> 32) & 255 AS INT),
+        CAST((o_orderkey >> 24) & 255 AS INT), CAST((o_orderkey >> 16) & 255 AS INT),
+        CAST((o_orderkey >> 8) & 255 AS INT),  CAST(o_orderkey & 255 AS INT)] AS bytes_be,
+       [CAST(o_orderkey & 255 AS INT),         CAST((o_orderkey >> 8) & 255 AS INT),
+        CAST((o_orderkey >> 16) & 255 AS INT), CAST((o_orderkey >> 24) & 255 AS INT),
+        CAST((o_orderkey >> 32) & 255 AS INT), CAST((o_orderkey >> 40) & 255 AS INT),
+        CAST((o_orderkey >> 48) & 255 AS INT), CAST((o_orderkey >> 56) & 255 AS INT)] AS bytes_le,
+       [CAST((o_orderkey >> 24) & 255 AS INT), CAST((o_orderkey >> 16) & 255 AS INT),
+        CAST((o_orderkey >> 8) & 255 AS INT),  CAST(o_orderkey & 255 AS INT)] AS bytes_be_i32,
+       CAST(o_orderkey & 255 AS INT) AS lo_byte
+FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
     "interval_range_ops": interval_range_ops,
     "cast_matrix_pack": cast_matrix_pack,
     "decimal_arith_pack": decimal_arith_pack,
     "dict_encode_decode": dict_encode_decode,
+    "byte_cast_pack": byte_cast_pack,
 }
 
 ORACLE = {
@@ -179,4 +219,5 @@ ORACLE = {
     "cast_matrix_pack": CAST_MATRIX_SQL,
     "decimal_arith_pack": DECIMAL_ARITH_SQL,
     "dict_encode_decode": DICT_ENCODE_SQL,
+    "byte_cast_pack": BYTE_CAST_SQL,
 }

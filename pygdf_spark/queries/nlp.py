@@ -167,8 +167,28 @@ ORDER BY name_a, name_b
 """
 
 
+def nlp_subword_tokenize(spark, sf_dir):
+    """subword_tokenize (nvtext/subword_tokenize.hpp:62, py
+    core/subword_tokenizer.py): BERT-style WordPiece ids + attention
+    mask over documents. Greedy longest-match is iterative, so the ids
+    come from one Arrow-batched pandas UDF (no SQL oracle — the driver
+    records the rows-only check; exact-output parity is pinned by
+    tests/test_subword.py against hand-computed WordPiece encodings)."""
+    from pygdf_spark.operators.subword import subword_tokenize
+
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    out = subword_tokenize(d, "text", max_len=32)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.slice("input_ids", 1, 12).alias("ids_head"),
+        F.element_at("attention_mask", 1).alias("mask_first"),
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "nlp_token_filter": nlp_token_filter,
+    "nlp_subword_tokenize": nlp_subword_tokenize,
     "nlp_char_ngrams": nlp_char_ngrams,
     "nlp_porter_measure": nlp_porter_measure,
     "nlp_normalize_chars": nlp_normalize_chars,
