@@ -214,6 +214,153 @@ class DataFrame:
         bot = self._with(self._sdf.orderBy(F.col(col).asc(), F.col(_RID)).limit(n))
         return bot.sort_values(col, ascending=True)
 
+    def take(self, indices: list[int]) -> "DataFrame":
+        """take (dataframe.py method list, copying.hpp:191): select rows
+        by ordinal position. Positions are resolved with a row_number
+        over the order column (a global window — positional gather is
+        inherently order-coupled; cuDF pays the same full-column gather)."""
+        w = Window.orderBy(_RID)
+        return self._with(
+            self._sdf.withColumn("__pos", F.row_number().over(w) - 1)
+            .filter(F.col("__pos").isin([int(i) for i in indices]))
+            .drop("__pos")
+        )
+
+    def sample(self, frac: float, seed: int = 0) -> "DataFrame":
+        """sample (frame.py:1785, copying.hpp:913)."""
+        return self._with(self._sdf.sample(fraction=frac, seed=seed))
+
+    def explode(self, column: str) -> "DataFrame":
+        """explode (dataframe.py:7700, lists/explode.hpp:63): one row per
+        list element; order extends (row, element-position)."""
+        others = [c for c in self._sdf.columns if c != column]
+        sdf = self._sdf.select(
+            *others, F.posexplode_outer(column).alias("__p", column)
+        )
+        w = Window.orderBy(_RID, "__p")
+        sdf = (
+            sdf.withColumn("__new_rid", F.row_number().over(w))
+            .drop(_RID, "__p")
+            .withColumnRenamed("__new_rid", _RID)
+        )
+        return self._with(sdf)
+
+    def melt(self, id_vars: list[str], value_vars: list[str],
+             var_name: str = "variable", value_name: str = "value") -> "DataFrame":
+        """melt (core/reshape.py:394) → Spark unpivot."""
+        sdf = self._sdf.unpivot(
+            [_RID, *id_vars], value_vars, var_name, value_name
+        )
+        w = Window.orderBy(var_name, _RID)
+        sdf = sdf.withColumn("__new_rid", F.row_number().over(w)).drop(_RID) \
+                 .withColumnRenamed("__new_rid", _RID)
+        return self._with(sdf)
+
+    def pivot(self, index: str, columns: str, values: str) -> "DataFrame":
+        """pivot (core/reshape.py:843): groupBy(index).pivot(columns)
+        .agg(first(values))."""
+        out = (
+            self._sdf.groupBy(index).pivot(columns).agg(F.first(values))
+        )
+        return DataFrame(out.withColumn(_RID, F.monotonically_increasing_id()))
+
+    def where(self, cond: Column, other=None) -> "DataFrame":
+        """where (frame.py:827, copy_if_else copying.hpp:705): keep
+        values where cond holds, else replace (pandas semantics: the
+        condition applies per numeric column)."""
+        sdf = self._sdf
+        for c in self.columns:
+            sdf = sdf.withColumn(c, F.when(cond, F.col(c)).otherwise(F.lit(other)))
+        return self._with(sdf)
+
+    def mask(self, cond: Column, other=None) -> "DataFrame":
+        """mask (frame.py:884): complement of where."""
+        return self.where(~cond, other)
+
+    def round(self, decimals: int = 0) -> "DataFrame":
+        """round (frame.py:1670, round.hpp:70): pandas/cuDF default is
+        HALF_EVEN → Spark ``bround`` (``F.round`` would be HALF_UP)."""
+        sdf = self._sdf
+        for c, t in self._sdf.dtypes:
+            if c != _RID and t in ("double", "float"):
+                sdf = sdf.withColumn(c, F.bround(c, decimals))
+        return self._with(sdf)
+
+    def rank(self, col: str, method: str = "min", ascending: bool = True) -> "DataFrame":
+        """rank (frame.py:1459, sorting.hpp:178) over one column."""
+        order = F.col(col).asc() if ascending else F.col(col).desc()
+        w = Window.orderBy(order)
+        fns = {"min": F.rank(), "dense": F.dense_rank(), "first": F.row_number()}
+        if method == "average":
+            expr = (F.rank().over(w) + F.rank().over(w) + F.count(F.lit(1)).over(
+                w.rangeBetween(Window.currentRow, Window.currentRow)) - 1) / 2.0
+        else:
+            expr = fns[method].over(w)
+        return self._with(self._sdf.withColumn(f"{col}_rank", expr.cast("double")))
+
+    def rolling(self, window: int, min_periods: int | None = None) -> "Rolling":
+        """rolling (core/window/rolling.py:17) over the row order."""
+        return Rolling(self, window, min_periods)
+
+    # -- frame-level reductions / summaries ------------------------------
+
+    def nunique(self) -> dict[str, int]:
+        """nunique per column (one distributed agg, no collect loops)."""
+        row = self._sdf.agg(
+            *[F.countDistinct(c).alias(c) for c in self.columns]
+        ).collect()[0]
+        return row.asDict()
+
+    def value_counts(self, subset: str) -> "DataFrame":
+        """value_counts (series.py:5091): counts desc, value asc ties."""
+        out = (
+            self._sdf.groupBy(subset)
+            .agg(F.count(F.lit(1)).alias("count"))
+            .orderBy(F.col("count").desc(), F.col(subset).asc())
+        )
+        return DataFrame(out.withColumn(_RID, F.monotonically_increasing_id()))
+
+    def describe(self) -> "DataFrame":
+        """describe (dataframe.py method list): count/mean/std/min/
+        25%/50%/75%/max per numeric column, one aggregate pass."""
+        num = [c for c, t in self._sdf.dtypes
+               if c != _RID and t in ("double", "float", "bigint", "int", "smallint", "tinyint")]
+        stats = [
+            ("count", lambda c: F.count(c).cast("double")),
+            ("mean", F.avg),
+            ("std", F.stddev_samp),
+            ("min", lambda c: F.min(c).cast("double")),
+            ("25%", lambda c: F.percentile(c, F.lit(0.25))),
+            ("50%", lambda c: F.percentile(c, F.lit(0.5))),
+            ("75%", lambda c: F.percentile(c, F.lit(0.75))),
+            ("max", lambda c: F.max(c).cast("double")),
+        ]
+        agg_row = self._sdf.agg(
+            *[fn(c).alias(f"{name}__{c}") for name, fn in stats for c in num]
+        ).collect()[0]
+        rows = [
+            tuple([name] + [agg_row[f"{name}__{c}"] for c in num])
+            for name, _ in stats
+        ]
+        spark = self._sdf.sparkSession
+        schema = ", ".join(["statistic string"] + [f"`{c}` double" for c in num])
+        return from_spark(spark.createDataFrame(rows, schema=schema))
+
+    # -- sinks (§2.1) ----------------------------------------------------
+
+    def to_parquet(self, path: str, partition_cols: list[str] | None = None) -> None:
+        """write_parquet (parquet.hpp:802; partition_cols io/parquet.py:86)."""
+        w = self.spark.write.mode("overwrite")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(path)
+
+    def to_csv(self, path: str, sep: str = ",", header: bool = True) -> None:
+        """write_csv (csv.hpp:1452)."""
+        self.spark.write.mode("overwrite").option("header", header).option(
+            "sep", sep
+        ).csv(path)
+
     # -- joins (§2.3, dataframe.py:4365) ---------------------------------
 
     def merge(self, right: "DataFrame", on=None, how: str = "inner",
@@ -235,6 +382,53 @@ class DataFrame:
 
     def groupby(self, by) -> "GroupBy":
         return GroupBy(self, [by] if isinstance(by, str) else list(by))
+
+
+class Rolling:
+    """Trailing row-count rolling window (core/window/rolling.py:17,
+    rolling.hpp:57): window w ending at the current row, min_periods
+    semantics via a conditional on the in-frame count. Frames are over
+    the veneer's order column — an explicit global order, exactly the
+    ordering cuDF's positional rows imply."""
+
+    def __init__(self, df: DataFrame, window: int, min_periods: int | None):
+        self._df = df
+        self._n = window
+        self._min = window if min_periods is None else min_periods
+
+    def _apply(self, col: str, fn, name: str) -> DataFrame:
+        w = Window.orderBy(_RID).rowsBetween(-(self._n - 1), 0)
+        val = fn(col).over(w)
+        cnt = F.count(col).over(w)
+        out = F.when(cnt >= self._min, val)
+        return self._df._with(
+            self._df._sdf.withColumn(f"{col}_roll_{name}", out)
+        )
+
+    def sum(self, col: str) -> DataFrame:
+        return self._apply(col, F.sum, "sum")
+
+    def mean(self, col: str) -> DataFrame:
+        return self._apply(col, F.avg, "mean")
+
+    def min(self, col: str) -> DataFrame:
+        return self._apply(col, F.min, "min")
+
+    def max(self, col: str) -> DataFrame:
+        return self._apply(col, F.max, "max")
+
+    def count(self, col: str) -> DataFrame:
+        w = Window.orderBy(_RID).rowsBetween(-(self._n - 1), 0)
+        cnt = F.count(col).over(w)
+        # min_periods gates count too — but on rows *in frame*, not
+        # non-null values (pandas counts a full frame of nulls as 0)
+        in_frame = F.count(F.lit(1)).over(w)
+        return self._df._with(
+            self._df._sdf.withColumn(
+                f"{col}_roll_count",
+                F.when(in_frame >= self._min, cnt.cast("double")),
+            )
+        )
 
 
 _AGG_MAP = {

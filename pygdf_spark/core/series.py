@@ -200,6 +200,44 @@ class Series:
     def all(self):
         return bool(self._agg(F.bool_and(self.col.cast("boolean"))))
 
+    def std(self):
+        return self._agg(F.stddev_samp(self.col))
+
+    def var(self):
+        return self._agg(F.var_samp(self.col))
+
+    def median(self):
+        return self._agg(F.median(self.col))
+
+    def quantile(self, q: float):
+        """quantile (series reductions; group analog groupby.py:752) —
+        exact linear-interpolation percentile, pandas default."""
+        return self._agg(F.percentile(self.col, F.lit(q)))
+
+    def skew(self):
+        """skew with pandas/cuDF sample adjustment (dataframe.py method
+        list): Spark's skewness is the population g1; pandas reports
+        G1 = g1 * sqrt(n(n-1)) / (n-2)."""
+        row = self._parent._sdf.agg(
+            F.skewness(self.col).alias("g1"), F.count(self.col).alias("n")
+        ).collect()[0]
+        g1, n = row["g1"], row["n"]
+        if g1 is None or n < 3:
+            return None
+        return g1 * (n * (n - 1)) ** 0.5 / (n - 2)
+
+    def kurtosis(self):
+        """kurtosis with pandas/cuDF sample adjustment (series
+        reductions): Spark's kurtosis is population excess g2; pandas
+        reports G2 = ((n+1)·g2 + 6)·(n-1)/((n-2)(n-3))."""
+        row = self._parent._sdf.agg(
+            F.kurtosis(self.col).alias("g2"), F.count(self.col).alias("n")
+        ).collect()[0]
+        g2, n = row["g2"], row["n"]
+        if g2 is None or n < 4:
+            return None
+        return ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+
     # -- cardinality-changing (series.py:5023,5091) ----------------------
 
     def unique(self) -> list:

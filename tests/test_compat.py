@@ -147,3 +147,73 @@ def test_rename_drop_shape(gdf, pdf):
     assert gdf.shape == pdf.shape
     got = gdf.rename({"x": "xx"}).drop("y")
     assert got.columns == ["k", "xx"]
+
+
+def test_take_sample_explode(gdf, pdf, spark):
+    eq(gdf.take([0, 2, 5]), pdf.take([0, 2, 5]))
+    assert len(gdf.sample(frac=0.5, seed=1)) <= 8
+    p2 = pd.DataFrame({"k": ["a", "b"], "v": [[1, 2], [3]]})
+    g2 = from_spark(spark.createDataFrame(p2))
+    eq(g2.explode("v"), p2.explode("v"))
+
+
+def test_melt_pivot(gdf, pdf, spark):
+    eq(gdf.melt(["k"], ["x", "y"]),
+       pdf.melt(id_vars=["k"], value_vars=["x", "y"])
+          .sort_values(["variable"], kind="stable").reset_index(drop=True))
+    p2 = pd.DataFrame({"i": [1, 1, 2], "c": ["a", "b", "a"], "v": [10.0, 20.0, 30.0]})
+    g2 = from_spark(spark.createDataFrame(p2))
+    exp = p2.pivot(index="i", columns="c", values="v").reset_index()
+    exp.columns.name = None
+    eq(g2.pivot("i", "c", "v"), exp, sort_by="i")
+
+
+def test_where_mask_round_rank(gdf, pdf):
+    eq(gdf[["x"]].where(F.col("x") > 3, 0), pdf[["x"]].where(pdf.x > 3, 0))
+    eq(gdf[["x"]].mask(F.col("x") > 3, 0), pdf[["x"]].mask(pdf.x > 3, 0))
+    eq(gdf[["y"]].round(0), pdf[["y"]].round(0))
+    for m in ("min", "dense", "first", "average"):
+        eq(gdf.rank("x", method=m)[["x_rank"]],
+           pdf.assign(x_rank=pdf.x.rank(method=m))[["x_rank"]])
+
+
+def test_rolling_compat(gdf, pdf):
+    for fn in ("sum", "mean", "min", "max", "count"):
+        got = getattr(gdf.rolling(3), fn)("y")[[f"y_roll_{fn}"]]
+        exp = pdf.assign(**{f"y_roll_{fn}": getattr(pdf.y.rolling(3), fn)()})
+        eq(got, exp[[f"y_roll_{fn}"]])
+    got = gdf.rolling(3, min_periods=1).sum("y")[["y_roll_sum"]]
+    exp = pdf.assign(y_roll_sum=pdf.y.rolling(3, min_periods=1).sum())
+    eq(got, exp[["y_roll_sum"]])
+
+
+def test_frame_summaries(gdf, pdf):
+    assert gdf.nunique() == {"k": 3, "x": 8, "y": 6}  # countDistinct skips null
+    eq(gdf.value_counts("k")[["k", "count"]].to_pandas().dropna().reset_index(drop=True)
+       if False else gdf.value_counts("k")[["k", "count"]],
+       pdf.k.value_counts(dropna=False).rename_axis("k").reset_index(name="count")
+          .sort_values(["count", "k"], ascending=[False, True], na_position="last")
+          .reset_index(drop=True))
+    desc = gdf.describe().to_pandas().set_index("statistic")
+    pdesc = pdf.describe()
+    for stat in ("count", "mean", "std", "min", "25%", "50%", "75%", "max"):
+        for c in ("x", "y"):
+            assert abs(desc.loc[stat, c] - pdesc.loc[stat, c]) < 1e-9
+
+
+def test_series_reductions_extended(gdf, pdf):
+    s, ps = gdf["y"], pdf.y
+    assert abs(s.std() - ps.std()) < 1e-12
+    assert abs(s.var() - ps.var()) < 1e-12
+    assert abs(s.median() - ps.median()) < 1e-12
+    assert abs(s.quantile(0.25) - ps.quantile(0.25)) < 1e-12
+    assert abs(gdf["x"].skew() - pdf.x.skew()) < 1e-12
+    assert abs(gdf["x"].kurtosis() - pdf.x.kurtosis()) < 1e-12
+
+
+def test_sinks_roundtrip(gdf, pdf, tmp_path):
+    gdf.to_parquet(str(tmp_path / "p"))
+    got = pd.read_parquet(tmp_path / "p").sort_values("x").reset_index(drop=True)
+    pdt.assert_frame_equal(got[["k", "x", "y"]], pdf.sort_values("x").reset_index(drop=True),
+                           check_dtype=False)
+    gdf.to_csv(str(tmp_path / "c"))
