@@ -14,6 +14,7 @@ from pygdf_spark.streaming import (
     dedup_first_per_key,
     read_events_stream,
     run_available_now,
+    session_counts,
     sliding_counts,
     stateful_user_counts,
     tumbling_counts,
@@ -77,8 +78,43 @@ SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id ORDER BY user_
 """
 
 
+def sstream_session_live(spark, sf_dir):
+    """readStream → per-user session windows (10-min gap) →
+    complete-mode memory sink. Oracle: gaps-and-islands sessionization
+    in SQL (new island when the gap to the previous event is ≥ the
+    session gap — session_window merges [t, t+gap) intervals that
+    overlap, so an exact-gap successor starts a new session)."""
+    ev = read_events_stream(spark, sf_dir)
+    out = run_available_now(session_counts(ev), "complete")
+    return out.orderBy("user_id", "s_start")
+
+
+SSTREAM_SESSION_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events
+),
+brk AS (
+  SELECT user_id, us,
+         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                   >= 600000000 OR
+                   lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e
+),
+isl AS (
+  SELECT user_id, us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM brk
+)
+SELECT make_timestamp(MIN(us)) AS s_start, user_id, COUNT(*) AS n
+FROM isl GROUP BY user_id, sid ORDER BY user_id, s_start
+"""
+
+
 QUERIES = {
     "sstream_stateful_counts": sstream_stateful_counts,
+    "sstream_session_live": sstream_session_live,
     "sstream_tumbling_live": sstream_tumbling_live,
     "sstream_sliding_live": sstream_sliding_live,
     "sstream_dedup_live": sstream_dedup_live,
@@ -86,6 +122,7 @@ QUERIES = {
 
 ORACLE = {
     "sstream_stateful_counts": SSTREAM_STATEFUL_SQL,
+    "sstream_session_live": SSTREAM_SESSION_SQL,
     "sstream_tumbling_live": SSTREAM_TUMBLING_SQL,
     "sstream_sliding_live": SSTREAM_SLIDING_SQL,
     "sstream_dedup_live": SSTREAM_DEDUP_SQL,

@@ -2,6 +2,7 @@ from pygdf_spark.streaming.pipelines import (  # noqa: F401
     dedup_first_per_key,
     read_events_stream,
     run_available_now,
+    session_counts,
     sliding_counts,
     stateful_user_counts,
     tumbling_counts,

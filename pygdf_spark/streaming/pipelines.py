@@ -71,6 +71,25 @@ def sliding_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def session_counts(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Per-user session windows (gap-merged): Spark's session_window
+    operator — net-new capability vs the reference (custreamz has no
+    event-time semantics). Sessions merge while consecutive events are
+    strictly closer than the gap; state is partitioned by user_id across
+    executors and, in append mode with a watermark, evicted as event
+    time passes each session's close."""
+    sw = F.session_window("ts", gap)
+    return (
+        events.groupBy(sw, "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("session_window.start").alias("s_start"),
+            "user_id",
+            "n",
+        )
+    )
+
+
 def dedup_first_per_key(events: DataFrame) -> DataFrame:
     """Streaming dropDuplicates on (user_id, event_type) with a 1-hour
     watermark bounding the dedup state. Only the key columns are
