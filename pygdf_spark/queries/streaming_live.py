@@ -18,6 +18,7 @@ from pygdf_spark.streaming import (
     sliding_counts,
     stateful_user_counts,
     tumbling_counts,
+    view_purchase_join,
 )
 
 
@@ -112,9 +113,30 @@ FROM isl GROUP BY user_id, sid ORDER BY user_id, s_start
 """
 
 
+def sstream_join_live(spark, sf_dir):
+    """readStream ⋈ readStream: purchases matched to same-user views in
+    the preceding 2 hours (watermarked interval join, append sink)."""
+    ev = read_events_stream(spark, sf_dir)
+    out = run_available_now(view_purchase_join(ev), "append")
+    return out.orderBy("user_id", "view_id", "buy_id")
+
+
+SSTREAM_JOIN_SQL = """
+SELECT v.user_id, v.event_id AS view_id, b.event_id AS buy_id
+FROM (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+      FROM events WHERE event_type = 'view') v
+JOIN (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+      FROM events WHERE event_type = 'purchase') b
+  ON v.user_id = b.user_id
+ AND b.us >= v.us AND b.us < v.us + 7200000000
+ORDER BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "sstream_stateful_counts": sstream_stateful_counts,
     "sstream_session_live": sstream_session_live,
+    "sstream_join_live": sstream_join_live,
     "sstream_tumbling_live": sstream_tumbling_live,
     "sstream_sliding_live": sstream_sliding_live,
     "sstream_dedup_live": sstream_dedup_live,
@@ -123,6 +145,7 @@ QUERIES = {
 ORACLE = {
     "sstream_stateful_counts": SSTREAM_STATEFUL_SQL,
     "sstream_session_live": SSTREAM_SESSION_SQL,
+    "sstream_join_live": SSTREAM_JOIN_SQL,
     "sstream_tumbling_live": SSTREAM_TUMBLING_SQL,
     "sstream_sliding_live": SSTREAM_SLIDING_SQL,
     "sstream_dedup_live": SSTREAM_DEDUP_SQL,

@@ -6,4 +6,5 @@ from pygdf_spark.streaming.pipelines import (  # noqa: F401
     sliding_counts,
     stateful_user_counts,
     tumbling_counts,
+    view_purchase_join,
 )

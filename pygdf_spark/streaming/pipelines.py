@@ -132,6 +132,42 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def view_purchase_join(events: DataFrame, horizon: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's views in the preceding `horizon`. Both sides carry
+    watermarks (sized ≥ the horizon), and the join condition bounds
+    event-time distance, so the state store can evict rows once the
+    watermark passes their join horizon — the REQUIRED shape for an unbounded stream-stream
+    join (an unbounded-range join would accumulate state forever).
+    Net-new vs the reference (custreamz decodes micro-batches only)."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "3 hours")
+    )
+    buys = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("buy_id"),
+            F.col("ts").alias("buy_ts"),
+        )
+        .withWatermark("buy_ts", "3 hours")
+    )
+    cond = (
+        (F.col("v_user") == F.col("b_user"))
+        & (F.col("buy_ts") >= F.col("view_ts"))
+        & (F.col("buy_ts") < F.col("view_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return views.join(buys, cond, "inner").select(
+        F.col("v_user").alias("user_id"), "view_id", "buy_id"
+    )
+
+
 def run_available_now(sdf: DataFrame, mode: str = "complete") -> DataFrame:
     """Execute a streaming DataFrame over exactly the data currently in
     the source (availableNow) into a memory sink; returns the sink as a
