@@ -469,3 +469,67 @@ class GroupBy:
         """GroupBy.apply (groupby.py:384) → applyInPandas."""
         out = self._df._sdf.drop(_RID).groupBy(*self._keys).applyInPandas(func, schema=schema)
         return DataFrame(out.withColumn(_RID, F.monotonically_increasing_id()))
+
+    # -- grouped order-sensitive ops (groupby.py:781-902) ----------------
+    # All ride Window.partitionBy(keys).orderBy(__row_id): partitioned
+    # windows, so they scale across executors (never a global sort).
+
+    def _w(self):
+        return Window.partitionBy(*self._keys).orderBy(_RID)
+
+    def shift(self, col: str, periods: int = 1) -> DataFrame:
+        """GroupBy.shift (groupby.py:902, groupby::shift groupby.hpp:278)."""
+        fn = F.lag(col, periods) if periods >= 0 else F.lead(col, -periods)
+        return self._df._with(
+            self._df._sdf.withColumn(f"{col}_shift", fn.over(self._w()))
+        )
+
+    def cumsum(self, col: str) -> DataFrame:
+        """group scan (groupby.py:781, groupby::scan groupby.hpp:224)."""
+        w = self._w().rowsBetween(Window.unboundedPreceding, 0)
+        return self._df._with(
+            self._df._sdf.withColumn(f"{col}_cumsum", F.sum(col).over(w))
+        )
+
+    def cumcount(self) -> DataFrame:
+        """cumcount (groupby.py:120, ROW_NUMBER aggregation.hpp:79)."""
+        return self._df._with(
+            self._df._sdf.withColumn(
+                "cumcount", F.row_number().over(self._w()) - 1
+            )
+        )
+
+    def ffill(self, col: str) -> DataFrame:
+        """pad/ffill (groupby.py:805, groupby::replace_nulls
+        groupby.hpp:348): last non-null at-or-before this row."""
+        w = self._w().rowsBetween(Window.unboundedPreceding, 0)
+        return self._df._with(
+            self._df._sdf.withColumn(
+                col, F.last(col, ignorenulls=True).over(w)
+            )
+        )
+
+    def bfill(self, col: str) -> DataFrame:
+        """backfill/bfill (groupby.py:821): first non-null at-or-after."""
+        w = self._w().rowsBetween(0, Window.unboundedFollowing)
+        return self._df._with(
+            self._df._sdf.withColumn(
+                col, F.first(col, ignorenulls=True).over(w)
+            )
+        )
+
+    def rank(self, col: str, method: str = "min", ascending: bool = True) -> DataFrame:
+        """per-group rank (frame.py:1459 grouped path)."""
+        order = F.col(col).asc() if ascending else F.col(col).desc()
+        w = Window.partitionBy(*self._keys).orderBy(order)
+        fns = {"min": F.rank(), "dense": F.dense_rank(), "first": F.row_number()}
+        if method == "average":
+            peers = F.count(F.lit(1)).over(
+                w.rangeBetween(Window.currentRow, Window.currentRow)
+            )
+            expr = (2 * F.rank().over(w) + peers - 1) / 2.0
+        else:
+            expr = fns[method].over(w)
+        return self._df._with(
+            self._df._sdf.withColumn(f"{col}_rank", expr.cast("double"))
+        )

@@ -217,3 +217,15 @@ def test_sinks_roundtrip(gdf, pdf, tmp_path):
     pdt.assert_frame_equal(got[["k", "x", "y"]], pdf.sort_values("x").reset_index(drop=True),
                            check_dtype=False)
     gdf.to_csv(str(tmp_path / "c"))
+
+
+def test_groupby_order_sensitive(gdf, pdf):
+    g, pg = gdf.groupby("k"), pdf.groupby("k", dropna=False)
+    eq(g.shift("x")[["x_shift"]], pdf.assign(x_shift=pg.x.shift())[["x_shift"]])
+    eq(g.cumsum("x")[["x_cumsum"]], pdf.assign(x_cumsum=pg.x.cumsum())[["x_cumsum"]])
+    eq(g.cumcount()[["cumcount"]], pdf.assign(cumcount=pg.cumcount())[["cumcount"]])
+    eq(g.ffill("y")[["y"]], pdf.assign(y=pg.y.ffill())[["y"]])
+    eq(g.bfill("y")[["y"]], pdf.assign(y=pg.y.bfill())[["y"]])
+    for m in ("min", "dense", "first", "average"):
+        eq(g.rank("x", method=m)[["x_rank"]],
+           pdf.assign(x_rank=pg.x.rank(method=m))[["x_rank"]])
