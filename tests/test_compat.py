@@ -229,3 +229,18 @@ def test_groupby_order_sensitive(gdf, pdf):
     for m in ("min", "dense", "first", "average"):
         eq(g.rank("x", method=m)[["x_rank"]],
            pdf.assign(x_rank=pg.x.rank(method=m))[["x_rank"]])
+
+
+def test_toplevel_namespace_parity(spark, tmp_path, pdf):
+    """import pygdf_spark as gd mirrors `import cudf` call sites."""
+    import pygdf_spark as gd
+
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(p)
+    df = gd.read_parquet(p, spark=spark)
+    assert isinstance(df, gd.DataFrame)
+    assert sorted(df.columns) == ["k", "x", "y"]
+    assert len(df) == len(pdf)
+    both = gd.concat([df, df])
+    assert len(both) == 2 * len(pdf)
+    assert "x" in gd.melt(df, ["k"], ["x", "y"]).to_pandas()["variable"].values
