@@ -62,6 +62,22 @@ def main() -> None:
         id_vars=["o_orderkey"], value_vars=["o_totalprice", "o_custkey"])
     print(f"\nmelt: {m.shape[0]} rows (2 per order)")
 
+    # cuDF: cudf.read_parquet(path) — module-level readers
+    import pygdf_spark as gd
+
+    li = gd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"), spark=spark)
+
+    # cuDF: df.describe(); df.rolling(n).mean(); s.quantile(q)
+    print("\ndescribe():")
+    print(li[["l_quantity", "l_extendedprice"]].describe().to_pandas())
+    roll = li.head(20).rolling(4, min_periods=1).mean("l_quantity")
+    print(f"rolling mean rows: {roll.shape[0]}")
+    print(f"p90 extendedprice: {li['l_extendedprice'].quantile(0.9):.2f}")
+
+    # cuDF: df.groupby(k).shift/ffill — grouped order-sensitive ops
+    g = li.head(200).groupby("l_orderkey").cumsum("l_quantity")
+    print(f"grouped cumsum rows: {g.shape[0]}")
+
     spark.stop()
 
 
