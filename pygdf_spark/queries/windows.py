@@ -239,7 +239,53 @@ ORDER BY o_custkey, o_orderkey
 """
 
 
+def win_rolling_var(spark, sf_dir):
+    """variable per-row window sizes (rolling_window with window columns,
+    rolling.hpp:557): each row's trailing frame length is its own
+    expression (1 + l_linenumber % 3). Spark frames are fixed per
+    window, so the plan collects the MAXIMAL frame (3 rows) as an
+    in-row array and slices the last w_i elements — array expression
+    inside codegen, partitioned window, no UDF."""
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 4000)
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber").rowsBetween(-2, 0)
+    wsize = 1 + F.col("l_linenumber") % 3
+    arr = F.collect_list(dec("l_quantity")).over(w)  # ordered: trailing frame
+    eff = F.least(wsize, F.size(arr))                # rows actually available
+    tail = F.slice(arr, F.size(arr) - eff + 1, eff)
+    vsum = F.aggregate(
+        tail,
+        F.lit(0).cast("decimal(14,2)"),
+        # decimal + widens precision; fold state must keep the zero's type
+        lambda a, x: (a + x).cast("decimal(14,2)"),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        wsize.cast("int").alias("w"),
+        eff.cast("int").alias("w_eff"),
+        vsum.cast("double").alias("var_roll_sum"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+WIN_ROLLING_VAR_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(1 + l_linenumber % 3 AS INT) AS w,
+       CAST(least(1 + l_linenumber % 3, len(arr)) AS INT) AS w_eff,
+       CAST(list_sum(list_slice(arr, len(arr) - least(1 + l_linenumber % 3, len(arr)) + 1, len(arr)))
+            AS DOUBLE) AS var_roll_sum
+FROM (
+  SELECT l_orderkey, l_linenumber,
+         array_agg(CAST(l_quantity AS DECIMAL(12,2)))
+           OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS arr
+  FROM lineitem WHERE l_orderkey < 4000
+)
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
 QUERIES = {
+    "win_rolling_var": win_rolling_var,
     "win_rolling_center": win_rolling_center,
     "win_group_cumsum": win_group_cumsum,
     "win_shift_diff": win_shift_diff,
@@ -251,6 +297,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "win_rolling_var": WIN_ROLLING_VAR_SQL,
     "win_rolling_center": WIN_ROLLING_CENTER_SQL,
     "win_group_cumsum": WIN_GROUP_CUMSUM_SQL,
     "win_shift_diff": WIN_SHIFT_SQL,
