@@ -361,6 +361,22 @@ class DataFrame:
             "sep", sep
         ).csv(path)
 
+    # -- UDF surface (§2.11) ---------------------------------------------
+
+    def apply_rows(self, func, schema) -> "DataFrame":
+        """apply_rows (dataframe.py:4701 → applyutils numba kernel):
+        Arrow-batched pandas kernel with 1:1 row contract."""
+        from pygdf_spark.operators.apply import apply_rows as _ar
+
+        return DataFrame(_ar(self.spark, func, schema))
+
+    def apply_chunks(self, func, schema) -> "DataFrame":
+        """apply_chunks (dataframe.py:4779): per-Arrow-batch kernel,
+        row count may change."""
+        from pygdf_spark.operators.apply import apply_chunks as _ac
+
+        return DataFrame(_ac(self.spark, func, schema))
+
     # -- joins (§2.3, dataframe.py:4365) ---------------------------------
 
     def merge(self, right: "DataFrame", on=None, how: str = "inner",

@@ -238,6 +238,27 @@ class Series:
             return None
         return ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
 
+    # -- order-sensitive (ride the parent's row-order column) ------------
+
+    def shift(self, periods: int = 1) -> "Series":
+        """Series.shift (frame.py:1644) over the parent's row order."""
+        out = self._parent.shift(self._name, periods)
+        return Series(out, f"{self._name}_shift")
+
+    def diff(self) -> "Series":
+        """Series.diff (series.py:5652)."""
+        out = self._parent.diff(self._name)
+        return Series(out, f"{self._name}_diff")
+
+    def cumsum(self) -> "Series":
+        """Series.cumsum (reduction.hpp:90 scan)."""
+        out = self._parent.cumsum(self._name)
+        return Series(out, f"{self._name}_cumsum")
+
+    def to_pandas(self):
+        """Host round-trip of this column, in row order (small-data)."""
+        return self._parent.to_pandas()[self._name]
+
     # -- cardinality-changing (series.py:5023,5091) ----------------------
 
     def unique(self) -> list:

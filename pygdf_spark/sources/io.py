@@ -161,3 +161,24 @@ def read_avro(spark: SparkSession, filepath: str) -> DataFrame:
             "avro support needs the spark-avro package "
             "(--packages org.apache.spark:spark-avro_2.13:<spark-version>)"
         ) from e
+
+
+def read_feather(spark: SparkSession, filepath: str,
+                 columns: list[str] | None = None) -> DataFrame:
+    """read_feather (py io/feather.py): the reference reads Feather via
+    a pyarrow host round-trip; same here — pyarrow deserializes the
+    file driver-side and the table ships to executors as Arrow batches.
+    Documented small-data interop (like cuDF's host round-trip); bulk
+    data belongs in parquet/ORC."""
+    import pyarrow.feather as feather
+
+    tbl = feather.read_table(filepath, columns=columns)
+    return spark.createDataFrame(tbl.to_pandas())
+
+
+def write_feather(df: DataFrame, path: str) -> None:
+    """write via pyarrow (host round-trip, small-data interop)."""
+    import pyarrow as pa
+    import pyarrow.feather as feather
+
+    feather.write_feather(pa.Table.from_pandas(df.toPandas()), path)

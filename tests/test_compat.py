@@ -244,3 +244,39 @@ def test_toplevel_namespace_parity(spark, tmp_path, pdf):
     both = gd.concat([df, df])
     assert len(both) == 2 * len(pdf)
     assert "x" in gd.melt(df, ["k"], ["x", "y"]).to_pandas()["variable"].values
+
+
+def test_series_order_ops_and_to_pandas(gdf, pdf):
+    assert gdf["x"].diff().to_pandas().equals(pdf.x.diff().rename("x_diff"))
+    assert gdf["x"].cumsum().to_pandas().tolist() == pdf.x.cumsum().tolist()
+    got = gdf["x"].shift().to_pandas()
+    exp = pdf.x.shift()
+    assert got.isna().tolist() == exp.isna().tolist()
+    assert got.dropna().tolist() == exp.dropna().tolist()
+
+
+def test_apply_rows_veneer(gdf, pdf):
+    def kernel(b):
+        return b.assign(x2=b.x * 2)[["k", "x", "x2"]]
+
+    got = gdf.apply_rows(kernel, "k string, x long, x2 long")
+    exp = pdf.assign(x2=pdf.x * 2)[["k", "x", "x2"]]
+    eq(got.sort_values("x"), exp.sort_values("x"))
+
+    def chunks(b):  # row-count-changing kernel
+        return b[b.x % 2 == 0][["x"]]
+
+    got2 = gdf.apply_chunks(chunks, "x long")
+    assert sorted(r["x"] for r in got2.spark.collect()) == [2, 4, 6, 8]
+
+
+def test_feather_roundtrip(spark, pdf, tmp_path):
+    from pygdf_spark.sources.io import read_feather, write_feather
+
+    p = str(tmp_path / "t.feather")
+    write_feather(spark.createDataFrame(pdf), p)
+    got = read_feather(spark, p).toPandas().sort_values("x").reset_index(drop=True)
+    pdt.assert_frame_equal(got, pdf.sort_values("x").reset_index(drop=True),
+                           check_dtype=False)
+    got_cols = read_feather(spark, p, columns=["x"]).columns
+    assert got_cols == ["x"]
