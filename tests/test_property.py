@@ -110,3 +110,60 @@ def test_sort_topk_parity(spark, rows):
         ).fetchall()
     ]
     assert got == exp
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(FRAMES)
+def test_window_rank_parity(spark, rows):
+    from pyspark.sql import Window
+
+    sdf, con = _to_engines(spark, rows)
+    w = Window.partitionBy("k").orderBy(F.col("v").asc_nulls_last())
+    key = lambda t: (t[0], t[1] is None, t[1] or 0, t[2], t[3])  # noqa: E731
+    got = sorted(
+        (
+            (r["k"], r["v"], r["rnk"], r["drnk"])
+            for r in sdf.select(
+                "k", "v",
+                F.rank().over(w).alias("rnk"),
+                F.dense_rank().over(w).alias("drnk"),
+            ).collect()
+        ),
+        key=key,
+    )
+    exp = sorted(
+        (
+            (k, None if pd.isna(v) else int(v), int(r), int(d))
+            for k, v, r, d in con.execute(
+                """SELECT k, v,
+                          RANK() OVER (PARTITION BY k ORDER BY v ASC NULLS LAST),
+                          DENSE_RANK() OVER (PARTITION BY k ORDER BY v ASC NULLS LAST)
+                   FROM t"""
+            ).fetchall()
+        ),
+        key=key,
+    )
+    assert got == exp
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(FRAMES)
+def test_string_expr_parity(spark, rows):
+    sdf, con = _to_engines(spark, rows)
+    got = sorted(
+        (r["u"], r["n"], r["sub"], r["cat"])
+        for r in sdf.select(
+            F.upper("s").alias("u"),
+            F.length("s").alias("n"),
+            F.substring("s", 1, 3).alias("sub"),
+            F.concat_ws("-", "s", F.col("k").cast("string")).alias("cat"),
+        ).collect()
+    )
+    exp = sorted(
+        (u, int(n), sub, cat)
+        for u, n, sub, cat in con.execute(
+            """SELECT upper(s), len(s), substring(s, 1, 3),
+                      s || '-' || CAST(k AS VARCHAR) FROM t"""
+        ).fetchall()
+    )
+    assert got == exp
