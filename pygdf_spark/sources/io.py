@@ -182,3 +182,20 @@ def write_feather(df: DataFrame, path: str) -> None:
     import pyarrow.feather as feather
 
     feather.write_feather(pa.Table.from_pandas(df.toPandas()), path)
+
+
+def read_hdf(spark: SparkSession, filepath: str, key: str | None = None) -> DataFrame:
+    """read_hdf (py io/hdf.py): the reference round-trips HDF5 through
+    pandas; same here, gated on PyTables being installed (it is not in
+    this container — the gate raises an actionable error, mirroring the
+    read_avro jar gate)."""
+    import pandas as pd
+
+    try:
+        pdf = pd.read_hdf(filepath, key=key)
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise RuntimeError(
+            "read_hdf needs the 'tables' (PyTables) package; install it or "
+            "convert the file to parquet/feather for bulk ingest"
+        ) from e
+    return spark.createDataFrame(pdf)

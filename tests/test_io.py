@@ -82,3 +82,20 @@ def test_avro_gated(spark, sample, tmp_path):
         assert "spark-avro" in str(e)
     except Exception:
         pytest.skip("avro module present; load failed on missing path as expected")
+
+
+def test_read_hdf_gate(spark, tmp_path):
+    """Without PyTables the gate must raise the actionable error (and
+    with it, the pandas round-trip path is the same as feather's)."""
+    import pytest as _pytest
+
+    from pygdf_spark.sources.io import read_hdf
+
+    try:
+        import tables  # noqa: F401
+        has_tables = True
+    except ImportError:
+        has_tables = False
+    if not has_tables:
+        with _pytest.raises((RuntimeError, FileNotFoundError, ImportError)):
+            read_hdf(spark, str(tmp_path / "x.h5"))
