@@ -168,17 +168,35 @@ def view_purchase_join(events: DataFrame, horizon: str = "2 hours") -> DataFrame
     )
 
 
-def run_available_now(sdf: DataFrame, mode: str = "complete") -> DataFrame:
+def run_available_now(
+    sdf: DataFrame, mode: str = "complete", shuffle_partitions: int = 8
+) -> DataFrame:
     """Execute a streaming DataFrame over exactly the data currently in
     the source (availableNow) into a memory sink; returns the sink as a
-    batch DataFrame once the stream terminates."""
+    batch DataFrame once the stream terminates.
+
+    ``shuffle_partitions`` sizes the state store: Structured Streaming
+    creates one state-store instance per shuffle partition per stateful
+    operator, FIXED at the query's first run (it is part of checkpoint
+    state and AQE never coalesces it). A stream-stream join carries four
+    stores per partition, so an oversized count is pure per-partition
+    open/commit overhead on bounded verification runs (32 partitions
+    made the interval join ~4× slower than 8 on the sf0.01 gate).
+    Production unbounded streams size this to cluster cores × expected
+    key-state volume instead — pass it explicitly there."""
+    spark = sdf.sparkSession
     name = f"pygdf_stream_sink_{next(_MEM_IDS)}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return sdf.sparkSession.table(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
