@@ -176,14 +176,33 @@ def pad(col, width: int, side: str = "left", fillchar: str = " ") -> Column:
         return F.lpad(c, width, fillchar)
     if side == "right":
         return F.rpad(c, width, fillchar)
-    # both: center (string.py:2838)
+    # both: center (string.py:2838). Python's str.center (which pandas
+    # and cuDF follow) puts the EXTRA fill char on the left when both
+    # the margin and the width are odd: left = marg//2 + (marg & width & 1)
     total = F.lit(width) - F.length(c)
-    left = F.floor(total / 2).cast("int")
+    left = (F.floor(total / 2) + (total % 2) * F.lit(width % 2)).cast("int")
     return F.rpad(F.lpad(c, (F.length(c) + F.greatest(left, F.lit(0))).cast("int"), fillchar), width, fillchar)
 
 
 def zfill(col, width: int) -> Column:
     return F.lpad(_c(col), width, "0")
+
+
+def center(col, width: int, fillchar: str = " ") -> Column:
+    """str.center (string.py:2838; padding.hpp:64 side=BOTH) — extra
+    fill char goes to the right, matching pandas."""
+    return pad(col, width, "both", fillchar)
+
+
+def insert(col, start: int, repl: str) -> Column:
+    """str.insert (string.py:2010 region) — splice `repl` in before the
+    0-based position; start=-1 appends (the cuDF default)."""
+    c = _c(col)
+    if start == -1:
+        return F.concat(c, F.lit(repl))
+    return F.concat(
+        F.substring(c, 1, start), F.lit(repl), F.substring(c, F.lit(start + 1), F.length(c))
+    )
 
 
 def ljust(col, width: int, fillchar: str = " ") -> Column:
@@ -221,6 +240,30 @@ def rstrip(col, to_strip: str | None = None) -> Column:
 
 def split(col, pat: str = r"\s+", limit: int = -1) -> Column:
     return F.split(_c(col), pat, limit)
+
+
+def rsplit(col, sep: str = " ", limit: int = -1) -> Column:
+    """str.rsplit (string.py:2403; split.hpp:229 rsplit_record) — split
+    on a LITERAL separator counting splits from the right (`limit` caps
+    the piece count like Spark's split). Built entirely from codegen'd
+    exprs by the reverse trick: reverse the string, left-split on the
+    reversed separator, then reverse each piece and the piece order."""
+    c = _c(col)
+    rev = F.split(F.reverse(c), re.escape(sep[::-1]), limit)
+    return F.reverse(F.transform(rev, lambda x: F.reverse(x)))
+
+
+def rpartition(col, sep: str) -> Column:
+    """partition.hpp:90 — struct(head, sep, tail) split at the LAST
+    occurrence; no match ⇒ ('', '', whole) per pandas/cuDF."""
+    c = _c(col)
+    rpos = F.instr(F.reverse(c), sep[::-1])
+    start = F.length(c) - rpos - len(sep) + 2  # 1-based start of last match
+    return F.struct(
+        F.when(rpos > 0, F.substring(c, F.lit(1), start - 1)).otherwise(F.lit("")).alias("head"),
+        F.when(rpos > 0, F.lit(sep)).otherwise(F.lit("")).alias("sep"),
+        F.when(rpos > 0, F.substring(c, start + len(sep), F.length(c))).otherwise(c).alias("tail"),
+    )
 
 
 def partition(col, sep: str) -> Column:
@@ -295,6 +338,24 @@ def ishex(col) -> Column:
     return _c(col).rlike(r"^(0[xX])?[0-9a-fA-F]+$")
 
 
+#: strptime directives → Spark datetime pattern letters (the subset the
+#: reference's istimestamp grammar covers; convert_datetime.hpp:41)
+_STRPTIME_TO_SPARK = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd",
+    "%H": "HH", "%M": "mm", "%S": "ss", "%f": "SSSSSS", "%j": "DDD",
+}
+
+
+def istimestamp(col, fmt: str = "%Y-%m-%d") -> Column:
+    """str.istimestamp (string.py:1082 family) — does the string parse
+    under the strptime-style format; directives are rewritten to Spark's
+    pattern letters and checked with try_to_timestamp."""
+    spark_fmt = fmt
+    for k, v in _STRPTIME_TO_SPARK.items():
+        spark_fmt = spark_fmt.replace(k, v)
+    return F.try_to_timestamp(_c(col), F.lit(spark_fmt)).isNotNull()
+
+
 # --- conversions (convert_*.hpp) ---------------------------------------
 
 def htoi(col) -> Column:
@@ -364,6 +425,18 @@ def edit_distance(col, other) -> Column:
     """nvtext edit_distance.hpp:59 → levenshtein."""
     other_c = F.lit(other) if isinstance(other, str) else _c(other)
     return F.levenshtein(_c(col), other_c)
+
+
+def character_tokenize(col) -> Column:
+    """nvtext tokenize.hpp:175 character_tokenize — every character
+    (whitespace included) as one token, per string."""
+    return F.filter(F.split(_c(col), ""), lambda ch: ch != "")
+
+
+def detokenize(col, sep: str = " ") -> Column:
+    """nvtext tokenize.hpp:212 detokenize — reassemble a token array
+    into one string."""
+    return F.array_join(_c(col), sep)
 
 
 

@@ -220,7 +220,53 @@ FROM (SELECT DISTINCT o_orderpriority FROM orders) ORDER BY o_orderpriority
 """
 
 
+def str_rsplit_pack(spark, sf_dir):
+    """rsplit/rpartition (split.hpp:229, partition.hpp:90), center/insert
+    (padding.hpp:64, string.py:2010), istimestamp (string.py:1082
+    family), character_tokenize/detokenize (nvtext tokenize.hpp:175,212)."""
+    p = T(spark, sf_dir, "part").filter(
+        (F.col("p_partkey") < 300) & F.col("p_name").contains(" ")
+    )
+    rs = S.rsplit("p_name", " ", 2)
+    rp = S.rpartition("p_type", " ")
+    datestr = F.concat(
+        F.lit("2024-01-"), F.lpad((F.col("p_partkey") % 40).cast("string"), 2, "0")
+    )
+    return p.select(
+        "p_partkey",
+        rs.getItem(0).alias("rs_head"),
+        rs.getItem(1).alias("rs_last"),
+        rp.getField("head").alias("rp_head"),
+        rp.getField("tail").alias("rp_tail"),
+        S.center("p_brand", 12, "*").alias("brand_center"),
+        S.insert("p_brand", 5, "-XYZ").alias("brand_insert"),
+        S.istimestamp(datestr, "%Y-%m-%d").alias("is_ts"),
+        F.size(S.character_tokenize("p_name")).alias("n_chars"),
+        S.detokenize(F.split(F.col("p_name"), " "), "_").alias("detok"),
+    ).orderBy("p_partkey")
+
+
+STR_RSPLIT_SQL = """
+SELECT p_partkey,
+       regexp_replace(p_name, ' [^ ]*$', '') AS rs_head,
+       regexp_extract(p_name, '[^ ]*$') AS rs_last,
+       CASE WHEN p_type LIKE '% %'
+            THEN regexp_replace(p_type, ' [^ ]*$', '') ELSE '' END AS rp_head,
+       regexp_extract(p_type, '[^ ]*$') AS rp_tail,
+       rpad(lpad(p_brand,
+                 CAST(length(p_brand) + GREATEST((12 - length(p_brand)) // 2, 0) AS INT),
+                 '*'), 12, '*') AS brand_center,
+       substr(p_brand, 1, 5) || '-XYZ' || substr(p_brand, 6) AS brand_insert,
+       try_strptime('2024-01-' || lpad(CAST(p_partkey % 40 AS VARCHAR), 2, '0'),
+                    '%Y-%m-%d') IS NOT NULL AS is_ts,
+       CAST(length(p_name) AS INT) AS n_chars,
+       replace(p_name, ' ', '_') AS detok
+FROM part WHERE p_partkey < 300 AND p_name LIKE '% %' ORDER BY p_partkey
+"""
+
+
 QUERIES = {
+    "str_rsplit_pack": str_rsplit_pack,
     "str_basic_pack": str_basic_pack,
     "str_find_pack": str_find_pack,
     "str_regex_pack": str_regex_pack,
@@ -232,6 +278,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "str_rsplit_pack": STR_RSPLIT_SQL,
     "str_basic_pack": STR_BASIC_SQL,
     "str_find_pack": STR_FIND_SQL,
     "str_regex_pack": STR_REGEX_SQL,

@@ -64,6 +64,47 @@ def test_str_accessor(gdf, pdf):
     assert bool(got.has[0]) is True and bool(got.has[4]) is False
 
 
+def test_str_rsplit_family(gdf, pdf):
+    """rsplit/rpartition/center/insert/istimestamp/character_tokenize/
+    detokenize, pinned against pandas str semantics on the non-null rows."""
+    from pyspark.sql import functions as F
+
+    got = gdf.assign(
+        last=gdf["s"].str.rsplit(" ", 2).getItem(1),
+        rp_tail=gdf["s"].str.rpartition(" ").getField("tail"),
+        ctr=gdf["s"].str.center(13, "*"),
+        ins=gdf["s"].str.insert(3, "__"),
+        n_ch=F.size(gdf["s"].str.character_tokenize()),
+    ).to_pandas().set_index("s")
+    # "Hello World" → rsplit last piece / rpartition tail = "World"
+    assert got.loc["Hello World", "last"] == "World"
+    assert got.loc["Hello World", "rp_tail"] == "World"
+    # single-token string: rpartition tail is the whole string (pandas)
+    assert got.loc["abc123", "rp_tail"] == "abc123"
+    assert got.loc["abc123", "ctr"] == "abc123".center(13, "*")
+    assert got.loc["spark SQL", "ins"] == "spa__rk SQL"
+    assert int(got.loc["Hello World", "n_ch"]) == len("Hello World")
+
+
+def test_str_istimestamp_detokenize(spark):
+    from pyspark.sql import functions as F
+
+    import pygdf_spark.functions.strings as S
+
+    df = spark.createDataFrame(
+        [("2024-01-31",), ("2024-01-39",), ("not a date",)], ["t"]
+    ).select(
+        S.istimestamp("t", "%Y-%m-%d").alias("ok"),
+        S.detokenize(S.character_tokenize("t"), "").alias("roundtrip"),
+        F.col("t"),
+    )
+    rows = {r["t"]: r for r in df.collect()}
+    assert rows["2024-01-31"]["ok"] is True
+    assert rows["2024-01-39"]["ok"] is False
+    assert rows["not a date"]["ok"] is False
+    assert all(r["roundtrip"] == t for t, r in rows.items())
+
+
 def test_dt_accessor(gdf, pdf):
     got = gdf.assign(
         yr=gdf["d"].dt.year,
