@@ -109,6 +109,26 @@ class DataFrame:
             sdf = sdf.withColumn(c, F.col(c).cast(t))
         return self._with(sdf)
 
+    def insert(self, loc: int, name: str, value) -> "DataFrame":
+        """DataFrame.insert (dataframe.py method list) — add a column at
+        ordinal position `loc` (cuDF mutates in place; the veneer
+        returns the new frame like its other projections)."""
+        cols = self.columns
+        cols.insert(loc, name)
+        sdf = self._sdf.withColumn(
+            name, value if isinstance(value, Column) else F.lit(value)
+        )
+        return self._with(sdf.select(_RID, *cols))
+
+    def pop(self, name: str):
+        """DataFrame.pop — return the column as a Series and remove it
+        from this frame (in-place removal, matching cuDF/pandas)."""
+        from pygdf_spark.core.series import Series
+
+        snapshot = self._with(self._sdf)
+        self._sdf = self._sdf.drop(name)
+        return Series(snapshot, name)
+
     # -- filters (§2.2) --------------------------------------------------
 
     def query(self, expr: str) -> "DataFrame":
@@ -133,6 +153,25 @@ class DataFrame:
         """clip (frame.py:700, replace.hpp:202)."""
         c = F.greatest(F.lit(lower), F.least(F.lit(upper), F.col(col)))
         return self._with(self._sdf.withColumn(col, c))
+
+    def replace(self, to_replace, value=None, subset=None) -> "DataFrame":
+        """replace (frame.py:2205, replace.hpp:151 find_and_replace_all)
+        — value substitution via Spark's native na.replace (a dict maps
+        old → new; a scalar pair replaces one value)."""
+        mapping = to_replace if isinstance(to_replace, dict) else {to_replace: value}
+        return self._with(self._sdf.na.replace(mapping, subset=subset))
+
+    def isnull(self) -> "DataFrame":
+        """isnull (frame.py:2290) — boolean frame of null masks."""
+        return self._with(
+            self._sdf.select(_RID, *[F.col(c).isNull().alias(c) for c in self.columns])
+        )
+
+    def notnull(self) -> "DataFrame":
+        """notnull (frame.py:2370)."""
+        return self._with(
+            self._sdf.select(_RID, *[F.col(c).isNotNull().alias(c) for c in self.columns])
+        )
 
     # -- order-sensitive ops (§7 discipline) -----------------------------
 
@@ -244,6 +283,80 @@ class DataFrame:
             .withColumnRenamed("__new_rid", _RID)
         )
         return self._with(sdf)
+
+    def interleave_columns(self, columns: list[str], name: str = "value") -> "DataFrame":
+        """interleave_columns (frame.py:2450, reshape.hpp:49) — row-major
+        interleave of same-dtype columns into one column; order extends
+        (row, column-position)."""
+        sdf = self._sdf.select(_RID, F.posexplode(F.array(*columns)).alias("__p", name))
+        w = Window.orderBy(_RID, "__p")
+        sdf = (
+            sdf.withColumn("__new_rid", F.row_number().over(w))
+            .drop(_RID, "__p")
+            .withColumnRenamed("__new_rid", _RID)
+        )
+        return self._with(sdf)
+
+    def transpose(self) -> "DataFrame":
+        """transpose (dataframe.py:4292, transpose.hpp) — documented
+        small-data: collects to the driver (cuDF's transpose is likewise
+        a full-table materialization) and requires homogeneous column
+        dtypes. Output columns are r0..rN in row order."""
+        tp = self.to_pandas().T
+        tp.columns = [f"r{i}" for i in range(tp.shape[1])]
+        tp = tp.reset_index().rename(columns={"index": "column"})
+        return from_spark(self._sdf.sparkSession.createDataFrame(tp))
+
+    @property
+    def T(self) -> "DataFrame":
+        return self.transpose()
+
+    def hash_values(self, method: str = "murmur3") -> "DataFrame":
+        """hash_values (series.py:5336, hashing.hpp:39) — per-row hash
+        over all columns as a new `hash` column. murmur3 → Spark's
+        native Murmur3 F.hash; also md5 / xxhash64."""
+        if method == "md5":
+            h = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in self.columns]))
+        elif method == "xxhash64":
+            h = F.xxhash64(*[F.col(c) for c in self.columns])
+        else:
+            h = F.hash(*[F.col(c) for c in self.columns])
+        return self._with(self._sdf.withColumn("hash", h))
+
+    def partition_by_hash(self, columns: list[str], nparts: int) -> "DataFrame":
+        """partition_by_hash (dataframe.py:4862, partitioning.hpp:93) —
+        physically repartitions by key hash (the distributed analog of
+        the reference's list-of-frames return) and carries the partition
+        id as a column. Spark's HashPartitioning is pmod(murmur3, n), so
+        `partition_id` matches the physical partition."""
+        part = F.pmod(F.hash(*[F.col(c) for c in columns]), F.lit(nparts))
+        return self._with(
+            self._sdf.withColumn("partition_id", part).repartition(nparts, *columns)
+        )
+
+    def scatter_by_map(self, map_column: str, nparts: int) -> "DataFrame":
+        """scatter_by_map (frame.py:1017, partitioning.hpp:67) — route
+        rows to partitions keyed by an integer map column. Delta vs the
+        reference: assignment is hash(map)%n rather than identity, which
+        preserves the semantic contract (equal map values co-locate) —
+        identity routing would need an RDD-level custom partitioner."""
+        return self._with(self._sdf.repartition(nparts, F.col(map_column)))
+
+    def one_hot_encoding(self, column: str, prefix: str, cats: list) -> "DataFrame":
+        """one_hot_encoding (dataframe.py method list; reshape.py:566) —
+        one 0/1 column per listed category."""
+        sdf = self._sdf
+        for v in cats:
+            sdf = sdf.withColumn(f"{prefix}_{v}", (F.col(column) == F.lit(v)).cast("int"))
+        return self._with(sdf)
+
+    def label_encoding(self, column: str, cats: list, dtype: str = "int") -> "DataFrame":
+        """label_encoding (series.py:3777) — category → ordinal code via
+        a literal-map lookup; values outside `cats` get -1 (the cuDF
+        na_sentinel)."""
+        mapping = F.create_map(*[x for i, v in enumerate(cats) for x in (F.lit(v), F.lit(i))])
+        code = F.coalesce(F.element_at(mapping, F.col(column)), F.lit(-1)).cast(dtype)
+        return self._with(self._sdf.withColumn(f"{column}_labels", code))
 
     def melt(self, id_vars: list[str], value_vars: list[str],
              var_name: str = "variable", value_name: str = "value") -> "DataFrame":

@@ -38,6 +38,67 @@ class StrAccessor:
         return bound
 
 
+class ListAccessor:
+    """cuDF .list accessor (core/column/lists.py) over an ArrayType
+    column — every method is a JVM-side array expression."""
+
+    def __init__(self, col: Column):
+        self._c = col
+
+    def get(self, i: int) -> Column:
+        """lists.py:293 (extract.hpp:63) — element at 0-based index;
+        negative indexes from the end, as cuDF."""
+        return F.element_at(self._c, i + 1 if i >= 0 else i)
+
+    def contains(self, value) -> Column:
+        """lists.py:325 (contains.hpp:48)."""
+        return F.array_contains(self._c, value)
+
+    def leaves(self) -> Column:
+        """lists.py:365 — flatten one nesting level."""
+        return F.flatten(self._c)
+
+    def len(self) -> Column:
+        """lists.py:393 (count_elements.hpp:49)."""
+        return F.size(self._c)
+
+    def take(self, indices) -> Column:
+        """lists.py:417 (gather.hpp:56) — gather per-row by a 0-based
+        index array (a Column or a literal list)."""
+        idx = F.array(*[F.lit(i) for i in indices]) if isinstance(indices, list) else indices
+        c = self._c
+        return F.transform(
+            idx, lambda i: F.element_at(c, F.when(i >= 0, i + 1).otherwise(i))
+        )
+
+    def unique(self) -> Column:
+        """lists.py:472 (drop_list_duplicates.hpp:58)."""
+        return F.array_distinct(self._c)
+
+    def sort_values(self, ascending: bool = True) -> Column:
+        """lists.py:507 (lists/sorting.hpp:51)."""
+        return F.sort_array(self._c, asc=ascending)
+
+    def concat(self, other) -> Column:
+        """lists.py:561 (combine.hpp:61) — per-row list concatenation."""
+        return F.concat(self._c, other)
+
+
+class StructAccessor:
+    """cuDF .struct accessor (core/column/struct.py)."""
+
+    def __init__(self, col: Column):
+        self._c = col
+
+    def field(self, name: str) -> Column:
+        return self._c.getField(name)
+
+    def explode(self):
+        """struct.py explode — one column per field; returns the list of
+        field Columns (the DataFrame veneer selects them)."""
+        return self._c
+
+
 class DtAccessor:
     """cuDF .dt accessor (series.py:6080-6397; datetime.hpp:45-205)."""
 
@@ -170,6 +231,14 @@ class Series:
     @property
     def dt(self) -> DtAccessor:
         return DtAccessor(self.col)
+
+    @property
+    def list(self) -> ListAccessor:
+        return ListAccessor(self.col)
+
+    @property
+    def struct(self) -> StructAccessor:
+        return StructAccessor(self.col)
 
     # -- reductions (host scalars, series.py:4110+) ----------------------
 

@@ -280,3 +280,66 @@ def test_feather_roundtrip(spark, pdf, tmp_path):
                            check_dtype=False)
     got_cols = read_feather(spark, p, columns=["x"]).columns
     assert got_cols == ["x"]
+
+
+def test_insert_pop(spark, pdf):
+    g = from_spark(spark.createDataFrame(pdf))
+    g2 = g.insert(1, "z", F.col("x") * 10)
+    assert g2.columns == ["k", "z", "x", "y"]
+    assert list(g2.to_pandas().z) == list(pdf.x * 10)
+    popped = g2.pop("z")
+    assert g2.columns == ["k", "x", "y"]
+    assert popped.sum() == int((pdf.x * 10).sum())
+
+
+def test_replace_isnull(gdf, pdf):
+    got = gdf.replace({"a": "A"}, subset=["k"]).to_pandas()
+    assert list(got.k) == [v if v != "a" else "A" for v in pdf.k]
+    nulls = gdf.isnull().to_pandas()
+    assert list(nulls.y) == list(pdf.y.isna())
+    assert list(gdf.notnull().to_pandas().k) == list(pdf.k.notna())
+
+
+def test_transpose_small(spark):
+    p = pd.DataFrame({"a": [1, 2], "b": [3, 4]})
+    got = from_spark(spark.createDataFrame(p)).transpose().to_pandas()
+    assert list(got.column) == ["a", "b"]
+    assert list(got.r0) == [1, 3] and list(got.r1) == [2, 4]
+
+
+def test_interleave_columns(spark):
+    p = pd.DataFrame({"a": [1, 3], "b": [2, 4]})
+    got = from_spark(spark.createDataFrame(p)).interleave_columns(["a", "b"]).to_pandas()
+    assert list(got.value) == [1, 2, 3, 4]
+
+
+def test_hash_partition_scatter(gdf, pdf):
+    h = gdf.hash_values("md5").to_pandas()
+    import hashlib
+
+    def md5_row(r):
+        parts = []
+        for v in [r.k, r.x, r.y]:
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                continue  # concat_ws skips nulls
+            parts.append(f"{v:.1f}" if isinstance(v, float) else str(v))
+        return hashlib.md5("\x1f".join(parts).encode()).hexdigest()
+
+    exp0 = md5_row(pdf.iloc[0])
+    assert h.hash[0] == exp0
+    parts = gdf.partition_by_hash(["k"], 4).to_pandas()
+    assert set(parts.partition_id) <= {0, 1, 2, 3}
+    # equal keys share a partition id
+    assert parts.groupby("k")["partition_id"].nunique().max() == 1
+    assert gdf.scatter_by_map("x", 4).to_pandas().shape[0] == len(pdf)
+
+
+def test_encodings(gdf, pdf):
+    oh = gdf.one_hot_encoding("k", "k", ["a", "b", "c"]).to_pandas()
+    for got, v in zip(oh.k_a, pdf.k):
+        if v is None:
+            assert pd.isna(got)  # null key -> null indicator (cuDF nulls propagate)
+        else:
+            assert got == (1 if v == "a" else 0)
+    le = gdf.label_encoding("k", ["a", "b", "c"]).to_pandas()
+    assert list(le.k_labels) == [{"a": 0, "b": 1, "c": 2}.get(v, -1) for v in pdf.k]

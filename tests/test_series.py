@@ -105,6 +105,40 @@ def test_str_istimestamp_detokenize(spark):
     assert all(r["roundtrip"] == t for t, r in rows.items())
 
 
+def test_list_struct_accessors(spark):
+    """cuDF .list / .struct accessor surface (core/column/lists.py,
+    struct.py) — array expressions checked against literal expectations."""
+    from pyspark.sql import functions as F
+
+    from pygdf_spark.core import from_spark
+
+    sdf = spark.createDataFrame(
+        [([3, 1, 2, 1], {"a": 10, "b": "x"})],
+        "arr array<int>, st struct<a:int,b:string>",
+    )
+    g = from_spark(sdf)
+    got = g.assign(
+        first=g["arr"].list.get(0),
+        last=g["arr"].list.get(-1),
+        has2=g["arr"].list.contains(2),
+        n=g["arr"].list.len(),
+        took=F.array_join(g["arr"].list.take([1, 0]).cast("array<string>"), ","),
+        uniq=F.array_join(g["arr"].list.unique().cast("array<string>"), ","),
+        srt=F.array_join(g["arr"].list.sort_values().cast("array<string>"), ","),
+        cc=F.size(g["arr"].list.concat(F.array(F.lit(9)))),
+        fa=g["st"].struct.field("a"),
+        fb=g["st"].struct.field("b"),
+    ).to_pandas()
+    row = got.iloc[0]
+    assert row["first"] == 3 and row["last"] == 1
+    assert bool(row["has2"]) and row["n"] == 4
+    assert row["took"] == "1,3"
+    assert row["uniq"] == "3,1,2"
+    assert row["srt"] == "1,1,2,3"
+    assert row["cc"] == 5
+    assert row["fa"] == 10 and row["fb"] == "x"
+
+
 def test_dt_accessor(gdf, pdf):
     got = gdf.assign(
         yr=gdf["d"].dt.year,
