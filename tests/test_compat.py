@@ -343,3 +343,24 @@ def test_encodings(gdf, pdf):
             assert got == (1 if v == "a" else 0)
     le = gdf.label_encoding("k", ["a", "b", "c"]).to_pandas()
     assert list(le.k_labels) == [{"a": 0, "b": 1, "c": 2}.get(v, -1) for v in pdf.k]
+
+
+def test_module_level_api(spark):
+    """cudf.to_datetime / cut / date_range module functions."""
+    import pygdf_spark as gd
+
+    sdf = spark.createDataFrame(
+        [("2024-03-05", 1.0), ("2024-12-31", 7.5), ("2024-01-01", 25.0)], ["d", "v"]
+    )
+    g = from_spark(sdf).assign(
+        ts=gd.to_datetime(F.col("d"), format="%Y-%m-%d"),
+        bin0=gd.cut(F.col("v"), [0, 5, 10, 20]),
+        lab=gd.cut(F.col("v"), [0, 5, 10, 20], labels=["lo", "mid", "hi"]),
+    ).to_pandas()
+    assert [t.month for t in g.ts] == [3, 12, 1]
+    assert list(g.bin0) == [0, 1, None] or [int(x) if pd.notna(x) else None for x in g.bin0] == [0, 1, None]
+    assert [x if pd.notna(x) else None for x in g.lab] == ["lo", "mid", None]
+
+    dr = gd.date_range("2024-01-01", periods=4, freq="6 hours", spark=spark).to_pandas()
+    assert len(dr) == 4
+    assert dr.ts.iloc[3] == pd.Timestamp("2024-01-01 18:00:00")
