@@ -151,6 +151,32 @@ class DtAccessor:
         )
         return F.date_format(self._c, pat)
 
+    # -- timedelta components (series.py:6563-6694) ----------------------
+    # The engine encodes DURATION_* as microseconds in a long column
+    # (SURVEY.md §1.2: DURATION_NANO truncates to µs). Components follow
+    # pandas: floor-division decomposition, negative durations floor
+    # toward -inf.
+
+    @property
+    def days(self) -> Column:
+        return F.floor(self._c / F.lit(86_400_000_000)).cast("long")
+
+    @property
+    def seconds(self) -> Column:
+        return F.pmod(F.floor(self._c / F.lit(1_000_000)), F.lit(86_400)).cast("long")
+
+    @property
+    def microseconds(self) -> Column:
+        return F.pmod(self._c, F.lit(1_000_000)).cast("long")
+
+    @property
+    def nanoseconds(self) -> Column:
+        # µs resolution: the sub-microsecond remainder is always 0
+        return F.lit(0).cast("long")
+
+    def total_seconds(self) -> Column:
+        return (self._c / F.lit(1_000_000)).cast("double")
+
 
 class Series:
     """Single named column of a core.DataFrame (series.py:66)."""

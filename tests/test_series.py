@@ -105,6 +105,26 @@ def test_str_istimestamp_detokenize(spark):
     assert all(r["roundtrip"] == t for t, r in rows.items())
 
 
+def test_dt_timedelta_components(spark):
+    """timedelta component accessors (series.py:6563-6694) over
+    micros-encoded durations, pinned against pandas floor semantics."""
+    from pygdf_spark.core import from_spark
+
+    micros = [90_061_000_123, -1_000_001, 0]  # 1d1h1m1s123µs, -1.000001s
+    g = from_spark(spark.createDataFrame([(m,) for m in micros], "us long"))
+    got = g.assign(
+        d=g["us"].dt.days,
+        s=g["us"].dt.seconds,
+        u=g["us"].dt.microseconds,
+        t=g["us"].dt.total_seconds(),
+    ).to_pandas()
+    for i, m in enumerate(micros):
+        assert got.d[i] == m // 86_400_000_000  # pandas floor semantics
+        assert got.s[i] == (m // 1_000_000) % 86_400
+        assert got.u[i] == m % 1_000_000
+        assert abs(got.t[i] - m / 1e6) < 1e-9
+
+
 def test_list_struct_accessors(spark):
     """cuDF .list / .struct accessor surface (core/column/lists.py,
     struct.py) — array expressions checked against literal expectations."""
