@@ -78,6 +78,37 @@ def main() -> None:
     g = li.head(200).groupby("l_orderkey").cumsum("l_quantity")
     print(f"grouped cumsum rows: {g.shape[0]}")
 
+    # cuDF: cudf.cut(s, bins, labels); s.label_encoding; df.hash_values
+    binned = li.head(50).assign(
+        qty_band=gd.cut(F.col("l_quantity").cast("double"), [0, 10, 25, 50],
+                        labels=["small", "mid", "large"]),
+    ).label_encoding("l_returnflag", ["A", "N", "R"]).hash_values("murmur3")
+    print("\ncut + label_encoding + hash_values:")
+    print(binned[["l_quantity", "qty_band", "l_returnflag_labels", "hash"]]
+          .head(4).to_pandas())
+
+    # cuDF: s.str.rsplit; s.list.get/len — string and list accessors
+    part = gd.read_parquet(os.path.join(sf_dir, "part.parquet"), spark=spark)
+    words = part.head(10).assign(name_words=F.split(F.col("p_name"), " "))
+    w = words.assign(
+        first_word=words["name_words"].list.get(0),
+        n_words=words["name_words"].list.len(),
+        last_word=words["p_name"].str.rsplit(" ", 2).getItem(1),
+    )
+    print("\n.list accessor + rsplit:")
+    print(w[["p_name", "first_word", "n_words", "last_word"]].head(3).to_pandas())
+
+    # cuDF: cudf.date_range(...); timedelta .dt components
+    dr = gd.date_range("1995-01-01", periods=3, freq="12 hours", spark=spark)
+    lag = li.head(20).assign(
+        since_epoch_us=(F.unix_timestamp("l_shipdate")
+                        - F.unix_timestamp(F.lit("1995-01-01"), "yyyy-MM-dd"))
+        * F.lit(1_000_000)
+    )
+    lag = lag.assign(ship_days=lag["since_epoch_us"].dt.days)
+    print(f"\ndate_range rows: {dr.shape[0]}; "
+          f"max days shipped after 1995-01-01: {lag['ship_days'].max()}")
+
     spark.stop()
 
 
