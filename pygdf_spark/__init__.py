@@ -117,10 +117,27 @@ def date_range(start: str, periods: int, freq: str = "1 day", spark=None) -> "Da
     return from_spark(sdf)
 
 
+def interval_range(start, end, freq=1, spark=None) -> "DataFrame":
+    """cudf.interval_range (core/index.py:2620) — IntervalDtype is a
+    struct of (left, right) edges (SURVEY.md §1.2); generated
+    distributed from spark.range, column ``interval``."""
+    from pyspark.sql import functions as F
+
+    s = spark or get_spark()
+    n = int((end - start) // freq)
+    sdf = s.range(n).select(
+        F.struct(
+            (F.lit(start) + F.col("id") * F.lit(freq)).alias("left"),
+            (F.lit(start) + (F.col("id") + 1) * F.lit(freq)).alias("right"),
+        ).alias("interval")
+    )
+    return from_spark(sdf)
+
+
 __all__ = [
     "DataFrame", "Series", "concat", "from_spark", "get_dummies", "melt",
     "pivot", "get_spark", "tables", "read_csv", "read_parquet", "read_orc",
     "read_json", "read_feather", "read_hdf", "to_datetime", "cut",
-    "date_range",
+    "date_range", "interval_range",
 ]
 __version__ = "0.1.0"

@@ -333,6 +333,34 @@ class Series:
             return None
         return ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
 
+    def corr(self, other):
+        """Series.corr (series.py:4933) — Pearson correlation with
+        another column of the same frame."""
+        oc = F.col(other if isinstance(other, str) else other._name)
+        return self._agg(F.corr(self.col, oc))
+
+    def cov(self, other):
+        """Series.cov (series.py:4890) — sample covariance."""
+        oc = F.col(other if isinstance(other, str) else other._name)
+        return self._agg(F.covar_samp(self.col, oc))
+
+    def prod(self):
+        """Series.product (reductions product.cu)."""
+        return self._agg(F.product(self.col))
+
+    def mode(self):
+        """Series.mode (series.py:4690) — the most frequent value;
+        smallest value on ties (pandas returns the sorted mode list —
+        this is its head)."""
+        row = (
+            self._parent._sdf.groupBy(self.col.alias("v"))
+            .count()
+            .orderBy(F.col("count").desc(), F.col("v").asc())
+            .limit(1)
+            .collect()
+        )
+        return row[0]["v"] if row else None
+
     # -- order-sensitive (ride the parent's row-order column) ------------
 
     def shift(self, periods: int = 1) -> "Series":

@@ -364,3 +364,12 @@ def test_module_level_api(spark):
     dr = gd.date_range("2024-01-01", periods=4, freq="6 hours", spark=spark).to_pandas()
     assert len(dr) == 4
     assert dr.ts.iloc[3] == pd.Timestamp("2024-01-01 18:00:00")
+
+
+def test_interval_range(spark):
+    import pygdf_spark as gd
+
+    iv = gd.interval_range(0, 10, freq=2, spark=spark).to_pandas()
+    assert len(iv) == 5
+    assert iv.interval[0] == {"left": 0, "right": 2}
+    assert iv.interval[4] == {"left": 8, "right": 10}

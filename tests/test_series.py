@@ -49,6 +49,16 @@ def test_series_unique_value_counts(gdf, pdf):
     assert vc["count"].tolist() == [1, 1, 1, 1, 1]
 
 
+def test_series_corr_cov_prod_mode(spark):
+    p = pd.DataFrame({"a": [1.0, 2.0, 3.0, 4.0], "b": [2.0, 4.0, 5.0, 9.0],
+                      "m": [1, 2, 2, 3]})
+    g = from_spark(spark.createDataFrame(p))
+    assert abs(g["a"].corr("b") - p.a.corr(p.b)) < 1e-12
+    assert abs(g["a"].cov("b") - p.a.cov(p.b)) < 1e-12
+    assert g["a"].prod() == p.a.prod()
+    assert g["m"].mode() == 2  # pandas mode head
+
+
 def test_str_accessor(gdf, pdf):
     got = gdf.assign(
         lo=gdf["s"].str.lower(),
