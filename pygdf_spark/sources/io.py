@@ -184,6 +184,37 @@ def write_feather(df: DataFrame, path: str) -> None:
     feather.write_feather(pa.Table.from_pandas(df.toPandas()), path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str] | str,
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed parquet table — the persisted co-location scale path.
+
+    The reference co-locates join/groupby keys per call via
+    hash_partition + exchange (partitioning.hpp:93; dask_cudf shuffle
+    `dask_cudf/core.py:322`). Bucketing persists that layout: two tables
+    bucketed on the same key with the same bucket count join bucket-to-
+    bucket with ZERO shuffle exchanges, and every later join/groupBy on
+    the key reuses the layout. At 100 TB this converts the dominant
+    repeated cost (full-table shuffle) into a one-time write cost.
+    ``sort_cols`` additionally pre-sorts within buckets (SMJ reads
+    skip the sort)."""
+    cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    w = df.write.bucketBy(n_buckets, *cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.mode("overwrite").format("parquet").saveAsTable(table_name)
+
+
+def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
+    """Catalog read of a bucketed table (bucket metadata only lives in
+    the catalog — a plain path read would lose the layout)."""
+    return spark.table(table_name)
+
+
 def read_hdf(spark: SparkSession, filepath: str, key: str | None = None) -> DataFrame:
     """read_hdf (py io/hdf.py): the reference round-trips HDF5 through
     pandas; same here, gated on PyTables being installed (it is not in

@@ -99,3 +99,53 @@ def test_read_hdf_gate(spark, tmp_path):
     if not has_tables:
         with _pytest.raises((RuntimeError, FileNotFoundError, ImportError)):
             read_hdf(spark, str(tmp_path / "x.h5"))
+
+
+def _formatted_plan(df) -> str:
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_no_shuffle(spark, sample):
+    """Same-key same-count bucketed tables must join with no shuffle
+    Exchange (the persisted co-location path for 100 TB joins)."""
+    from pygdf_spark.sources.io import read_bucketed, write_bucketed
+
+    left = sample.select(F.col("o_orderkey").alias("lk"), "o_totalprice")
+    right = sample.select(F.col("o_orderkey").alias("rk"), "o_orderstatus")
+    write_bucketed(left, "t_bucket_l", "lk", 4, sort_cols=["lk"])
+    write_bucketed(right, "t_bucket_r", "rk", 4, sort_cols=["rk"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = read_bucketed(spark, "t_bucket_l")
+        b = read_bucketed(spark, "t_bucket_r")
+        j = a.join(b, a.lk == b.rk)
+        plan = _formatted_plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # bucket-to-bucket
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bucket_l")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_r")
+
+
+def test_dynamic_partition_pruning(spark, sample, tmp_path):
+    """Hive-style partitioned write (partition_cols, io/parquet.py:86)
+    + a selective dim join must plan a dynamic-pruning subquery on the
+    partitioned scan — the 100 TB path where only matching partitions
+    are read at runtime."""
+    path = str(tmp_path / "fact_part")
+    sample.write.partitionBy("o_orderstatus").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame([("F", 1), ("O", 2)], ["st", "grp"]).filter(F.col("grp") == 1)
+    j = fact.join(dim, fact.o_orderstatus == dim.st)
+    plan = _formatted_plan(j)
+    assert "dynamicpruningexpression" in plan.lower()
+    assert j.count() > 0
