@@ -16,10 +16,14 @@ Scale design (100 TB posture):
 - hyperplane-LSH bucketing is the scale path: 8 sign bits → 256
   buckets computed map-side; candidate verification then joins only
   within buckets (short uniform keys).
-- arithmetic is exact-decimal (float32 → double → decimal(18,9) is
-  lossless; products/sums accumulate in decimal(38,18)) so results are
-  bit-identical to the DuckDB oracle regardless of partitioning or
-  accumulation order — the correctness discipline float sums can't give.
+- arithmetic is exact-INTEGER: float32 components quantize to µ-units
+  (round(x·1e6) → int64), so every dot product / norm / plane
+  projection is an exact int64 fold — bit-identical to the DuckDB
+  oracle regardless of partitioning or accumulation order, like the
+  decimal discipline but ~10× cheaper to codegen and execute. Bounds:
+  |x| ≤ ~1 → |x_int| ≤ ~1e6, per-term product ≤ ~1e12, a d=4096
+  fold ≤ ~4e15 — inside int64 (9.2e18) and double-exact only up to
+  2^53, so cosine casts each norm to double BEFORE the product.
 """
 
 from __future__ import annotations
@@ -30,57 +34,56 @@ from pyspark.sql import functions as F
 #: number of hyperplanes for the LSH bucketer
 N_PLANES = 8
 
-# Accumulator type for exact folds: scale 18 preserves every fractional
-# digit of a decimal(18,9)×decimal(18,9) product; precision 32 leaves
-# headroom so `acc + element` widens to (38,18) — still scale-exact —
-# and the cast back to (32,18) is lossless for |sum| < 10^14.
-_ACC = "decimal(32,18)"
 
+def _int_vec(vec_col) -> Column:
+    """array<float> → array<bigint> via µ-unit quantization.
 
-def _dec_vec(vec_col) -> Column:
-    """array<float> → array<decimal(18,9)> via µ-unit quantization.
-
-    A direct double→decimal cast rounds at digit 9 with HALF_UP in
-    Spark but HALF_EVEN in DuckDB — float32 values whose decimal
-    expansion terminates in an exact .5 tie there diverge by 1e-9.
-    ``round()`` on doubles is half-away-from-zero in BOTH engines, so
-    round(x·1e6)/1e6 produces identical decimals everywhere."""
+    ``round()`` on doubles is half-away-from-zero in BOTH Spark and
+    DuckDB (a direct double→decimal cast is HALF_UP vs HALF_EVEN and
+    splits on exact .5 ties), so round(x·1e6) → int64 produces
+    identical integers everywhere, and all downstream arithmetic is
+    exact."""
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    return F.transform(
-        c,
-        lambda v: (
-            F.round(v.cast("double") * 1000000, 0).cast("decimal(16,0)")
-            / F.lit(1000000)
-        ).cast("decimal(18,9)"),
-    )
+    return F.transform(c, lambda v: F.round(v.cast("double") * 1000000, 0).cast("long"))
 
 
 def _fold_sum(arr: Column) -> Column:
-    """Exact decimal sum of an array — a map-side `aggregate` fold."""
-    return F.aggregate(arr, F.lit(0).cast(_ACC), lambda acc, v: (acc + v).cast(_ACC))
+    """Exact int64 sum of an array — a map-side `aggregate` fold."""
+    return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Exact-decimal dot product of two decimal arrays → double."""
-    return _fold_sum(F.zip_with(a, b, lambda x, y: x * y)).cast("double")
+    """Exact int64 dot product of two µ-unit integer arrays."""
+    return _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
 
 
 def norm2(arr: Column) -> Column:
-    """Exact-decimal squared L2 norm → double."""
-    return _fold_sum(F.transform(arr, lambda v: v * v)).cast("double")
+    """Exact int64 squared L2 norm (µ²-units)."""
+    return _fold_sum(F.transform(arr, lambda v: v * v))
+
+
+def _cos(dot_col: Column, norm_a: Column, norm_b: Column) -> Column:
+    """cosine from exact integer dot + norms. The µ² scale cancels:
+    (d·1e-12)/√(na·1e-12 · nb·1e-12) = d/√(na·nb). Norms cast to
+    double BEFORE multiplying (int64 product would overflow); every
+    input double is an exactly-represented integer, so the IEEE
+    multiply/sqrt/divide sequence is deterministic across engines."""
+    return F.round(
+        dot_col.cast("double") / F.sqrt(norm_a.cast("double") * norm_b.cast("double")), 8
+    )
 
 
 def with_vec(vecs: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
              id_out: str = "vid", vec_out: str = "vec") -> DataFrame:
-    """Project (id, decimal-vector, norm2) — all map-side."""
-    dv = _dec_vec(vec_col)
+    """Project (id, µ-unit int vector, int64 norm2) — all map-side."""
+    iv = _int_vec(vec_col)
     return vecs.select(
-        F.col(id_col).alias(id_out), dv.alias(vec_out), norm2(dv).alias(f"{id_out}_norm2")
+        F.col(id_col).alias(id_out), iv.alias(vec_out), norm2(iv).alias(f"{id_out}_norm2")
     )
 
 
 def norms(vecs: DataFrame) -> DataFrame:
-    """(vid, norm2 double) squared L2 norms — no shuffle."""
+    """(vid, norm2 bigint µ²-units) squared L2 norms — no shuffle."""
     return with_vec(vecs).select("vid", F.col("vid_norm2").alias("norm2"))
 
 
@@ -98,10 +101,10 @@ def cosine_pairs(vecs: DataFrame, queries: DataFrame) -> DataFrame:
         .select(
             "q_id",
             "v_id",
-            F.round(
-                dot(F.col("qvec"), F.col("vvec"))
-                / F.sqrt(F.col("q_id_norm2") * F.col("v_id_norm2")),
-                8,
+            _cos(
+                dot(F.col("qvec"), F.col("vvec")),
+                F.col("q_id_norm2"),
+                F.col("v_id_norm2"),
             ).alias("cos"),
         )
     )
@@ -125,24 +128,31 @@ def plane_coef(p, j):
     return ((p * 31 + j * 17) % 7) - 3
 
 
-def hyperplane_buckets(vecs: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
-    """(vid, bucket): sign-bit bucketing against N deterministic integer
-    hyperplanes, computed entirely map-side — the projection onto plane
-    p is an indexed `transform` fold (coefficients derived from (p, j)
-    arithmetically, so no plane matrix ever materializes or broadcasts).
-    """
+def _bucket_expr(iv: Column, n_planes: int) -> Column:
+    """LSH bucket id from a µ-unit integer vector: sign bit of the
+    projection onto each of N deterministic integer hyperplanes
+    (coefficients derived from (p, j) arithmetically, so no plane
+    matrix ever materializes or broadcasts) — one map-side fold per
+    plane, all int64."""
     def plane_term(p: int):
         def term(v, j):
-            return v * (((F.lit(p * 31) + j * 17) % 7) - 3).cast("decimal(2,0)")
+            return v * (((F.lit(p * 31) + j * 17) % 7) - 3).cast("long")
         return term
 
-    dv = _dec_vec("embedding")
     bucket = None
     for p in range(n_planes):
-        proj = _fold_sum(F.transform(dv, plane_term(p)))
+        proj = _fold_sum(F.transform(iv, plane_term(p)))
         bit = F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
-    return vecs.select(F.col("vec_id").alias("vid"), bucket.cast("long").alias("bucket"))
+    return bucket.cast("long")
+
+
+def hyperplane_buckets(vecs: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """(vid, bucket): sign-bit bucketing against N deterministic integer
+    hyperplanes, computed entirely map-side."""
+    return vecs.select(
+        F.col("vec_id").alias("vid"), _bucket_expr(_int_vec("embedding"), n_planes).alias("bucket")
+    )
 
 
 def bucketed_topk(vecs: DataFrame, k: int = 3, n_planes: int = 4) -> DataFrame:
@@ -154,28 +164,31 @@ def bucketed_topk(vecs: DataFrame, k: int = 3, n_planes: int = 4) -> DataFrame:
     This is the IVF-style two-stage plan: coarse partition (here
     hyperplane buckets standing in for IVF centroids) → exact distance
     inside the probed cell. Recall < 1 by design; the oracle mirrors
-    the same bucket definition so the result is still deterministic."""
-    b = hyperplane_buckets(vecs, n_planes)
-    v = with_vec(vecs, id_out="v_id", vec_out="vvec").join(
-        b.withColumnRenamed("vid", "v_id"), "v_id"
+    the same bucket definition so the result is still deterministic.
+
+    Plan shape: id/vector/norm/bucket all come out of ONE projection
+    over a single scan (no bucket-join), and the self-join broadcasts
+    the query side — at scale, a corpus-sized probe streaming past a
+    broadcast (or, for corpus-sized query sets, a bucket-key shuffle
+    whose keys are short and uniform)."""
+    iv = _int_vec("embedding")
+    v = vecs.select(
+        F.col("vec_id").alias("v_id"),
+        iv.alias("vvec"),
+        norm2(iv).alias("v_norm2"),
+        _bucket_expr(iv, n_planes).alias("bucket"),
     )
-    q = (
-        v.select(
-            F.col("v_id").alias("q_id"),
-            F.col("vvec").alias("qvec"),
-            F.col("v_id_norm2").alias("q_norm2"),
-            "bucket",
-        )
+    q = v.select(
+        F.col("v_id").alias("q_id"),
+        F.col("vvec").alias("qvec"),
+        F.col("v_norm2").alias("q_norm2"),
+        "bucket",
     )
-    cand = q.join(v, "bucket").filter(F.col("q_id") != F.col("v_id"))
+    cand = v.join(F.broadcast(q), "bucket").filter(F.col("q_id") != F.col("v_id"))
     cos = cand.select(
         "q_id",
         "v_id",
-        F.round(
-            dot(F.col("qvec"), F.col("vvec"))
-            / F.sqrt(F.col("q_norm2") * F.col("v_id_norm2")),
-            8,
-        ).alias("cos"),
+        _cos(dot(F.col("qvec"), F.col("vvec")), F.col("q_norm2"), F.col("v_norm2")).alias("cos"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("v_id").asc())
     return (

@@ -10,21 +10,29 @@ from pyspark.sql import functions as F
 from pygdf_spark.operators import similarity as SIM
 from pygdf_spark.queries._util import T
 
-#: tie-identical decimal derivation (see operators/similarity._dec_vec):
-#: round() is half-away-from-zero in both engines; a plain decimal cast
-#: is HALF_UP vs HALF_EVEN and splits on exact .5 ties.
-_DEC = ("CAST(CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS DECIMAL(16,0)) / 1000000 "
-        "AS DECIMAL(18,9))")
+#: tie-identical µ-unit integer quantization (see
+#: operators/similarity._int_vec): round() is half-away-from-zero in
+#: both engines; the rounded double is integral so the BIGINT cast is
+#: exact everywhere. All downstream sums/products are exact int64.
+_INT = "CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)"
+
+#: cosine from exact integer dot + norms — norms cast to DOUBLE before
+#: the product (mirrors Spark: int64 norm product would overflow; the
+#: IEEE multiply/sqrt/divide on identical integer-valued doubles is
+#: deterministic across engines). DuckDB SUM(BIGINT) yields HUGEINT, so
+#: every SUM is cast back to BIGINT.
+_COS = ("ROUND(CAST({dot} AS DOUBLE) / "
+        "SQRT(CAST({na} AS DOUBLE) * CAST({nb} AS DOUBLE)), 8)")
 
 _ELEMENTS_SQL = rf"""
 el AS (
   SELECT vec_id AS vid,
          generate_subscripts(embedding, 1) AS pos,
-         {_DEC.replace('x', 'UNNEST(embedding)')} AS x
+         {_INT.replace('x', 'UNNEST(embedding)')} AS x
   FROM embeddings
 ),
 nrm AS (
-  SELECT vid, CAST(SUM(x * x) AS DOUBLE) AS norm2 FROM el GROUP BY vid
+  SELECT vid, CAST(SUM(x * x) AS BIGINT) AS norm2 FROM el GROUP BY vid
 )
 """
 
@@ -39,13 +47,13 @@ def sim_cosine_topk(spark, sf_dir):
 SIM_TOPK_SQL = rf"""
 WITH {_ELEMENTS_SQL},
 dots AS (
-  SELECT q.vid AS q_id, v.vid AS v_id, CAST(SUM(q.x * v.x) AS DOUBLE) AS dot
+  SELECT q.vid AS q_id, v.vid AS v_id, CAST(SUM(q.x * v.x) AS BIGINT) AS dot
   FROM el q JOIN el v ON q.pos = v.pos AND q.vid <> v.vid
   WHERE q.vid < 5
   GROUP BY q.vid, v.vid
 ),
 cosv AS (
-  SELECT q_id, v_id, ROUND(dot / SQRT(nq.norm2 * nv.norm2), 8) AS cos
+  SELECT q_id, v_id, {_COS.format(dot='dot', na='nq.norm2', nb='nv.norm2')} AS cos
   FROM dots JOIN nrm nq ON nq.vid = q_id JOIN nrm nv ON nv.vid = v_id
 ),
 ranked AS (
@@ -72,8 +80,8 @@ def sim_lsh_buckets(spark, sf_dir):
 SIM_LSH_SQL = rf"""
 WITH {_ELEMENTS_SQL},
 contrib AS (
-  -- (pos - 1): generate_subscripts is 1-based, Spark posexplode 0-based
-  SELECT el.vid, p.p, el.x * CAST(((p.p * 31 + (el.pos - 1) * 17) % 7) - 3 AS DECIMAL(2,0)) AS c
+  -- (pos - 1): generate_subscripts is 1-based, Spark transform index 0-based
+  SELECT el.vid, p.p, el.x * (((p.p * 31 + (el.pos - 1) * 17) % 7) - 3) AS c
   FROM el CROSS JOIN (SELECT UNNEST(generate_series(0, {SIM.N_PLANES - 1})) AS p) p
 ),
 bits AS (
@@ -105,16 +113,16 @@ SIM_NEARDUP_SQL = rf"""
 WITH el AS (
   SELECT vec_id AS vid,
          generate_subscripts(embedding, 1) AS pos,
-         {_DEC.replace('x', 'UNNEST(embedding)')} AS x
+         {_INT.replace('x', 'UNNEST(embedding)')} AS x
   FROM embeddings WHERE vec_id < 100
 ),
-nrm AS (SELECT vid, CAST(SUM(x * x) AS DOUBLE) AS norm2 FROM el GROUP BY vid),
+nrm AS (SELECT vid, CAST(SUM(x * x) AS BIGINT) AS norm2 FROM el GROUP BY vid),
 dots AS (
-  SELECT a.vid AS vec_a, b.vid AS vec_b, CAST(SUM(a.x * b.x) AS DOUBLE) AS dot
+  SELECT a.vid AS vec_a, b.vid AS vec_b, CAST(SUM(a.x * b.x) AS BIGINT) AS dot
   FROM el a JOIN el b ON a.pos = b.pos AND a.vid < b.vid
   GROUP BY a.vid, b.vid
 )
-SELECT vec_a, vec_b, ROUND(dot / SQRT(na.norm2 * nb.norm2), 8) AS cos
+SELECT vec_a, vec_b, {_COS.format(dot='dot', na='na.norm2', nb='nb.norm2')} AS cos
 FROM dots JOIN nrm na ON na.vid = vec_a JOIN nrm nb ON nb.vid = vec_b
 ORDER BY cos DESC, vec_a ASC, vec_b ASC LIMIT 20
 """
@@ -132,12 +140,12 @@ SIM_IVF_SQL = rf"""
 WITH el AS (
   SELECT vec_id AS vid,
          generate_subscripts(embedding, 1) AS pos,
-         {_DEC.replace('x', 'UNNEST(embedding)')} AS x
+         {_INT.replace('x', 'UNNEST(embedding)')} AS x
   FROM embeddings WHERE vec_id < 300
 ),
-nrm AS (SELECT vid, CAST(SUM(x * x) AS DOUBLE) AS norm2 FROM el GROUP BY vid),
+nrm AS (SELECT vid, CAST(SUM(x * x) AS BIGINT) AS norm2 FROM el GROUP BY vid),
 contrib AS (
-  SELECT el.vid, p.p, el.x * CAST(((p.p * 31 + (el.pos - 1) * 17) % 7) - 3 AS DECIMAL(2,0)) AS c
+  SELECT el.vid, p.p, el.x * (((p.p * 31 + (el.pos - 1) * 17) % 7) - 3) AS c
   FROM el CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS p) p
 ),
 bits AS (
@@ -153,12 +161,12 @@ cand AS (
   FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vid <> b.vid
 ),
 dots AS (
-  SELECT cand.q_id, cand.v_id, CAST(SUM(q.x * v.x) AS DOUBLE) AS dot
+  SELECT cand.q_id, cand.v_id, CAST(SUM(q.x * v.x) AS BIGINT) AS dot
   FROM cand JOIN el q ON q.vid = cand.q_id JOIN el v ON v.vid = cand.v_id AND v.pos = q.pos
   GROUP BY cand.q_id, cand.v_id
 ),
 cosv AS (
-  SELECT q_id, v_id, ROUND(dot / SQRT(nq.norm2 * nv.norm2), 8) AS cos
+  SELECT q_id, v_id, {_COS.format(dot='dot', na='nq.norm2', nb='nv.norm2')} AS cos
   FROM dots JOIN nrm nq ON nq.vid = q_id JOIN nrm nv ON nv.vid = v_id
 ),
 ranked AS (
