@@ -276,7 +276,49 @@ GROUP BY hot_key, n_name ORDER BY hot_key, n_name
 """
 
 
+def join_range_bucketed(spark, sf_dir):
+    """point-in-interval join with NO equi-key: sampled orders define
+    30-day windows, lineitem shipdates are the points. Implemented via
+    `operators/range_join.py` overlap-bucketing (interval → covering
+    epoch buckets, point → its one bucket, equi-join + residual) — the
+    distributed replacement for cuDF's conditional_inner_join
+    (join.hpp:685) whose cross-product shape can't scale out. W = 7
+    days ≈ len/4, so each interval replicates ≤ 5×."""
+    from pygdf_spark.operators.range_join import range_join
+
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 997 == 0)
+    iv = o.select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("win_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("win_end"),
+    )
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_shipdate")
+    j = range_join(li, iv, "l_shipdate", "win_start", "win_end", 7 * 86400)
+    return (
+        j.groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_window"),
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+JOIN_RANGE_SQL = """
+SELECT o.o_orderkey, COUNT(*) AS n_in_window,
+       MIN(l.l_shipdate) AS first_ship, MAX(l.l_shipdate) AS last_ship
+FROM orders o
+JOIN lineitem l
+  ON l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+WHERE o.o_orderkey % 997 = 0
+GROUP BY o.o_orderkey ORDER BY o.o_orderkey
+"""
+
+
 QUERIES = {
+    "join_range_bucketed": join_range_bucketed,
     "join_salted_skew": join_salted_skew,
     "join_inner_q3": join_inner_q3,
     "join_left_outer": join_left_outer,
@@ -291,6 +333,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "join_range_bucketed": JOIN_RANGE_SQL,
     "join_salted_skew": JOIN_SALTED_SQL,
     "join_inner_q3": JOIN_INNER_Q3_SQL,
     "join_left_outer": JOIN_LEFT_SQL,

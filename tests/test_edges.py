@@ -83,3 +83,39 @@ def test_compat_all_null_column(spark):
     agg = g.groupby("k").agg({"v": "sum"}).to_pandas()
     assert agg["sum_v"].isna().all()
     assert g.dropna(subset=["v"]).shape[0] == 0
+
+
+def test_range_join_boundaries(spark):
+    """Half-open [start, end): point at start matches, at end doesn't;
+    intervals spanning many buckets yield each pair exactly once."""
+    from datetime import datetime
+
+    from pygdf_spark.operators.range_join import range_join
+
+    ts = datetime
+    iv = spark.createDataFrame(
+        [(1, ts(2020, 1, 1), ts(2020, 1, 10)),   # spans ~9 day-buckets
+         (2, ts(2020, 1, 5), ts(2020, 1, 6)),    # inside one bucket
+         (3, ts(2021, 1, 1), ts(2021, 1, 2))],   # matches nothing
+        "iv_id long, s timestamp, e timestamp",
+    )
+    pt = spark.createDataFrame(
+        [(10, ts(2020, 1, 1)),     # == start of 1 → in
+         (11, ts(2020, 1, 10)),    # == end of 1 → out
+         (12, ts(2020, 1, 5)),     # in 1 and 2
+         (13, ts(2019, 12, 31))],  # before everything
+        "p_id long, p timestamp",
+    )
+    got = {
+        (r.iv_id, r.p_id)
+        for r in range_join(pt, iv, "p", "s", "e", 86400).collect()
+    }
+    assert got == {(1, 10), (1, 12), (2, 12)}
+
+
+def test_range_join_empty_sides(spark):
+    from pygdf_spark.operators.range_join import range_join
+
+    iv = spark.createDataFrame([], "iv_id long, s timestamp, e timestamp")
+    pt = spark.createDataFrame([], "p_id long, p timestamp")
+    assert range_join(pt, iv, "p", "s", "e", 3600).count() == 0
