@@ -415,6 +415,487 @@ class DataFrame:
         """rolling (core/window/rolling.py:17) over the row order."""
         return Rolling(self, window, min_periods)
 
+    # -- identity / structure (frame.py utility surface) -----------------
+
+    def copy(self, deep: bool = True) -> "DataFrame":
+        """copy (frame.py method list) — plans are immutable, so copy is
+        a new wrapper over the same lineage (cuDF's deep copy exists to
+        decouple device buffers; there is no shared mutable state here)."""
+        return self._with(self._sdf)
+
+    def pipe(self, func, *args, **kwargs):
+        """pipe (frame.py method list): func(self, *args, **kwargs)."""
+        return func(self, *args, **kwargs)
+
+    def keys(self) -> list[str]:
+        """keys (dataframe.py method list) — column labels."""
+        return self.columns
+
+    @property
+    def dtypes(self) -> dict[str, str]:
+        """dtypes (dataframe.py property) — column → Spark SQL type."""
+        return {c: t for c, t in self._sdf.dtypes if c != _RID}
+
+    @property
+    def empty(self) -> bool:
+        """empty (frame.py property)."""
+        return self._sdf.isEmpty()
+
+    @property
+    def ndim(self) -> int:
+        return 2
+
+    @property
+    def size(self) -> int:
+        return len(self) * len(self.columns)
+
+    def equals(self, other: "DataFrame") -> bool:
+        """equals (frame.py:2482) — same shape, columns, and row-for-row
+        values (nulls equal). Distributed compare: an exceptAll in both
+        directions over the order-keyed rows, no driver collect."""
+        if self.columns != other.columns:
+            return False
+        a, b = self._pos_sdf(), other._pos_sdf()
+        return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+    def _pos_sdf(self) -> SDF:
+        """Rows keyed by ordinal position (not raw rid values)."""
+        w = Window.orderBy(_RID)
+        return self._sdf.withColumn("__pos", F.row_number().over(w)).drop(_RID)
+
+    def isin(self, values) -> "DataFrame":
+        """isin (dataframe.py:5975, search.hpp:164) — boolean frame; a
+        list tests every column, a dict tests per column. Values whose
+        Python type can't inhabit a column's dtype are dropped for that
+        column (pandas: type mismatch is simply False) — also keeps the
+        comparison cast-free under ANSI sessions."""
+        import datetime
+
+        type_gate = {
+            "string": (str,), "boolean": (bool,),
+            "timestamp": (datetime.datetime,), "timestamp_ntz": (datetime.datetime,),
+            "date": (datetime.date,),
+        }
+        cols = []
+        for c, t in self._sdf.dtypes:
+            if c == _RID:
+                continue
+            vals = values.get(c, []) if isinstance(values, dict) else list(values)
+            ok = type_gate.get(t, (int, float))
+            vals = [v for v in vals if isinstance(v, ok) and not (
+                ok == (int, float) and isinstance(v, bool))]
+            hit = F.coalesce(F.col(c).isin(vals), F.lit(False)) if vals else F.lit(False)
+            cols.append(hit.alias(c))  # null cell → False, as pandas
+        return self._with(self._sdf.select(_RID, *cols))
+
+    def nans_to_nulls(self) -> "DataFrame":
+        """nans_to_nulls (frame.py:2542): NaN → null in float columns so
+        null-aware ops (counts, joins, dropna) treat both uniformly."""
+        sdf = self._sdf
+        for c, t in self._sdf.dtypes:
+            if c != _RID and t in ("double", "float"):
+                sdf = sdf.withColumn(c, F.when(~F.isnan(c), F.col(c)))
+        return self._with(sdf)
+
+    def select_dtypes(self, include=None, exclude=None) -> "DataFrame":
+        """select_dtypes (dataframe.py:6040) over Spark SQL type names."""
+        inc = {include} if isinstance(include, str) else set(include or ())
+        exc = {exclude} if isinstance(exclude, str) else set(exclude or ())
+        keep = [
+            c for c, t in self._sdf.dtypes
+            if c != _RID and (not inc or t in inc) and t not in exc
+        ]
+        return self[keep]
+
+    def memory_usage(self) -> int:
+        """memory_usage (frame.py method list) — Catalyst's size estimate
+        for the plan output in bytes (the honest distributed analog of
+        cuDF's device-buffer accounting; no data is collected)."""
+        return int(self._sdf._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+    # -- numeric elementwise (frame.py binary-op surface) ----------------
+
+    def _numeric_cols(self) -> list[str]:
+        return [
+            c for c, t in self._sdf.dtypes
+            if c != _RID and t in ("double", "float", "bigint", "int", "smallint", "tinyint")
+        ]
+
+    def _binop(self, other, fn) -> "DataFrame":
+        sdf = self._sdf
+        for c in self._numeric_cols():
+            sdf = sdf.withColumn(c, fn(F.col(c), F.lit(other)))
+        return self._with(sdf)
+
+    def add(self, other):
+        """add/radd … (frame.py arithmetic surface): scalar broadcast
+        over every numeric column, like cuDF's binaryop launches."""
+        return self._binop(other, lambda a, b: a + b)
+
+    def sub(self, other):
+        return self._binop(other, lambda a, b: a - b)
+
+    def mul(self, other):
+        return self._binop(other, lambda a, b: a * b)
+
+    def truediv(self, other):
+        return self._binop(other, lambda a, b: a / b)
+
+    def floordiv(self, other):
+        return self._binop(other, lambda a, b: F.floor(a / b).cast("double"))
+
+    def mod(self, other):
+        return self._binop(other, lambda a, b: F.pmod(a, b))
+
+    def pow(self, other):
+        return self._binop(other, lambda a, b: F.pow(a, b))
+
+    def radd(self, other):
+        return self.add(other)
+
+    def rsub(self, other):
+        return self._binop(other, lambda a, b: b - a)
+
+    def rmul(self, other):
+        return self.mul(other)
+
+    def rtruediv(self, other):
+        return self._binop(other, lambda a, b: b / a)
+
+    def rfloordiv(self, other):
+        return self._binop(other, lambda a, b: F.floor(b / a).cast("double"))
+
+    def rmod(self, other):
+        return self._binop(other, lambda a, b: F.pmod(b, a))
+
+    def rpow(self, other):
+        return self._binop(other, lambda a, b: F.pow(b, a))
+
+    def cumprod(self, col: str) -> "DataFrame":
+        """cumprod (frame.py scan surface, reduction.hpp:90): exact
+        product scan via an array fold over the trailing frame (Spark
+        has no product window aggregate; exp∘sum∘log would drift)."""
+        w = Window.orderBy(_RID).rowsBetween(Window.unboundedPreceding, 0)
+        prod = F.aggregate(
+            F.collect_list(col).over(w),
+            F.lit(1.0).cast("double"),
+            lambda acc, v: acc * v,
+        )
+        return self._with(self._sdf.withColumn(f"{col}_cumprod", prod))
+
+    # -- index discipline (reset/set/sort_index, frame.py surface) -------
+
+    def reset_index(self, drop: bool = False) -> "DataFrame":
+        """reset_index (frame.py method list): re-key the order column to
+        0..n-1; drop=False surfaces the old position as `index`."""
+        w = Window.orderBy(_RID)
+        sdf = self._sdf.withColumn("__pos", F.row_number().over(w) - 1)
+        cols = self.columns
+        if not drop:
+            sdf = sdf.withColumn("index", F.col("__pos"))
+            cols = ["index", *cols]
+        sdf = sdf.withColumn(_RID, F.col("__pos")).drop("__pos")
+        return self._with(sdf.select(_RID, *cols))
+
+    def set_index(self, col: str) -> "DataFrame":
+        """set_index (frame.py method list): the named column becomes the
+        order key (cuDF re-labels rows; the veneer's row identity IS the
+        order column, so re-keying is the faithful analog). Ties break on
+        prior order — stable, like cuDF's stable sort_index path."""
+        w = Window.orderBy(F.col(col).asc_nulls_last(), F.col(_RID))
+        sdf = (
+            self._sdf.withColumn("__new_rid", F.row_number().over(w))
+            .drop(_RID)
+            .withColumnRenamed("__new_rid", _RID)
+        )
+        return self._with(sdf)
+
+    def sort_index(self, ascending: bool = True) -> "DataFrame":
+        """sort_index (frame.py:1380): order by the row key."""
+        if ascending:
+            return self._with(self._sdf)
+        return self.reverse()
+
+    def reverse(self) -> "DataFrame":
+        """reverse (frame.py method list): flip the row order."""
+        w = Window.orderBy(F.col(_RID).desc())
+        return self._with(
+            self._sdf.withColumn("__new_rid", F.row_number().over(w))
+            .drop(_RID)
+            .withColumnRenamed("__new_rid", _RID)
+        )
+
+    # -- positional indexers (loc/iloc, indexed_frame.py surface) --------
+
+    @property
+    def iloc(self) -> "_ILoc":
+        """iloc (indexed_frame.py): positional row selection."""
+        return _ILoc(self)
+
+    @property
+    def loc(self) -> "_Loc":
+        """loc (indexed_frame.py): boolean-mask (and mask+columns) row
+        selection — label-based lookup degenerates to position because
+        the veneer's index IS the positional order."""
+        return _Loc(self)
+
+    # -- reshape extras (stack / tile / repeat, reshape.hpp) -------------
+
+    def stack(self) -> "DataFrame":
+        """stack (dataframe.py:6585, reshape.hpp interleave): wide → long
+        (variable, value) rows, row-major like cuDF/pandas."""
+        return self.melt(id_vars=[], value_vars=self.columns)
+
+    def unstack(self, index: str, columns: str, values: str) -> "DataFrame":
+        """unstack (dataframe.py:6650): long → wide; the veneer takes the
+        (index, columns, values) triple explicitly (it carries no
+        MultiIndex) and pivots."""
+        return self.pivot(index=index, columns=columns, values=values)
+
+    def repeat(self, repeats: int) -> "DataFrame":
+        """repeat (frame.py:2604, filling.hpp repeat): each row `repeats`
+        times, consecutively (row-major), order re-keyed."""
+        sdf = self._sdf.withColumn(
+            "__copy", F.explode(F.sequence(F.lit(0), F.lit(int(repeats) - 1)))
+        )
+        w = Window.orderBy(_RID, "__copy")
+        return self._with(
+            sdf.withColumn("__new_rid", F.row_number().over(w))
+            .drop(_RID, "__copy")
+            .withColumnRenamed("__new_rid", _RID)
+        )
+
+    def tile(self, count: int) -> "DataFrame":
+        """tile (frame.py:2652, reshape.hpp:44): the whole frame repeated
+        `count` times end-to-end."""
+        sdf = self._sdf.withColumn(
+            "__copy", F.explode(F.sequence(F.lit(0), F.lit(int(count) - 1)))
+        )
+        w = Window.orderBy("__copy", _RID)
+        return self._with(
+            sdf.withColumn("__new_rid", F.row_number().over(w))
+            .drop(_RID, "__copy")
+            .withColumnRenamed("__new_rid", _RID)
+        )
+
+    def update(self, other: "DataFrame") -> "DataFrame":
+        """update (frame.py method list): positionally-aligned overwrite
+        with other's non-null values (pandas semantics), as one
+        position-keyed join."""
+        a = self._pos_sdf()
+        common = [c for c in other.columns if c in self.columns]
+        b = other._pos_sdf().select(
+            "__pos", *[F.col(c).alias(f"__o_{c}") for c in common]
+        )
+        joined = a.join(b, "__pos", "left")
+        ftypes = dict(other._sdf.dtypes)
+        for c in common:
+            o = F.col(f"__o_{c}")
+            if ftypes.get(c) in ("double", "float"):  # NaN is missing too
+                o = F.when(~F.isnan(o), o)
+            joined = joined.withColumn(c, F.coalesce(o, F.col(c))).drop(f"__o_{c}")
+        return self._with(
+            joined.withColumn(_RID, F.col("__pos")).drop("__pos").select(_RID, *self.columns)
+        )
+
+    def join(self, right: "DataFrame", on, how: str = "left",
+             lsuffix: str = "_x", rsuffix: str = "_y") -> "DataFrame":
+        """join (dataframe.py:4510) — column-keyed merge (the veneer has
+        no MultiIndex; cuDF's join is merge-on-index)."""
+        return self.merge(right, on=on, how=how, suffixes=(lsuffix, rsuffix))
+
+    # -- search / encode (search.hpp, transform surface) -----------------
+
+    def searchsorted(self, col: str, values: list, side: str = "left") -> list[int]:
+        """searchsorted (frame.py:1519, search.hpp lower/upper_bound):
+        insertion positions that keep `col` sorted — ONE distributed
+        aggregate (a count below each probe), no sort and no collect of
+        the column itself."""
+        cmp = (lambda v: F.col(col) < F.lit(v)) if side == "left" else (
+            lambda v: F.col(col) <= F.lit(v))
+        row = self._sdf.agg(
+            *[F.sum(cmp(v).cast("long")).alias(f"p{i}") for i, v in enumerate(values)]
+        ).collect()[0]
+        return [int(row[f"p{i}"] or 0) for i in range(len(values))]
+
+    def factorize(self, col: str):
+        """factorize (series surface, labeling.hpp): (codes frame,
+        uniques) with codes in first-appearance order. Distributed:
+        first-appearance = min(row id) per value, ranked."""
+        firsts = self._sdf.groupBy(col).agg(F.min(_RID).alias("__first"))
+        w = Window.orderBy("__first")
+        codes = firsts.withColumn("__code", F.row_number().over(w) - 1)
+        out = self._sdf.join(codes.select(col, "__code"), col, "left").withColumn(
+            f"{col}_codes", F.col("__code")
+        ).drop("__code", "__first")
+        uniques = [r[col] for r in codes.orderBy("__code").select(col).collect()]
+        return self._with(out.select(_RID, *self.columns, f"{col}_codes")), uniques
+
+    # -- frame-level reductions (dataframe.py reduce surface) ------------
+
+    def _nn(self, c: str):
+        """Missing-safe column: NaN (the pandas-interop encoding of
+        missing in float columns) → null, so aggregates skip it the way
+        pandas/cuDF reductions do."""
+        t = dict(self._sdf.dtypes)[c]
+        return F.when(~F.isnan(c), F.col(c)) if t in ("double", "float") else F.col(c)
+
+    def _reduce_all(self, fn) -> "pd.Series":
+        import pandas as pd
+
+        num = self._numeric_cols()
+        row = self._sdf.agg(*[fn(self._nn(c)).alias(c) for c in num]).collect()[0]
+        return pd.Series({c: row[c] for c in num})
+
+    def sum(self):
+        """frame reductions (dataframe.py:5500+ via Frame._reduce): one
+        aggregate pass over every numeric column, host pandas Series out
+        (cuDF reductions return host scalars/Series the same way)."""
+        return self._reduce_all(F.sum)
+
+    def mean(self):
+        return self._reduce_all(F.avg)
+
+    def min(self):
+        return self._reduce_all(F.min)
+
+    def max(self):
+        return self._reduce_all(F.max)
+
+    def count(self):
+        return self._reduce_all(F.count)
+
+    def std(self):
+        return self._reduce_all(F.stddev_samp)
+
+    def var(self):
+        return self._reduce_all(F.var_samp)
+
+    def median(self):
+        return self._reduce_all(F.median)
+
+    def prod(self):
+        return self._reduce_all(F.product)
+
+    product = prod
+
+    def quantile(self, q: float = 0.5):
+        return self._reduce_all(lambda c: F.percentile(c, F.lit(q)))
+
+    def all(self):
+        return self._reduce_all(lambda c: F.bool_and(c.cast("boolean")))
+
+    def any(self):
+        return self._reduce_all(lambda c: F.bool_or(c.cast("boolean")))
+
+    def skew(self):
+        """sample-adjusted skew per numeric column (pandas/cuDF formula),
+        one pass via the Series expression."""
+        from pygdf_spark.core.series import Series
+
+        import pandas as pd
+
+        return pd.Series({c: Series(self, c).skew() for c in self._numeric_cols()})
+
+    def kurtosis(self):
+        from pygdf_spark.core.series import Series
+
+        import pandas as pd
+
+        return pd.Series({c: Series(self, c).kurtosis() for c in self._numeric_cols()})
+
+    def mode(self):
+        """per-column mode (lowest value on ties, cuDF/pandas order)."""
+        from pygdf_spark.core.series import Series
+
+        import pandas as pd
+
+        return pd.Series({c: Series(self, c).mode() for c in self._numeric_cols()})
+
+    def agg(self, spec):
+        """DataFrame.agg (dataframe.py:5325): dict col → fn(s), one
+        aggregate pass, host pandas result."""
+        import pandas as pd
+
+        if isinstance(spec, str):
+            spec = {c: spec for c in self._numeric_cols()}
+        exprs, labels = [], []
+        for col, fns in spec.items():
+            for fn in [fns] if isinstance(fns, str) else fns:
+                exprs.append(_AGG_MAP[fn](self._nn(col)).alias(f"{fn}__{col}"))
+                labels.append((fn, col))
+        row = self._sdf.agg(*exprs).collect()[0]
+        return pd.Series({f"{fn}_{col}": row[f"{fn}__{col}"] for fn, col in labels})
+
+    def corr(self):
+        """pairwise Pearson correlation matrix (dataframe.py:7150) — all
+        pairs in ONE aggregate pass."""
+        return self._pairwise(F.corr)
+
+    def cov(self):
+        """pairwise sample covariance (dataframe.py:7210)."""
+        return self._pairwise(F.covar_samp)
+
+    def _pairwise(self, fn) -> "pd.DataFrame":
+        import pandas as pd
+
+        num = self._numeric_cols()
+        exprs = [
+            fn(self._nn(a), self._nn(b)).alias(f"{i}__{j}")
+            for i, a in enumerate(num) for j, b in enumerate(num) if i <= j
+        ]
+        row = self._sdf.agg(*exprs).collect()[0]
+        mat = [[None] * len(num) for _ in num]
+        for i in range(len(num)):
+            for j in range(len(num)):
+                mat[i][j] = row[f"{min(i, j)}__{max(i, j)}"]
+        return pd.DataFrame(mat, index=num, columns=num)
+
+    # -- host converters (io surface; documented small-data) -------------
+
+    def to_dict(self, orient: str = "records"):
+        return self.to_pandas().to_dict(orient=orient)
+
+    def to_json(self, path: str | None = None, **kwargs):
+        """to_json (io/json.py): with a path, a distributed JSON-lines
+        write; without, a host pandas JSON string."""
+        if path is None:
+            return self.to_pandas().to_json(**kwargs)
+        self.spark.write.mode("overwrite").json(path)
+        return None
+
+    def to_orc(self, path: str) -> None:
+        """write_orc (orc.hpp)."""
+        self.spark.write.mode("overwrite").orc(path)
+
+    def to_feather(self, path: str) -> None:
+        """to_feather (io/feather.py) — host round-trip via pyarrow."""
+        from pygdf_spark.sources.io import write_feather
+
+        write_feather(self.spark, path)
+
+    def to_string(self) -> str:
+        return self.to_pandas().to_string()
+
+    def to_records(self):
+        return self.to_pandas().to_records(index=False)
+
+    def to_arrow(self):
+        """to_arrow (dataframe.py:4950) — Arrow table of the ordered
+        rows (Spark's native Arrow collect path)."""
+        return self._ordered().drop(_RID).toArrow()
+
+    @property
+    def values(self):
+        """values (frame.py property) — host numpy matrix."""
+        return self.to_pandas().values
+
+    def info(self) -> str:
+        """info (dataframe.py method list) — schema + size summary."""
+        lines = [f"DataFrame: {len(self.columns)} columns"]
+        lines += [f"  {c}: {t}" for c, t in self.dtypes.items()]
+        return "\n".join(lines)
+
     # -- frame-level reductions / summaries ------------------------------
 
     def nunique(self) -> dict[str, int]:
@@ -662,3 +1143,48 @@ class GroupBy:
         return self._df._with(
             self._df._sdf.withColumn(f"{col}_rank", expr.cast("double"))
         )
+
+
+class _ILoc:
+    """Positional row indexer (indexed_frame.py iloc): int, slice, or
+    list-of-int over the global row order."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def __getitem__(self, key):
+        if isinstance(key, int):
+            if key < 0:
+                tail = self._df.tail(-key)
+                return tail.head(1)
+            return self._df._with(self._df._ordered().offset(key).limit(1))
+        if isinstance(key, slice):
+            start, stop, step = key.start or 0, key.stop, key.step or 1
+            if step == 1 and start >= 0 and (stop is None or stop >= 0):
+                sdf = self._df._ordered().offset(start)
+                if stop is not None:
+                    sdf = sdf.limit(max(stop - start, 0))
+                return self._df._with(sdf)
+            idx = list(range(*key.indices(len(self._df))))
+            return self._df.take(idx)
+        if isinstance(key, Iterable):
+            return self._df.take(list(key))
+        raise TypeError(f"iloc key {key!r}")
+
+
+class _Loc:
+    """Mask indexer (indexed_frame.py loc): boolean Column, or
+    (mask, columns) — the veneer's index is positional, so integer keys
+    behave like iloc."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def __getitem__(self, key):
+        if isinstance(key, tuple):
+            mask, cols = key
+            out = self._df[mask] if isinstance(mask, Column) else _ILoc(self._df)[mask]
+            return out[[cols] if isinstance(cols, str) else list(cols)]
+        if isinstance(key, Column):
+            return self._df[key]
+        return _ILoc(self._df)[key]

@@ -271,23 +271,31 @@ class Series:
     def _agg(self, expr):
         return self._parent._sdf.agg(expr.alias("v")).collect()[0]["v"]
 
+    @property
+    def _ncol(self) -> Column:
+        """Missing-safe column for reductions: NaN (the pandas-interop
+        encoding of missing in float columns) → null, so aggregates
+        skip it like pandas/cuDF reductions do."""
+        t = dict(self._parent._sdf.dtypes).get(self._name)
+        return F.when(~F.isnan(self.col), self.col) if t in ("double", "float") else self.col
+
     def sum(self):
-        return self._agg(F.sum(self.col))
+        return self._agg(F.sum(self._ncol))
 
     def mean(self):
-        return self._agg(F.avg(self.col))
+        return self._agg(F.avg(self._ncol))
 
     def min(self):
-        return self._agg(F.min(self.col))
+        return self._agg(F.min(self._ncol))
 
     def max(self):
-        return self._agg(F.max(self.col))
+        return self._agg(F.max(self._ncol))
 
     def count(self):
-        return self._agg(F.count(self.col))
+        return self._agg(F.count(self._ncol))
 
     def nunique(self):
-        return self._agg(F.countDistinct(self.col))
+        return self._agg(F.countDistinct(self._ncol))
 
     def any(self):
         return bool(self._agg(F.bool_or(self.col.cast("boolean"))))
@@ -296,25 +304,25 @@ class Series:
         return bool(self._agg(F.bool_and(self.col.cast("boolean"))))
 
     def std(self):
-        return self._agg(F.stddev_samp(self.col))
+        return self._agg(F.stddev_samp(self._ncol))
 
     def var(self):
-        return self._agg(F.var_samp(self.col))
+        return self._agg(F.var_samp(self._ncol))
 
     def median(self):
-        return self._agg(F.median(self.col))
+        return self._agg(F.median(self._ncol))
 
     def quantile(self, q: float):
         """quantile (series reductions; group analog groupby.py:752) —
         exact linear-interpolation percentile, pandas default."""
-        return self._agg(F.percentile(self.col, F.lit(q)))
+        return self._agg(F.percentile(self._ncol, F.lit(q)))
 
     def skew(self):
         """skew with pandas/cuDF sample adjustment (dataframe.py method
         list): Spark's skewness is the population g1; pandas reports
         G1 = g1 * sqrt(n(n-1)) / (n-2)."""
         row = self._parent._sdf.agg(
-            F.skewness(self.col).alias("g1"), F.count(self.col).alias("n")
+            F.skewness(self._ncol).alias("g1"), F.count(self._ncol).alias("n")
         ).collect()[0]
         g1, n = row["g1"], row["n"]
         if g1 is None or n < 3:
@@ -326,7 +334,7 @@ class Series:
         reductions): Spark's kurtosis is population excess g2; pandas
         reports G2 = ((n+1)·g2 + 6)·(n-1)/((n-2)(n-3))."""
         row = self._parent._sdf.agg(
-            F.kurtosis(self.col).alias("g2"), F.count(self.col).alias("n")
+            F.kurtosis(self._ncol).alias("g2"), F.count(self._ncol).alias("n")
         ).collect()[0]
         g2, n = row["g2"], row["n"]
         if g2 is None or n < 4:
@@ -337,23 +345,23 @@ class Series:
         """Series.corr (series.py:4933) — Pearson correlation with
         another column of the same frame."""
         oc = F.col(other if isinstance(other, str) else other._name)
-        return self._agg(F.corr(self.col, oc))
+        return self._agg(F.corr(self._ncol, oc))
 
     def cov(self, other):
         """Series.cov (series.py:4890) — sample covariance."""
         oc = F.col(other if isinstance(other, str) else other._name)
-        return self._agg(F.covar_samp(self.col, oc))
+        return self._agg(F.covar_samp(self._ncol, oc))
 
     def prod(self):
         """Series.product (reductions product.cu)."""
-        return self._agg(F.product(self.col))
+        return self._agg(F.product(self._ncol))
 
     def mode(self):
         """Series.mode (series.py:4690) — the most frequent value;
         smallest value on ties (pandas returns the sorted mode list —
         this is its head)."""
         row = (
-            self._parent._sdf.groupBy(self.col.alias("v"))
+            self._parent._sdf.groupBy(self._ncol.alias("v"))
             .count()
             .orderBy(F.col("count").desc(), F.col("v").asc())
             .limit(1)

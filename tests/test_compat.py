@@ -373,3 +373,102 @@ def test_interval_range(spark):
     assert len(iv) == 5
     assert iv.interval[0] == {"left": 0, "right": 2}
     assert iv.interval[4] == {"left": 8, "right": 10}
+
+
+# -- wide-surface batch: reductions / indexers / reshape / align ---------
+
+
+def test_frame_reductions_match_pandas(gdf, pdf):
+    num = pdf[["x", "y"]]
+    assert gdf[["x", "y"]].sum().to_dict() == num.sum().to_dict()
+    assert gdf[["x", "y"]].mean().to_dict() == pytest.approx(num.mean().to_dict())
+    assert gdf[["x", "y"]].count().to_dict() == num.count().to_dict()
+    assert gdf[["x", "y"]].std().to_dict() == pytest.approx(num.std().to_dict())
+    assert gdf[["x", "y"]].median().to_dict() == num.median().to_dict()
+    assert gdf[["x", "y"]].skew().to_dict() == pytest.approx(num.skew().to_dict())
+    assert gdf[["x", "y"]].kurtosis().to_dict() == pytest.approx(num.kurtosis().to_dict())
+
+
+def test_frame_agg_corr_cov(gdf, pdf):
+    got = gdf.agg({"x": ["sum", "max"], "y": "mean"})
+    assert got["sum_x"] == pdf.x.sum()
+    assert got["max_x"] == pdf.x.max()
+    assert got["mean_y"] == pytest.approx(pdf.y.mean())
+    pdt.assert_frame_equal(gdf[["x", "y"]].corr(), pdf[["x", "y"]].corr())
+    pdt.assert_frame_equal(gdf[["x", "y"]].cov(), pdf[["x", "y"]].cov())
+
+
+def test_binops_scalar(gdf, pdf):
+    eq(gdf[["x"]].add(10), (pdf[["x"]] + 10))
+    eq(gdf[["x"]].rsub(100), (100 - pdf[["x"]]))
+    eq(gdf[["x"]].pow(2), (pdf[["x"]] ** 2).astype("float64"))
+
+
+def test_iloc_loc(gdf, pdf):
+    assert gdf.iloc[2].to_pandas().x.tolist() == [pdf.iloc[2].x]
+    assert gdf.iloc[1:4].to_pandas().x.tolist() == pdf.iloc[1:4].x.tolist()
+    assert gdf.iloc[-1].to_pandas().x.tolist() == [pdf.iloc[-1].x]
+    assert gdf.iloc[::3].to_pandas().x.tolist() == pdf.iloc[::3].x.tolist()
+    assert gdf.loc[F.col("x") > 5, ["x"]].to_pandas().x.tolist() == \
+        pdf.loc[pdf.x > 5, "x"].tolist()
+
+
+def test_isin_typed(gdf, pdf):
+    got = gdf.isin([1, "a"]).to_pandas()
+    exp = pdf.isin([1, "a"])
+    assert got.values.tolist() == exp.values.tolist()
+
+
+def test_reverse_reset_set_index(gdf, pdf):
+    assert gdf.reverse().to_pandas().x.tolist() == pdf.x.tolist()[::-1]
+    r = gdf.reset_index().to_pandas()
+    assert r["index"].tolist() == list(range(len(pdf)))
+    s = gdf.set_index("x").to_pandas()
+    assert s.x.tolist() == sorted(pdf.x.tolist())
+
+
+def test_repeat_tile_stack(gdf, pdf):
+    assert gdf[["x"]].repeat(3).to_pandas().x.tolist() == \
+        pdf.x.repeat(3).tolist()
+    assert gdf[["x"]].tile(2).to_pandas().x.tolist() == \
+        pdf.x.tolist() * 2
+    st = gdf[["x"]].stack().to_pandas()
+    assert st["value"].tolist() == pdf.x.tolist()
+
+
+def test_searchsorted_factorize(gdf, pdf):
+    srt = gdf.sort_values("x")
+    probes = [0, 4, 9]
+    assert srt.searchsorted("x", probes) == list(pdf.x.searchsorted(probes))
+    codes, uniq = gdf.factorize("k")
+    pc, pu = pd.factorize(pdf.k)
+    assert codes.to_pandas().k_codes.fillna(-9).tolist() == \
+        [c if c >= 0 else -9 for c in pc]  # None key: pandas -1, veneer keeps a code
+    # uniques agree on the non-null prefix order
+    assert [u for u in uniq if u is not None][:3] == list(pu)[:3]
+
+
+def test_equals_update(spark, gdf, pdf):
+    assert gdf.equals(gdf.copy())
+    assert not gdf.equals(gdf.head(3))
+    patch = pd.DataFrame({"y": [None, 9.0] + [None] * 6})
+    upd = gdf.update(from_spark(spark.createDataFrame(patch)))
+    exp = pdf.copy()
+    exp.update(patch)
+    assert upd.to_pandas().y.fillna(-1).tolist() == exp.y.fillna(-1).tolist()
+
+
+def test_select_dtypes_converters(gdf, pdf):
+    assert gdf.select_dtypes(include="bigint").columns == ["x"]
+    assert set(gdf.select_dtypes(exclude="string").columns) == {"x", "y"}
+    assert gdf.dtypes["k"] == "string"
+    assert gdf.to_dict()[0]["k"] == "a"
+    assert gdf.to_arrow().num_rows == len(pdf)
+    assert gdf.values.shape == pdf.values.shape
+    assert gdf.memory_usage() > 0
+    assert not gdf.empty and gdf.ndim == 2 and gdf.size == pdf.size
+
+
+def test_cumprod_matches_pandas(gdf, pdf):
+    got = gdf[["x"]].cumprod("x").to_pandas().x_cumprod.tolist()
+    assert got == pdf.x.astype("float64").cumprod().tolist()
