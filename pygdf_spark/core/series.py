@@ -406,3 +406,376 @@ class Series:
             .orderBy(F.col("count").desc(), F.col(self._name).asc_nulls_last())
         )
         return DataFrame(out)
+
+    # -- named binary ops (series.py binaryop surface) -------------------
+
+    def add(self, o):
+        """named arithmetic (series.py add/radd/…): same expressions as
+        the dunders, for call-site parity with cuDF."""
+        return self.col + self._other(o)
+
+    def sub(self, o):
+        return self.col - self._other(o)
+
+    subtract = sub
+
+    def mul(self, o):
+        return self.col * self._other(o)
+
+    multiply = mul
+
+    def truediv(self, o):
+        return self.col / self._other(o)
+
+    def floordiv(self, o):
+        return F.floor(self.col / self._other(o))
+
+    def mod(self, o):
+        return F.pmod(self.col, F.lit(self._other(o)))
+
+    remainder = mod
+
+    def pow(self, o):
+        return F.pow(self.col, self._other(o))
+
+    def radd(self, o):
+        return self.col + self._other(o)
+
+    def rsub(self, o):
+        return F.lit(self._other(o)) - self.col
+
+    def rmul(self, o):
+        return self.col * self._other(o)
+
+    def rtruediv(self, o):
+        return F.lit(self._other(o)) / self.col
+
+    def rfloordiv(self, o):
+        return F.floor(F.lit(self._other(o)) / self.col)
+
+    def rmod(self, o):
+        return F.pmod(F.lit(self._other(o)), self.col)
+
+    def rpow(self, o):
+        return F.pow(F.lit(self._other(o)), self.col)
+
+    def eq(self, o):
+        """named comparisons (series.py eq/ne/lt/…)."""
+        return self.col == self._other(o)
+
+    def ne(self, o):
+        return self.col != self._other(o)
+
+    def lt(self, o):
+        return self.col < self._other(o)
+
+    def le(self, o):
+        return self.col <= self._other(o)
+
+    def gt(self, o):
+        return self.col > self._other(o)
+
+    def ge(self, o):
+        return self.col >= self._other(o)
+
+    def logical_and(self, o):
+        """logical_and/or/not (series.py:3118-3190)."""
+        return self.col.cast("boolean") & self._other(o)
+
+    def logical_or(self, o):
+        return self.col.cast("boolean") | self._other(o)
+
+    def logical_not(self):
+        return ~self.col.cast("boolean")
+
+    # -- unary math (unary.hpp; series applymap-free fast path) ----------
+
+    def abs(self):
+        return F.abs(self.col)
+
+    def round(self, decimals: int = 0):
+        """HALF_EVEN like pandas/cuDF round (round.hpp:70)."""
+        return F.bround(self.col, decimals)
+
+    def floor(self):
+        return F.floor(self.col)
+
+    def ceil(self):
+        return F.ceil(self.col)
+
+    def exp(self):
+        return F.exp(self.col)
+
+    def log(self):
+        return F.log(self.col)
+
+    def sqrt(self):
+        return F.sqrt(self.col)
+
+    def sin(self):
+        return F.sin(self.col)
+
+    def cos(self):
+        return F.cos(self.col)
+
+    def tan(self):
+        return F.tan(self.col)
+
+    def asin(self):
+        return F.asin(self.col)
+
+    def acos(self):
+        return F.acos(self.col)
+
+    def atan(self):
+        return F.atan(self.col)
+
+    def clip(self, lower, upper):
+        """clip (replace.hpp:202)."""
+        return F.greatest(F.lit(lower), F.least(F.lit(upper), self.col))
+
+    def where(self, cond, other=None):
+        """where (copy_if_else copying.hpp:705)."""
+        return F.when(self._other(cond), self.col).otherwise(F.lit(other))
+
+    def mask(self, cond, other=None):
+        return F.when(self._other(cond), F.lit(other)).otherwise(self.col)
+
+    def between(self, left, right, inclusive: str = "both"):
+        lo = self.col >= left if inclusive in ("both", "left") else self.col > left
+        hi = self.col <= right if inclusive in ("both", "right") else self.col < right
+        return lo & hi
+
+    def hash_values(self, method: str = "murmur3"):
+        """hash_values (series.py:5336, hashing.hpp:39)."""
+        if method == "md5":
+            return F.md5(self.col.cast("string"))
+        if method == "xxhash64":
+            return F.xxhash64(self.col)
+        return F.hash(self.col)
+
+    def digitize(self, bins: list, right: bool = False):
+        """digitize (series.py:2800, numpy semantics): index of the bin
+        each value falls in — a fold over the literal bin edges, all
+        JVM-side."""
+        c = self.col
+        arr = F.array(*[F.lit(b) for b in bins])
+        hit = (lambda b: (c <= b).cast("int")) if right else (lambda b: (c < b).cast("int"))
+        return (F.lit(len(bins)) - F.aggregate(
+            arr, F.lit(0), lambda acc, b: acc + hit(b))).cast("long")
+
+    def scale(self):
+        """scale (series.py:4430): (x − min)/(max − min) to [0, 1].
+        min/max ride an unpartitioned window — at scale prefer computing
+        them once and passing literals; this matches cuDF's one-call
+        ergonomics."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy()
+        mn, mx = F.min(self.col).over(w), F.max(self.col).over(w)
+        return (self.col - mn) / (mx - mn)
+
+    def applymap(self, func, out_type: str = "double"):
+        """applymap (series.py:2260 → numba CUDA kernel): elementwise
+        Python over Arrow batches (pandas_udf) — the documented slow
+        path, same contract as the reference's JIT'd kernel."""
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf(out_type)
+        def _k(s):
+            return s.map(func)
+
+        return _k(self.col)
+
+    def nans_to_nulls(self):
+        """nans_to_nulls (series.py:4960)."""
+        return F.when(~F.isnan(self.col), self.col)
+
+    # -- delegating frame ops (project this column, keep row order) ------
+
+    def _frame(self):
+        return self._parent[[self._name]]
+
+    def to_frame(self):
+        """to_frame (series.py:735)."""
+        return self._frame()
+
+    def copy(self):
+        return Series(self._parent.copy(), self._name)
+
+    def rename(self, name: str):
+        """rename (series.py:1220) — new name, same expression."""
+        return Series(self._parent.assign(**{name: self.col}), name)
+
+    def head(self, n: int = 5):
+        return self._frame().head(n)
+
+    def tail(self, n: int = 5):
+        return self._frame().tail(n)
+
+    def sort_values(self, ascending: bool = True):
+        return self._frame().sort_values(self._name, ascending=ascending)
+
+    def sort_index(self, ascending: bool = True):
+        return self._frame().sort_index(ascending=ascending)
+
+    def reverse(self):
+        """reverse (series.py:2330)."""
+        return self._frame().reverse()
+
+    def drop_duplicates(self, keep: str = "first"):
+        return self._frame().drop_duplicates(keep=keep)
+
+    def dropna(self):
+        return self._frame().dropna()
+
+    def nlargest(self, n: int = 5):
+        return self._frame().nlargest(n, self._name)
+
+    def nsmallest(self, n: int = 5):
+        return self._frame().nsmallest(n, self._name)
+
+    def rank(self, method: str = "min", ascending: bool = True):
+        return self._frame().rank(self._name, method=method, ascending=ascending)
+
+    def rolling(self, window: int, min_periods: int | None = None):
+        return self._frame().rolling(window, min_periods)
+
+    def explode(self):
+        return self._frame().explode(self._name)
+
+    def factorize(self):
+        return self._parent.factorize(self._name)
+
+    def describe(self):
+        return self._frame().describe()
+
+    def groupby(self, by):
+        return self._parent.groupby(by)
+
+    def take(self, indices: list[int]):
+        return self._frame().take(indices)
+
+    def sample(self, frac: float, seed: int = 0):
+        return self._frame().sample(frac, seed)
+
+    def repeat(self, repeats: int):
+        return self._frame().repeat(repeats)
+
+    def tile(self, count: int):
+        return self._frame().tile(count)
+
+    def searchsorted(self, values: list, side: str = "left"):
+        return self._frame().searchsorted(self._name, values, side=side)
+
+    def one_hot_encoding(self, cats: list, prefix: str | None = None):
+        return self._parent.one_hot_encoding(self._name, prefix or self._name, cats)
+
+    def label_encoding(self, cats: list, dtype: str = "int"):
+        return self._parent.label_encoding(self._name, cats, dtype)
+
+    def cummax(self) -> "Series":
+        out = self._parent.cummax(self._name)
+        return Series(out, f"{self._name}_cummax")
+
+    def cummin(self) -> "Series":
+        out = self._parent.cummin(self._name)
+        return Series(out, f"{self._name}_cummin")
+
+    def cumprod(self) -> "Series":
+        out = self._parent.cumprod(self._name)
+        return Series(out, f"{self._name}_cumprod")
+
+    # -- host materialization / metadata ---------------------------------
+
+    @property
+    def values(self):
+        """values (host numpy, small-data)."""
+        return self.to_pandas().values
+
+    def tolist(self) -> list:
+        return self.to_pandas().tolist()
+
+    to_array = tolist
+
+    def to_dict(self) -> dict:
+        return dict(enumerate(self.tolist()))
+
+    @property
+    def name(self) -> str:
+        return self._name
+
+    @property
+    def dtype(self) -> str:
+        return dict(self._parent._sdf.dtypes)[self._name]
+
+    @property
+    def ndim(self) -> int:
+        return 1
+
+    @property
+    def shape(self) -> tuple[int]:
+        return (len(self._parent),)
+
+    @property
+    def size(self) -> int:
+        return len(self._parent)
+
+    @property
+    def empty(self) -> bool:
+        return self._parent.empty
+
+    @property
+    def null_count(self) -> int:
+        """null_count (series.py property; null_mask.hpp)."""
+        return self._agg(F.sum(self.col.isNull().cast("long"))) or 0
+
+    @property
+    def has_nulls(self) -> bool:
+        return self.null_count > 0
+
+    @property
+    def valid_count(self) -> int:
+        return self._agg(F.count(self.col))
+
+    @property
+    def is_unique(self) -> bool:
+        return self._agg(F.count(self.col)) == self._agg(F.countDistinct(self.col))
+
+    @property
+    def is_monotonic_increasing(self) -> bool:
+        """is_monotonic (series.py property) — one windowed pass."""
+        return self._monotonic(True)
+
+    @property
+    def is_monotonic_decreasing(self) -> bool:
+        return self._monotonic(False)
+
+    @property
+    def is_monotonic(self) -> bool:
+        return self.is_monotonic_increasing
+
+    def _monotonic(self, increasing: bool) -> bool:
+        from pyspark.sql import Window
+
+        from pygdf_spark.core.dataframe import _RID
+
+        w = Window.orderBy(_RID)
+        prev = F.lag(self.col).over(w)
+        ok = (self.col >= prev) if increasing else (self.col <= prev)
+        bad = self._parent._sdf.select(
+            F.when(prev.isNotNull() & ~ok, 1).alias("bad")
+        ).agg(F.sum("bad").alias("n")).collect()[0]["n"]
+        return not bad
+
+    def sum_of_squares(self):
+        """sum_of_squares (reductions sum_of_squares.cu)."""
+        return self._agg(F.sum(self._ncol * self._ncol))
+
+    def equals(self, other: "Series") -> bool:
+        return self._frame().rename(
+            columns={self._name: "v"}
+        ).equals(other._frame().rename(columns={other._name: "v"}))
+
+    def pipe(self, func, *args, **kwargs):
+        return func(self, *args, **kwargs)

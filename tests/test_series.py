@@ -195,3 +195,69 @@ def test_series_null_helpers(gdf):
     assert gdf[gdf["s"].notnull()].shape[0] == 4
     filled = gdf.assign(f=gdf["s"].fillna("??")).to_pandas()
     assert "??" in list(filled.f)
+
+
+# -- named-op / unary / metadata batch -----------------------------------
+
+
+def test_series_named_binops(gdf, pdf):
+    x = gdf["x"]
+    assert gdf.assign(t=x.add(10)).to_pandas().t.tolist() == (pdf.x + 10).tolist()
+    assert gdf.assign(t=x.rsub(100)).to_pandas().t.tolist() == (100 - pdf.x).tolist()
+    assert gdf.assign(t=x.mod(3)).to_pandas().t.tolist() == (pdf.x % 3).tolist()
+    assert gdf[x.ge(3)].to_pandas().x.tolist() == pdf.x[pdf.x >= 3].tolist()
+    assert gdf[x.between(2, 4)].to_pandas().x.tolist() == \
+        pdf.x[pdf.x.between(2, 4)].tolist()
+
+
+def test_series_unary_and_conditional(gdf, pdf):
+    import numpy as np
+
+    x = gdf["x"]
+    assert gdf.assign(t=x.pow(2)).to_pandas().t.tolist() == (pdf.x ** 2).tolist()
+    assert gdf.assign(t=x.clip(2, 4)).to_pandas().t.tolist() == \
+        pdf.x.clip(2, 4).tolist()
+    assert gdf.assign(t=x.where(x.gt(3), -1)).to_pandas().t.tolist() == \
+        pdf.x.where(pdf.x > 3, -1).tolist()
+    assert gdf.assign(t=x.mask(x.gt(3), -1)).to_pandas().t.tolist() == \
+        pdf.x.mask(pdf.x > 3, -1).tolist()
+    bins = [2, 4]
+    assert gdf.assign(t=x.digitize(bins)).to_pandas().t.tolist() == \
+        list(np.digitize(pdf.x, bins))
+    assert gdf.assign(t=x.digitize(bins, right=True)).to_pandas().t.tolist() == \
+        list(np.digitize(pdf.x, bins, right=True))
+
+
+def test_series_delegating_ops(gdf, pdf):
+    x = gdf["x"]
+    assert x.nlargest(2).to_pandas().x.tolist() == pdf.x.nlargest(2).tolist()
+    assert x.sort_values(ascending=False).to_pandas().x.tolist() == \
+        pdf.x.sort_values(ascending=False).tolist()
+    assert x.head(2).to_pandas().x.tolist() == pdf.x.head(2).tolist()
+    assert x.to_frame().columns == ["x"]
+    assert x.rename("y").to_pandas().tolist() == pdf.x.tolist()
+    assert x.searchsorted([3]) == list(pdf.x.searchsorted([3]))
+
+
+def test_series_metadata_and_scans(gdf, pdf):
+    x, s = gdf["x"], gdf["s"]
+    assert x.null_count == 0 and s.null_count == 1
+    assert s.has_nulls and not x.has_nulls
+    assert x.valid_count == 5 and s.valid_count == 4
+    assert x.is_unique and x.is_monotonic_increasing
+    assert not x.is_monotonic_decreasing
+    assert x.dtype == "bigint" and x.ndim == 1 and x.size == 5
+    assert x.sum_of_squares() == (pdf.x ** 2).sum()
+    assert x.cummax().to_pandas().tolist() == pdf.x.cummax().tolist()
+    assert x.cumprod().to_pandas().tolist() == \
+        pdf.x.astype("float64").cumprod().tolist()
+    assert x.equals(gdf["x"]) and not x.equals(gdf["s"])
+
+
+def test_series_applymap_scale(gdf, pdf):
+    x = gdf["x"]
+    assert gdf.assign(t=x.applymap(lambda v: v * 3.0)).to_pandas().t.tolist() == \
+        (pdf.x * 3.0).tolist()
+    got = gdf.assign(t=x.scale()).to_pandas().t.tolist()
+    exp = ((pdf.x - pdf.x.min()) / (pdf.x.max() - pdf.x.min())).tolist()
+    assert got == pytest.approx(exp)
