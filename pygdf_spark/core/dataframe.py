@@ -1111,20 +1111,21 @@ class GroupBy:
 
     def ffill(self, col: str) -> DataFrame:
         """pad/ffill (groupby.py:805, groupby::replace_nulls
-        groupby.hpp:348): last non-null at-or-before this row."""
+        groupby.hpp:348): last non-missing at-or-before this row (NaN in
+        float columns counts as missing, pandas semantics)."""
         w = self._w().rowsBetween(Window.unboundedPreceding, 0)
         return self._df._with(
             self._df._sdf.withColumn(
-                col, F.last(col, ignorenulls=True).over(w)
+                col, F.last(self._df._nn(col), ignorenulls=True).over(w)
             )
         )
 
     def bfill(self, col: str) -> DataFrame:
-        """backfill/bfill (groupby.py:821): first non-null at-or-after."""
+        """backfill/bfill (groupby.py:821): first non-missing at-or-after."""
         w = self._w().rowsBetween(0, Window.unboundedFollowing)
         return self._df._with(
             self._df._sdf.withColumn(
-                col, F.first(col, ignorenulls=True).over(w)
+                col, F.first(self._df._nn(col), ignorenulls=True).over(w)
             )
         )
 
@@ -1188,3 +1189,426 @@ class _Loc:
         if isinstance(key, Column):
             return self._df[key]
         return _ILoc(self._df)[key]
+
+
+def _gb_reduce(fn):
+    """Direct GroupBy reductions (groupby.py:sum/mean/... surface): one
+    grouped aggregate over every non-key numeric column."""
+
+    def method(self: "GroupBy") -> DataFrame:
+        cols = [c for c in self._df._numeric_cols() if c not in self._keys]
+        out = self._df._sdf.groupBy(*self._keys).agg(
+            *[fn(self._df._nn(c)).alias(c) for c in cols]
+        )
+        return DataFrame(out.withColumn(_RID, F.monotonically_increasing_id()))
+
+    return method
+
+
+class _GroupedRolling:
+    """Grouped rolling (groupby.rolling → per-group trailing frames):
+    partitioned windows, so every group's scan runs where its rows live."""
+
+    def __init__(self, gb: "GroupBy", window: int, min_periods: int | None):
+        self._gb = gb
+        self._n = window
+        self._min = window if min_periods is None else min_periods
+
+    def _apply(self, col: str, fn, name: str) -> DataFrame:
+        w = (
+            Window.partitionBy(*self._gb._keys)
+            .orderBy(_RID)
+            .rowsBetween(-(self._n - 1), 0)
+        )
+        val = fn(col).over(w)
+        cnt = F.count(col).over(w)
+        return self._gb._df._with(
+            self._gb._df._sdf.withColumn(
+                f"{col}_roll_{name}", F.when(cnt >= self._min, val)
+            )
+        )
+
+    def sum(self, col: str) -> DataFrame:
+        return self._apply(col, F.sum, "sum")
+
+    def mean(self, col: str) -> DataFrame:
+        return self._apply(col, F.avg, "mean")
+
+    def min(self, col: str) -> DataFrame:
+        return self._apply(col, F.min, "min")
+
+    def max(self, col: str) -> DataFrame:
+        return self._apply(col, F.max, "max")
+
+
+def _extend_groupby():
+    """GroupBy parity batch (groupby.py method list): reductions,
+    positional picks, fills, and host summaries."""
+
+    # pandas identity elements: sum of an all-missing group is 0,
+    # product is 1 (min_count=0 semantics)
+    GroupBy.sum = _gb_reduce(lambda c: F.coalesce(F.sum(c), F.lit(0)))
+    GroupBy.mean = _gb_reduce(F.avg)
+    GroupBy.min = _gb_reduce(F.min)
+    GroupBy.max = _gb_reduce(F.max)
+    GroupBy.count = _gb_reduce(F.count)
+    GroupBy.std = _gb_reduce(F.stddev_samp)
+    GroupBy.var = _gb_reduce(F.var_samp)
+    GroupBy.median = _gb_reduce(F.median)
+    GroupBy.nunique = _gb_reduce(F.countDistinct)
+    GroupBy.prod = _gb_reduce(lambda c: F.coalesce(F.product(c), F.lit(1)))
+
+    def quantile(self, q: float = 0.5) -> DataFrame:
+        return _gb_reduce(lambda c: F.percentile(c, F.lit(q)))(self)
+
+    def collect(self, col: str) -> DataFrame:
+        """collect (groupby.py list-agg): per-group value list in row
+        order (array_agg is order-nondeterministic distributed; sorting
+        by the order key pins it)."""
+        out = self._df._sdf.groupBy(*self._keys).agg(
+            F.array_sort(
+                F.collect_list(F.struct(_RID, col))
+            ).alias("__pairs")
+        ).withColumn(col, F.transform("__pairs", lambda p: p[col])).drop("__pairs")
+        return DataFrame(out.withColumn(_RID, F.monotonically_increasing_id()))
+
+    def unique(self, col: str) -> DataFrame:
+        out = self._df._sdf.groupBy(*self._keys).agg(
+            F.array_sort(F.collect_set(col)).alias(col)
+        )
+        return DataFrame(out.withColumn(_RID, F.monotonically_increasing_id()))
+
+    def _idx_pick(self, col: str, ascending: bool, name: str) -> DataFrame:
+        """ARGMIN/ARGMAX (groupby.py idxmin/idxmax, aggregation.hpp):
+        global row position of the per-group extreme; ties resolve to
+        the earliest row (pandas first-occurrence). One partitioned
+        window — no collect, no nondeterministic max_by ties."""
+        order = F.col(col).asc_nulls_last() if ascending else F.col(col).desc_nulls_last()
+        pos = self._df._pos_sdf()
+        w = Window.partitionBy(*self._keys).orderBy(order, F.col("__pos"))
+        out = (
+            pos.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(*self._keys, (F.col("__pos") - 1).alias(f"{col}_{name}"))
+        )
+        return DataFrame(out.withColumn(_RID, F.monotonically_increasing_id()))
+
+    def idxmax(self, col: str) -> DataFrame:
+        return self._idx_pick(col, ascending=False, name="idxmax")
+
+    def idxmin(self, col: str) -> DataFrame:
+        return self._idx_pick(col, ascending=True, name="idxmin")
+
+    def nth(self, n: int) -> DataFrame:
+        """nth (groupby.py:684): the n-th row of each group in row
+        order (negative counts from the end)."""
+        if n >= 0:
+            w = Window.partitionBy(*self._keys).orderBy(_RID)
+            k = n + 1
+        else:
+            w = Window.partitionBy(*self._keys).orderBy(F.col(_RID).desc())
+            k = -n
+        return self._df._with(
+            self._df._sdf.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == k)
+            .drop("__rn")
+        )
+
+    def fillna(self, value=None, method: str | None = None, col: str | None = None) -> DataFrame:
+        """fillna (groupby.py:838): scalar fill, or method='ffill'/
+        'bfill' within the group."""
+        if method == "ffill":
+            return self.ffill(col)
+        if method == "bfill":
+            return self.bfill(col)
+        return self._df._with(self._df._sdf.na.fill(value))
+
+    def describe(self, col: str) -> DataFrame:
+        """describe (groupby.py:517): count/mean/std/min/25/50/75/max of
+        one column per group — a single grouped aggregate."""
+        out = self._df._sdf.groupBy(*self._keys).agg(
+            F.count(col).cast("double").alias("count"),
+            F.avg(col).alias("mean"),
+            F.stddev_samp(col).alias("std"),
+            F.min(col).cast("double").alias("min"),
+            F.percentile(col, F.lit(0.25)).alias("25%"),
+            F.percentile(col, F.lit(0.5)).alias("50%"),
+            F.percentile(col, F.lit(0.75)).alias("75%"),
+            F.max(col).cast("double").alias("max"),
+        )
+        return DataFrame(out.withColumn(_RID, F.monotonically_increasing_id()))
+
+    def pipe(self, func, *args, **kwargs):
+        return func(self, *args, **kwargs)
+
+    def keys(self) -> list[str]:
+        return list(self._keys)
+
+    @property
+    def groups(self) -> dict:
+        """groups (host, small-data): key → list of global row
+        positions, like pandas' index lists."""
+        pos = self._df._pos_sdf()
+        rows = pos.groupBy(*self._keys).agg(
+            F.sort_array(F.collect_list(F.col("__pos") - 1)).alias("__idx")
+        ).collect()
+        def key_of(r):
+            vals = tuple(r[k] for k in self._keys)
+            return vals[0] if len(vals) == 1 else vals
+        return {key_of(r): list(r["__idx"]) for r in rows}
+
+    def rolling(self, window: int, min_periods: int | None = None) -> _GroupedRolling:
+        """grouped rolling (groupby.py rolling surface)."""
+        return _GroupedRolling(self, window, min_periods)
+
+    def cummax(self, col: str) -> DataFrame:
+        w = Window.partitionBy(*self._keys).orderBy(_RID).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        return self._df._with(
+            self._df._sdf.withColumn(f"{col}_cummax", F.max(col).over(w))
+        )
+
+    def cummin(self, col: str) -> DataFrame:
+        w = Window.partitionBy(*self._keys).orderBy(_RID).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        return self._df._with(
+            self._df._sdf.withColumn(f"{col}_cummin", F.min(col).over(w))
+        )
+
+    GroupBy.quantile = quantile
+    GroupBy.collect = collect
+    GroupBy.unique = unique
+    GroupBy._idx_pick = _idx_pick
+    GroupBy.idxmax = idxmax
+    GroupBy.idxmin = idxmin
+    GroupBy.nth = nth
+    GroupBy.fillna = fillna
+    GroupBy.describe = describe
+    GroupBy.pipe = pipe
+    GroupBy.keys = keys
+    GroupBy.groups = groups
+    GroupBy.rolling = rolling
+    GroupBy.cummax = cummax
+    GroupBy.cummin = cummin
+    GroupBy.aggregate = GroupBy.agg
+    GroupBy.pad = GroupBy.ffill
+    GroupBy.backfill = GroupBy.bfill
+    GroupBy.apply_grouped = GroupBy.apply
+
+
+_extend_groupby()
+
+
+def _extend_dataframe_aliases():
+    """Alias / interop parity batch (pandas-style alternate spellings and
+    the host-iteration surface; GPU-buffer APIs raise with guidance)."""
+
+    DataFrame.isna = DataFrame.isnull
+    DataFrame.notna = DataFrame.notnull
+    DataFrame.kurt = DataFrame.kurtosis
+    DataFrame.div = DataFrame.truediv
+    DataFrame.rdiv = DataFrame.rtruediv
+    DataFrame.values_host = DataFrame.values
+    DataFrame.hash_columns = DataFrame.hash_values
+    DataFrame.quantiles = DataFrame.quantile
+
+    def tolist(self) -> list:
+        return self.to_pandas().values.tolist()
+
+    def append(self, other: "DataFrame") -> "DataFrame":
+        """append (dataframe.py:6310) — row concat, other's rows after
+        ours (order keys re-derived)."""
+        a = self._pos_sdf().withColumn("__src", F.lit(0))
+        b = other._pos_sdf().withColumn("__src", F.lit(1))
+        u = a.unionByName(b, allowMissingColumns=True)
+        w = Window.orderBy("__src", "__pos")
+        out = (
+            u.withColumn(_RID, F.row_number().over(w))
+            .drop("__src", "__pos")
+        )
+        return DataFrame(out)
+
+    def argsort(self, col: str, ascending: bool = True) -> list:
+        """argsort (frame.py:1425): row positions that would sort `col`
+        (host list, like cuDF's returned column materialized)."""
+        pos = self._pos_sdf()
+        order = F.col(col).asc_nulls_last() if ascending else F.col(col).desc_nulls_last()
+        rows = pos.orderBy(order, F.col("__pos")).select("__pos").collect()
+        return [r["__pos"] - 1 for r in rows]
+
+    def iterrows(self):
+        """iterrows (host iteration, small-data — cuDF itself warns these
+        are slow paths)."""
+        for i, row in self.to_pandas().iterrows():
+            yield i, row
+
+    def itertuples(self):
+        return self.to_pandas().itertuples()
+
+    def items(self):
+        for c in self.columns:
+            yield c, self.to_pandas()[c]
+
+    iteritems = items
+
+    @property
+    def at(self):
+        return _At(self)
+
+    iat = at
+
+    @property
+    def index(self) -> range:
+        """index (RangeIndex analog): positions 0..n-1."""
+        return range(len(self))
+
+    @property
+    def name(self):
+        return None
+
+    def _unary_all(self, fn) -> "DataFrame":
+        sdf = self._sdf
+        for c in self._numeric_cols():
+            sdf = sdf.withColumn(c, fn(F.col(c)))
+        return self._with(sdf)
+
+    def sin(self):
+        """frame-wide unary math (cpp unary.hpp; dataframe.py trig
+        surface) — every numeric column through the JVM expression."""
+        return self._unary_all(F.sin)
+
+    def cos(self):
+        return self._unary_all(F.cos)
+
+    def tan(self):
+        return self._unary_all(F.tan)
+
+    def asin(self):
+        return self._unary_all(F.asin)
+
+    def acos(self):
+        return self._unary_all(F.acos)
+
+    def atan(self):
+        return self._unary_all(F.atan)
+
+    def exp(self):
+        return self._unary_all(F.exp)
+
+    def log(self):
+        return self._unary_all(F.log)
+
+    def sqrt(self):
+        return self._unary_all(F.sqrt)
+
+    def reindex(self, positions: list[int]) -> "DataFrame":
+        """reindex (frame.py:1240) — positional gather; out-of-range
+        positions are dropped (the veneer has no null-row injection)."""
+        return self.take(positions)
+
+    @property
+    def is_unique(self) -> bool:
+        return self._sdf.drop(_RID).distinct().count() == len(self)
+
+    @property
+    def is_monotonic_increasing(self) -> bool:
+        from pygdf_spark.core.series import Series
+
+        return all(Series(self, c).is_monotonic_increasing for c in self.columns)
+
+    @property
+    def is_monotonic_decreasing(self) -> bool:
+        from pygdf_spark.core.series import Series
+
+        return all(Series(self, c).is_monotonic_decreasing for c in self.columns)
+
+    @property
+    def is_monotonic(self) -> bool:
+        return self.is_monotonic_increasing
+
+    def to_hdf(self, path: str, key: str = "df") -> None:
+        """to_hdf (io/hdf.py) — host round-trip, gated on PyTables like
+        read_hdf."""
+        try:
+            import tables  # noqa: F401
+        except ImportError as e:
+            raise RuntimeError(
+                "to_hdf needs PyTables (pip install tables); HDF5 is a "
+                "host-only interop format here, as in the reference"
+            ) from e
+        self.to_pandas().to_hdf(path, key=key)
+
+    def _gpu_only(name: str):
+        def method(self, *a, **k):
+            raise NotImplementedError(
+                f"{name} exchanges raw GPU device buffers (DLPack/CUDA "
+                "array interface) — out of scope for a JVM/Arrow engine; "
+                "use to_arrow()/to_pandas() for zero-copy-adjacent interop"
+            )
+        return method
+
+    for _n in ("to_dlpack", "to_gpu_array", "as_gpu_matrix", "as_matrix",
+               "serialize", "deserialize"):
+        setattr(DataFrame, _n, _gpu_only(_n))
+
+    DataFrame.tolist = tolist
+    DataFrame.to_list = tolist
+    DataFrame.append = append
+    DataFrame.argsort = argsort
+    DataFrame.iterrows = iterrows
+    DataFrame.itertuples = itertuples
+    DataFrame.items = items
+    DataFrame.iteritems = items
+    DataFrame.at = at
+    DataFrame.iat = at
+    DataFrame.index = index
+    DataFrame.name = name
+    DataFrame._unary_all = _unary_all
+    DataFrame.sin = sin
+    DataFrame.cos = cos
+    DataFrame.tan = tan
+    DataFrame.asin = asin
+    DataFrame.acos = acos
+    DataFrame.atan = atan
+    DataFrame.exp = exp
+    DataFrame.log = log
+    DataFrame.sqrt = sqrt
+    DataFrame.reindex = reindex
+    DataFrame.is_unique = is_unique
+    DataFrame.is_monotonic_increasing = is_monotonic_increasing
+    DataFrame.is_monotonic_decreasing = is_monotonic_decreasing
+    DataFrame.is_monotonic = is_monotonic
+    DataFrame.to_hdf = to_hdf
+
+
+class _At:
+    """Single-cell host lookup (indexed_frame at/iat): df.at[row, col]."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def __getitem__(self, key):
+        row, col = key
+        got = _ILoc(self._df)[int(row)].to_pandas()
+        return got[col].iloc[0]
+
+
+_extend_dataframe_aliases()
+
+
+def from_pandas(spark, pdf) -> DataFrame:
+    """cudf.from_pandas analog (needs the SparkSession for ingest)."""
+    return from_spark(spark.createDataFrame(pdf))
+
+
+def from_arrow(spark, table) -> DataFrame:
+    """cudf.DataFrame.from_arrow analog — Arrow table → distributed
+    frame (via the session's Arrow ingest path)."""
+    return from_spark(spark.createDataFrame(table.to_pandas()))
+
+
+def from_records(spark, records, columns: list[str]) -> DataFrame:
+    """cudf.DataFrame.from_records analog."""
+    return from_spark(spark.createDataFrame(list(records), schema=columns))

@@ -779,3 +779,179 @@ class Series:
 
     def pipe(self, func, *args, **kwargs):
         return func(self, *args, **kwargs)
+
+
+def _extend_series_aliases():
+    """Alias / interop parity batch for Series (alternate spellings,
+    host iteration, GPU-buffer stubs)."""
+
+    Series.isna = Series.isnull
+    Series.notna = Series.notnull
+    Series.kurt = Series.kurtosis
+    Series.product = Series.prod
+    Series.to_list = Series.tolist
+    Series.values_host = Series.values
+    Series.fill = Series.fillna
+
+    def items(self):
+        for i, v in enumerate(self.tolist()):
+            yield i, v
+
+    def keys(self):
+        return range(len(self._parent))
+
+    @property
+    def index(self):
+        return range(len(self._parent))
+
+    @property
+    def iloc(self):
+        return self._frame().iloc
+
+    @property
+    def loc(self):
+        return self._frame().loc
+
+    def drop(self, positions: list[int]):
+        """drop (series.py:1120) — remove rows by position (the veneer's
+        labels are positions)."""
+        from pyspark.sql import Window
+
+        from pygdf_spark.core.dataframe import _RID
+
+        w = Window.orderBy(_RID)
+        sdf = self._frame()._sdf.withColumn("__pos", F.row_number().over(w) - 1)
+        keep = sdf.filter(~F.col("__pos").isin([int(p) for p in positions])).drop("__pos")
+        from pygdf_spark.core.dataframe import DataFrame
+
+        return DataFrame(keep)
+
+    def replace(self, to_replace, value=None):
+        """replace (series.py:2020) — value substitution, returns the
+        projected frame with values replaced."""
+        return self._frame().replace(to_replace, value, subset=[self._name])
+
+    def reset_index(self, drop: bool = False):
+        return self._frame().reset_index(drop=drop)
+
+    def set_index(self, col: str):
+        return self._parent.set_index(col)
+
+    def memory_usage(self) -> int:
+        return self._frame().memory_usage()
+
+    def merge(self, other, on, how: str = "inner"):
+        return self._frame().merge(other if not isinstance(other, Series)
+                                   else other._frame(), on=on, how=how)
+
+    def interleave_columns(self, other: "Series"):
+        """series-level interleave (reshape.hpp:49) — self/other values
+        alternating."""
+        pair = self._parent.assign(__other=self._other(other))
+        return pair[[self._name, "__other"]].interleave_columns(
+            [self._name, "__other"], name=self._name
+        )
+
+    def scatter_by_map(self, map_col: str, nparts: int):
+        return self._parent.scatter_by_map(map_col, nparts)
+
+    def to_arrow(self):
+        return self._frame().to_arrow()
+
+    def to_json(self, **kwargs):
+        return self.to_pandas().to_json(**kwargs)
+
+    def to_string(self) -> str:
+        return self.to_pandas().to_string()
+
+    def update(self, other):
+        """update (series.py:3450) — positional non-null overwrite."""
+        return self._frame().update(
+            other._frame().rename(columns={other._name: self._name})
+            if isinstance(other, Series) else other
+        )
+
+    def as_mask(self):
+        """as_mask (series.py:2890) — boolean validity/selection column."""
+        return self.col.cast("boolean")
+
+    def hash_encode(self, stop: int):
+        """hash_encode (series.py:3850): murmur3 hash mod `stop` — the
+        feature-hashing trick, all JVM-side."""
+        return F.pmod(F.hash(self.col), F.lit(stop))
+
+    def nullmask(self):
+        """nullmask (series.py property) — the validity mask as a
+        boolean column (True = valid), the engine-portable analog of
+        cuDF's packed bitmask buffer."""
+        return self.col.isNotNull()
+
+    @property
+    def nullable(self) -> bool:
+        return self.has_nulls
+
+    @property
+    def data(self):
+        raise NotImplementedError(
+            "Series.data exposes the raw device buffer — out of scope for "
+            "a JVM engine; use to_arrow()/values for host materialization"
+        )
+
+    @property
+    def cat(self):
+        raise NotImplementedError(
+            "categorical dtype is not materialized; use label_encoding()/"
+            "factorize() for code views, one_hot_encoding() for dummies"
+        )
+
+    def argsort(self, ascending: bool = True) -> list:
+        return self._frame().argsort(self._name, ascending=ascending)
+
+    def append(self, other: "Series"):
+        """append (series.py:2550) — row concat of the projected
+        frames."""
+        return self._frame().append(
+            other._frame().rename(columns={other._name: self._name})
+        )
+
+    def _gpu_only(name: str):
+        def method(self, *a, **k):
+            raise NotImplementedError(
+                f"{name} exchanges raw GPU device buffers — out of scope "
+                "for a JVM/Arrow engine; use to_arrow()/to_pandas()"
+            )
+        return method
+
+    for _n in ("to_dlpack", "to_gpu_array", "serialize", "deserialize",
+               "from_masked_array", "from_categorical"):
+        setattr(Series, _n, _gpu_only(_n))
+
+    Series.items = items
+    Series.iteritems = items
+    Series.keys = keys
+    Series.index = index
+    Series.iloc = iloc
+    Series.loc = loc
+    Series.drop = drop
+    Series.replace = replace
+    Series.reset_index = reset_index
+    Series.set_index = set_index
+    Series.memory_usage = memory_usage
+    Series.merge = merge
+    Series.interleave_columns = interleave_columns
+    Series.scatter_by_map = scatter_by_map
+    Series.to_arrow = to_arrow
+    Series.to_json = to_json
+    Series.to_string = to_string
+    Series.update = update
+    Series.as_mask = as_mask
+    Series.hash_encode = hash_encode
+    Series.nullmask = nullmask
+    Series.nullable = nullable
+    Series.data = data
+    Series.cat = cat
+    Series.argsort = argsort
+    Series.append = append
+
+
+_extend_series_aliases()

@@ -472,3 +472,59 @@ def test_select_dtypes_converters(gdf, pdf):
 def test_cumprod_matches_pandas(gdf, pdf):
     got = gdf[["x"]].cumprod("x").to_pandas().x_cumprod.tolist()
     assert got == pdf.x.astype("float64").cumprod().tolist()
+
+
+def test_groupby_direct_reductions(gdf, pdf):
+    # the veneer keeps the null-key group (cuDF dropna=False layout);
+    # pandas drops it by default — compare the non-null keys
+    got = gdf.groupby("k").sum().to_pandas().dropna(subset=["k"]) \
+        .sort_values("k").reset_index(drop=True)
+    exp = pdf.groupby("k")[["x", "y"]].sum().reset_index()
+    assert got.x.tolist() == exp.x.tolist()
+    assert got.y.tolist() == pytest.approx(exp.y.tolist())
+    med = gdf.groupby("k").median().to_pandas().dropna(subset=["k"]).sort_values("k")
+    pmed = pdf.groupby("k")[["x", "y"]].median().reset_index()
+    assert med.x.tolist() == pmed.x.tolist()
+
+
+def test_groupby_idx_nth_collect(gdf, pdf):
+    gb, pgb = gdf.groupby("k"), pdf.dropna(subset=["k"]).groupby("k")
+    got = gb.idxmax("x").to_pandas().dropna(subset=["k"]).sort_values("k")
+    assert got.x_idxmax.tolist() == pgb.x.idxmax().tolist()
+    got = gb.idxmin("x").to_pandas().dropna(subset=["k"]).sort_values("k")
+    assert got.x_idxmin.tolist() == pgb.x.idxmin().tolist()
+    nth = gb.nth(1).to_pandas().dropna(subset=["k"]).sort_values("k")
+    assert nth.x.tolist() == pgb.nth(1).sort_values("k").x.tolist()
+    coll = gb.collect("x").to_pandas().dropna(subset=["k"]).sort_values("k")
+    assert [list(v) for v in coll.x] == pgb.x.agg(list).tolist()
+
+
+def test_groupby_groups_describe_rolling(gdf, pdf):
+    gb = gdf.groupby("k")
+    pgroups = {k: list(v) for k, v in
+               pdf.dropna(subset=["k"]).groupby("k").groups.items()}
+    ggroups = {k: v for k, v in gb.groups.items() if k is not None}
+    assert ggroups == pgroups
+    desc = gb.describe("x").to_pandas().dropna(subset=["k"]).sort_values("k")
+    pdesc = pdf.dropna(subset=["k"]).groupby("k").x.mean()
+    assert desc["mean"].tolist() == pytest.approx(pdesc.tolist())
+    roll = gb.rolling(2).sum("x").to_pandas()
+    proll = pdf.groupby("k", dropna=False).x.rolling(2).sum() \
+        .reset_index(level=0, drop=True).sort_index()
+    assert roll.x_roll_sum.fillna(-1).tolist() == proll.fillna(-1).tolist()
+
+
+def test_frame_alias_surface(gdf, pdf):
+    assert gdf.isna().to_pandas().y.tolist() == pdf.y.isna().tolist()
+    assert list(gdf.index) == list(range(len(pdf)))
+    assert gdf.at[2, "x"] == pdf.at[2, "x"]
+    assert gdf.argsort("x") == list(pdf.x.argsort())
+    assert gdf.append(gdf.head(1)).to_pandas().x.tolist() == \
+        pdf.x.tolist() + [pdf.x.iloc[0]]
+    with pytest.raises(NotImplementedError):
+        gdf.to_dlpack()
+    s = gdf["x"]
+    assert s.drop([0]).to_pandas().x.tolist() == pdf.x.drop(0).tolist()
+    assert list(s.items())[:2] == [(0, 1), (1, 2)]
+    with pytest.raises(NotImplementedError):
+        s.cat
