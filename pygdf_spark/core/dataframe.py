@@ -1612,3 +1612,28 @@ def from_arrow(spark, table) -> DataFrame:
 def from_records(spark, records, columns: list[str]) -> DataFrame:
     """cudf.DataFrame.from_records analog."""
     return from_spark(spark.createDataFrame(list(records), schema=columns))
+
+
+def _attach_constructors():
+    """Constructor call-site parity: cuDF spells these as classmethods
+    (DataFrame.from_pandas(pdf)); distributed ingest additionally needs
+    the SparkSession, passed first."""
+
+    DataFrame.from_pandas = staticmethod(from_pandas)
+    DataFrame.from_arrow = staticmethod(from_arrow)
+    DataFrame.from_records = staticmethod(from_records)
+
+    def _gb_gpu(name):
+        def method(self, *a, **k):
+            raise NotImplementedError(
+                f"GroupBy.{name} serializes device groups — out of scope "
+                "for a JVM engine; use agg()/apply() results directly"
+            )
+        return method
+
+    GroupBy.serialize = _gb_gpu("serialize")
+    GroupBy.deserialize = _gb_gpu("deserialize")
+    GroupBy.values = property(lambda self: self.groups)
+
+
+_attach_constructors()

@@ -955,3 +955,47 @@ def _extend_series_aliases():
 
 
 _extend_series_aliases()
+
+
+def _attach_series_constructors():
+    from pygdf_spark.core.dataframe import from_arrow as _fa
+    from pygdf_spark.core.dataframe import from_pandas as _fp
+
+    def from_pandas(spark, ps):
+        """cudf.Series.from_pandas analog (SparkSession first)."""
+        df = _fp(spark, ps.to_frame(ps.name or "value"))
+        return Series(df, ps.name or "value")
+
+    def from_arrow(spark, arr, name: str = "value"):
+        import pyarrow as pa
+
+        df = _fa(spark, pa.table({name: arr}))
+        return Series(df, name)
+
+    def reindex(self, positions: list[int]):
+        """reindex (series.py:1350) — positional gather."""
+        return self._frame().take(positions)
+
+    def as_index(self):
+        """as_index (series.py:820): the veneer's index is positional —
+        returns the position range."""
+        return range(len(self._parent))
+
+    def set_mask(self, *a, **k):
+        raise NotImplementedError(
+            "set_mask writes a packed device validity bitmask — out of "
+            "scope for a JVM engine; use where()/mask() expressions"
+        )
+
+    def to_hdf(self, path: str, key: str = "series"):
+        return self._frame().to_hdf(path, key=key)
+
+    Series.from_pandas = staticmethod(from_pandas)
+    Series.from_arrow = staticmethod(from_arrow)
+    Series.reindex = reindex
+    Series.as_index = as_index
+    Series.set_mask = set_mask
+    Series.to_hdf = to_hdf
+
+
+_attach_series_constructors()
