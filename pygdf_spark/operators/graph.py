@@ -1,0 +1,76 @@
+"""Iterative graph operators: connected components by distributed
+min-label propagation with path compression.
+
+Reference parity: cuDF itself has no graph ops (cuGraph's domain), but
+corpus-dedup pipelines need the transitive closure of the near-dup
+pair graph — the reference's users run exactly this downstream of
+MinHash. Here it is a first-class distributed operator.
+
+Scale design (100 TB posture):
+- the driver loop iterates over ROUNDS (O(log D) of them, D = graph
+  diameter, thanks to path compression), never over rows; each round
+  is two keyed shuffles (neighbor-min groupBy + label-pointer join),
+  the same plan shape as the large-star/small-star CC algorithms used
+  at web scale.
+- labels monotonically decrease, so convergence is a fixpoint; the
+  per-round `changed` check is a count aggregate (one job), and
+  `localCheckpoint` truncates lineage so round N's plan does not embed
+  rounds 1..N-1 (without it the DAG doubles per round and the
+  optimizer, not the data, becomes the bottleneck).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, comp): every vertex labeled with the minimum vertex id of
+    its connected component. ``edges`` is undirected (each pair may
+    appear in either or both orientations).
+
+    Per round: (1) propagate — every vertex takes the min label in its
+    closed neighborhood; (2) compress — every vertex jumps to its
+    label's label (pointer doubling, so chains collapse in O(log D)
+    rounds, not O(D))."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = (
+        sym.select(F.col("u").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # (1) min label over the closed neighborhood
+        nbr_min = (
+            sym.join(labels, sym.u == labels.id)
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        l1 = (
+            labels.join(nbr_min, "id", "left")
+            .select("id", F.least("label", "nmin").alias("label"))
+        )
+        # (2) path compression: label ← label's label
+        ptr = l1.select(F.col("id").alias("pid"), F.col("label").alias("plabel"))
+        l2 = (
+            l1.join(ptr, l1.label == ptr.pid, "left")
+            .select("id", F.least("label", "plabel").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            l2.join(labels.withColumnRenamed("label", "old"), "id")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = l2
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("comp"))

@@ -223,7 +223,64 @@ FROM sizes
 """
 
 
+def graph_connected_components(spark, sf_dir):
+    """iterative connected components (operators/graph.py min-label
+    propagation + path compression — the transitive-closure stage a
+    corpus dedup pipeline runs downstream of near-dup pairs). The test
+    graph chains each customer's orders (multi-hop paths, so label
+    propagation genuinely iterates); the oracle walks the same graph
+    with a recursive CTE — an independent fixpoint formulation."""
+    from pyspark.sql import Window
+
+    from pygdf_spark.operators.graph import connected_components
+
+    o = T(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    chain = o.select(
+        F.col("o_orderkey").alias("a"),
+        F.lead("o_orderkey").over(w).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    # the propagation rounds execute eagerly (localCheckpoint); scope
+    # the shuffle width to the bounded verification input the same way
+    # run_available_now does for streaming state stores
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        cc = connected_components(chain)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+    comps = cc.groupBy("comp").agg(F.count(F.lit(1)).alias("n_orders"))
+    return comps.orderBy("comp")
+
+
+GRAPH_CC_SQL = """
+WITH RECURSIVE
+base AS (
+  SELECT o_orderkey AS a,
+         LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS b
+  FROM orders WHERE o_custkey < 300
+),
+e AS (
+  SELECT a, b FROM base WHERE b IS NOT NULL
+  UNION ALL
+  SELECT b, a FROM base WHERE b IS NOT NULL
+),
+verts AS (SELECT DISTINCT a AS id FROM e),
+walk(id, label) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN e ON e.a = w.id
+),
+cc AS (SELECT id, MIN(label) AS comp FROM walk GROUP BY id)
+SELECT comp, COUNT(*) AS n_orders FROM cc GROUP BY comp ORDER BY comp
+"""
+
+
 QUERIES = {
+    "graph_connected_components": graph_connected_components,
     "dedup_keep_list": dedup_keep_list,
     "dedup_exact_hash": dedup_exact_hash,
     "dedup_prefix_groups": dedup_prefix_groups,
@@ -233,6 +290,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "graph_connected_components": GRAPH_CC_SQL,
     "dedup_keep_list": DEDUP_KEEP_LIST_SQL,
     "dedup_exact_hash": DEDUP_EXACT_SQL,
     "dedup_prefix_groups": DEDUP_PREFIX_SQL,

@@ -119,3 +119,22 @@ def test_range_join_empty_sides(spark):
     iv = spark.createDataFrame([], "iv_id long, s timestamp, e timestamp")
     pt = spark.createDataFrame([], "p_id long, p timestamp")
     assert range_join(pt, iv, "p", "s", "e", 3600).count() == 0
+
+
+def test_connected_components_shapes(spark):
+    from pygdf_spark.operators.graph import connected_components
+
+    # two components: a 4-chain (multi-hop) and a pair; labels must all
+    # collapse to each component's min id
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "a long, b long"
+    )
+    got = {r.id: r.comp for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_empty(spark):
+    from pygdf_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([], "a long, b long")
+    assert connected_components(edges).count() == 0
