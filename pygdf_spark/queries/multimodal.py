@@ -118,14 +118,98 @@ ORDER BY doc_id, frame_id
 """
 
 
+def _fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB resize kernel (PIL unavailable): integer-only fit-inside-
+    64×64 arithmetic on the stub dimensions, so the Arrow batch contract
+    (bytes+dims in → bytes+dims out) is exercised end-to-end and stays
+    oracle-checkable. Swap the body for a real resampler in production."""
+    import numpy as np
+
+    for pdf in batches:
+        n = pdf["img_bytes"].map(len).astype("int64")
+        w = (n % 64 + 16).astype("int64")
+        h = (n // 64 % 64 + 16).astype("int64")
+        longest = np.maximum(w, h)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "in_w": w.astype("int32"),
+                "in_h": h.astype("int32"),
+                # floor division: identical in numpy and DuckDB //
+                "out_w": (w * 64 // longest).astype("int32"),
+                "out_h": (h * 64 // longest).astype("int32"),
+                "out_bytes": (w * 64 // longest * (h * 64 // longest) * 3).astype("int64"),
+            }
+        )
+
+
+def mm_resize_stub(spark, sf_dir):
+    """resize plumbing (image analog of apply_chunks): mapInPandas
+    batch kernel, bytes+dims → resized dims + RGB byte count."""
+    p = _payloads(spark, sf_dir)
+    schema = "doc_id long, in_w int, in_h int, out_w int, out_h int, out_bytes long"
+    return p.mapInPandas(_fake_resize, schema).orderBy("doc_id")
+
+
+MM_RESIZE_SQL = """
+WITH dims AS (
+  SELECT doc_id,
+         octet_length(encode(text)) % 64 + 16 AS w,
+         octet_length(encode(text)) // 64 % 64 + 16 AS h
+  FROM documents
+)
+SELECT doc_id, CAST(w AS INT) AS in_w, CAST(h AS INT) AS in_h,
+       CAST(w * 64 // GREATEST(w, h) AS INT) AS out_w,
+       CAST(h * 64 // GREATEST(w, h) AS INT) AS out_h,
+       CAST(w * 64 // GREATEST(w, h) * (h * 64 // GREATEST(w, h)) * 3 AS BIGINT) AS out_bytes
+FROM dims ORDER BY doc_id
+"""
+
+
+def mm_feature_stub(spark, sf_dir):
+    """feature-extraction plumbing: 8-dim deterministic feature vector
+    per payload (md5-derived components — stands in for a CNN/CLIP
+    embedding) as an array column, ALL JVM-side expressions: at scale
+    the feature table is produced without any Python boundary, and real
+    models slot in as a mapInPandas stage with the same output schema."""
+    from pygdf_spark.functions.hashing import md5_mod
+
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    feat = F.array(*[
+        md5_mod(F.concat(F.col("text"), F.lit(str(j))), 997) for j in range(8)
+    ])
+    return d.select(
+        "doc_id",
+        feat.alias("feat"),
+        F.aggregate(feat, F.lit(0).cast("long"), lambda a, v: a + v).alias("feat_sum"),
+    ).orderBy("doc_id")
+
+
+MM_FEATURE_SQL = """
+SELECT doc_id,
+       {feat} AS feat,
+       CAST({sum} AS BIGINT) AS feat_sum
+FROM documents WHERE doc_id < 200 ORDER BY doc_id
+""".format(
+    feat="list_value(" + ", ".join(
+        f"CAST(md5_number_lower(text || '{j}') % 997 AS BIGINT)" for j in range(8)
+    ) + ")",
+    sum=" + ".join(f"md5_number_lower(text || '{j}') % 997" for j in range(8)),
+)
+
+
 QUERIES = {
     "mm_binary_meta": mm_binary_meta,
     "mm_image_decode_stub": mm_image_decode_stub,
     "mm_frame_sample": mm_frame_sample,
+    "mm_resize_stub": mm_resize_stub,
+    "mm_feature_stub": mm_feature_stub,
 }
 
 ORACLE = {
     "mm_binary_meta": MM_BINARY_META_SQL,
     "mm_image_decode_stub": MM_DECODE_SQL,
     "mm_frame_sample": MM_FRAME_SQL,
+    "mm_resize_stub": MM_RESIZE_SQL,
+    "mm_feature_stub": MM_FEATURE_SQL,
 }
