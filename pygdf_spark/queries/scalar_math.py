@@ -43,6 +43,10 @@ def unary_math_pack(spark, sf_dir):
         r8(F.cosh(x)).alias("cosh_x"),
         r8(F.tanh(x)).alias("tanh_x"),
         r8(F.atanh(x)).alias("atanh_x"),
+        # Spark ASINH/ACOSH evaluate log(x+sqrt(x²±1)) — the oracle
+        # spells the same formula, so doubles agree bitwise
+        r8(F.asinh(q)).alias("asinh_q"),
+        r8(F.acosh(q + 1)).alias("acosh_q"),
         r8(F.exp(x)).alias("exp_x"),
         r8(F.log(p)).alias("ln_p"),
         r8(F.sqrt(p)).alias("sqrt_p"),
@@ -50,6 +54,10 @@ def unary_math_pack(spark, sf_dir):
         F.ceil(p).alias("ceil_p"),
         F.floor(p).alias("floor_p"),
         F.abs(q - 25).alias("abs_qc"),
+        # RINT: round-half-even to integral double (unary.hpp RINT)
+        F.rint(p).alias("rint_p"),
+        # BIT_INVERT: two's-complement ~ on int64
+        F.bitwise_not(F.col("l_orderkey")).alias("bitnot_ok"),
     ).orderBy("l_orderkey", "l_linenumber")
 
 
@@ -65,13 +73,20 @@ SELECT l_orderkey, l_linenumber,
        ROUND((exp(l_discount) + exp(-l_discount)) / 2, 8) AS cosh_x,
        ROUND((exp(l_discount) - exp(-l_discount)) / (exp(l_discount) + exp(-l_discount)), 8) AS tanh_x,
        ROUND(0.5 * ln((1 + l_discount) / (1 - l_discount)), 8) AS atanh_x,
+       ROUND(ln(CAST(l_quantity AS DOUBLE) + sqrt(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE) + 1)), 8) AS asinh_q,
+       ROUND(ln((CAST(l_quantity AS DOUBLE) + 1) + sqrt((CAST(l_quantity AS DOUBLE) + 1) * (CAST(l_quantity AS DOUBLE) + 1) - 1)), 8) AS acosh_q,
        ROUND(exp(l_discount), 8) AS exp_x,
        ROUND(ln(l_extendedprice), 8) AS ln_p,
        ROUND(sqrt(l_extendedprice), 8) AS sqrt_p,
        ROUND(cbrt(l_extendedprice), 8) AS cbrt_p,
        CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_p,
        CAST(floor(l_extendedprice) AS BIGINT) AS floor_p,
-       abs(CAST(l_quantity AS DOUBLE) - 25) AS abs_qc
+       abs(CAST(l_quantity AS DOUBLE) - 25) AS abs_qc,
+       -- RINT half-even: exact tie test (x.5 is binary-exact)
+       CASE WHEN l_extendedprice - floor(l_extendedprice) = 0.5
+            THEN floor(l_extendedprice) + CAST(CAST(floor(l_extendedprice) AS BIGINT) % 2 AS DOUBLE)
+            ELSE round(l_extendedprice, 0) END AS rint_p,
+       ~l_orderkey AS bitnot_ok
 FROM lineitem WHERE l_orderkey < 2000 ORDER BY l_orderkey, l_linenumber
 """
 
