@@ -167,3 +167,72 @@ def test_string_expr_parity(spark, rows):
         ).fetchall()
     )
     assert got == exp
+
+
+# -- range join / connected components (new operators) -------------------
+
+EDGE = st.tuples(st.integers(0, 20), st.integers(0, 20))
+EDGES = st.lists(EDGE, min_size=0, max_size=40)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(EDGES)
+def test_connected_components_parity(spark, edges):
+    """CC fixpoint must agree with DuckDB's recursive-CTE walk on random
+    graphs (self-loops and duplicate edges included)."""
+    from pygdf_spark.operators.graph import connected_components
+
+    sdf = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges] or [], "a long, b long"
+    )
+    got = {(r.id, r.comp) for r in connected_components(sdf).collect()}
+    con = duckdb.connect()
+    con.register("edges0", pd.DataFrame(edges or [], columns=["a", "b"]))
+    exp = set(
+        con.execute("""
+            WITH RECURSIVE
+            e AS (SELECT a, b FROM edges0 UNION ALL SELECT b, a FROM edges0),
+            verts AS (SELECT DISTINCT a AS id FROM e),
+            walk(id, label) AS (
+              SELECT id, id FROM verts
+              UNION
+              SELECT e.b, w.label FROM walk w JOIN e ON e.a = w.id
+            )
+            SELECT id, MIN(label) FROM walk GROUP BY id
+        """).fetchall()
+    ) if edges else set()
+    assert got == {(int(i), int(c)) for i, c in exp}
+
+
+IVAL = st.tuples(st.integers(0, 500), st.integers(1, 120))   # (start, len) seconds
+POINT = st.integers(0, 700)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(IVAL, min_size=0, max_size=15), st.lists(POINT, min_size=0, max_size=30))
+def test_range_join_parity(spark, ivals, points):
+    """Bucketized range join must equal the plain theta-join for random
+    half-open intervals and points (bucket width deliberately unaligned
+    with interval lengths)."""
+    import datetime as dt
+
+    from pygdf_spark.operators.range_join import range_join
+
+    base = dt.datetime(2021, 1, 1)
+    iv = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=s), base + dt.timedelta(seconds=s + ln))
+         for i, (s, ln) in enumerate(ivals)] or [],
+        "iv_id long, s timestamp, e timestamp",
+    )
+    pt = spark.createDataFrame(
+        [(j, base + dt.timedelta(seconds=p)) for j, p in enumerate(points)] or [],
+        "p_id long, p timestamp",
+    )
+    got = {(r.iv_id, r.p_id) for r in range_join(pt, iv, "p", "s", "e", 37).collect()}
+    exp = {
+        (i, j)
+        for i, (s, ln) in enumerate(ivals)
+        for j, p in enumerate(points)
+        if s <= p < s + ln
+    }
+    assert got == exp
