@@ -137,7 +137,254 @@ def interval_range(start, end, freq=1, spark=None) -> "DataFrame":
 __all__ = [
     "DataFrame", "Series", "concat", "from_spark", "get_dummies", "melt",
     "pivot", "get_spark", "tables", "read_csv", "read_parquet", "read_orc",
-    "read_json", "read_feather", "read_hdf", "to_datetime", "cut",
-    "date_range", "interval_range",
+    "read_json", "read_feather", "read_hdf", "read_avro", "to_datetime",
+    "cut", "date_range", "interval_range", "NA", "from_pandas", "merge",
+    "factorize", "to_numeric", "isclose", "merge_sorted", "DateOffset",
+    "register_dataframe_accessor", "register_series_accessor",
+    "register_index_accessor", "set_allocator", "validate_setup",
+    "get_versions", "CategoricalDtype", "ListDtype", "StructDtype",
+    "IntervalDtype", "Decimal32Dtype", "Decimal64Dtype",
+    "add", "subtract", "multiply", "true_divide", "floor_divide",
+    "remainder", "sin", "cos", "tan", "arcsin", "arccos", "arctan",
+    "exp", "log", "sqrt", "logical_and", "logical_or", "logical_not",
 ]
 __version__ = "0.1.0"
+
+
+# -- module-level parity batch (cudf/__init__.py namespace) ---------------
+
+#: cudf.NA — the missing-value sentinel; the engine's missing value is
+#: SQL NULL, which surfaces as Python None.
+NA = None
+
+
+def from_pandas(obj, spark=None):
+    """cudf.from_pandas — DataFrame or Series."""
+    import pandas as pd
+
+    from pygdf_spark.core.dataframe import from_pandas as _fp
+    from pygdf_spark.core.series import Series as _S
+
+    s = spark or get_spark()
+    if isinstance(obj, pd.Series):
+        return _S.from_pandas(s, obj)
+    return _fp(s, obj)
+
+
+def merge(left: "DataFrame", right: "DataFrame", on=None, how: str = "inner",
+          suffixes=("_x", "_y")) -> "DataFrame":
+    """cudf.merge (module-level spelling of DataFrame.merge)."""
+    return left.merge(right, on=on, how=how, suffixes=tuple(suffixes))
+
+
+def factorize(series) -> tuple:
+    """cudf.factorize — (codes, uniques) like the Series method."""
+    return series.factorize()
+
+
+def to_numeric(col, errors: str = "raise"):
+    """cudf.to_numeric (core/tools/numeric.py): string → double column;
+    errors='coerce' maps unparseable to null (try_cast), 'raise' uses a
+    plain cast (ANSI sessions raise, matching cuDF's error path)."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else (col.col if hasattr(col, "col") else col)
+    if errors == "coerce":
+        return F.try_cast(c, "double")
+    return c.cast("double")
+
+
+def isclose(a, b, rtol: float = 1e-05, atol: float = 1e-08):
+    """cudf.isclose (numpy semantics): |a-b| <= atol + rtol*|b|,
+    null-safe (null == null → true, null vs value → false)."""
+    from pyspark.sql import functions as F
+
+    ca = a.col if hasattr(a, "col") else a
+    cb = b.col if hasattr(b, "col") else b
+    close = F.abs(ca - cb) <= (F.lit(atol) + F.lit(rtol) * F.abs(cb))
+    return F.when(ca.isNull() & cb.isNull(), F.lit(True)).otherwise(
+        F.coalesce(close, F.lit(False))
+    )
+
+
+def merge_sorted(frames: list, key: str) -> "DataFrame":
+    """cudf.merge_sorted (merge.hpp:52): union of pre-sorted frames,
+    re-keyed to the merged order (distributed sort — at scale this is a
+    range-partition shuffle, exactly how a k-way distributed merge is
+    expressed declaratively)."""
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.append(f)
+    return out.sort_values(key)
+
+
+def read_avro(filepath, spark=None, **kwargs) -> "DataFrame":
+    """cudf.read_avro (io/avro.py; jar-gated like sources.io)."""
+    from pygdf_spark.sources import io
+
+    return from_spark(io.read_avro(spark or get_spark(), filepath, **kwargs))
+
+
+# numpy-style ufuncs (cudf re-exports these as module functions over
+# columns; here each is the JVM expression, so ufunc call sites keep
+# working and stay in whole-stage codegen)
+def _col(x):
+    return x.col if hasattr(x, "col") else x
+
+
+def _ufunc1(fn):
+    def u(x):
+        return fn(_col(x))
+    return u
+
+
+def _ufunc2(fn):
+    def u(a, b):
+        from pyspark.sql import functions as F
+
+        ca, cb = _col(a), _col(b)
+        if not hasattr(cb, "cast"):
+            cb = F.lit(cb)
+        return fn(ca, cb)
+    return u
+
+
+def _init_ufuncs():
+    from pyspark.sql import functions as F
+
+    globals().update(
+        sin=_ufunc1(F.sin), cos=_ufunc1(F.cos), tan=_ufunc1(F.tan),
+        arcsin=_ufunc1(F.asin), arccos=_ufunc1(F.acos), arctan=_ufunc1(F.atan),
+        exp=_ufunc1(F.exp), log=_ufunc1(F.log), sqrt=_ufunc1(F.sqrt),
+        logical_not=_ufunc1(lambda c: ~c.cast("boolean")),
+        add=_ufunc2(lambda a, b: a + b),
+        subtract=_ufunc2(lambda a, b: a - b),
+        multiply=_ufunc2(lambda a, b: a * b),
+        true_divide=_ufunc2(lambda a, b: a / b),
+        floor_divide=_ufunc2(lambda a, b: F.floor(a / b)),
+        remainder=_ufunc2(lambda a, b: F.pmod(a, b)),
+        logical_and=_ufunc2(lambda a, b: a.cast("boolean") & b.cast("boolean")),
+        logical_or=_ufunc2(lambda a, b: a.cast("boolean") | b.cast("boolean")),
+    )
+
+
+_init_ufuncs()
+
+
+class DateOffset:
+    """cudf.DateOffset (core/tools/datetimes.py DateOffset): calendar
+    offset applied to timestamp columns — months ride add_months (true
+    calendrical arithmetic, datetime.hpp:188), sub-month units ride
+    INTERVAL arithmetic."""
+
+    def __init__(self, years: int = 0, months: int = 0, days: int = 0,
+                 hours: int = 0, minutes: int = 0, seconds: int = 0):
+        self.years, self.months, self.days = years, months, days
+        self.hours, self.minutes, self.seconds = hours, minutes, seconds
+
+    def apply(self, col):
+        from pyspark.sql import functions as F
+
+        # timestamp + make_interval does calendrical month arithmetic
+        # AND preserves the time-of-day (add_months would return DATE)
+        return _col(col) + F.make_interval(
+            F.lit(self.years), F.lit(self.months), F.lit(0), F.lit(self.days),
+            F.lit(self.hours), F.lit(self.minutes), F.lit(self.seconds),
+        )
+
+    def __radd__(self, col):
+        return self.apply(col)
+
+
+def register_dataframe_accessor(name: str):
+    """cudf.api.extensions.register_dataframe_accessor — attach a custom
+    namespace to the compat DataFrame (real implementation: a cached
+    property on the veneer class)."""
+    def deco(cls):
+        setattr(DataFrame, name, property(lambda self: cls(self)))
+        return cls
+    return deco
+
+
+def register_series_accessor(name: str):
+    def deco(cls):
+        setattr(Series, name, property(lambda self: cls(self)))
+        return cls
+    return deco
+
+
+register_index_accessor = register_series_accessor  # positional index model
+
+
+def set_allocator(*a, **k) -> None:
+    """cudf.set_allocator — RMM pool configuration; memory here is
+    executor/JVM-managed (spark.memory.*), so this is a documented
+    no-op for call-site compatibility."""
+
+
+def validate_setup() -> None:
+    """cudf.utils.gpu_utils.validate_setup — GPU probe; the engine runs
+    wherever a SparkSession can, so validation is a no-op."""
+
+
+def get_versions() -> dict:
+    import pyspark
+
+    return {"version": __version__, "pyspark": pyspark.__version__}
+
+
+class _SparkDtype:
+    """Marker dtype classes (cudf.*Dtype): carry the Spark SQL type the
+    veneer's astype() resolves."""
+
+    def __init__(self, spark_type: str):
+        self._t = spark_type
+
+    def to_spark(self) -> str:
+        return self._t
+
+    def __str__(self) -> str:
+        return self._t
+
+
+class CategoricalDtype(_SparkDtype):
+    """cudf.CategoricalDtype — no dictionary-encoded physical type in
+    the engine; carries categories/ordered metadata, data stays in its
+    natural type (label_encoding/factorize produce code views)."""
+
+    def __init__(self, categories=None, ordered: bool = False):
+        super().__init__("string")
+        self.categories = list(categories) if categories is not None else None
+        self.ordered = ordered
+
+
+class ListDtype(_SparkDtype):
+    def __init__(self, element_type: str = "string"):
+        super().__init__(f"array<{element_type}>")
+
+
+class StructDtype(_SparkDtype):
+    def __init__(self, fields: dict):
+        inner = ", ".join(f"{k}: {v}" for k, v in fields.items())
+        super().__init__(f"struct<{inner}>")
+
+
+class IntervalDtype(_SparkDtype):
+    """IntervalDtype — struct of (left, right) edges (SURVEY.md §1.2)."""
+
+    def __init__(self, subtype: str = "bigint"):
+        super().__init__(f"struct<left: {subtype}, right: {subtype}>")
+
+
+class Decimal32Dtype(_SparkDtype):
+    MAX_PRECISION = 9
+
+    def __init__(self, precision: int, scale: int = 0):
+        super().__init__(f"decimal({precision},{scale})")
+
+
+class Decimal64Dtype(_SparkDtype):
+    MAX_PRECISION = 18
+
+    def __init__(self, precision: int, scale: int = 0):
+        super().__init__(f"decimal({precision},{scale})")

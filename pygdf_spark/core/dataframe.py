@@ -106,6 +106,7 @@ class DataFrame:
     def astype(self, dtypes: dict[str, str]) -> "DataFrame":
         sdf = self._sdf
         for c, t in dtypes.items():
+            t = t.to_spark() if hasattr(t, "to_spark") else t  # cudf *Dtype markers
             sdf = sdf.withColumn(c, F.col(c).cast(t))
         return self._with(sdf)
 

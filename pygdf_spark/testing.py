@@ -107,3 +107,36 @@ def compare_query(spark, name: str, query_fn, sql: str | None, sf_dir: str) -> d
     out["ok"] = True
     out["mode"] = "exact"
     return out
+
+
+# -- cudf.testing API parity (assert_eq surface) --------------------------
+
+
+def _host(obj):
+    return obj.to_pandas() if hasattr(obj, "to_pandas") else obj
+
+
+def assert_eq(left, right, check_dtype: bool = False, **kwargs) -> None:
+    """cudf.testing.assert_eq parity: order-respecting equality of
+    frames/series/scalars (host, small-data — a TEST helper, like the
+    reference's `_utils.py:70`)."""
+    import pandas as pd
+    import pandas.testing as pdt
+
+    l, r = _host(left), _host(right)
+    if isinstance(l, pd.DataFrame) or isinstance(r, pd.DataFrame):
+        pdt.assert_frame_equal(
+            l.reset_index(drop=True), r.reset_index(drop=True),
+            check_dtype=check_dtype, **kwargs,
+        )
+    elif isinstance(l, pd.Series) or isinstance(r, pd.Series):
+        pdt.assert_series_equal(
+            l.reset_index(drop=True), r.reset_index(drop=True),
+            check_dtype=check_dtype, check_names=False, **kwargs,
+        )
+    else:
+        assert l == r, f"{l!r} != {r!r}"
+
+
+assert_frame_equal = assert_eq
+assert_series_equal = assert_eq

@@ -528,3 +528,41 @@ def test_frame_alias_surface(gdf, pdf):
     assert list(s.items())[:2] == [(0, 1), (1, 2)]
     with pytest.raises(NotImplementedError):
         s.cat
+
+
+def test_module_namespace_parity(spark):
+    import pygdf_spark as gd
+    from pygdf_spark import datasets
+    from pygdf_spark import testing as gdt
+
+    df = gd.from_pandas(pd.DataFrame({"k": ["a", "b"], "x": [1.0, 4.0]}), spark=spark)
+    assert gd.merge(df, df.rename(columns={"x": "y"}), on="k").columns == ["k", "x", "y"]
+    assert df.assign(t=gd.sqrt(df["x"])).to_pandas().t.tolist() == [1.0, 2.0]
+    assert df.assign(t=gd.add(df["x"], 1)).to_pandas().t.tolist() == [2.0, 5.0]
+    assert df[gd.isclose(df["x"], df["x"])].to_pandas().x.tolist() == [1.0, 4.0]
+    assert gd.NA is None
+    gdt.assert_eq(df, df.copy())
+    assert df.astype({"x": gd.Decimal64Dtype(10, 1)}).dtypes["x"] == "decimal(10,1)"
+    ts = datasets.timeseries(periods=4, spark=spark)
+    assert len(ts) == 4 and ts.columns == ["ts", "id", "name", "x", "y"]
+    # determinism: same seed → same frame
+    gdt.assert_eq(datasets.timeseries(periods=4, spark=spark), ts)
+
+
+def test_dateoffset_and_accessor(spark):
+    import pygdf_spark as gd
+
+    ts = gd.date_range("2020-01-31 10:00:00", 1, spark=spark)
+    got = ts.assign(t=gd.DateOffset(months=1).apply(ts["ts"])) \
+        .to_pandas().t.astype(str).tolist()
+    assert got == ["2020-02-29 10:00:00"]  # calendrical month end + time kept
+
+    @gd.register_dataframe_accessor("meta")
+    class Meta:
+        def __init__(self, df):
+            self._df = df
+
+        def width(self):
+            return len(self._df.columns)
+
+    assert ts.meta.width() == 1
