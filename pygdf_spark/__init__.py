@@ -388,3 +388,64 @@ class Decimal64Dtype(_SparkDtype):
 
     def __init__(self, precision: int, scale: int = 0):
         super().__init__(f"decimal({precision},{scale})")
+
+
+class Scalar:
+    """cudf.Scalar — host scalar with an optional dtype; unwraps to a
+    typed literal Column via .to_column() (device scalars have no analog
+    here; reductions already return host values)."""
+
+    def __init__(self, value, dtype: str | None = None):
+        self.value = value
+        self.dtype = dtype
+
+    def to_column(self):
+        from pyspark.sql import functions as F
+
+        c = F.lit(self.value)
+        return c.cast(str(self.dtype)) if self.dtype else c
+
+    def __repr__(self) -> str:
+        return f"Scalar({self.value!r}, dtype={self.dtype})"
+
+
+class Grouper:
+    """cudf.Grouper (pandas-style): named-key grouping spec accepted by
+    DataFrame.groupby."""
+
+    def __init__(self, key: str):
+        self.key = key
+
+
+def RangeIndex(start, stop=None, step: int = 1):
+    """cudf.RangeIndex — the veneer's row identity IS a positional
+    range, so RangeIndex constructs exactly builtins.range."""
+    return range(start) if stop is None else range(start, stop, step)
+
+
+def _index_stub(name: str, hint: str):
+    class _Stub:
+        def __init__(self, *a, **k):
+            raise NotImplementedError(
+                f"{name} is an index-object API; this engine models row "
+                f"identity positionally (an explicit order column). {hint}"
+            )
+    _Stub.__name__ = name
+    return _Stub
+
+
+Index = _index_stub(
+    "Index", "Use set_index(col) to order by a column, reset_index() for positions.")
+MultiIndex = _index_stub(
+    "MultiIndex", "Group keys stay as ordinary columns after groupby/agg here.")
+for _n, _hint in [
+    ("CategoricalIndex", "use label_encoding()/factorize() code views"),
+    ("DatetimeIndex", "keep timestamps as a column; .dt covers the accessors"),
+    ("IntervalIndex", "interval_range() yields (left, right) struct rows"),
+    ("TimedeltaIndex", "keep durations as µs-long columns; .dt covers components"),
+]:
+    globals()[_n] = _index_stub(_n, _hint)
+for _n in ("Int8Index", "Int16Index", "Int32Index", "Int64Index",
+           "UInt8Index", "UInt16Index", "UInt32Index", "UInt64Index",
+           "Float32Index", "Float64Index", "BaseIndex"):
+    globals()[_n] = _index_stub(_n, "typed index columns are ordinary typed columns here")

@@ -992,6 +992,8 @@ class DataFrame:
     # -- groupby (§2.4, dataframe.py:4554) -------------------------------
 
     def groupby(self, by) -> "GroupBy":
+        if hasattr(by, "key"):  # cudf.Grouper
+            by = by.key
         return GroupBy(self, [by] if isinstance(by, str) else list(by))
 
 
