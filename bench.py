@@ -62,10 +62,26 @@ def main() -> None:
     queries, _ = registry()
 
     # Warm the JVM/codegen paths on the smallest SF so per-query times
-    # measure execution, not first-run class loading.
+    # measure execution, not first-run class loading: each headline
+    # query compiles its own wholestage-codegen classes, so every one
+    # gets a tiny warm-up run (sf0.001 is ~1% of the timed data; at
+    # steady state on a cluster these classes are compiled once per
+    # executor lifetime, which is what the timed pass should reflect).
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        _force(queries["q1_pricing_summary"](spark, warm_dir))
+        for name in HEADLINE:
+            fn = queries.get(name)
+            if fn is not None:
+                try:
+                    _force(fn(spark, warm_dir))
+                except Exception:
+                    pass  # a warm-up failure must never block the timed run
+        # drop warm-up residue (persisted frames, memory-sink tables) so
+        # the timed pass starts from a clean executor heap
+        spark.catalog.clearCache()
+        for t in spark.catalog.listTables():
+            if t.tableType == "TEMPORARY" and t.name.startswith("pygdf_stream_sink"):
+                spark.catalog.dropTempView(t.name)
 
     times: dict[str, float] = {}
     for name in HEADLINE:
