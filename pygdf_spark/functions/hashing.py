@@ -32,8 +32,25 @@ def md5_u64(col) -> Column:
 
 
 def md5_mod(col, p: int = MERSENNE_P) -> Column:
-    """md5_u64 reduced mod p → LongType (fits comfortably in int64)."""
-    return (md5_u64(col) % F.lit(p)).cast("long")
+    """md5_u64 reduced mod p → LongType, in pure int64 arithmetic.
+
+    The u64 splits into 32-bit halves, v = hi·2³² + lo, and
+    v mod p = ((hi mod p)·(2³² mod p) + lo mod p) mod p — every
+    intermediate ≤ (p−1)² + p < 2⁶³ for p ≤ 2³¹−1, so no decimal
+    arithmetic is needed (this is the per-shingle hot path of the
+    MinHash pipeline; the decimal(20,0) route costs ~2× per token).
+    Identical values to (md5_u64 % p) — the DuckDB oracle mirrors
+    md5_number_lower % p exactly as before."""
+    assert p <= MERSENNE_P, "split-mod bound needs p <= 2^31-1"
+    h = F.md5(_c(col).cast("string"))
+    hi = F.conv(
+        F.concat(*[F.substring(h, i, 2) for i in (31, 29, 27, 25)]), 16, 10
+    ).cast("long")
+    lo = F.conv(
+        F.concat(*[F.substring(h, i, 2) for i in (23, 21, 19, 17)]), 16, 10
+    ).cast("long")
+    two32_mod = (1 << 32) % p
+    return ((hi % F.lit(p)) * F.lit(two32_mod) + lo % F.lit(p)) % F.lit(p)
 
 
 def hash_u64(col, fast: bool = False) -> Column:
