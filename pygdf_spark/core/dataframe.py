@@ -975,16 +975,45 @@ class DataFrame:
     # -- joins (§2.3, dataframe.py:4365) ---------------------------------
 
     def merge(self, right: "DataFrame", on=None, how: str = "inner",
-              suffixes: tuple[str, str] = ("_x", "_y")) -> "DataFrame":
+              suffixes: tuple[str, str] = ("_x", "_y"),
+              left_on=None, right_on=None, indicator: bool = False) -> "DataFrame":
         """merge (dataframe.py:4365 → core/join/join.py:60). Join
-        strategy (broadcast/shuffle/sort-merge) is Catalyst's choice."""
-        on = [on] if isinstance(on, str) else list(on)
+        strategy (broadcast/shuffle/sort-merge) is Catalyst's choice.
+        ``left_on``/``right_on`` join differently-named keys (both key
+        columns survive, as pandas); ``indicator`` adds the _merge
+        provenance column ('both'/'left_only'/'right_only')."""
+        how = {"outer": "full"}.get(how, how)
         lsdf, rsdf = self._sdf, right._sdf.drop(_RID)
-        overlap = (set(lsdf.columns) & set(rsdf.columns)) - set(on) - {_RID}
+        if left_on is not None or right_on is not None:
+            lo = [left_on] if isinstance(left_on, str) else list(left_on)
+            ro = [right_on] if isinstance(right_on, str) else list(right_on)
+            keyset = set(lo) | set(ro)
+        else:
+            on = [on] if isinstance(on, str) else list(on)
+            lo = ro = on
+            keyset = set(on)
+        overlap = (set(lsdf.columns) & set(rsdf.columns)) - keyset - {_RID}
         for c in overlap:
             lsdf = lsdf.withColumnRenamed(c, c + suffixes[0])
             rsdf = rsdf.withColumnRenamed(c, c + suffixes[1])
-        joined = lsdf.join(rsdf, on=on, how=how)
+        if indicator:
+            lsdf = lsdf.withColumn("__in_l", F.lit(1))
+            rsdf = rsdf.withColumn("__in_r", F.lit(1))
+        if lo is ro or lo == ro:
+            joined = lsdf.join(rsdf, on=lo, how=how)
+        else:
+            cond = None
+            for a, b in zip(lo, ro):
+                c = lsdf[a] == rsdf[b]
+                cond = c if cond is None else cond & c
+            joined = lsdf.join(rsdf, cond, how=how)
+        if indicator:
+            joined = joined.withColumn(
+                "_merge",
+                F.when(F.col("__in_l").isNotNull() & F.col("__in_r").isNotNull(), "both")
+                .when(F.col("__in_l").isNotNull(), "left_only")
+                .otherwise("right_only"),
+            ).drop("__in_l", "__in_r")
         if _RID not in joined.columns:  # right/outer rows lack a left rid
             joined = joined.withColumn(_RID, F.monotonically_increasing_id())
         return self._with(joined)

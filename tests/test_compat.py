@@ -566,3 +566,19 @@ def test_dateoffset_and_accessor(spark):
             return len(self._df.columns)
 
     assert ts.meta.width() == 1
+
+
+def test_merge_left_on_right_on_indicator(spark):
+    a = pd.DataFrame({"ka": ["a", "b", "c"], "x": [1, 2, 3]})
+    b = pd.DataFrame({"kb": ["a", "b", "d"], "y": [10, 20, 40]})
+    ga, gb = from_spark(spark.createDataFrame(a)), from_spark(spark.createDataFrame(b))
+    got = ga.merge(gb, left_on="ka", right_on="kb").to_pandas().sort_values("x")
+    exp = a.merge(b, left_on="ka", right_on="kb").sort_values("x")
+    assert got[["ka", "kb", "x", "y"]].values.tolist() == \
+        exp[["ka", "kb", "x", "y"]].values.tolist()
+    # outer alias + indicator provenance
+    got = ga.merge(gb, left_on="ka", right_on="kb", how="outer", indicator=True) \
+        .to_pandas().sort_values(["ka", "kb"], na_position="last")
+    exp = a.merge(b, left_on="ka", right_on="kb", how="outer", indicator=True) \
+        .sort_values(["ka", "kb"], na_position="last")
+    assert got["_merge"].tolist() == exp["_merge"].astype(str).tolist()
