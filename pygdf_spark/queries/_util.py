@@ -52,10 +52,30 @@ def dsum(col, alias: str, scale: int = 2):
     return F.sum(dec(col, scale)).cast("double").alias(alias)
 
 
+def normalize_ts(df, col: str = "ts"):
+    """Normalize the events ``ts`` column to µs TimestampType regardless
+    of the on-disk layout. The driver's testdata has shipped both
+    TIMESTAMP(NANOS) (read as long via nanosAsLong) and plain
+    timestamp[us]/timestamp_ntz — handle all three so a testdata
+    regeneration can't break every time-keyed query (round-2 lesson)."""
+    t = dict(df.dtypes).get(col)
+    if t == "bigint":
+        # integer div — double division rounds at ~1e18 ns and shifts 1 µs
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if t == "timestamp_ntz":
+        # session tz pinned to UTC, so the cast is value-identity
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def epoch_sec(col: str = "ts"):
+    """Epoch seconds from a (normalized) TimestampType column — exact
+    integer µs div, matching DuckDB ``epoch_ns(ts) // 1e9`` for the
+    post-1970 driver data."""
+    return F.expr(f"unix_micros({col}) div 1000000")
+
+
 def events_ts(spark, sf_dir: str):
-    """events table with its TIMESTAMP(NANOS) column converted to a real
-    µs TimestampType (read as long via nanosAsLong). Oracle side uses
-    CAST(ts AS TIMESTAMP) — DuckDB truncates ns→µs identically."""
-    e = T(spark, sf_dir, "events")
-    # integer div — double division rounds at ~1e18 ns and shifts 1 µs
-    return e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """events table with ``ts`` as a real µs TimestampType. Oracle side
+    uses CAST(ts AS TIMESTAMP) — DuckDB truncates ns→µs identically."""
+    return normalize_ts(T(spark, sf_dir, "events"))

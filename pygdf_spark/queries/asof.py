@@ -29,14 +29,16 @@ def asof_join_events(spark, sf_dir):
         "user_id",
         F.col("event_id").alias("click_id"),
         F.col("event_id_r").alias("purchase_id"),
-        F.col("value_r").alias("purchase_value"),
+        # output boundary: DECIMAL(12,2) → DOUBLE so the driver hasher sees
+        # the same physical type as the oracle (spark-graft-oracle-determinism)
+        F.col("value_r").cast("double").alias("purchase_value"),
     ).orderBy("user_id", "click_id")
 
 
 ASOF_JOIN_SQL = """
 SELECT c.user_id AS user_id, c.event_id AS click_id,
        p.event_id AS purchase_id,
-       CAST(p.value AS DECIMAL(12,2)) AS purchase_value
+       CAST(CAST(p.value AS DECIMAL(12,2)) AS DOUBLE) AS purchase_value
 FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
       FROM events WHERE event_type = 'click') c
 ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
@@ -64,18 +66,19 @@ def group_fill_bfill(spark, sf_dir):
     return e.select(
         "user_id",
         "event_id",
-        v.alias("v"),
-        F.last(v, ignorenulls=True).over(wf).alias("v_ffill"),
-        F.first(v, ignorenulls=True).over(wb).alias("v_bfill"),
+        # DECIMAL(12,2) → DOUBLE at the output boundary (exact at scale 2)
+        v.cast("double").alias("v"),
+        F.last(v, ignorenulls=True).over(wf).cast("double").alias("v_ffill"),
+        F.first(v, ignorenulls=True).over(wb).cast("double").alias("v_bfill"),
     ).orderBy("user_id", "event_id")
 
 
 GROUP_BFILL_SQL = """
-SELECT user_id, event_id, v,
-       LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill,
-       FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_bfill
+SELECT user_id, event_id, CAST(v AS DOUBLE) AS v,
+       CAST(LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS v_ffill,
+       CAST(FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DOUBLE) AS v_bfill
 FROM (
   SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
          CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END AS v

@@ -63,13 +63,13 @@ def reverse_tail(spark, sf_dir):
     return (
         o.orderBy(F.col("o_orderkey").desc())
         .limit(10)
-        .select("o_orderkey", "o_orderstatus", dec("o_totalprice").alias("price"))
+        .select("o_orderkey", "o_orderstatus", dec("o_totalprice").cast("double").alias("price"))
         .orderBy("o_orderkey")
     )
 
 
 REVERSE_TAIL_SQL = """
-SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+SELECT o_orderkey, o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
 FROM (SELECT * FROM orders ORDER BY o_orderkey DESC LIMIT 10)
 ORDER BY o_orderkey
 """
@@ -185,15 +185,17 @@ def hash_values_row(spark, sf_dir):
     return c.select(
         "c_custkey",
         F.md5(rowstr).alias("row_md5"),
-        md5_u64(rowstr).alias("row_hash64"),
+        # uint64 doesn't fit BIGINT and decimal(20,0) objects break the
+        # driver hasher — emit the digits as a string (exact, type-stable)
+        md5_u64(rowstr).cast("string").alias("row_hash64"),
     ).orderBy("c_custkey")
 
 
 HASH_VALUES_SQL = """
 SELECT c_custkey,
        md5(CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' || c_mktsegment) AS row_md5,
-       CAST(md5_number_lower(CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' || c_mktsegment)
-            AS DECIMAL(20,0)) AS row_hash64
+       CAST(CAST(md5_number_lower(CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' || c_mktsegment)
+            AS DECIMAL(20,0)) AS VARCHAR) AS row_hash64
 FROM customer WHERE c_custkey < 500 ORDER BY c_custkey
 """
 
@@ -227,11 +229,13 @@ def searchsorted_bounds(spark, sf_dir):
     bounds = F.array(*[F.lit(v) for v in [50000, 100000, 150000, 200000, 250000, 300000]])
     price = dec("o_totalprice")
     idx = F.size(F.filter(bounds, lambda b: b.cast("decimal(12,2)") <= price))
-    return o.select("o_orderkey", price.alias("price"), idx.alias("insert_idx")).orderBy("o_orderkey")
+    return o.select(
+        "o_orderkey", price.cast("double").alias("price"), idx.alias("insert_idx")
+    ).orderBy("o_orderkey")
 
 
 SEARCHSORTED_SQL = """
-SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
        CAST(len(list_filter([50000, 100000, 150000, 200000, 250000, 300000],
                             b -> CAST(b AS DECIMAL(12,2)) <= CAST(o_totalprice AS DECIMAL(12,2))))
             AS INT) AS insert_idx

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from pygdf_spark.queries._util import T, dec
+from pygdf_spark.queries._util import T, dec, epoch_sec, events_ts
 
 
 def dt_extract_pack(spark, sf_dir):
@@ -30,7 +30,9 @@ def dt_extract_pack(spark, sf_dir):
         F.dayofyear(d).alias("doy"),
         F.quarter(d).alias("qtr"),
         F.weekofyear(d).alias("wk"),
-        F.last_day(d).alias("month_end"),
+        # DateType → timestamp at the output boundary (date objects vs the
+        # oracle's datetime64 hash differently in the driver's compare)
+        F.last_day(d).cast("timestamp").alias("month_end"),
         (((yr % 4 == 0) & (yr % 100 != 0)) | (yr % 400 == 0)).alias("is_leap"),
     ).orderBy("o_orderkey")
 
@@ -44,7 +46,7 @@ SELECT o_orderkey,
        CAST(dayofyear(o_orderdate) AS INT) AS doy,
        CAST(quarter(o_orderdate) AS INT) AS qtr,
        CAST(weekofyear(o_orderdate) AS INT) AS wk,
-       CAST(last_day(o_orderdate) AS DATE) AS month_end,
+       CAST(CAST(last_day(o_orderdate) AS DATE) AS TIMESTAMP) AS month_end,
        (year(o_orderdate) % 4 = 0 AND year(o_orderdate) % 100 <> 0) OR year(o_orderdate) % 400 = 0 AS is_leap
 FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey
 """
@@ -57,8 +59,9 @@ def dt_arith_pack(spark, sf_dir):
     d = F.col("o_orderdate")
     return o.select(
         "o_orderkey",
-        F.add_months(d.cast("date"), 3).alias("plus3mo"),
-        F.date_add(d.cast("date"), 45).alias("plus45d"),
+        # date arithmetic in DateType, timestamp at the output boundary
+        F.add_months(d.cast("date"), 3).cast("timestamp").alias("plus3mo"),
+        F.date_add(d.cast("date"), 45).cast("timestamp").alias("plus45d"),
         F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias("days_since_epoch_start"),
         F.date_trunc("month", d).alias("month_start"),
         F.date_format(d, "yyyy-MM").alias("ym"),
@@ -68,8 +71,8 @@ def dt_arith_pack(spark, sf_dir):
 
 DT_ARITH_SQL = """
 SELECT o_orderkey,
-       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3mo,
-       CAST(CAST(o_orderdate AS DATE) + INTERVAL 45 DAY AS DATE) AS plus45d,
+       CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS TIMESTAMP) AS plus3mo,
+       CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 45 DAY AS DATE) AS TIMESTAMP) AS plus45d,
        CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch_start,
        date_trunc('month', o_orderdate) AS month_start,
        strftime(o_orderdate, '%Y-%m') AS ym,
@@ -81,8 +84,8 @@ FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey
 def dt_epoch_pack(spark, sf_dir):
     """epoch conversions (timestamp↔unix seconds) on the nanos events
     table via the engine's ns→µs discipline."""
-    e = T(spark, sf_dir, "events")
-    ts_sec = F.expr("ts div 1000000000")
+    e = events_ts(spark, sf_dir)
+    ts_sec = epoch_sec("ts")
     back = F.timestamp_seconds(ts_sec)
     return (
         e.select("event_id", ts_sec.alias("ts_sec"), back.alias("ts_floor"))
@@ -93,11 +96,14 @@ def dt_epoch_pack(spark, sf_dir):
 
 
 DT_EPOCH_SQL = """
-SELECT event_id, epoch_ns(ts) // 1000000000 AS ts_sec,
-       to_timestamp(epoch_ns(ts) // 1000000000) AS ts_floor,
-       CAST(hour(to_timestamp(epoch_ns(ts) // 1000000000)) AS INT) AS hour_of_day,
-       CAST(minute(to_timestamp(epoch_ns(ts) // 1000000000)) AS INT) AS minute_of_hour
-FROM events ORDER BY event_id
+-- tz-free reconstruction (to_timestamp returns TIMESTAMPTZ, whose cast
+-- to naive depends on the session zone — epoch arithmetic does not)
+SELECT event_id, ts_sec,
+       TIMESTAMP '1970-01-01' + ts_sec * INTERVAL 1 SECOND AS ts_floor,
+       CAST(hour(TIMESTAMP '1970-01-01' + ts_sec * INTERVAL 1 SECOND) AS INT) AS hour_of_day,
+       CAST(minute(TIMESTAMP '1970-01-01' + ts_sec * INTERVAL 1 SECOND) AS INT) AS minute_of_hour
+FROM (SELECT event_id, epoch_ns(ts) // 1000000000 AS ts_sec FROM events)
+ORDER BY event_id
 """
 
 

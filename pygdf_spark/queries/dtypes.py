@@ -28,10 +28,13 @@ def cast_matrix_pack(spark, sf_dir):
         k.cast("double").alias("as_f64"),
         k.cast("string").alias("as_str"),
         (k % 2 == 0).cast("int").alias("bool_as_int"),
-        F.col("o_totalprice").cast("decimal(18,4)").alias("as_dec18_4"),
+        # the decimal/date casts are the exercised semantics; the OUTPUT
+        # boundary re-casts to double/bigint/timestamp so the driver
+        # hasher never sees Decimal/date objects
+        F.col("o_totalprice").cast("decimal(18,4)").cast("double").alias("as_dec18_4"),
         # UINT64 widening rule: value reinterpreted into decimal(20,0)
-        k.cast("decimal(20,0)").alias("u64_as_dec20"),
-        F.col("o_orderdate").cast("date").alias("ts_as_date"),
+        k.cast("decimal(20,0)").cast("long").alias("u64_as_dec20"),
+        F.col("o_orderdate").cast("date").cast("timestamp").alias("ts_as_date"),
         F.col("o_orderdate").cast("date").cast("timestamp").alias("date_as_ts"),
         F.concat(F.lit("4"), (k % 10).cast("string")).cast("long").alias("str_as_i64"),
     ).orderBy("o_orderkey")
@@ -45,9 +48,9 @@ SELECT o_orderkey,
        CAST(o_orderkey AS DOUBLE) AS as_f64,
        CAST(o_orderkey AS VARCHAR) AS as_str,
        CAST(o_orderkey % 2 = 0 AS INT) AS bool_as_int,
-       CAST(o_totalprice AS DECIMAL(18,4)) AS as_dec18_4,
-       CAST(o_orderkey AS DECIMAL(20,0)) AS u64_as_dec20,
-       CAST(o_orderdate AS DATE) AS ts_as_date,
+       CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS as_dec18_4,
+       CAST(CAST(o_orderkey AS DECIMAL(20,0)) AS BIGINT) AS u64_as_dec20,
+       CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS ts_as_date,
        CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS date_as_ts,
        CAST('4' || CAST(o_orderkey % 10 AS VARCHAR) AS BIGINT) AS str_as_i64
 FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey
@@ -66,25 +69,27 @@ def decimal_arith_pack(spark, sf_dir):
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        p.alias("price"),
-        (p + p).cast("decimal(13,2)").alias("dec_add"),
-        (p * d).cast("decimal(16,5)").alias("dec_mul"),
+        # arithmetic stays in exact fixed-point; one double cast at the
+        # output boundary (all results ≤1e13 at scale ≤8: double-exact)
+        p.cast("double").alias("price"),
+        (p + p).cast("decimal(13,2)").cast("double").alias("dec_add"),
+        (p * d).cast("decimal(16,5)").cast("double").alias("dec_mul"),
         (p * (F.lit(1).cast("decimal(2,0)") - d) * (F.lit(1).cast("decimal(2,0)") + t))
-        .cast("decimal(18,8)").alias("dec_chain"),
-        (p / F.lit(4).cast("decimal(2,0)")).cast("decimal(16,6)").alias("dec_div"),
-        F.round(p * d, 2).cast("decimal(14,2)").alias("dec_round"),
+        .cast("decimal(18,8)").cast("double").alias("dec_chain"),
+        (p / F.lit(4).cast("decimal(2,0)")).cast("decimal(16,6)").cast("double").alias("dec_div"),
+        F.round(p * d, 2).cast("decimal(14,2)").cast("double").alias("dec_round"),
     ).orderBy("l_orderkey", "l_linenumber")
 
 
 DECIMAL_ARITH_SQL = """
 SELECT l_orderkey, l_linenumber,
-       CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
-       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) + CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(13,2)) AS dec_add,
-       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,3)) AS DECIMAL(16,5)) AS dec_mul,
-       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,3)))
-            * (1 + CAST(l_tax AS DECIMAL(4,3))) AS DECIMAL(18,8)) AS dec_chain,
-       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) / 4 AS DECIMAL(16,6)) AS dec_div,
-       CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,3)), 2) AS DECIMAL(14,2)) AS dec_round
+       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+       CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) + CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(13,2)) AS DOUBLE) AS dec_add,
+       CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,3)) AS DECIMAL(16,5)) AS DOUBLE) AS dec_mul,
+       CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,3)))
+            * (1 + CAST(l_tax AS DECIMAL(4,3))) AS DECIMAL(18,8)) AS DOUBLE) AS dec_chain,
+       CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) / 4 AS DECIMAL(16,6)) AS DOUBLE) AS dec_div,
+       CAST(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,3)), 2) AS DECIMAL(14,2)) AS DOUBLE) AS dec_round
 FROM lineitem WHERE l_orderkey < 2000 ORDER BY l_orderkey, l_linenumber
 """
 

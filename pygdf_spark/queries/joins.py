@@ -210,7 +210,7 @@ def join_nullsafe(spark, sf_dir):
 
 
 JOIN_NULLSAFE_SQL = """
-SELECT COUNT(*) AS n_pairs, SUM(id1 + id2) AS id_sum
+SELECT COUNT(*) AS n_pairs, CAST(SUM(id1 + id2) AS BIGINT) AS id_sum
 FROM (SELECT NULLIF(n_regionkey, 2) AS k1, n_nationkey AS id1 FROM nation) a
 JOIN (SELECT NULLIF(n_regionkey, 2) AS k2, n_nationkey AS id2 FROM nation) b
 ON a.k1 IS NOT DISTINCT FROM b.k2

@@ -37,8 +37,8 @@ def dedup_exact_hash(spark, sf_dir):
 
 
 DEDUP_EXACT_SQL = r"""
-SELECT COUNT(*) AS n_groups, SUM(n_copies) AS n_docs,
-       SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
+SELECT COUNT(*) AS n_groups, CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
        MIN(keep_doc) AS first_doc
 FROM (
   SELECT md5(LOWER(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,

@@ -45,7 +45,7 @@ def transpose_small(spark, sf_dir):
 TRANSPOSE_SQL = """
 WITH agg AS (
   SELECT l_returnflag,
-         SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS price_cents,
          COUNT(*) AS n
   FROM lineitem GROUP BY l_returnflag

@@ -206,21 +206,24 @@ def rounding_pack(spark, sf_dir):
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(x, 1).cast("decimal(12,1)").alias("round_half_up_1"),
-        F.bround(x, 1).cast("decimal(12,1)").alias("round_half_even_1"),
-        F.round(x, 0).cast("decimal(12,0)").alias("round_half_up_0"),
-        F.round(x, -2).cast("decimal(12,0)").alias("round_hundreds"),
+        # rounding happens in exact decimal; the output boundary is DOUBLE
+        # (scale ≤1 values are double-exact) so the driver hasher never
+        # sees Decimal objects (spark-graft-oracle-determinism)
+        F.round(x, 1).cast("decimal(12,1)").cast("double").alias("round_half_up_1"),
+        F.bround(x, 1).cast("decimal(12,1)").cast("double").alias("round_half_even_1"),
+        F.round(x, 0).cast("decimal(12,0)").cast("double").alias("round_half_up_0"),
+        F.round(x, -2).cast("decimal(12,0)").cast("double").alias("round_hundreds"),
     ).orderBy("l_orderkey", "l_linenumber")
 
 
 ROUNDING_SQL = """
 SELECT l_orderkey, l_linenumber,
-       CAST(ROUND(x, 1) AS DECIMAL(12,1)) AS round_half_up_1,
-       CAST(CAST(tenths + (CASE WHEN rem > 5 THEN 1 WHEN rem < 5 THEN 0
+       CAST(CAST(ROUND(x, 1) AS DECIMAL(12,1)) AS DOUBLE) AS round_half_up_1,
+       CAST(CAST(CAST(tenths + (CASE WHEN rem > 5 THEN 1 WHEN rem < 5 THEN 0
                                 ELSE tenths % 2 END) AS DECIMAL(12,0)) / 10 AS DECIMAL(12,1))
-         AS round_half_even_1,
-       CAST(ROUND(x, 0) AS DECIMAL(12,0)) AS round_half_up_0,
-       CAST(ROUND(x, -2) AS DECIMAL(12,0)) AS round_hundreds
+         AS DOUBLE) AS round_half_even_1,
+       CAST(CAST(ROUND(x, 0) AS DECIMAL(12,0)) AS DOUBLE) AS round_half_up_0,
+       CAST(CAST(ROUND(x, -2) AS DECIMAL(12,0)) AS DOUBLE) AS round_hundreds
 FROM (
   SELECT *,
          CAST(l_extendedprice AS DECIMAL(12,2)) AS x,

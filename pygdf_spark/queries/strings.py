@@ -194,7 +194,7 @@ def str_json_pack(spark, sf_dir):
 
 STR_JSON_SQL = """
 SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
-       COUNT(*) AS n, SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+       COUNT(*) AS n, CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
 FROM events GROUP BY 1 ORDER BY k_mod
 """
 

@@ -154,7 +154,7 @@ def udf_grouped_agg_cents(spark, sf_dir):
 
 UDF_GROUPED_AGG_SQL = """
 SELECT l_returnflag,
-       SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS cents_sum,
+       CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents_sum,
        COUNT(*) AS n
 FROM lineitem WHERE l_orderkey < 5000 GROUP BY l_returnflag ORDER BY l_returnflag
 """

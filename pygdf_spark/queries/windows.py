@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from pygdf_spark.queries._util import T, dec, events_ts
+from pygdf_spark.queries._util import T, dec, epoch_sec, events_ts
 
 
 def win_group_cumsum(spark, sf_dir):
@@ -144,7 +144,7 @@ def win_rolling_time(spark, sf_dir):
     """time-range rolling (grouped_time_range_rolling_window
     rolling.hpp:350): events per user over a trailing 1-hour range frame
     keyed on integer epoch seconds."""
-    e = T(spark, sf_dir, "events").withColumn("ts_sec", F.expr("ts div 1000000000"))
+    e = events_ts(spark, sf_dir).withColumn("ts_sec", epoch_sec("ts"))
     w = Window.partitionBy("user_id").orderBy("ts_sec").rangeBetween(-3600, 0)
     return e.select(
         "user_id",

@@ -50,7 +50,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from pygdf_spark.queries._util import normalize_ts
+
+    return normalize_ts(sdf)
 
 
 def tumbling_counts(events: DataFrame) -> DataFrame:
