@@ -1014,8 +1014,16 @@ class DataFrame:
                 .when(F.col("__in_l").isNotNull(), "left_only")
                 .otherwise("right_only"),
             ).drop("__in_l", "__in_r")
-        if _RID not in joined.columns:  # right/outer rows lack a left rid
-            joined = joined.withColumn(_RID, F.monotonically_increasing_id())
+        # full/right joins emit right-only rows with a NULL left rid; every
+        # order-sensitive op downstream (to_pandas, keep=first, head) would
+        # see tied null keys. Backfill with unique ids offset past any left
+        # rid (monotonically_increasing_id < 2^50 on realistic partition
+        # counts, so 2^62 + id cannot collide or overflow) — pandas also
+        # orders right-only rows after all left rows.
+        joined = joined.withColumn(
+            _RID,
+            F.coalesce(F.col(_RID), F.lit(1 << 62) + F.monotonically_increasing_id()),
+        )
         return self._with(joined)
 
     # -- groupby (§2.4, dataframe.py:4554) -------------------------------

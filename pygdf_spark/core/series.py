@@ -27,6 +27,20 @@ class StrAccessor:
     def __init__(self, col: Column):
         self._c = col
 
+    @staticmethod
+    def _n_to_limit(n: int) -> int:
+        """pandas/cuDF ``n`` = max number of SPLITS (n splits → n+1
+        pieces; n ≤ 0 means all), Spark's split ``limit`` = max PIECE
+        count. ``s.str.rsplit(' ', 2)`` on 'a b c' must give
+        ['a','b','c'], not ['a b','c']."""
+        return n + 1 if n > 0 else -1
+
+    def split(self, pat: str = r"\s+", n: int = -1, **_kw) -> Column:
+        return _str.split(self._c, pat, self._n_to_limit(n))
+
+    def rsplit(self, pat: str = " ", n: int = -1, **_kw) -> Column:
+        return _str.rsplit(self._c, pat, self._n_to_limit(n))
+
     def __getattr__(self, name: str):
         fn = getattr(_str, name, None) or getattr(_str, name + "_", None)
         if fn is None:

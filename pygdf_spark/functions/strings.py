@@ -189,8 +189,10 @@ def zfill(col, width: int) -> Column:
 
 
 def center(col, width: int, fillchar: str = " ") -> Column:
-    """str.center (string.py:2838; padding.hpp:64 side=BOTH) — extra
-    fill char goes to the right, matching pandas."""
+    """str.center (string.py:2838; padding.hpp:64 side=BOTH) — an odd
+    margin's extra fill char goes LEFT when the target width is also
+    odd, else right: left = margin//2 + (margin & width & 1), matching
+    CPython's str.center (which pandas follows)."""
     return pad(col, width, "both", fillchar)
 
 

@@ -27,7 +27,17 @@ from pyspark.sql import functions as F
 def global_row_number(
     df: DataFrame, keys: list, rn_col: str = "rn", num_partitions: int | None = None
 ) -> DataFrame:
-    """Scalable ``row_number() over (order by *keys)`` (1-based)."""
+    """Scalable ``row_number() over (order by *keys)`` (1-based).
+
+    NOTE: the repartitioned intermediate stays persisted for the
+    lifetime of the returned plan (required — see below: the offset
+    collect and every downstream execution must observe the same
+    sampled range boundaries). Callers running many independent
+    row-number jobs in one session should materialize the result
+    (write/localCheckpoint) and then ``spark.catalog.clearCache()`` or
+    unpersist via ``df.sparkSession.catalog`` to release the cached
+    partitions; at 100 TB the equivalent step is writing the numbered
+    intermediate to storage."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parted = df.repartitionByRange(n, *keys).withColumn(
         "__pid", F.spark_partition_id()

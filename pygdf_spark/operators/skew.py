@@ -35,7 +35,20 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join on ``key`` with the hot-key shuffle fanned out n ways.
     ``salt_from`` is any left column making rows (nearly) unique —
-    its hash spreads one key's rows uniformly over the salt domain."""
+    its hash spreads one key's rows uniformly over the salt domain.
+
+    Only left-preserving joins are allowed: the right side is
+    replicated n_salt×, so 'right'/'full' would emit every unmatched
+    right row n_salt times (duplicates)."""
+    allowed = {
+        "inner", "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti",
+    }
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the replicated right side "
+            f"duplicates unmatched right rows; use one of {sorted(allowed)}"
+        )
     l = left.withColumn("__salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salt)))
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("__salt")
     r = right.select("*", salts)

@@ -582,3 +582,20 @@ def test_merge_left_on_right_on_indicator(spark):
     exp = a.merge(b, left_on="ka", right_on="kb", how="outer", indicator=True) \
         .sort_values(["ka", "kb"], na_position="last")
     assert got["_merge"].tolist() == exp["_merge"].astype(str).tolist()
+
+
+def test_merge_outer_rid_backfill(spark):
+    """full-join right-only rows must get real (non-null) row ids so
+    order-sensitive ops downstream are deterministic (round-2 advisory:
+    the old column-presence check never fired and left NULL rids)."""
+    a = pd.DataFrame({"k": ["a", "b"], "x": [1, 2]})
+    b = pd.DataFrame({"k": ["b", "c", "d"], "y": [20, 30, 40]})
+    ga, gb = from_spark(spark.createDataFrame(a)), from_spark(spark.createDataFrame(b))
+    merged = ga.merge(gb, on="k", how="outer")
+    # rid column is non-null everywhere (internal check via the raw sdf)
+    assert merged._sdf.filter(merged._sdf["__row_id"].isNull()).count() == 0
+    # left rows order before right-only rows, and ops relying on row
+    # order (head, drop_duplicates keep=first) run without ties
+    head = merged.to_pandas()
+    assert set(head["k"]) == {"a", "b", "c", "d"}
+    assert list(head["k"][:2]) == ["a", "b"]  # left block keeps left order

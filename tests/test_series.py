@@ -96,6 +96,29 @@ def test_str_rsplit_family(gdf, pdf):
     assert int(got.loc["Hello World", "n_ch"]) == len("Hello World")
 
 
+def test_str_split_n_semantics(spark):
+    """pandas/cuDF n = max SPLITS (n+1 pieces), not Spark's max-piece
+    limit — distinguishable only with ≥2 separators (round-2 advisory)."""
+    import pandas as pd
+
+    import pygdf_spark as gd
+
+    pdf = pd.DataFrame({"s": ["a b c", "x y z w", "solo"]})
+    gdf = gd.DataFrame.from_pandas(spark, pdf)
+    got = gdf.assign(
+        sp1=gdf["s"].str.split(" ", 1),
+        rs1=gdf["s"].str.rsplit(" ", 1),
+        sp_all=gdf["s"].str.split(" "),
+        rs0=gdf["s"].str.rsplit(" ", 0),
+    ).to_pandas().set_index("s")
+    for s in pdf["s"]:
+        assert list(got.loc[s, "sp1"]) == s.split(" ", 1)
+        assert list(got.loc[s, "rs1"]) == s.rsplit(" ", 1)
+        assert list(got.loc[s, "sp_all"]) == s.split(" ")
+        # pandas: n=0 means all splits
+        assert list(got.loc[s, "rs0"]) == s.rsplit(" ")
+
+
 def test_str_istimestamp_detokenize(spark):
     from pyspark.sql import functions as F
 
