@@ -98,6 +98,112 @@ class ListAccessor:
         return F.concat(self._c, other)
 
 
+class CatAccessor:
+    """cuDF CategoricalAccessor (core/column/categorical.py:56,
+    core/dtypes.py:29) over the engine's dictionary-as-dim-table
+    convention: the column stays a plain value column; the category
+    list (the "dictionary") is a bounded, sorted domain and the codes
+    are positions in it.
+
+    A categorical dtype is by definition low-cardinality, so the
+    category list materializes driver-side — guarded by
+    ``MAX_CATEGORIES`` so a 100 TB user can't silently funnel a
+    billion-value domain through the driver (use
+    ``factorize``/``label_encoding``'s distributed code views for
+    unbounded domains).
+
+    Methods that change the dictionary (``add/remove/set/
+    reorder_categories``, ``as_ordered``) return a NEW accessor
+    carrying the updated dictionary; ``column`` exposes the (possibly
+    re-nulled) value expression and ``codes`` the position expression
+    for assignment back into a frame.
+    """
+
+    MAX_CATEGORIES = 65536
+
+    def __init__(self, series, categories: list | None = None, ordered: bool = False):
+        self._s = series
+        self._explicit = categories
+        self._ordered = ordered
+
+    # -- dictionary ----------------------------------------------------
+    def _derived(self) -> list:
+        name = self._s._name
+        sdf = self._s._parent._sdf
+        rows = (
+            sdf.select(name).where(F.col(name).isNotNull()).distinct()
+            .limit(self.MAX_CATEGORIES + 1).collect()
+        )
+        if len(rows) > self.MAX_CATEGORIES:
+            raise ValueError(
+                f".cat: column {name!r} has more than {self.MAX_CATEGORIES} "
+                "distinct values — not a categorical domain; use "
+                "factorize()/label_encoding() for distributed code views"
+            )
+        return sorted(r[0] for r in rows)
+
+    @property
+    def categories(self) -> list:
+        return list(self._explicit) if self._explicit is not None else self._derived()
+
+    @property
+    def ordered(self) -> bool:
+        return self._ordered
+
+    # -- views ---------------------------------------------------------
+    @property
+    def column(self) -> Column:
+        """The value column with out-of-dictionary values nulled (the
+        decategorize-safe view)."""
+        c = self._s.col
+        if self._explicit is None:
+            return c
+        return F.when(c.isin(list(self._explicit)), c)
+
+    @property
+    def codes(self) -> Column:
+        """Position of each value in the category list; −1 for nulls
+        and out-of-dictionary values (pandas sentinel)."""
+        cats = self.categories
+        c = self._s.col
+        arr = F.array(*[F.lit(v) for v in cats])
+        # array_position is 1-based and 0 when absent → subtract 1
+        return (F.coalesce(F.array_position(arr, c), F.lit(0)) - 1).cast("int")
+
+    # -- dictionary edits (each returns a new accessor) ----------------
+    def as_ordered(self) -> "CatAccessor":
+        return CatAccessor(self._s, self._explicit or self.categories, True)
+
+    def as_unordered(self) -> "CatAccessor":
+        return CatAccessor(self._s, self._explicit or self.categories, False)
+
+    def add_categories(self, new) -> "CatAccessor":
+        new = [new] if not isinstance(new, (list, tuple)) else list(new)
+        cats = self.categories
+        dup = set(new) & set(cats)
+        if dup:
+            raise ValueError(f"new categories must not include old categories: {sorted(dup)}")
+        return CatAccessor(self._s, cats + new, self._ordered)
+
+    def remove_categories(self, removals) -> "CatAccessor":
+        removals = [removals] if not isinstance(removals, (list, tuple)) else list(removals)
+        cats = self.categories
+        missing = set(removals) - set(cats)
+        if missing:
+            raise ValueError(f"removals must all be in old categories: {sorted(missing)}")
+        return CatAccessor(self._s, [c for c in cats if c not in set(removals)], self._ordered)
+
+    def set_categories(self, new, ordered: bool = False) -> "CatAccessor":
+        return CatAccessor(self._s, list(new), ordered)
+
+    def reorder_categories(self, new, ordered: bool = False) -> "CatAccessor":
+        if set(new) != set(self.categories):
+            raise ValueError(
+                "items in new_categories are not the same as in old categories"
+            )
+        return CatAccessor(self._s, list(new), ordered)
+
+
 class StructAccessor:
     """cuDF .struct accessor (core/column/struct.py)."""
 
@@ -913,10 +1019,10 @@ def _extend_series_aliases():
 
     @property
     def cat(self):
-        raise NotImplementedError(
-            "categorical dtype is not materialized; use label_encoding()/"
-            "factorize() for code views, one_hot_encoding() for dummies"
-        )
+        """CategoricalAccessor (categorical.py:56) — dictionary-as-
+        dim-table: categories/codes/add/remove/set/reorder/as_ordered
+        over a bounded, driver-guarded domain."""
+        return CatAccessor(self)
 
     def argsort(self, ascending: bool = True) -> list:
         return self._frame().argsort(self._name, ascending=ascending)

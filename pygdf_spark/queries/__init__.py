@@ -58,11 +58,11 @@ _PRIORITY = [
     # reshape + copying/hashing
     "reshape_explode", "reshape_factorize", "take_slice_split",
     "hash_values_row", "searchsorted_bounds",
-    # strings / datetimes / scalar math / dtypes
-    "str_basic_pack", "str_regex_pack", "str_json_pack",
+    # strings / datetimes / scalar math / dtypes (+ categorical accessor)
+    "str_basic_pack", "str_json_pack",
     "dt_extract_pack", "dt_arith_pack",
     "unary_math_pack", "binary_ops_pack", "rounding_pack",
-    "cast_matrix_pack", "decimal_arith_pack",
+    "cast_matrix_pack", "decimal_arith_pack", "cat_accessor",
     # lists / structs
     "list_ops_pack", "struct_pack",
     # text analysis + NLP

@@ -172,6 +172,55 @@ GROUP BY 1, 2 ORDER BY "left"
 """
 
 
+def cat_accessor(spark, sf_dir):
+    """CategoricalAccessor (core/column/categorical.py:56,
+    core/dtypes.py:29) through the compat veneer: derived sorted
+    categories, per-row codes, decode roundtrip, and an add_categories
+    dictionary edit — all over the bounded o_orderpriority domain."""
+    from pygdf_spark.core.dataframe import from_spark
+
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    g = from_spark(o)
+    acc = g["o_orderpriority"].cat
+    cats = acc.categories
+    widened = acc.add_categories(["9-UNKNOWN"])
+    arr = F.array(*[F.lit(v) for v in cats])
+    return (
+        g._sdf.select(
+            "o_orderkey",
+            "o_orderpriority",
+            acc.codes.alias("code"),
+            F.element_at(arr, acc.codes + 1).alias("decoded"),
+            F.lit(len(cats)).cast("int").alias("n_cats"),
+            # the widened dictionary shifts no existing codes (append-only)
+            widened.codes.alias("code_widened"),
+            F.lit(len(widened.categories)).cast("int").alias("n_cats_widened"),
+        ).orderBy("o_orderkey")
+    )
+
+
+CAT_ACCESSOR_SQL = """
+WITH cats AS (
+  SELECT o_orderpriority AS cat,
+         ROW_NUMBER() OVER (ORDER BY o_orderpriority) - 1 AS code
+  FROM (SELECT DISTINCT o_orderpriority FROM orders WHERE o_orderkey < 2000)
+), n AS (SELECT COUNT(*) AS n_cats FROM cats)
+SELECT o.o_orderkey, o.o_orderpriority,
+       CAST(c.code AS INT) AS code,
+       c.cat AS decoded,
+       CAST(n.n_cats AS INT) AS n_cats,
+       CAST(c.code AS INT) AS code_widened,
+       CAST(n.n_cats + 1 AS INT) AS n_cats_widened
+FROM orders o JOIN cats c ON o.o_orderpriority = c.cat CROSS JOIN n
+WHERE o.o_orderkey < 2000
+ORDER BY o.o_orderkey
+"""
+
+
 def byte_cast_pack(spark, sf_dir):
     """byte_cast (reshape.hpp:95): reinterpret fixed-width values as
     their byte lists, big- and little-endian, plus the i32 view — pure
@@ -216,10 +265,12 @@ QUERIES = {
     "cast_matrix_pack": cast_matrix_pack,
     "decimal_arith_pack": decimal_arith_pack,
     "dict_encode_decode": dict_encode_decode,
+    "cat_accessor": cat_accessor,
     "byte_cast_pack": byte_cast_pack,
 }
 
 ORACLE = {
+    "cat_accessor": CAT_ACCESSOR_SQL,
     "interval_range_ops": INTERVAL_RANGE_SQL,
     "cast_matrix_pack": CAST_MATRIX_SQL,
     "decimal_arith_pack": DECIMAL_ARITH_SQL,

@@ -96,6 +96,46 @@ def test_str_rsplit_family(gdf, pdf):
     assert int(got.loc["Hello World", "n_ch"]) == len("Hello World")
 
 
+def test_cat_accessor(spark):
+    """CategoricalAccessor vs pandas (reference semantics:
+    core/column/categorical.py:56, tests/test_categorical.py)."""
+    import pandas as pd
+
+    import pygdf_spark as gd
+
+    pdf = pd.DataFrame({"v": ["b", "a", "c", "a", None, "b"]})
+    gdf = gd.DataFrame.from_pandas(spark, pdf)
+    acc = gdf["v"].cat
+    pcat = pdf["v"].astype("category")
+
+    assert acc.categories == list(pcat.cat.categories)
+    assert acc.ordered is False and acc.as_ordered().ordered is True
+    got = gdf.assign(code=acc.codes).to_pandas()
+    assert list(got["code"]) == list(pcat.cat.codes)
+
+    # add/remove/set/reorder dictionary edits
+    added = acc.add_categories(["z"])
+    assert added.categories == ["a", "b", "c", "z"]
+    with pytest.raises(ValueError):
+        acc.add_categories(["a"])
+    removed = acc.remove_categories(["b"])
+    assert removed.categories == ["a", "c"]
+    got = gdf.assign(v2=removed.column, code2=removed.codes).to_pandas()
+    prem = pcat.cat.remove_categories(["b"])
+    assert [v if pd.notna(v) else None for v in prem] == \
+        [v if pd.notna(v) else None for v in got["v2"]]
+    assert list(got["code2"]) == list(prem.cat.codes)
+    with pytest.raises(ValueError):
+        acc.remove_categories(["nope"])
+    re = acc.reorder_categories(["c", "b", "a"], ordered=True)
+    assert re.categories == ["c", "b", "a"] and re.ordered is True
+    with pytest.raises(ValueError):
+        acc.reorder_categories(["c", "b"])
+    got = gdf.assign(code3=acc.set_categories(["b", "c"]).codes).to_pandas()
+    pset = pcat.cat.set_categories(["b", "c"])
+    assert list(got["code3"]) == list(pset.cat.codes)
+
+
 def test_str_split_n_semantics(spark):
     """pandas/cuDF n = max SPLITS (n+1 pieces), not Spark's max-piece
     limit — distinguishable only with ≥2 separators (round-2 advisory)."""
