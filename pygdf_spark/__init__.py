@@ -436,8 +436,9 @@ def _index_stub(name: str, hint: str):
 
 Index = _index_stub(
     "Index", "Use set_index(col) to order by a column, reset_index() for positions.")
-MultiIndex = _index_stub(
-    "MultiIndex", "Group keys stay as ordinary columns after groupby/agg here.")
+# MultiIndex: real minimal implementation (column-label half) — the row
+# half keeps the group-keys-stay-columns convention.
+from pygdf_spark.core.multiindex import MultiIndex  # noqa: E402,F401
 for _n, _hint in [
     ("CategoricalIndex", "use label_encoding()/factorize() code views"),
     ("DatetimeIndex", "keep timestamps as a column; .dt covers the accessors"),

@@ -59,6 +59,28 @@ class DataFrame:
     def columns(self) -> list[str]:
         return [c for c in self._sdf.columns if c != _RID]
 
+    @columns.setter
+    def columns(self, new) -> None:
+        """``df.columns = [...]`` — the pandas rename-in-place idiom
+        (including the MultiIndex flatten: tuples join on '_')."""
+        old = self.columns
+        new = list(new)
+        assert len(new) == len(old), f"expected {len(old)} labels, got {len(new)}"
+        names = [
+            "_".join(str(p) for p in c if p != "") if isinstance(c, tuple) else c
+            for c in new
+        ]
+        self._sdf = self._sdf.withColumnsRenamed(dict(zip(old, names)))
+        self._col_tuples = None
+
+    @property
+    def columns_tuples(self):
+        """Multi-level column labels (a core.multiindex.MultiIndex) when
+        the frame came from a multi-agg groupby/pivot, else None. The
+        physical Spark columns stay flat — this is the label view cuDF
+        code reads via ``out.columns`` after ``agg({col: [fns]})``."""
+        return getattr(self, "_col_tuples", None)
+
     def _with(self, sdf: SDF) -> "DataFrame":
         return DataFrame(sdf)
 
@@ -78,15 +100,31 @@ class DataFrame:
 
     # -- selection / projection (dataframe.py __getitem__/assign) -------
 
+    def _flat_name(self, key) -> str:
+        """Resolve a (col, fn)-style tuple label against the frame's
+        multi-level column labels (or the physical name convention)."""
+        mi = self.columns_tuples
+        if mi is not None and tuple(key) in mi:
+            return self.columns[list(mi).index(tuple(key))]
+        joined = "_".join(str(p) for p in key if p != "")
+        if joined in self.columns:
+            return joined
+        raise KeyError(f"no column labelled {tuple(key)!r}")
+
     def __getitem__(self, key):
         if isinstance(key, str):
             from pygdf_spark.core.series import Series
 
             return Series(self, key)
+        if isinstance(key, tuple):  # multi-level column label
+            from pygdf_spark.core.series import Series
+
+            return Series(self, self._flat_name(key))
         if isinstance(key, Column):  # boolean-mask filter
             return self._with(self._sdf.filter(key))
         if isinstance(key, Iterable):
-            return self._with(self._sdf.select(_RID, *list(key)))
+            cols = [self._flat_name(c) if isinstance(c, tuple) else c for c in key]
+            return self._with(self._sdf.select(_RID, *cols))
         raise TypeError(f"unsupported key {key!r}")
 
     def assign(self, **kwargs) -> "DataFrame":
@@ -1099,17 +1137,30 @@ class GroupBy:
         self._keys = keys
 
     def agg(self, spec) -> DataFrame:
-        exprs = []
+        exprs, labels = [], []
         if isinstance(spec, str):
             spec = {c: spec for c in self._df.columns if c not in self._keys}
+        multi = isinstance(spec, dict) and any(
+            not isinstance(fns, str) for fns in spec.values()
+        )
         if isinstance(spec, dict):
             for col, fns in spec.items():
                 for fn in [fns] if isinstance(fns, str) else fns:
                     exprs.append(_AGG_MAP[fn](col).alias(f"{fn}_{col}"))
+                    labels.append((col, fn))
         else:
             raise TypeError("agg spec must be str or dict")
         out = self._df._sdf.groupBy(*self._keys).agg(*exprs)
-        return DataFrame(out.withColumn(_RID, F.monotonically_increasing_id()))
+        res = DataFrame(out.withColumn(_RID, F.monotonically_increasing_id()))
+        if multi:
+            # cuDF returns two-level column labels for list-valued specs
+            # (core/multiindex.py); keys carry an empty second level
+            from pygdf_spark.core.multiindex import MultiIndex
+
+            res._col_tuples = MultiIndex(
+                [(k, "") for k in self._keys] + labels
+            )
+        return res
 
     def size(self) -> DataFrame:
         out = self._df._sdf.groupBy(*self._keys).agg(F.count(F.lit(1)).alias("size"))

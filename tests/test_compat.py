@@ -584,6 +584,52 @@ def test_merge_left_on_right_on_indicator(spark):
     assert got["_merge"].tolist() == exp["_merge"].astype(str).tolist()
 
 
+def test_groupby_multikey_agg_multiindex(spark):
+    """groupby(['a','b']).agg({col: [fns]}) carries two-level column
+    labels (reference core/multiindex.py): tuple getitem, to_flat_index,
+    and the columns-assignment flatten idiom all work while physical
+    names stay flat."""
+    import pygdf_spark as gd
+
+    pdf = pd.DataFrame(
+        {"a": ["x", "x", "y", "y"], "b": [1, 1, 1, 2],
+         "v": [10.0, 20.0, 30.0, 40.0], "w": [1, 2, 3, 4]}
+    )
+    gdf = from_spark(spark.createDataFrame(pdf))
+    out = gdf.groupby(["a", "b"]).agg({"v": ["sum", "max"], "w": "mean"})
+
+    mi = out.columns_tuples
+    assert isinstance(mi, gd.MultiIndex)
+    assert list(mi) == [("a", ""), ("b", ""), ("v", "sum"), ("v", "max"), ("w", "mean")]
+    assert mi.get_level_values(0) == ["a", "b", "v", "v", "w"]
+    assert mi.nlevels == 2 and len(mi) == 5
+    assert out.columns == ["a", "b", "sum_v", "max_v", "mean_w"]
+
+    # tuple label access resolves to the physical flat column
+    got = out.assign(vs=out[("v", "sum")].col).to_pandas().sort_values(["a", "b"])
+    exp = (
+        pdf.groupby(["a", "b"]).agg({"v": ["sum", "max"], "w": "mean"}).reset_index()
+    ).sort_values(["a", "b"])
+    assert list(got["vs"]) == list(exp[("v", "sum")])
+
+    # list selection mixing flat and tuple labels
+    sel = out[["a", ("v", "max")]]
+    assert sel.columns == ["a", "max_v"]
+
+    # the flatten-rename idiom: df.columns = [...] joins tuples with '_'
+    out2 = gdf.groupby(["a", "b"]).agg({"v": ["sum", "max"], "w": "mean"})
+    out2.columns = out2.columns_tuples.to_flat_index()
+    assert out2.columns == ["a", "b", "v_sum", "v_max", "w_mean"]
+
+    # single-fn (non-list) specs keep plain labels: no MultiIndex
+    assert gdf.groupby("a").agg({"v": "sum"}).columns_tuples is None
+
+    # gd.MultiIndex constructors stand alone
+    m = gd.MultiIndex.from_arrays([["p", "p"], [1, 2]], names=["k", "n"])
+    assert list(m) == [("p", 1), ("p", 2)] and m.names == ["k", "n"]
+    assert m.levels == [["p"], [1, 2]]
+
+
 def test_merge_outer_rid_backfill(spark):
     """full-join right-only rows must get real (non-null) row ids so
     order-sensitive ops downstream are deterministic (round-2 advisory:
