@@ -23,6 +23,11 @@ from pygdf_spark.core import (  # noqa: F401
     melt,
     pivot,
 )
+from pygdf_spark.options import (  # noqa: F401
+    describe_option,
+    get_option,
+    set_option,
+)
 from pygdf_spark.session import get_spark, tables
 
 

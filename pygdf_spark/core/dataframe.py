@@ -95,7 +95,12 @@ class DataFrame:
         return (len(self), len(self.columns))
 
     def to_pandas(self):
-        """Host round-trip (small-data, like cuDF to_pandas)."""
+        """Host round-trip (small-data, like cuDF to_pandas). Funnels
+        every row through the driver — guarded by the max_driver_rows
+        option; at scale, write_parquet instead."""
+        from pygdf_spark.options import check_driver_rows
+
+        check_driver_rows(self._sdf, "to_pandas")
         return self._ordered().drop(_RID).toPandas()
 
     # -- selection / projection (dataframe.py __getitem__/assign) -------
@@ -767,6 +772,12 @@ class DataFrame:
         out = self._sdf.join(codes.select(col, "__code"), col, "left").withColumn(
             f"{col}_codes", F.col("__code")
         ).drop("__code", "__first")
+        # the codes FRAME stays distributed; only the uniques list is
+        # driver-side — guard it (a billion-value domain must go through
+        # the distributed code view instead)
+        from pygdf_spark.options import check_driver_rows
+
+        check_driver_rows(codes, "factorize (uniques list)")
         uniques = [r[col] for r in codes.orderBy("__code").select(col).collect()]
         return self._with(out.select(_RID, *self.columns, f"{col}_codes")), uniques
 
@@ -1524,7 +1535,10 @@ def _extend_dataframe_aliases():
     def argsort(self, col: str, ascending: bool = True) -> list:
         """argsort (frame.py:1425): row positions that would sort `col`
         (host list, like cuDF's returned column materialized)."""
+        from pygdf_spark.options import check_driver_rows
+
         pos = self._pos_sdf()
+        check_driver_rows(pos, "argsort")
         order = F.col(col).asc_nulls_last() if ascending else F.col(col).desc_nulls_last()
         rows = pos.orderBy(order, F.col("__pos")).select("__pos").collect()
         return [r["__pos"] - 1 for r in rows]

@@ -513,8 +513,11 @@ class Series:
     # -- cardinality-changing (series.py:5023,5091) ----------------------
 
     def unique(self) -> list:
-        rows = self._parent._sdf.select(self.col).distinct().collect()
-        return sorted((r[0] for r in rows), key=lambda v: (v is None, v))
+        from pygdf_spark.options import check_driver_rows
+
+        distinct = self._parent._sdf.select(self.col).distinct()
+        check_driver_rows(distinct, "Series.unique")
+        return sorted((r[0] for r in distinct.collect()), key=lambda v: (v is None, v))
 
     def value_counts(self):
         """value_counts (series.py:5091) as a core.DataFrame."""

@@ -172,6 +172,58 @@ GROUP BY 1, 2 ORDER BY "left"
 """
 
 
+def interval_contains(spark, sf_dir):
+    """IntervalIndex containment join (core/index.py:2758, core/cut.py:15)
+    at scale: 26 weekly 3-day maintenance windows derived from the events
+    timeline, joined to the event stream through the BUCKETIZED range
+    join (operators/range_join.py) — interval side replicated per
+    covering bucket map-side, points bucketed into exactly one bucket,
+    equi-join + residual trim; no cartesian/BNLJ anywhere."""
+    from pygdf_spark.operators.range_join import range_join
+    from pygdf_spark.queries._util import events_ts
+
+    e = events_ts(spark, sf_dir)
+    t0 = e.agg(F.date_trunc("day", F.min("ts")).alias("t0"))
+    iv = (
+        t0.select(F.explode(F.sequence(F.lit(0), F.lit(25))).alias("win_id"), "t0")
+        .select(
+            "win_id",
+            F.expr("timestampadd(DAY, 7 * win_id, t0)").alias("w_start"),
+            F.expr("timestampadd(DAY, 7 * win_id + 3, t0)").alias("w_end"),
+        )
+    )
+    joined = range_join(
+        e.select("event_id", "user_id", "ts"), iv, "ts", "w_start", "w_end",
+        bucket_width_sec=3 * 86400,
+    )
+    return (
+        joined.groupBy("win_id", "w_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("event_id").alias("first_event"),
+        )
+        .orderBy("win_id")
+    )
+
+
+INTERVAL_CONTAINS_SQL = """
+WITH t0 AS (SELECT date_trunc('day', MIN(CAST(ts AS TIMESTAMP))) AS t0 FROM events),
+iv AS (
+  SELECT i AS win_id,
+         t0 + i * INTERVAL 7 DAY AS w_start,
+         t0 + i * INTERVAL 7 DAY + INTERVAL 3 DAY AS w_end
+  FROM (SELECT UNNEST(generate_series(0, 25)) AS i), t0
+)
+SELECT win_id, w_start, COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       MIN(event_id) AS first_event
+FROM events e
+JOIN iv ON CAST(e.ts AS TIMESTAMP) >= iv.w_start AND CAST(e.ts AS TIMESTAMP) < iv.w_end
+GROUP BY 1, 2 ORDER BY win_id
+"""
+
+
 def cat_accessor(spark, sf_dir):
     """CategoricalAccessor (core/column/categorical.py:56,
     core/dtypes.py:29) through the compat veneer: derived sorted
@@ -266,11 +318,13 @@ QUERIES = {
     "decimal_arith_pack": decimal_arith_pack,
     "dict_encode_decode": dict_encode_decode,
     "cat_accessor": cat_accessor,
+    "interval_contains": interval_contains,
     "byte_cast_pack": byte_cast_pack,
 }
 
 ORACLE = {
     "cat_accessor": CAT_ACCESSOR_SQL,
+    "interval_contains": INTERVAL_CONTAINS_SQL,
     "interval_range_ops": INTERVAL_RANGE_SQL,
     "cast_matrix_pack": CAST_MATRIX_SQL,
     "decimal_arith_pack": DECIMAL_ARITH_SQL,

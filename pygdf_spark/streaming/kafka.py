@@ -1,5 +1,6 @@
 """Kafka source parity (SURVEY.md §2.1/§2.10; reference:
-python/custreamz/custreamz/kafka.py:73 ``Consumer``, :92 ``read_gdf``).
+python/custreamz/custreamz/kafka.py:73 ``Consumer``, :92 ``read_gdf``,
+:181 ``committed``, :215 ``get_watermark_offsets``, :264 ``commit``).
 
 The reference's streaming ingestion is an offset-range micro-batch:
 ``read_gdf(topic, partition, start, end, message_format)`` reads Kafka
@@ -13,18 +14,25 @@ mapping is exact:
 - ``message_format=`` decode → ``from_json`` / ``from_csv`` /
   ``from_avro`` on the ``value`` column (schema-on-read, vs the
   reference's cuIO parse)
-- ``committed``/``get_watermark_offsets`` (kafka.py:181,:215 — Kafka
-  LOG watermarks, not event-time) → Spark manages offsets in its own
-  checkpoint; log-watermark introspection stays an admin-client
-  concern, deliberately outside the engine.
+- ``committed``/``get_watermark_offsets``/``commit`` (kafka.py:181,
+  215, 264 — Kafka LOG offsets, not event-time watermarks) → the
+  ``Consumer`` class below, with a file-backed offset store standing in
+  for the broker's __consumer_offsets when running without one.
 
-The spark-sql-kafka connector jar is not bundled in this environment;
-calls fail with a clear actionable error instead of a Py4J wall.
+Everything downstream of the raw load (offset-range trim, partition
+filter, decode) is SOURCE-AGNOSTIC: ``Consumer`` takes any provider
+returning the connector's raw schema (key/value binary, topic,
+partition, offset, timestamp), so the full consumer contract is
+testable without a broker, and swapping in the real connector changes
+only the provider. The spark-sql-kafka jar is not bundled in this
+environment; connector-backed calls fail with a clear actionable error
+instead of a Py4J wall.
 """
 
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,6 +41,134 @@ _KAFKA_HELP = (
     "Kafka support needs the spark-sql-kafka package "
     "(--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>)"
 )
+
+#: the Kafka connector's raw output schema (what any provider must yield)
+RAW_SCHEMA_DDL = (
+    "key binary, value binary, topic string, partition int, "
+    "offset bigint, timestamp timestamp"
+)
+
+
+def _decode(raw: DataFrame, message_format: str, schema: str | None) -> DataFrame:
+    """value-column decode shared by every source (connector or mock):
+    the Spark analog of custreamz's cuIO message_format parse."""
+    value = F.col("value").cast("string")
+    if message_format == "raw":
+        return raw
+    if schema is None:
+        raise ValueError(f"{message_format} decode needs a schema DDL string")
+    parser = {"json": F.from_json, "csv": F.from_csv}.get(message_format)
+    if parser is None:
+        raise ValueError(f"unsupported message_format {message_format!r}")
+    parsed = raw.select(
+        parser(value, schema).alias("r"), F.col("partition"), F.col("offset"),
+        F.col("timestamp"),
+    )
+    return parsed.select("r.*", "partition", "offset", "timestamp")
+
+
+class Consumer:
+    """custreamz ``Consumer`` (kafka.py:73) over a pluggable raw source.
+
+    ``raw_source(topic)`` must return a DataFrame with
+    ``RAW_SCHEMA_DDL`` columns. Default: the Spark Kafka connector
+    (jar-gated). Group offsets live in a file-backed store under
+    ``offset_dir`` (one JSON per group) — the no-broker stand-in for
+    __consumer_offsets; with a real broker, Spark's own checkpoints
+    are authoritative and this store is bookkeeping parity only.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        brokers: str = "localhost:9092",
+        group: str = "pygdf-spark",
+        offset_dir: str | None = None,
+        raw_source=None,
+    ):
+        self._spark = spark
+        self._brokers = brokers
+        self._group = group
+        self._offset_dir = offset_dir or os.path.join(
+            os.environ.get("SPARK_LOCAL_DIRS", "/tmp"), "pygdf_spark_offsets"
+        )
+        self._raw_source = raw_source or self._connector_source
+
+    # -- raw sources ---------------------------------------------------
+    def _connector_source(self, topic: str) -> DataFrame:
+        try:
+            return (
+                self._spark.read.format("kafka")
+                .option("kafka.bootstrap.servers", self._brokers)
+                .option("subscribe", topic)
+                .option("startingOffsets", "earliest")
+                .option("endingOffsets", "latest")
+                .load()
+            )
+        except Exception as e:  # pragma: no cover - jar-dependent
+            raise RuntimeError(_KAFKA_HELP) from e
+
+    # -- custreamz surface --------------------------------------------
+    def read_gdf(
+        self,
+        topic: str,
+        partition: int = 0,
+        start: int | None = None,
+        end: int | None = None,
+        message_format: str = "json",
+        schema: str | None = None,
+    ) -> DataFrame:
+        """Offsets ``[start, end)`` of one topic-partition, decoded
+        (kafka.py:92). The offset trim is a pushdown-friendly filter on
+        the raw frame — with the connector it is expressed instead via
+        startingOffsets/endingOffsets so the broker does the seek."""
+        if message_format == "json" and schema is None:
+            raise ValueError("json decode needs a schema DDL string")
+        raw = self._raw_source(topic).filter(F.col("partition") == partition)
+        if start is not None:
+            raw = raw.filter(F.col("offset") >= start)
+        if end is not None:
+            raw = raw.filter(F.col("offset") < end)
+        return _decode(raw, message_format, schema)
+
+    def get_watermark_offsets(self, topic: str, partition: int = 0) -> tuple[int, int]:
+        """(lo, hi) LOG watermarks of a topic-partition (kafka.py:215):
+        lowest available offset and next-offset-to-be-written."""
+        row = (
+            self._raw_source(topic)
+            .filter(F.col("partition") == partition)
+            .agg(F.min("offset").alias("lo"), F.max("offset").alias("hi"))
+            .collect()[0]
+        )
+        if row["lo"] is None:
+            return (0, 0)
+        return (int(row["lo"]), int(row["hi"]) + 1)
+
+    def _store_path(self) -> str:
+        os.makedirs(self._offset_dir, exist_ok=True)
+        return os.path.join(self._offset_dir, f"{self._group}.json")
+
+    def commit(self, topic: str, partition: int, offset: int) -> None:
+        """Record the group's committed offset (kafka.py:264) — the
+        NEXT offset to consume, Kafka convention."""
+        path = self._store_path()
+        state = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                state = json.load(f)
+        state[f"{topic}/{partition}"] = int(offset)
+        with open(path, "w") as f:
+            json.dump(state, f)
+
+    def committed(self, topic: str, partition: int = 0) -> int | None:
+        """The group's committed offset, or None (kafka.py:181)."""
+        path = self._store_path()
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            state = json.load(f)
+        v = state.get(f"{topic}/{partition}")
+        return None if v is None else int(v)
 
 
 def read_gdf(
@@ -46,7 +182,11 @@ def read_gdf(
     brokers: str = "localhost:9092",
 ) -> DataFrame:
     """custreamz ``read_gdf`` (kafka.py:92): offsets [start, end) of one
-    topic-partition as a decoded DataFrame."""
+    topic-partition as a decoded DataFrame (connector-backed; the
+    offset range rides startingOffsets/endingOffsets so the broker
+    seeks instead of scan-and-filter)."""
+    if message_format == "json" and schema is None:
+        raise ValueError("json decode needs a schema DDL string")
     r = (
         spark.read.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
@@ -60,24 +200,7 @@ def read_gdf(
         raw = r.load()
     except Exception as e:  # pragma: no cover - jar-dependent
         raise RuntimeError(_KAFKA_HELP) from e
-    value = F.col("value").cast("string")
-    if message_format == "json":
-        if schema is None:
-            raise ValueError("json decode needs a schema DDL string")
-        parsed = raw.select(
-            F.from_json(value, schema).alias("r"), F.col("offset"), F.col("timestamp")
-        )
-        return parsed.select("r.*", "offset", "timestamp")
-    if message_format == "csv":
-        if schema is None:
-            raise ValueError("csv decode needs a schema DDL string")
-        parsed = raw.select(
-            F.from_csv(value, schema).alias("r"), F.col("offset"), F.col("timestamp")
-        )
-        return parsed.select("r.*", "offset", "timestamp")
-    if message_format == "raw":
-        return raw
-    raise ValueError(f"unsupported message_format {message_format!r}")
+    return _decode(raw, message_format, schema)
 
 
 def read_stream(

@@ -1,11 +1,87 @@
-"""The Kafka surface is jar-gated in this environment — verify the
-error contract (and the API shape) without a broker."""
+"""Kafka consumer-contract tests (reference custreamz/kafka.py:73-264).
+
+The connector jar is absent here, so the contract is driven through a
+file-backed mock raw source with the connector's exact output schema —
+the decode, offset-range trim, watermark, and commit plumbing are the
+real code paths; only raw-frame acquisition is swapped (the documented
+provider seam in streaming/kafka.py).
+"""
 
 from __future__ import annotations
+
+import datetime
+import json
 
 import pytest
 
 from pygdf_spark.streaming import kafka as K
+
+
+def _raw_frame(spark, fmt: str = "json"):
+    """100 messages over 2 partitions with per-partition offsets 0..49,
+    shaped exactly like the Kafka connector's raw output."""
+    rows = []
+    for p in (0, 1):
+        for off in range(50):
+            i = p * 50 + off
+            payload = (
+                json.dumps({"id": i, "v": i * 10}) if fmt == "json" else f"{i},{i * 10}"
+            )
+            rows.append(
+                (
+                    None,
+                    bytearray(payload.encode()),
+                    "t",
+                    p,
+                    off,
+                    datetime.datetime(2024, 1, 1, 0, 0, i % 60),
+                )
+            )
+    return spark.createDataFrame(rows, K.RAW_SCHEMA_DDL)
+
+
+def test_consumer_read_gdf_offset_roundtrip(spark):
+    raw = _raw_frame(spark)
+    c = K.Consumer(spark, raw_source=lambda topic: raw)
+    df = c.read_gdf("t", partition=0, start=10, end=20,
+                    message_format="json", schema="id int, v int")
+    got = sorted((r["id"], r["v"], r["offset"]) for r in df.collect())
+    assert got == [(i, i * 10, i) for i in range(10, 20)]
+    # other partition, open-ended ranges
+    assert c.read_gdf("t", partition=1, start=45, message_format="raw").count() == 5
+    assert c.read_gdf("t", partition=1, end=5, message_format="raw").count() == 5
+
+
+def test_consumer_csv_decode(spark):
+    raw = _raw_frame(spark, fmt="csv")
+    c = K.Consumer(spark, raw_source=lambda topic: raw)
+    df = c.read_gdf("t", partition=1, start=0, end=3,
+                    message_format="csv", schema="id int, v int")
+    assert sorted(r["id"] for r in df.collect()) == [50, 51, 52]
+
+
+def test_consumer_watermarks_and_commit(spark, tmp_path):
+    raw = _raw_frame(spark)
+    c = K.Consumer(spark, group="g1", offset_dir=str(tmp_path),
+                   raw_source=lambda topic: raw)
+    # LOG watermarks: lowest offset, next-to-be-written (kafka.py:215)
+    assert c.get_watermark_offsets("t", 0) == (0, 50)
+    assert c.get_watermark_offsets("t", 1) == (0, 50)
+    # committed: None before any commit, then the stored next-offset
+    assert c.committed("t", 0) is None
+    c.commit("t", 0, 20)
+    assert c.committed("t", 0) == 20
+    c.commit("t", 0, 35)
+    assert c.committed("t", 0) == 35
+    assert c.committed("t", 1) is None
+    # groups are isolated
+    c2 = K.Consumer(spark, group="g2", offset_dir=str(tmp_path),
+                    raw_source=lambda topic: raw)
+    assert c2.committed("t", 0) is None
+    # resume-from-committed drains exactly the unread tail
+    tail = c.read_gdf("t", partition=0, start=c.committed("t", 0),
+                      message_format="raw")
+    assert tail.count() == 15
 
 
 def test_read_gdf_requires_schema_for_json(spark):
