@@ -74,8 +74,13 @@ def main() -> None:
     for name in TIMED:
         t0 = time.perf_counter()
         queries[name](spark, dst).write.format("noop").mode("overwrite").save()
+        # host load rides along: a curve measured at load ≫ ncpu is
+        # neighbor noise, not a plan regression (round-2 lesson — the
+        # same binary read 6 s and 137 s for q1 at 32× depending on
+        # external load)
         print(json.dumps({"query": name, "x": n, "lineitem_rows": li,
-                          "sec": round(time.perf_counter() - t0, 2)}))
+                          "sec": round(time.perf_counter() - t0, 2),
+                          "load1": round(os.getloadavg()[0], 1)}))
     spark.stop()
 
 
