@@ -428,30 +428,124 @@ def RangeIndex(start, stop=None, step: int = 1):
     return range(start) if stop is None else range(start, stop, step)
 
 
-def _index_stub(name: str, hint: str):
-    class _Stub:
-        def __init__(self, *a, **k):
-            raise NotImplementedError(
-                f"{name} is an index-object API; this engine models row "
-                f"identity positionally (an explicit order column). {hint}"
-            )
-    _Stub.__name__ = name
-    return _Stub
+class Index:
+    """Minimal host-side Index (reference core/index.py BaseIndex
+    surface) — an immutable labeled value sequence. The engine's row
+    identity stays positional (the order column); this class exists so
+    cudf-shaped code handling returned label sets (``unique()`` lists,
+    ``cat.categories``, ``groupby`` key domains) keeps its Index-style
+    surface: ``.values``/``.tolist()``, set algebra, membership, map.
+    Distributed index semantics (``set_index``/``sort_index``) live on
+    the frame, as documented."""
+
+    def __init__(self, values, name: str | None = None):
+        self._values = list(values)
+        self.name = name
+
+    # container surface
+    def __iter__(self):
+        return iter(self._values)
+
+    def __len__(self) -> int:
+        return len(self._values)
+
+    def __getitem__(self, i):
+        v = self._values[i]
+        return Index(v, self.name) if isinstance(i, slice) else v
+
+    def __contains__(self, v) -> bool:
+        return v in self._values
+
+    def __eq__(self, other) -> bool:
+        return self._values == list(other)
+
+    def __repr__(self) -> str:
+        return f"{type(self).__name__}({self._values!r}, name={self.name!r})"
+
+    @property
+    def values(self) -> list:
+        return list(self._values)
+
+    def tolist(self) -> list:
+        return list(self._values)
+
+    to_list = tolist
+
+    @property
+    def is_unique(self) -> bool:
+        return len(set(self._values)) == len(self._values)
+
+    @property
+    def size(self) -> int:
+        return len(self._values)
+
+    # label algebra (index.py union/intersection/difference surface)
+    def _set_op(self, other, op) -> "Index":
+        a, b = self._values, list(other)
+        sb = set(b)
+        if op == "union":
+            out = a + [v for v in dict.fromkeys(b) if v not in set(a)]
+        elif op == "intersection":
+            out = [v for v in dict.fromkeys(a) if v in sb]
+        else:
+            out = [v for v in dict.fromkeys(a) if v not in sb]
+        return Index(out, self.name)
+
+    def union(self, other) -> "Index":
+        return self._set_op(other, "union")
+
+    def intersection(self, other) -> "Index":
+        return self._set_op(other, "intersection")
+
+    def difference(self, other) -> "Index":
+        return self._set_op(other, "difference")
+
+    def unique(self) -> "Index":
+        return Index(dict.fromkeys(self._values), self.name)
+
+    def get_loc(self, v) -> int:
+        return self._values.index(v)
+
+    def isin(self, values) -> list:
+        s = set(values)
+        return [v in s for v in self._values]
+
+    def map(self, fn) -> "Index":
+        return Index([fn(v) for v in self._values], self.name)
+
+    def rename(self, name: str) -> "Index":
+        return Index(self._values, name)
 
 
-Index = _index_stub(
-    "Index", "Use set_index(col) to order by a column, reset_index() for positions.")
 # MultiIndex: real minimal implementation (column-label half) — the row
 # half keeps the group-keys-stay-columns convention.
 from pygdf_spark.core.multiindex import MultiIndex  # noqa: E402,F401
-for _n, _hint in [
-    ("CategoricalIndex", "use label_encoding()/factorize() code views"),
-    ("DatetimeIndex", "keep timestamps as a column; .dt covers the accessors"),
-    ("IntervalIndex", "interval_range() yields (left, right) struct rows"),
-    ("TimedeltaIndex", "keep durations as µs-long columns; .dt covers components"),
-]:
-    globals()[_n] = _index_stub(_n, _hint)
+
+# Typed index family (index.py:2758 region): host-side label sequences.
+# Values are plain Python objects — the "type" is documentation + the
+# reference import surface; distributed columns stay Spark-typed.
+BaseIndex = Index
 for _n in ("Int8Index", "Int16Index", "Int32Index", "Int64Index",
            "UInt8Index", "UInt16Index", "UInt32Index", "UInt64Index",
-           "Float32Index", "Float64Index", "BaseIndex"):
-    globals()[_n] = _index_stub(_n, "typed index columns are ordinary typed columns here")
+           "Float32Index", "Float64Index", "CategoricalIndex",
+           "DatetimeIndex", "TimedeltaIndex"):
+    globals()[_n] = type(_n, (Index,), {})
+
+
+class IntervalIndex(Index):
+    """IntervalIndex (index.py:2758): (left, right) edge tuples with
+    half-open/closed containment — the host-side companion of the
+    distributed `interval_contains` query."""
+
+    def __init__(self, tuples, closed: str = "right", name: str | None = None):
+        super().__init__([tuple(t) for t in tuples], name)
+        self.closed = closed
+
+    @classmethod
+    def from_breaks(cls, breaks, closed: str = "right", name=None) -> "IntervalIndex":
+        return cls(list(zip(breaks[:-1], breaks[1:])), closed, name)
+
+    def contains_value(self, v) -> list:
+        lo = (lambda left: v >= left) if self.closed in ("left", "both") else (lambda left: v > left)
+        hi = (lambda right: v <= right) if self.closed in ("right", "both") else (lambda right: v < right)
+        return [lo(left) and hi(right) for left, right in self._values]

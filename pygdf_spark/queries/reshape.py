@@ -240,6 +240,40 @@ FROM (
 """
 
 
+def set_intersect_except(spark, sf_dir):
+    """set ops as named surface (§2.7; Spark INTERSECT/EXCEPT — both
+    plan as partial-agg'd left-semi/anti hash joins, shuffle on the row
+    key): customer nations ∩/∖ supplier nations, plus the multiset
+    EXCEPT ALL variant on a skewed projection."""
+    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    inter = c.intersect(s).agg(F.count(F.lit(1)).alias("v")).select(
+        F.lit("n_intersect").alias("metric"), "v"
+    )
+    diff = c.distinct().exceptAll(s.distinct()).agg(F.count(F.lit(1)).alias("v")).select(
+        F.lit("n_except").alias("metric"), "v"
+    )
+    # EXCEPT ALL keeps multiplicity: count survivors of the multiset
+    # subtraction (one supplier-row cancels one customer-row per key)
+    diff_all = c.exceptAll(s).agg(F.count(F.lit(1)).alias("v")).select(
+        F.lit("n_except_all").alias("metric"), "v"
+    )
+    return inter.unionByName(diff).unionByName(diff_all).orderBy("metric")
+
+
+SET_INTERSECT_SQL = """
+SELECT 'n_except' AS metric, COUNT(*) AS v FROM (
+  SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'n_except_all', COUNT(*) FROM (
+  SELECT c_nationkey AS nk FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'n_intersect', COUNT(*) FROM (
+  SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+ORDER BY metric
+"""
+
+
 QUERIES = {
     "reshape_melt": reshape_melt,
     "reshape_pivot": reshape_pivot,
@@ -251,6 +285,7 @@ QUERIES = {
     "reshape_cut_bins": reshape_cut_bins,
     "reshape_factorize": reshape_factorize,
     "reshape_concat_union": reshape_concat_union,
+    "set_intersect_except": set_intersect_except,
 }
 
 ORACLE = {
@@ -264,4 +299,5 @@ ORACLE = {
     "reshape_cut_bins": RESHAPE_CUT_SQL,
     "reshape_factorize": RESHAPE_FACTORIZE_SQL,
     "reshape_concat_union": RESHAPE_CONCAT_SQL,
+    "set_intersect_except": SET_INTERSECT_SQL,
 }

@@ -584,6 +584,38 @@ def test_merge_left_on_right_on_indicator(spark):
     assert got["_merge"].tolist() == exp["_merge"].astype(str).tolist()
 
 
+def test_index_family_minimal(spark):
+    """host-side Index family (reference core/index.py): label algebra,
+    typed aliases, IntervalIndex containment — pandas as oracle where
+    the surface overlaps."""
+    import pygdf_spark as gd
+
+    ix = gd.Index([3, 1, 2, 1], name="k")
+    pix = pd.Index([3, 1, 2, 1], name="k")
+    assert ix.tolist() == pix.tolist() and len(ix) == 4 and ix.name == "k"
+    assert not ix.is_unique and ix.unique().tolist() == [3, 1, 2]
+    assert ix.get_loc(2) == 2 and (2 in ix) and (9 not in ix)
+    assert ix.isin([1]) == list(pix.isin([1]))
+    other = [2, 4]
+    assert ix.intersection(other).tolist() == sorted(pix.intersection(other).tolist())
+    assert ix.difference(other).tolist() == [3, 1]  # first-seen order
+    assert set(ix.union(other).tolist()) == set(pix.union(other).tolist())
+    assert ix.map(lambda v: v * 10).tolist() == [30, 10, 20, 10]
+    assert ix[1:3].tolist() == [1, 2] and ix[0] == 3
+    assert ix.rename("j").name == "j"
+
+    # typed aliases are real Index subclasses; RangeIndex stays range
+    assert gd.Int64Index([1, 2]).tolist() == [1, 2]
+    assert isinstance(gd.DatetimeIndex([]), gd.BaseIndex)
+    assert list(gd.RangeIndex(3)) == [0, 1, 2]
+
+    iv = gd.IntervalIndex.from_breaks([0, 10, 20], closed="right")
+    piv = pd.IntervalIndex.from_breaks([0, 10, 20], closed="right")
+    assert iv.tolist() == [(0, 10), (10, 20)]
+    for v in (0, 5, 10, 15, 20, 25):
+        assert iv.contains_value(v) == [v in i for i in piv]
+
+
 def test_max_driver_rows_guard(spark):
     """debug-mode cap on driver-materializing veneer ops (round-2 judge
     item: a 100 TB user must not silently factorize() a billion-row
