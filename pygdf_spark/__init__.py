@@ -22,6 +22,7 @@ from pygdf_spark.core import (  # noqa: F401
     get_dummies,
     melt,
     pivot,
+    unstack,
 )
 from pygdf_spark.options import (  # noqa: F401
     describe_option,

@@ -47,6 +47,21 @@ def pivot(df: DataFrame, index: str, columns: str, values: str,
     return DataFrame(out.withColumn(_RID, F.monotonically_increasing_id()))
 
 
+def unstack(df: DataFrame, index: str, columns: str, values: str,
+            fill_value=None, column_values: list | None = None) -> DataFrame:
+    """unstack (reshape.py:924): move the ``columns`` key into the
+    column axis. Under the group-keys-stay-columns convention the
+    "level" is named explicitly instead of positionally; first-value
+    cells like the reference (each (index, columns) pair is assumed
+    unique, as cuDF requires), ``fill_value`` fills the holes."""
+    out = pivot(df, index, columns, values, column_values)
+    if fill_value is not None:
+        filled = [F.coalesce(F.col(c), F.lit(fill_value)).alias(c)
+                  for c in out.columns if c != index]
+        out = DataFrame(out._sdf.select(_RID, index, *filled))
+    return out
+
+
 def get_dummies(df: DataFrame, column: str, prefix: str | None = None,
                 values: list | None = None) -> DataFrame:
     """get_dummies / one-hot (reshape.py:566). ``values`` bounds the

@@ -7,7 +7,7 @@ import pandas as pd
 import pandas.testing as pdt
 import pytest
 
-from pygdf_spark.core import concat, from_spark, get_dummies, melt, pivot
+from pygdf_spark.core import concat, from_spark, get_dummies, melt, pivot, unstack
 from pygdf_spark.operators.apply import apply_arrow
 
 
@@ -60,6 +60,20 @@ def test_get_dummies(gdf, pdf):
     out = get_dummies(gdf, "m", values=["x", "y"])
     exp = pd.concat([pdf, pd.get_dummies(pdf.m, prefix="m").astype(int)], axis=1)
     eq(out[["k", "m", "m_x", "m_y"]], exp[["k", "m", "m_x", "m_y"]], ["k", "m"])
+
+
+def test_unstack(spark, gdf, pdf):
+    out = unstack(gdf, "k", "m", "v", column_values=["x", "y"])
+    exp = pdf.set_index(["k", "m"])["v"].unstack().reset_index()
+    exp.columns.name = None
+    eq(out, exp, ["k"])
+    # fill_value plugs the holes of a sparse (index, columns) domain
+    sparse_pd = pdf.iloc[[0, 1, 2]]  # ('b','y') missing
+    sparse = from_spark(spark.createDataFrame(sparse_pd))
+    out = unstack(sparse, "k", "m", "v", fill_value=0.0, column_values=["x", "y"])
+    exp = sparse_pd.set_index(["k", "m"])["v"].unstack(fill_value=0.0).reset_index()
+    exp.columns.name = None
+    eq(out, exp, ["k"])
 
 
 def test_map_in_arrow(spark):
