@@ -149,6 +149,8 @@ class DataFrame:
     def astype(self, dtypes: dict[str, str]) -> "DataFrame":
         sdf = self._sdf
         for c, t in dtypes.items():
+            if t == "category" or type(t).__name__ == "CategoricalDtype":
+                continue  # dictionary-as-dim-table: values column stays
             t = t.to_spark() if hasattr(t, "to_spark") else t  # cudf *Dtype markers
             sdf = sdf.withColumn(c, F.col(c).cast(t))
         return self._with(sdf)

@@ -358,7 +358,12 @@ class Series:
     def notnull(self) -> Column:
         return self.col.isNotNull()
 
-    def astype(self, t: str) -> Column:
+    def astype(self, t) -> Column:
+        # 'category' / CategoricalDtype: dictionary-as-dim-table — the
+        # values column IS the categorical; .cat derives the dictionary
+        if t == "category" or type(t).__name__ == "CategoricalDtype":
+            return self.col
+        t = t.to_spark() if hasattr(t, "to_spark") else t
         return self.col.cast(t)
 
     def fillna(self, v) -> Column:

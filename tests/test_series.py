@@ -136,6 +136,22 @@ def test_cat_accessor(spark):
     assert list(got["code3"]) == list(pset.cat.codes)
 
 
+def test_astype_category_identity(spark):
+    """astype('category') keeps the value column (dictionary-as-
+    dim-table convention) instead of raising on a non-Spark type."""
+    import pandas as pd
+
+    import pygdf_spark as gd
+
+    pdf = pd.DataFrame({"v": ["b", "a", "b"]})
+    gdf = gd.DataFrame.from_pandas(spark, pdf)
+    out = gdf.assign(c=gdf["v"].astype("category")).to_pandas()
+    assert list(out["c"]) == ["b", "a", "b"]
+    assert gdf.astype({"v": "category"}).to_pandas()["v"].tolist() == ["b", "a", "b"]
+    # the categorical surface then comes from .cat
+    assert gdf["v"].cat.categories == ["a", "b"]
+
+
 def test_str_split_n_semantics(spark):
     """pandas/cuDF n = max SPLITS (n+1 pieces), not Spark's max-piece
     limit — distinguishable only with ≥2 separators (round-2 advisory)."""
