@@ -29,10 +29,18 @@ from pyspark.sql import functions as F
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one of the driver tables from the sf dir.
 
-    Defensively sets ``nanosAsLong`` on whatever session the caller
-    built — events.parquet stores TIMESTAMP(NANOS), which Spark rejects
-    at schema conversion otherwise (runtime-settable, verified)."""
+    Defensively pins session confs the queries assume on whatever
+    session the caller built (the driver's session config is unknown;
+    both are runtime-settable, verified):
+
+    - ``nanosAsLong``: events.parquet stores TIMESTAMP(NANOS), which
+      Spark rejects at schema conversion otherwise.
+    - ``ansi.enabled=false``: Spark 4 defaults ANSI ON, where integer
+      div/mod by zero and overflow THROW; the oracle SQL mirrors the
+      non-ANSI null-on-edge semantics (round-2 lesson: binary_ops_pack
+      failed only on a bare session)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
