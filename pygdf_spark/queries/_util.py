@@ -38,9 +38,14 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     - ``ansi.enabled=false``: Spark 4 defaults ANSI ON, where integer
       div/mod by zero and overflow THROW; the oracle SQL mirrors the
       non-ANSI null-on-edge semantics (round-2 lesson: binary_ops_pack
-      failed only on a bare session)."""
+      failed only on a bare session).
+    - ``session.timeZone=UTC``: hour()/window()/timestamp casts are
+      session-tz-dependent; the DuckDB oracle reads naive timestamps,
+      so a non-UTC driver session would shift VALUES (the bare-session
+      sweep only proves execution, not values)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
