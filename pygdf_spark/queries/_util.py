@@ -43,10 +43,17 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       session-tz-dependent; the DuckDB oracle reads naive timestamps,
       so a non-UTC driver session would shift VALUES (the bare-session
       sweep only proves execution, not values)."""
+    pin_session_confs(spark)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def pin_session_confs(spark: SparkSession) -> None:
+    """Pin the runtime confs every query's semantics assume (see T's
+    docstring) — callable from any entry point that bypasses T, e.g.
+    the streaming readers (window starts are session-tz-dependent)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def dec(col, scale: int = 2, precision: int = 12):

@@ -39,7 +39,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a file-source stream with its TIMESTAMP(NANOS)
     column converted to µs TimestampType (same truncation as the batch
     reader — SURVEY.md §1.2, types.hpp:216-220)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pygdf_spark.queries._util import pin_session_confs
+
+    pin_session_confs(spark)  # window starts are session-tz-dependent
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
     # the file source wants a directory; stream the sf dir filtered down
