@@ -148,7 +148,7 @@ def dt_window_bucket(spark, sf_dir):
 # Spark 7-day windows align to the unix epoch (1970-01-01); mirror with
 # epoch-based integer bucketing.
 DT_WINDOW_SQL = """
-SELECT CAST(to_timestamp((CAST(epoch(o_orderdate) AS BIGINT) // 604800) * 604800) AS TIMESTAMP) AS week_start,
+SELECT (TIMESTAMP '1970-01-01' + (CAST(epoch(o_orderdate) AS BIGINT) // 604800) * 604800 * INTERVAL 1 SECOND) AS week_start,
        COUNT(*) AS n,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
 FROM orders GROUP BY 1 ORDER BY week_start

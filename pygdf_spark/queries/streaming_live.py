@@ -30,7 +30,7 @@ def sstream_tumbling_live(spark, sf_dir):
 
 
 SSTREAM_TUMBLING_SQL = """
-SELECT CAST(to_timestamp((epoch_ns(ts) // 300000000000) * 300) AS TIMESTAMP) AS w_start,
+SELECT (TIMESTAMP '1970-01-01' + (epoch_ns(ts) // 300000000000) * 300 * INTERVAL 1 SECOND) AS w_start,
        event_type, COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_val
 FROM events GROUP BY 1, 2 ORDER BY w_start, event_type
@@ -46,9 +46,9 @@ def sstream_sliding_live(spark, sf_dir):
 
 SSTREAM_SLIDING_SQL = """
 SELECT w_start, COUNT(*) AS n FROM (
-  SELECT CAST(to_timestamp((epoch_ns(ts) // 300000000000) * 300) AS TIMESTAMP) AS w_start FROM events
+  SELECT (TIMESTAMP '1970-01-01' + (epoch_ns(ts) // 300000000000) * 300 * INTERVAL 1 SECOND) AS w_start FROM events
   UNION ALL
-  SELECT CAST(to_timestamp((epoch_ns(ts) // 300000000000) * 300 - 300) AS TIMESTAMP) FROM events
+  SELECT (TIMESTAMP '1970-01-01' + ((epoch_ns(ts) // 300000000000) * 300 - 300) * INTERVAL 1 SECOND) FROM events
 ) GROUP BY w_start ORDER BY w_start
 """
 
