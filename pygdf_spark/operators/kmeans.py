@@ -1,0 +1,92 @@
+"""Distributed k-means (Lloyd's) — the real-centroid IVF companion to
+the hyperplane-LSH buckets in ``operators/similarity.py``.
+
+Reference parity: cuDF itself has no clustering (cuML does, on-GPU);
+this is a north-star extension of the similarity-search family — IVF
+ANN needs a coarse quantizer, and k-means is the canonical one.
+
+Scale design (the MLlib Lloyd's shape, hand-rolled declaratively):
+- **Assignment is 100% map-side**: the k×d centroid matrix is tiny and
+  rides into the executors as LITERAL arrays inside one projection —
+  distance to each centroid is a ``zip_with``+``aggregate`` fold, and
+  argmin is ``sort_array(array<struct<dist,cid>>)[0]`` — no shuffle, no
+  explode, no (vec, centroid) pair materialization.
+- **Update is one partial-aggregable job**: per-cluster per-dimension
+  sums as d separate JVM ``sum`` aggregates over ``element_at`` (map-
+  side combine reduces every partition to k rows of d sums — never a
+  position-keyed shuffle, whose d-sized key domain would hot-spot).
+- **The driver holds only k×d numbers per iteration** (the same
+  bounded metadata MLlib's treeAggregate ships) — rows never leave the
+  executors.
+
+Determinism (oracle-exact discipline): vectors quantize to µ-unit
+int64 (similarity.py:38); per-dim cluster sums are EXACT int64; the
+single division sum/count happens once in double (both engines produce
+the identical IEEE quotient); distances fold in array order with the
+same operation sequence in Spark and DuckDB → bit-identical doubles,
+ties broken by centroid index. Init = the k lowest-vec_id vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pygdf_spark.operators.similarity import _int_vec
+
+
+def _dist2(vec_col, centroid: list[float]):
+    """Squared L2 distance from a µ-unit int64 array column to a
+    literal double centroid, folded in array order (IEEE-identical in
+    DuckDB's list_sum(list_transform(...)))."""
+    c_arr = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec_col, c_arr, lambda a, c: (a.cast("double") - c) * (a.cast("double") - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_clusters(ivecs: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """(vid, vec, cid, dist2): nearest centroid per vector — one
+    map-side projection, ties to the lower cluster index."""
+    pairs = F.array(
+        *[
+            F.struct(_dist2(F.col("vec"), c).alias("dist"), F.lit(i).alias("cid"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    best = F.sort_array(pairs)[0]
+    return ivecs.select(
+        "vid", "vec", best["cid"].alias("cid"), best["dist"].alias("dist2")
+    )
+
+
+def update_centroids(assigned: DataFrame, k: int, d: int) -> list[list[float]]:
+    """New centroids as exact int64 per-dim sums / count (one double
+    division per component). Empty clusters keep a zero vector (cannot
+    occur with lowest-id init on this data; documented)."""
+    sums = [F.sum(F.element_at("vec", i + 1)).alias(f"s{i}") for i in range(d)]
+    rows = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n"), *sums).collect()
+    out = [[0.0] * d for _ in range(k)]
+    for r in rows:
+        out[r["cid"]] = [r[f"s{i}"] / r["n"] for i in range(d)]
+    return out
+
+
+def kmeans(vecs: DataFrame, k: int = 4, iters: int = 2,
+           id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Lloyd's: deterministic lowest-id init, ``iters`` assign/update
+    rounds, returns the final (vid, cid, dist2) assignment. The driver
+    loop is over ITERATIONS (each one Spark job), never rows."""
+    iv = vecs.select(
+        F.col(id_col).alias("vid"), _int_vec(vec_col).alias("vec")
+    )
+    d = iv.select(F.size("vec").alias("d")).first()["d"]
+    seeds = iv.orderBy("vid").limit(k).collect()
+    centroids = [[float(x) for x in r["vec"]] for r in seeds]
+    assigned = assign_clusters(iv, centroids)
+    for _ in range(iters):
+        centroids = update_centroids(assigned, k, d)
+        assigned = assign_clusters(iv, centroids)
+    return assigned.select("vid", "cid", "dist2")

@@ -178,11 +178,85 @@ SELECT q_id, v_id, cos, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 3 OR
 """
 
 
+def sim_kmeans_ivf(spark, sf_dir):
+    """Distributed k-means (Lloyd's, operators/kmeans.py) as the real
+    IVF coarse quantizer: deterministic lowest-id init, 2 exact
+    assign/update rounds, then the per-cluster inventory an IVF index
+    needs (cell sizes + inertia). Assignment is map-side against
+    literal centroids; updates are d partial-aggregable JVM sums; the
+    driver only ever holds k×d numbers."""
+    from pygdf_spark.operators.kmeans import kmeans
+
+    vecs = T(spark, sf_dir, "embeddings")
+    a = kmeans(vecs, k=4, iters=2)
+    return (
+        a.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("vid").alias("first_vid"),
+            # per-row round → exact int64 sum (a double SUM would be
+            # partition-order-dependent); rounding identical doubles is
+            # identical in both engines
+            F.sum(F.round("dist2", 0).cast("long")).alias("inertia_r"),
+        )
+        .orderBy("cid")
+    )
+
+
+def _km_round(tag: str, cent: str) -> str:
+    """One unrolled Lloyd's round: distances vs ``cent`` → argmin
+    assignment. list_reduce folds in list order — the same sequential
+    IEEE sum Spark's aggregate() does."""
+    return f"""
+d{tag} AS (
+  SELECT v.vid, c.cid,
+         list_reduce(list_transform(generate_series(1, 64),
+                     i -> (CAST(v.a[i] AS DOUBLE) - c.c[i]) ** 2),
+                     (x, y) -> x + y) AS dist
+  FROM v CROSS JOIN {cent} c
+),
+a{tag} AS (
+  SELECT vid, cid, dist FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn FROM d{tag}
+  ) WHERE rn = 1
+)"""
+
+
+def _km_update(tag: str, assign: str) -> str:
+    """Centroid update: exact per-dim int64 sums, one double division."""
+    return f"""
+c{tag} AS (
+  SELECT cid, list(m ORDER BY i) AS c FROM (
+    SELECT {assign}.cid, g.i, CAST(CAST(SUM(v.a[g.i]) AS BIGINT) AS DOUBLE) / COUNT(*) AS m
+    FROM {assign} JOIN v USING (vid) CROSS JOIN generate_series(1, 64) AS g(i)
+    GROUP BY {assign}.cid, g.i
+  ) GROUP BY cid
+)"""
+
+
+SIM_KMEANS_SQL = f"""
+WITH v AS (
+  SELECT vec_id AS vid,
+         list_transform(embedding, x -> {_INT}) AS a
+  FROM embeddings
+),
+c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vid) - 1 AS cid,
+         list_transform(a, x -> CAST(x AS DOUBLE)) AS c
+  FROM (SELECT * FROM v ORDER BY vid LIMIT 4)
+),{_km_round("0", "c0")},{_km_update("1", "a0")},{_km_round("1", "c1")},{_km_update("2", "a1")},{_km_round("2", "c2")}
+SELECT cid, COUNT(*) AS n, MIN(vid) AS first_vid,
+       CAST(SUM(CAST(round(dist, 0) AS BIGINT)) AS BIGINT) AS inertia_r
+FROM a2 GROUP BY cid ORDER BY cid
+"""
+
+
 QUERIES = {
     "sim_ivf_topk": sim_ivf_topk,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_neardup_pairs": sim_neardup_pairs,
+    "sim_kmeans_ivf": sim_kmeans_ivf,
 }
 
 ORACLE = {
@@ -190,4 +264,5 @@ ORACLE = {
     "sim_cosine_topk": SIM_TOPK_SQL,
     "sim_lsh_buckets": SIM_LSH_SQL,
     "sim_neardup_pairs": SIM_NEARDUP_SQL,
+    "sim_kmeans_ivf": SIM_KMEANS_SQL,
 }
