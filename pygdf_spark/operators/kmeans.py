@@ -74,6 +74,45 @@ def update_centroids(assigned: DataFrame, k: int, d: int) -> list[list[float]]:
     return out
 
 
+def ivf_probe_topk(vecs: DataFrame, k_clusters: int = 4, iters: int = 2,
+                   query_vid: int = 0, topk: int = 3,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF probe (nprobe=1): search ONLY the query's k-means cell.
+
+    The probe plan is broadcast-shaped end to end: the 1-row query
+    (cell id + vector) broadcasts against the assigned corpus, so the
+    scan touches each corpus partition once and only the query's cell
+    reaches the rerank — at 100 TB with a real cell count this is the
+    |corpus|/k_clusters work reduction IVF exists for. Exact int64
+    cosine (similarity.py discipline) with rounded-8dp output."""
+    from pygdf_spark.operators.similarity import _cos, dot, norm2
+
+    assigned = kmeans(vecs, k=k_clusters, iters=iters, id_col=id_col, vec_col=vec_col)
+    iv = vecs.select(F.col(id_col).alias("vid"), _int_vec(vec_col).alias("vec"))
+    member = assigned.join(iv, "vid").select(
+        "vid", "cid", "vec", norm2(F.col("vec")).alias("n2")
+    )
+    q = member.filter(F.col("vid") == query_vid).select(
+        F.col("vid").alias("q_id"), F.col("cid").alias("q_cid"),
+        F.col("vec").alias("qvec"), F.col("n2").alias("q_n2"),
+    )
+    cand = member.join(
+        F.broadcast(q), (F.col("cid") == F.col("q_cid")) & (F.col("vid") != F.col("q_id"))
+    )
+    scored = cand.select(
+        "q_id", F.col("vid").alias("v_id"),
+        _cos(dot(F.col("qvec"), F.col("vec")), F.col("q_n2"), F.col("n2")).alias("cos"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("v_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("q_id", "v_id", "cos", "rank")
+    )
+
+
 def kmeans(vecs: DataFrame, k: int = 4, iters: int = 2,
            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Lloyd's: deterministic lowest-id init, ``iters`` assign/update

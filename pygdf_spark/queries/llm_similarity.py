@@ -251,12 +251,56 @@ FROM a2 GROUP BY cid ORDER BY cid
 """
 
 
+def sim_ivf_probe(spark, sf_dir):
+    """IVF probe search (nprobe=1): top-3 cosine neighbors of vec 0
+    searching ONLY its k-means cell (operators/kmeans.ivf_probe_topk) —
+    the |corpus|/k work reduction a real IVF index delivers, with the
+    1-row query broadcast against the assigned corpus."""
+    from pygdf_spark.operators.kmeans import ivf_probe_topk
+
+    vecs = T(spark, sf_dir, "embeddings")
+    return ivf_probe_topk(vecs, k_clusters=4, iters=2, query_vid=0, topk=3).orderBy("rank")
+
+
+SIM_IVF_PROBE_SQL = f"""
+WITH v AS (
+  SELECT vec_id AS vid,
+         list_transform(embedding, x -> {_INT}) AS a
+  FROM embeddings
+),
+c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vid) - 1 AS cid,
+         list_transform(a, x -> CAST(x AS DOUBLE)) AS c
+  FROM (SELECT * FROM v ORDER BY vid LIMIT 4)
+),{_km_round("0", "c0")},{_km_update("1", "a0")},{_km_round("1", "c1")},{_km_update("2", "a1")},{_km_round("2", "c2")},
+nrm AS (
+  SELECT vid, CAST(list_reduce(list_transform(a, x -> x * x), (x, y) -> x + y) AS BIGINT) AS n2
+  FROM v
+),
+q AS (
+  SELECT a2.vid AS q_id, a2.cid AS q_cid, v.a AS qa, nrm.n2 AS qn2
+  FROM a2 JOIN v USING (vid) JOIN nrm USING (vid) WHERE a2.vid = 0
+),
+scored AS (
+  SELECT q.q_id, a2.vid AS v_id,
+         ROUND(CAST(CAST(list_reduce(list_transform(generate_series(1, 64),
+                    i -> v.a[i] * q.qa[i]), (x, y) -> x + y) AS BIGINT) AS DOUBLE)
+               / SQRT(CAST(q.qn2 AS DOUBLE) * CAST(nrm.n2 AS DOUBLE)), 8) AS cos
+  FROM a2 JOIN v USING (vid) JOIN nrm USING (vid) CROSS JOIN q
+  WHERE a2.cid = q.q_cid AND a2.vid <> q.q_id
+)
+SELECT q_id, v_id, cos, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, v_id ASC) AS INT) AS rank
+FROM scored QUALIFY rank <= 3 ORDER BY rank
+"""
+
+
 QUERIES = {
     "sim_ivf_topk": sim_ivf_topk,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_neardup_pairs": sim_neardup_pairs,
     "sim_kmeans_ivf": sim_kmeans_ivf,
+    "sim_ivf_probe": sim_ivf_probe,
 }
 
 ORACLE = {
@@ -265,4 +309,5 @@ ORACLE = {
     "sim_lsh_buckets": SIM_LSH_SQL,
     "sim_neardup_pairs": SIM_NEARDUP_SQL,
     "sim_kmeans_ivf": SIM_KMEANS_SQL,
+    "sim_ivf_probe": SIM_IVF_PROBE_SQL,
 }
