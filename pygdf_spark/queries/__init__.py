@@ -28,6 +28,7 @@ _MODULES = [
     "nlp",
     "llm_dedup",
     "llm_similarity",
+    "llm_sampling",
     "multimodal",
     "pipeline",
     "udf_apply",

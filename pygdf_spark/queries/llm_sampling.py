@@ -1,0 +1,143 @@
+"""Training-data sampling & batching queries over ``documents`` —
+north-star extensions: the corpus-curation stages between dedup and the
+data loader (stratified sampling, class rebalancing, sequence packing).
+
+Scale design: everything is a keyed groupBy or a SHARD-partitioned
+window — sampling decisions are per-row hash arithmetic (map-side,
+deterministic, no RNG state), packing is a running sum inside each of
+a fixed number of shards (windows partitioned by shard, never global).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pygdf_spark.functions.hashing import md5_u64
+from pygdf_spark.queries._util import T
+
+#: mirrors functions/hashing.md5_u64 (== DuckDB md5_number_lower)
+_H = "md5_number_lower(CAST(doc_id AS VARCHAR))"
+
+
+def sample_stratified(spark, sf_dir):
+    """Deterministic stratified sample: keep ~1/5 of every (lang,
+    source) stratum via key-hash bucketing (reproducible across runs,
+    retries, and engines — no RNG). Output: per-stratum totals vs
+    sampled counts + an exact sampled-char sum as the value check."""
+    d = T(spark, sf_dir, "documents")
+    keep = (md5_u64(F.col("doc_id").cast("string")) % 5 == 0).alias("keep")
+    return (
+        d.select("lang", "source", F.col("n_chars"), keep)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("keep").cast("long")).alias("n_sampled"),
+            F.sum(F.when(F.col("keep"), F.col("n_chars")).otherwise(0)).alias("sampled_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+SAMPLE_STRATIFIED_SQL = f"""
+SELECT lang, source, COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN {_H} % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(SUM(CASE WHEN {_H} % 5 = 0 THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
+FROM documents GROUP BY lang, source ORDER BY lang, source
+"""
+
+
+def sample_class_balance(spark, sf_dir):
+    """Class rebalancing: cap every language at the size of the
+    smallest language class (undersampling the head). The cap is a
+    scalar from a tiny per-class count (broadcast); membership is a
+    deterministic per-class hash RANK so the kept subset is stable.
+    Output: per-language kept counts — all equal to the cap."""
+    d = T(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    cap = counts.agg(F.min("n").alias("cap"))
+    w = Window.partitionBy("lang").orderBy(md5_u64(F.col("doc_id").cast("string")), "doc_id")
+    ranked = d.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+    return (
+        ranked.crossJoin(F.broadcast(cap))
+        .filter(F.col("rk") <= F.col("cap"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("first_doc"))
+        .orderBy("lang")
+    )
+
+
+SAMPLE_BALANCE_SQL = f"""
+WITH cap AS (
+  SELECT MIN(n) AS cap FROM (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang)
+),
+ranked AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {_H}, doc_id) AS rk
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS first_doc
+FROM ranked, cap WHERE rk <= cap
+GROUP BY lang ORDER BY lang
+"""
+
+
+def pack_sequences(spark, sf_dir):
+    """Sequence packing: assign documents to fixed-token-budget packs
+    (budget 2048 whitespace tokens) within 8 deterministic shards —
+    the batching stage before a data loader. pack_id = the running
+    token total's budget quotient inside the shard (greedy in hash
+    order); oversized docs overflow into their own pack, as greedy
+    packing does. Output: per-shard pack inventory."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim("text"), r"\s+"))
+    shard = (md5_u64(F.col("doc_id").cast("string")) % 8).cast("int")
+    w = Window.partitionBy("shard").orderBy(
+        md5_u64(F.col("doc_id").cast("string")), "doc_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    staged = d.select(shard.alias("shard"), "doc_id", toks.alias("n_tok"))
+    packed = staged.withColumn(
+        "pack_id", ((F.sum("n_tok").over(w) - 1) / 2048).cast("long")
+    )
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.max("pack_id") + 1).alias("n_packs"),
+            F.sum("n_tok").alias("total_tok"),
+        )
+        .orderBy("shard")
+    )
+
+
+PACK_SEQUENCES_SQL = rf"""
+WITH staged AS (
+  SELECT CAST({_H} % 8 AS INT) AS shard, doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tok,
+         {_H} AS h
+  FROM documents
+),
+packed AS (
+  SELECT shard, n_tok,
+         (SUM(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) // 2048 AS pack_id
+  FROM staged
+)
+SELECT shard, COUNT(*) AS n_docs,
+       CAST(MAX(pack_id) + 1 AS BIGINT) AS n_packs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tok
+FROM packed GROUP BY shard ORDER BY shard
+"""
+
+
+QUERIES = {
+    "sample_stratified": sample_stratified,
+    "sample_class_balance": sample_class_balance,
+    "pack_sequences": pack_sequences,
+}
+
+ORACLE = {
+    "sample_stratified": SAMPLE_STRATIFIED_SQL,
+    "sample_class_balance": SAMPLE_BALANCE_SQL,
+    "pack_sequences": PACK_SEQUENCES_SQL,
+}
