@@ -133,12 +133,65 @@ FROM documents ORDER BY doc_id
 """
 
 
+def text_pii_mask(spark, sf_dir):
+    """PII scrubbing — the redaction stage of a curation pipeline.
+    The synthetic corpus has no PII, so each doc is salted with a
+    deterministic fake email + phone, then masked; the check proves
+    the masks catch exactly the injected spans (zero residue) while
+    the surrounding text survives. Pure regexp_replace chain — JVM
+    expressions, no Python."""
+    d = T(spark, sf_dir, "documents")
+    salted = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\+?[0-9][0-9\-\s]{6,}[0-9]"
+    masked = F.regexp_replace(
+        F.regexp_replace(salted, email_re, "[EMAIL]"), phone_re, "[PHONE]"
+    )
+    return d.select(
+        "doc_id",
+        F.length(salted).alias("n_salted"),
+        F.length(masked).alias("n_masked"),
+        F.size(F.split(masked, r"\[EMAIL\]")).alias("n_email_hits_p1"),
+        F.size(F.split(masked, r"\[PHONE\]")).alias("n_phone_hits_p1"),
+        (~masked.rlike(email_re) & ~masked.rlike(phone_re)).alias("clean"),
+    ).orderBy("doc_id")
+
+
+TEXT_PII_SQL = r"""
+WITH salted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS s
+  FROM documents
+),
+masked AS (
+  SELECT doc_id, s,
+         regexp_replace(
+           regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '\+?[0-9][0-9\-\s]{6,}[0-9]', '[PHONE]', 'g') AS m
+  FROM salted
+)
+SELECT doc_id,
+       LENGTH(s) AS n_salted,
+       LENGTH(m) AS n_masked,
+       CAST(len(string_split_regex(m, '\[EMAIL\]')) AS INT) AS n_email_hits_p1,
+       CAST(len(string_split_regex(m, '\[PHONE\]')) AS INT) AS n_phone_hits_p1,
+       NOT regexp_matches(m, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+       AND NOT regexp_matches(m, '\+?[0-9][0-9\-\s]{6,}[0-9]') AS clean
+FROM masked ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_ngrams_top": text_ngrams_top,
     "text_langid": text_langid,
     "text_quality": text_quality,
     "text_fingerprint": text_fingerprint,
+    "text_pii_mask": text_pii_mask,
 }
 
 ORACLE = {
@@ -147,4 +200,5 @@ ORACLE = {
     "text_langid": _langid_sql(),
     "text_quality": TEXT_QUALITY_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    "text_pii_mask": TEXT_PII_SQL,
 }
