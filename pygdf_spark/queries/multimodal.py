@@ -198,12 +198,67 @@ FROM documents WHERE doc_id < 200 ORDER BY doc_id
 )
 
 
+def _fake_audio_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB audio decode (no soundfile/ffmpeg in this container): the
+    payload is treated as PCM16 mono @16 kHz, so every derived quantity
+    is integer arithmetic on the byte length — deterministic and
+    oracle-checkable. A real decoder replaces the except-branch with
+    codec calls; signature/schema/batching stay identical."""
+    for pdf in batches:
+        try:
+            raise NotImplementedError("audio codec not available in this container")
+        except NotImplementedError:
+            n_bytes = pdf["audio_bytes"].map(len)
+        n_samples = (n_bytes // 2).astype("int64")
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n_bytes.astype("int32"),
+                "n_samples": n_samples,
+                # integer ms at 16 kHz: samples * 1000 / 16000 = samples / 16
+                "duration_ms": (n_samples // 16).astype("int64"),
+                # 30 ms frames (480 samples), ceil
+                "n_frames": ((n_samples + 479) // 480).astype("int64"),
+                # 16k -> 8k resample output length
+                "n_resampled_8k": (n_samples // 2).astype("int64"),
+            }
+        )
+        out["codec"] = "pcm16-stub/v1"
+        yield out
+
+
+def mm_audio_stub(spark, sf_dir):
+    """audio pipeline plumbing (mapInPandas over Arrow batches): binary
+    payload in → PCM metadata + frame/resample inventory out — the
+    audio analog of mm_image_decode_stub, same production swap-in
+    contract."""
+    p = _payloads(spark, sf_dir).withColumnRenamed("img_bytes", "audio_bytes")
+    schema = ("doc_id long, n_bytes int, n_samples long, duration_ms long, "
+              "n_frames long, n_resampled_8k long, codec string")
+    return p.select("doc_id", "audio_bytes").mapInPandas(
+        _fake_audio_decode, schema=schema
+    ).orderBy("doc_id")
+
+
+MM_AUDIO_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       octet_length(encode(text)) // 2 AS n_samples,
+       (octet_length(encode(text)) // 2) // 16 AS duration_ms,
+       ((octet_length(encode(text)) // 2) + 479) // 480 AS n_frames,
+       (octet_length(encode(text)) // 2) // 2 AS n_resampled_8k,
+       'pcm16-stub/v1' AS codec
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "mm_binary_meta": mm_binary_meta,
     "mm_image_decode_stub": mm_image_decode_stub,
     "mm_frame_sample": mm_frame_sample,
     "mm_resize_stub": mm_resize_stub,
     "mm_feature_stub": mm_feature_stub,
+    "mm_audio_stub": mm_audio_stub,
 }
 
 ORACLE = {
@@ -212,4 +267,5 @@ ORACLE = {
     "mm_frame_sample": MM_FRAME_SQL,
     "mm_resize_stub": MM_RESIZE_SQL,
     "mm_feature_stub": MM_FEATURE_SQL,
+    "mm_audio_stub": MM_AUDIO_SQL,
 }
