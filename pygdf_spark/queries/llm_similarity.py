@@ -294,6 +294,60 @@ FROM scored QUALIFY rank <= 3 ORDER BY rank
 """
 
 
+def sim_doc_pool(spark, sf_dir):
+    """chunk→document embedding pooling: element-wise mean of each
+    document's chunk vectors (vec_id % 50 stands in for the chunk→doc
+    map the real pipeline carries). Same scale shape as the k-means
+    centroid update: d partial-aggregable JVM sums per group — never a
+    position-keyed shuffle, never a collected array. The pooled
+    components stay INTEGER (milli-µ units, floor of s·1000/n): a
+    double mean + 8-dp round diverged between engines at sf0.1 (DuckDB
+    rounds doubles by scale-multiply, Spark by exact BigDecimal — ties
+    near the boundary split), so no doubles exist anywhere here."""
+    vecs = T(spark, sf_dir, "embeddings")
+    iv = vecs.select(
+        (F.col("vec_id") % 50).alias("doc_id"),
+        SIM._int_vec("embedding").alias("vec"),
+    )
+    sums = [F.sum(F.element_at("vec", i + 1)).alias(f"s{i}") for i in range(64)]
+    agg = iv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"), *sums)
+    # FLOOR division on both sides (Spark `div` truncates toward zero,
+    # DuckDB `//` floors — they differ on negative sums). The double
+    # quotient is exact enough: |s·1000| ≤ 8e10 ≪ 2^53 and non-integer
+    # quotients sit ≥ 1/n from any integer.
+    pooled = F.array(*[
+        F.floor(F.col(f"s{i}") * 1000 / F.col("n_chunks")).cast("long")
+        for i in range(64)
+    ])
+    sum_norm2 = None
+    for i in range(64):
+        t = F.col(f"s{i}") * F.col(f"s{i}")
+        sum_norm2 = t if sum_norm2 is None else sum_norm2 + t
+    return agg.select(
+        "doc_id", "n_chunks", pooled.alias("doc_vec"),
+        sum_norm2.alias("sum_norm2"),
+    ).orderBy("doc_id")
+
+
+SIM_DOC_POOL_SQL = f"""
+WITH v AS (
+  SELECT vec_id % 50 AS doc_id,
+         list_transform(embedding, x -> {_INT}) AS a
+  FROM embeddings
+),
+sums AS (
+  SELECT doc_id, g.i, CAST(SUM(a[g.i]) AS BIGINT) AS s, COUNT(*) AS n
+  FROM v CROSS JOIN generate_series(1, 64) AS g(i)
+  GROUP BY doc_id, g.i
+)
+SELECT doc_id,
+       CAST(MAX(n) AS BIGINT) AS n_chunks,
+       list((s * 1000) // n ORDER BY i) AS doc_vec,
+       CAST(SUM(s * s) AS BIGINT) AS sum_norm2
+FROM sums GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "sim_ivf_topk": sim_ivf_topk,
     "sim_cosine_topk": sim_cosine_topk,
@@ -301,6 +355,7 @@ QUERIES = {
     "sim_neardup_pairs": sim_neardup_pairs,
     "sim_kmeans_ivf": sim_kmeans_ivf,
     "sim_ivf_probe": sim_ivf_probe,
+    "sim_doc_pool": sim_doc_pool,
 }
 
 ORACLE = {
@@ -310,4 +365,5 @@ ORACLE = {
     "sim_neardup_pairs": SIM_NEARDUP_SQL,
     "sim_kmeans_ivf": SIM_KMEANS_SQL,
     "sim_ivf_probe": SIM_IVF_PROBE_SQL,
+    "sim_doc_pool": SIM_DOC_POOL_SQL,
 }
