@@ -118,9 +118,14 @@ def kmeans(vecs: DataFrame, k: int = 4, iters: int = 2,
     """Lloyd's: deterministic lowest-id init, ``iters`` assign/update
     rounds, returns the final (vid, cid, dist2) assignment. The driver
     loop is over ITERATIONS (each one Spark job), never rows."""
+    # persisted: each iteration re-reads the quantized vectors (seed
+    # collect + iters×(update agg + assignment)) — the same cache MLlib
+    # keeps. Stays cached for the returned plan's lifetime (the
+    # global_row_number convention); at 100 TB this is the standard
+    # write-intermediate-once step of an iterative algorithm.
     iv = vecs.select(
         F.col(id_col).alias("vid"), _int_vec(vec_col).alias("vec")
-    )
+    ).persist()
     d = iv.select(F.size("vec").alias("d")).first()["d"]
     seeds = iv.orderBy("vid").limit(k).collect()
     centroids = [[float(x) for x in r["vec"]] for r in seeds]
