@@ -79,5 +79,93 @@ GROUP BY e.label ORDER BY label
 """
 
 
-QUERIES = {"pipeline_curation": pipeline_curation}
-ORACLE = {"pipeline_curation": PIPELINE_SQL}
+def pipeline_pretrain_prep(spark, sf_dir):
+    """Round-2 composite: the pretraining-prep tail of the pipeline —
+    exact-dedup keep-list → PII scrub → deterministic stratified
+    sample (1-in-3 per stratum) → token-budget sequence packing, ONE
+    declarative plan. Shuffles: the dedup groupBy, and the shard-
+    partitioned packing window; sampling and masking are map-side.
+    Output: per-(lang, shard) pack inventory with a masked-length
+    checksum proving the scrub ran inside the surviving set."""
+    from pygdf_spark.functions.hashing import md5_u64
+
+    docs = T(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", "lang", "text", doc_fingerprint("text").alias("fp"))
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    survivors = fp.join(keep.select("doc_id"), "doc_id")
+
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    masked = F.regexp_replace(F.col("text"), email_re, "[EMAIL]")
+    sampled = survivors.select(
+        "doc_id", "lang", masked.alias("m"),
+        (md5_u64(F.col("doc_id").cast("string")) % 3 == 0).alias("keep"),
+    ).filter("keep")
+
+    toks = F.size(F.split(F.trim("m"), r"\s+"))
+    shard = (md5_u64(F.col("doc_id").cast("string")) % 4).cast("int")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang", "shard").orderBy(
+        md5_u64(F.col("doc_id").cast("string")), "doc_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    staged = sampled.select(
+        "lang", shard.alias("shard"), "doc_id", toks.alias("n_tok"),
+        F.length("m").alias("n_masked"),
+    )
+    packed = staged.withColumn(
+        "pack_id", ((F.sum("n_tok").over(w) - 1) / 1024).cast("long")
+    )
+    return (
+        packed.groupBy("lang", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.max("pack_id") + 1).alias("n_packs"),
+            F.sum("n_tok").alias("total_tok"),
+            F.sum("n_masked").alias("masked_chars"),
+        )
+        .orderBy("lang", "shard")
+    )
+
+
+PIPELINE_PREP_SQL = r"""
+WITH fp AS (
+  SELECT doc_id, lang, text,
+         md5(LOWER(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+         md5_number_lower(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fp),
+sampled AS (
+  SELECT f.doc_id, f.lang, f.h,
+         regexp_replace(f.text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS m
+  FROM fp f JOIN keep USING (doc_id)
+  WHERE f.h % 3 = 0
+),
+staged AS (
+  SELECT lang, CAST(h % 4 AS INT) AS shard, doc_id, h,
+         CAST(len(string_split_regex(trim(m), '\s+')) AS INT) AS n_tok,
+         LENGTH(m) AS n_masked
+  FROM sampled
+),
+packed AS (
+  SELECT lang, shard, n_tok, n_masked,
+         (SUM(n_tok) OVER (PARTITION BY lang, shard ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) // 1024 AS pack_id
+  FROM staged
+)
+SELECT lang, shard, COUNT(*) AS n_docs,
+       CAST(MAX(pack_id) + 1 AS BIGINT) AS n_packs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+       CAST(SUM(n_masked) AS BIGINT) AS masked_chars
+FROM packed GROUP BY lang, shard ORDER BY lang, shard
+"""
+
+
+QUERIES = {
+    "pipeline_curation": pipeline_curation,
+    "pipeline_pretrain_prep": pipeline_pretrain_prep,
+}
+ORACLE = {
+    "pipeline_curation": PIPELINE_SQL,
+    "pipeline_pretrain_prep": PIPELINE_PREP_SQL,
+}

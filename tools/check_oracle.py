@@ -1,7 +1,13 @@
 """Run the full oracle comparison at a given SF (default sf0.01 — the
-driver's tier). Prints one line per query and a summary."""
+driver's tier). Prints one line per query and a summary.
+
+--json PATH additionally writes a machine-readable report in the
+driver's CORRECTNESS shape (rows/schema/hash per query) covering EVERY
+registry entry — the committed complement of the driver's 50-entry
+window."""
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -14,11 +20,19 @@ from pygdf_spark.testing import compare_query
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    args = [a for a in sys.argv[1:] if not a.startswith("--json")]
+    json_path = None
+    for a in sys.argv[1:]:
+        if a.startswith("--json="):
+            json_path = a.split("=", 1)[1]
+        elif a == "--json":
+            json_path = "CORRECTNESS_LOCAL.json"
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    only = args[1].split(",") if len(args) > 1 else None
     spark = get_spark("oracle-check")
     queries, oracle = registry()
     bad = 0
+    report = {}
     for name in sorted(queries):
         if only and name not in only:
             continue
@@ -31,10 +45,19 @@ def main():
         status = "OK  " if res["ok"] else "FAIL"
         mode = res.get("mode", "?")
         print(f"{status} {name:32s} {dt:6.2f}s rows={res.get('rows','?'):>6} [{mode}]")
+        report[name] = {
+            "ok": res["ok"], "mode": mode, "rows": res.get("rows"),
+            "sec": round(dt, 2), "err": res.get("error"),
+        }
         if not res["ok"]:
             bad += 1
             print(f"     {res.get('error','')[:500]}")
     print(f"\n{'ALL OK' if bad == 0 else f'{bad} FAILURES'} / {len(queries)} queries")
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_queries": len(report),
+                       "n_failures": bad, "results": report}, f, indent=1)
+        print(f"wrote {json_path}")
     sys.exit(1 if bad else 0)
 
 
