@@ -204,3 +204,30 @@ def run_available_now(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+def run_available_now_parquet(
+    sdf: DataFrame, path: str, checkpoint: str, mode: str = "append",
+    shuffle_partitions: int = 8,
+) -> DataFrame:
+    """Like run_available_now but into a real PARQUET sink with a
+    checkpoint — the durable-sink shape production streams use
+    (exactly-once via the checkpoint's offset+commit log; append mode,
+    so aggregations need a watermark that closes their windows).
+    Returns the sink read back as a batch DataFrame."""
+    spark = sdf.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", checkpoint)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(path)

@@ -149,3 +149,54 @@ def test_dynamic_partition_pruning(spark, sample, tmp_path):
     plan = _formatted_plan(j)
     assert "dynamicpruningexpression" in plan.lower()
     assert j.count() > 0
+
+
+def test_stream_parquet_sink_roundtrip(spark, tmp_path):
+    """Durable streaming sink: availableNow micro-batches -> parquet +
+    checkpoint -> read back. Append mode emits only watermark-closed
+    windows, so the sink must be a value-exact SUBSET of the batch
+    windows (and non-empty) -- the production exactly-once sink shape."""
+    from pyspark.sql import functions as F
+
+    from pygdf_spark.queries._util import dec, events_ts
+    from pygdf_spark.streaming.pipelines import (
+        read_events_stream,
+        run_available_now_parquet,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    # append mode requires grouping on the WINDOW STRUCT itself —
+    # extracting .start before the groupBy severs watermark propagation
+    agg = (
+        stream.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("double").alias("sum_val"),
+        )
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "sum_val")
+    )
+    sink = run_available_now_parquet(
+        agg, str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    )
+    got = {
+        (str(r["w_start"]), r["event_type"]): (r["n"], r["sum_val"])
+        for r in sink.collect()
+    }
+    assert got, "append sink should emit at least the early closed windows"
+    batch = (
+        events_ts(spark, sf_dir)
+        .groupBy(F.window("ts", "5 minutes").start.alias("w_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec("value")).cast("double").alias("sum_val"))
+    )
+    exp = {
+        (str(r["w_start"]), r["event_type"]): (r["n"], r["sum_val"])
+        for r in batch.collect()
+    }
+    for k, v in got.items():
+        assert exp[k] == v, f"window {k}: sink {v} != batch {exp[k]}"
+    # restart on the same checkpoint is a no-op (exactly-once: no dupes)
+    sink2 = run_available_now_parquet(
+        agg, str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    )
+    assert sink2.count() == sink.count()
