@@ -138,3 +138,38 @@ def test_connected_components_empty(spark):
 
     edges = spark.createDataFrame([], "a long, b long")
     assert connected_components(edges).count() == 0
+
+
+def test_pack_sequences_budget_invariant(spark):
+    """Every pack's token total stays <= the 2048 budget unless the
+    pack is a single oversized document (greedy packing semantics)."""
+    from pyspark.sql import functions as F
+
+    from pygdf_spark.queries._util import T
+    from pygdf_spark.functions.hashing import md5_u64
+    from pyspark.sql import Window
+
+    d = T(spark, "/root/testdata/sf0.001", "documents")
+    toks = F.size(F.split(F.trim("text"), r"\s+"))
+    shard = (md5_u64(F.col("doc_id").cast("string")) % 8).cast("int")
+    w = Window.partitionBy("shard").orderBy(
+        md5_u64(F.col("doc_id").cast("string")), "doc_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    packed = (
+        d.select(shard.alias("shard"), "doc_id", toks.alias("n_tok"))
+        .withColumn("pack_id", ((F.sum("n_tok").over(w) - 1) / 2048).cast("long"))
+    )
+    packs = packed.groupBy("shard", "pack_id").agg(
+        F.sum("n_tok").alias("tot"), F.count(F.lit(1)).alias("n_docs")
+    )
+    # a pack may exceed budget only via its LAST doc straddling the
+    # boundary (running-sum packing) or a single oversized doc; so
+    # total - any single member < budget always fails only if two
+    # boundaries were crossed inside one pack, which cannot happen
+    bad = packs.filter((F.col("tot") > 2 * 2048)).count()
+    assert bad == 0
+    # and no empty packs: ids are dense per shard
+    dense = packs.groupBy("shard").agg(
+        (F.max("pack_id") + 1).alias("n"), F.count(F.lit(1)).alias("k")
+    ).filter(F.col("n") != F.col("k")).count()
+    assert dense == 0
