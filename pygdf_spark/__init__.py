@@ -485,7 +485,8 @@ class Index:
         a, b = self._values, list(other)
         sb = set(b)
         if op == "union":
-            out = a + [v for v in dict.fromkeys(b) if v not in set(a)]
+            sa = set(a)
+            out = a + [v for v in dict.fromkeys(b) if v not in sa]
         elif op == "intersection":
             out = [v for v in dict.fromkeys(a) if v in sb]
         else:

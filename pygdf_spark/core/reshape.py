@@ -53,13 +53,24 @@ def unstack(df: DataFrame, index: str, columns: str, values: str,
     column axis. Under the group-keys-stay-columns convention the
     "level" is named explicitly instead of positionally; first-value
     cells like the reference (each (index, columns) pair is assumed
-    unique, as cuDF requires), ``fill_value`` fills the holes."""
-    out = pivot(df, index, columns, values, column_values)
-    if fill_value is not None:
-        filled = [F.coalesce(F.col(c), F.lit(fill_value)).alias(c)
-                  for c in out.columns if c != index]
-        out = DataFrame(out._sdf.select(_RID, index, *filled))
-    return out
+    unique, as cuDF requires). ``fill_value`` fills ONLY structurally
+    missing cells — a pair that exists with a null value keeps its
+    null, exactly as pandas (so the pivot carries a presence count per
+    cell alongside the value)."""
+    if fill_value is None:
+        return pivot(df, index, columns, values, column_values)
+    g = df._sdf.drop(_RID).groupBy(index)
+    p = g.pivot(columns, column_values) if column_values else g.pivot(columns)
+    out = p.agg(F.first(values).alias("v"), F.count(F.lit(1)).alias("c"))
+    cells = sorted({c[:-2] for c in out.columns if c.endswith(("_v", "_c"))})
+    filled = [
+        F.when(F.col(f"{c}_c").isNull(), F.lit(fill_value))
+        .otherwise(F.col(f"{c}_v")).alias(c)
+        for c in cells
+    ]
+    return DataFrame(
+        out.select(index, *filled).withColumn(_RID, F.monotonically_increasing_id())
+    )
 
 
 def get_dummies(df: DataFrame, column: str, prefix: str | None = None,

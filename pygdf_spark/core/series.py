@@ -35,10 +35,30 @@ class StrAccessor:
         ['a','b','c'], not ['a b','c']."""
         return n + 1 if n > 0 else -1
 
-    def split(self, pat: str = r"\s+", n: int = -1, **_kw) -> Column:
-        return _str.split(self._c, pat, self._n_to_limit(n))
+    def split(self, pat: str | None = None, n: int = -1, regex: bool = False, **_kw) -> Column:
+        """pandas/cuDF semantics: pat=None → whitespace; an explicit
+        pat is a LITERAL separator unless regex=True ('a.b'.split('.')
+        must give ['a','b'], not per-char empties)."""
+        import re as _re
 
-    def rsplit(self, pat: str = " ", n: int = -1, **_kw) -> Column:
+        import pyspark.sql.functions as _F
+
+        if pat is None:
+            # Python str.split(None): strip ends, split on runs
+            return _str.split(_F.trim(self._c), r"\s+", self._n_to_limit(n))
+        return _str.split(self._c, pat if regex else _re.escape(pat), self._n_to_limit(n))
+
+    def rsplit(self, pat: str | None = None, n: int = -1, **_kw) -> Column:
+        """pat=None → whitespace, matching pandas (the functions-layer
+        rsplit always treats its separator as a literal)."""
+        if pat is None:
+            # whitespace rsplit: normalize runs to single spaces first
+            # (pandas' None-pat split family collapses whitespace), then
+            # right-split on the literal space
+            import pyspark.sql.functions as _F
+
+            norm = _F.regexp_replace(_F.trim(self._c), r"\s+", " ")
+            return _str.rsplit(norm, " ", self._n_to_limit(n))
         return _str.rsplit(self._c, pat, self._n_to_limit(n))
 
     def __getattr__(self, name: str):
@@ -125,6 +145,7 @@ class CatAccessor:
         self._s = series
         self._explicit = categories
         self._ordered = ordered
+        self._derived_cache: list | None = None
 
     # -- dictionary ----------------------------------------------------
     def _derived(self) -> list:
@@ -144,7 +165,11 @@ class CatAccessor:
 
     @property
     def categories(self) -> list:
-        return list(self._explicit) if self._explicit is not None else self._derived()
+        if self._explicit is not None:
+            return list(self._explicit)
+        if self._derived_cache is None:  # memoized: one distinct scan per accessor
+            self._derived_cache = self._derived()
+        return list(self._derived_cache)
 
     @property
     def ordered(self) -> bool:
@@ -172,10 +197,11 @@ class CatAccessor:
 
     # -- dictionary edits (each returns a new accessor) ----------------
     def as_ordered(self) -> "CatAccessor":
-        return CatAccessor(self._s, self._explicit or self.categories, True)
+        # `or` would treat an explicitly-set EMPTY dictionary as unset
+        return CatAccessor(self._s, self.categories, True)
 
     def as_unordered(self) -> "CatAccessor":
-        return CatAccessor(self._s, self._explicit or self.categories, False)
+        return CatAccessor(self._s, self.categories, False)
 
     def add_categories(self, new) -> "CatAccessor":
         new = [new] if not isinstance(new, (list, tuple)) else list(new)

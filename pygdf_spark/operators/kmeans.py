@@ -47,13 +47,16 @@ def _dist2(vec_col, centroid: list[float]):
     )
 
 
-def assign_clusters(ivecs: DataFrame, centroids: list[list[float]]) -> DataFrame:
+def assign_clusters(ivecs: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
     """(vid, vec, cid, dist2): nearest centroid per vector — one
-    map-side projection, ties to the lower cluster index."""
+    map-side projection, ties to the lower cluster index. ``centroids``
+    is (cid, vector) pairs so a dropped (emptied) cluster's id simply
+    stops competing — identical to the oracle CTE, where an empty
+    cluster vanishes from the centroid table."""
     pairs = F.array(
         *[
-            F.struct(_dist2(F.col("vec"), c).alias("dist"), F.lit(i).alias("cid"))
-            for i, c in enumerate(centroids)
+            F.struct(_dist2(F.col("vec"), c).alias("dist"), F.lit(cid).alias("cid"))
+            for cid, c in centroids
         ]
     )
     best = F.sort_array(pairs)[0]
@@ -62,16 +65,15 @@ def assign_clusters(ivecs: DataFrame, centroids: list[list[float]]) -> DataFrame
     )
 
 
-def update_centroids(assigned: DataFrame, k: int, d: int) -> list[list[float]]:
+def update_centroids(assigned: DataFrame, d: int) -> list[tuple[int, list[float]]]:
     """New centroids as exact int64 per-dim sums / count (one double
-    division per component). Empty clusters keep a zero vector (cannot
-    occur with lowest-id init on this data; documented)."""
+    division per component), keyed by surviving cid — a cluster no row
+    chose produces NO centroid (the oracle's GROUP BY does the same)."""
     sums = [F.sum(F.element_at("vec", i + 1)).alias(f"s{i}") for i in range(d)]
     rows = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n"), *sums).collect()
-    out = [[0.0] * d for _ in range(k)]
-    for r in rows:
-        out[r["cid"]] = [r[f"s{i}"] / r["n"] for i in range(d)]
-    return out
+    return sorted(
+        (int(r["cid"]), [r[f"s{i}"] / r["n"] for i in range(d)]) for r in rows
+    )
 
 
 def ivf_probe_topk(vecs: DataFrame, k_clusters: int = 4, iters: int = 2,
@@ -128,9 +130,9 @@ def kmeans(vecs: DataFrame, k: int = 4, iters: int = 2,
     ).persist()
     d = iv.select(F.size("vec").alias("d")).first()["d"]
     seeds = iv.orderBy("vid").limit(k).collect()
-    centroids = [[float(x) for x in r["vec"]] for r in seeds]
+    centroids = [(i, [float(x) for x in r["vec"]]) for i, r in enumerate(seeds)]
     assigned = assign_clusters(iv, centroids)
     for _ in range(iters):
-        centroids = update_centroids(assigned, k, d)
+        centroids = update_centroids(assigned, d)
         assigned = assign_clusters(iv, centroids)
     return assigned.select("vid", "cid", "dist2")

@@ -200,6 +200,8 @@ def bucketed_topk(
             "bucket",
         )
         do_broadcast = False if broadcast_queries is None else broadcast_queries
+        # self-ANN only: a vector is not its own neighbor
+        self_filter = F.col("q_id") != F.col("v_id")
     else:
         qiv = _int_vec("embedding")
         q = queries.select(
@@ -209,9 +211,11 @@ def bucketed_topk(
             _bucket_expr(qiv, n_planes).alias("bucket"),
         )
         do_broadcast = True if broadcast_queries is None else broadcast_queries
-    cand = v.join(F.broadcast(q) if do_broadcast else q, "bucket").filter(
-        F.col("q_id") != F.col("v_id")
-    )
+        # explicit query set: ids live in a DIFFERENT id space than the
+        # corpus — an id-equality filter would silently drop legitimate
+        # matches whose vec_id collides with a query id
+        self_filter = F.lit(True)
+    cand = v.join(F.broadcast(q) if do_broadcast else q, "bucket").filter(self_filter)
     cos = cand.select(
         "q_id",
         "v_id",

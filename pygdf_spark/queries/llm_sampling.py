@@ -89,15 +89,12 @@ def pack_sequences(spark, sf_dir):
     token total's budget quotient inside the shard (greedy in hash
     order); oversized docs overflow into their own pack, as greedy
     packing does. Output: per-shard pack inventory."""
+    from pygdf_spark.operators.packing import with_pack_ids
+
     d = T(spark, sf_dir, "documents")
     toks = F.size(F.split(F.trim("text"), r"\s+"))
-    shard = (md5_u64(F.col("doc_id").cast("string")) % 8).cast("int")
-    w = Window.partitionBy("shard").orderBy(
-        md5_u64(F.col("doc_id").cast("string")), "doc_id"
-    ).rowsBetween(Window.unboundedPreceding, 0)
-    staged = d.select(shard.alias("shard"), "doc_id", toks.alias("n_tok"))
-    packed = staged.withColumn(
-        "pack_id", ((F.sum("n_tok").over(w) - 1) / 2048).cast("long")
+    packed = with_pack_ids(
+        d.select("doc_id", toks.alias("n_tok")), budget=2048, n_shards=8
     )
     return (
         packed.groupBy("shard")

@@ -101,20 +101,13 @@ def pipeline_pretrain_prep(spark, sf_dir):
         (md5_u64(F.col("doc_id").cast("string")) % 3 == 0).alias("keep"),
     ).filter("keep")
 
-    toks = F.size(F.split(F.trim("m"), r"\s+"))
-    shard = (md5_u64(F.col("doc_id").cast("string")) % 4).cast("int")
-    from pyspark.sql import Window
+    from pygdf_spark.operators.packing import with_pack_ids
 
-    w = Window.partitionBy("lang", "shard").orderBy(
-        md5_u64(F.col("doc_id").cast("string")), "doc_id"
-    ).rowsBetween(Window.unboundedPreceding, 0)
+    toks = F.size(F.split(F.trim("m"), r"\s+"))
     staged = sampled.select(
-        "lang", shard.alias("shard"), "doc_id", toks.alias("n_tok"),
-        F.length("m").alias("n_masked"),
+        "lang", "doc_id", toks.alias("n_tok"), F.length("m").alias("n_masked")
     )
-    packed = staged.withColumn(
-        "pack_id", ((F.sum("n_tok").over(w) - 1) / 1024).cast("long")
-    )
+    packed = with_pack_ids(staged, budget=1024, n_shards=4, extra_keys=("lang",))
     return (
         packed.groupBy("lang", "shard")
         .agg(

@@ -157,8 +157,14 @@ class Consumer:
             with open(path) as f:
                 state = json.load(f)
         state[f"{topic}/{partition}"] = int(offset)
-        with open(path, "w") as f:
+        # atomic replace: a crash mid-write must not leave a truncated
+        # store that breaks every later committed(). (Concurrent
+        # committers in one group remain last-writer-wins per key-set —
+        # with a real broker, Spark's checkpoint is authoritative.)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
             json.dump(state, f)
+        os.replace(tmp, path)
 
     def committed(self, topic: str, partition: int = 0) -> int | None:
         """The group's committed offset, or None (kafka.py:181)."""

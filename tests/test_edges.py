@@ -145,19 +145,14 @@ def test_pack_sequences_budget_invariant(spark):
     pack is a single oversized document (greedy packing semantics)."""
     from pyspark.sql import functions as F
 
+    from pygdf_spark.operators.packing import with_pack_ids
     from pygdf_spark.queries._util import T
-    from pygdf_spark.functions.hashing import md5_u64
-    from pyspark.sql import Window
 
     d = T(spark, "/root/testdata/sf0.001", "documents")
     toks = F.size(F.split(F.trim("text"), r"\s+"))
-    shard = (md5_u64(F.col("doc_id").cast("string")) % 8).cast("int")
-    w = Window.partitionBy("shard").orderBy(
-        md5_u64(F.col("doc_id").cast("string")), "doc_id"
-    ).rowsBetween(Window.unboundedPreceding, 0)
-    packed = (
-        d.select(shard.alias("shard"), "doc_id", toks.alias("n_tok"))
-        .withColumn("pack_id", ((F.sum("n_tok").over(w) - 1) / 2048).cast("long"))
+    # the SAME operator the registry queries use — no re-derived copy
+    packed = with_pack_ids(
+        d.select("doc_id", toks.alias("n_tok")), budget=2048, n_shards=8
     )
     packs = packed.groupBy("shard", "pack_id").agg(
         F.sum("n_tok").alias("tot"), F.count(F.lit(1)).alias("n_docs")

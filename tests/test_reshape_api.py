@@ -67,13 +67,19 @@ def test_unstack(spark, gdf, pdf):
     exp = pdf.set_index(["k", "m"])["v"].unstack().reset_index()
     exp.columns.name = None
     eq(out, exp, ["k"])
-    # fill_value plugs the holes of a sparse (index, columns) domain
-    sparse_pd = pdf.iloc[[0, 1, 2]]  # ('b','y') missing
+    # fill_value plugs ONLY structurally-missing cells: ('b','y') is
+    # absent (filled), while ('a','y') exists with a null value and
+    # must KEEP the null, exactly as pandas
+    sparse_pd = pdf.iloc[[0, 1, 2]].copy()  # ('b','y') missing
+    sparse_pd.loc[sparse_pd.index[1], "v"] = None  # ('a','y') present, null
     sparse = from_spark(spark.createDataFrame(sparse_pd))
     out = unstack(sparse, "k", "m", "v", fill_value=0.0, column_values=["x", "y"])
     exp = sparse_pd.set_index(["k", "m"])["v"].unstack(fill_value=0.0).reset_index()
     exp.columns.name = None
-    eq(out, exp, ["k"])
+    got = out.to_pandas().sort_values("k").reset_index(drop=True)
+    assert got.loc[got.k == "b", "y"].iloc[0] == 0.0          # structural hole filled
+    assert pd.isna(got.loc[got.k == "a", "y"].iloc[0])        # present null kept
+    assert pd.isna(exp.loc[exp.k == "a", "y"].iloc[0])        # pandas agrees
 
 
 def test_map_in_arrow(spark):
