@@ -161,6 +161,7 @@ def bucketed_topk(
     n_planes: int = 4,
     queries: DataFrame | None = None,
     broadcast_queries: bool | None = None,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """ANN search, scale path: LSH-bucket the corpus, then search ONLY
     within buckets (candidate generation = equi-join on the short
@@ -184,6 +185,12 @@ def bucketed_topk(
     - explicit bounded ``queries``: broadcast by default (the classic
       small-probe shape); pass ``broadcast_queries=False`` to force the
       shuffle path for large probe sets.
+
+    ``multiprobe=True`` is classic LSH multi-probe: each query also
+    searches every bucket at Hamming distance 1 from its own (one
+    sign-bit flip), multiplying candidates ×(n_planes+1) for a large
+    recall lift — the probe fan-out is a map-side explode on the QUERY
+    side only; the corpus is never replicated.
     """
     iv = _int_vec("embedding")
     v = vecs.select(
@@ -215,6 +222,11 @@ def bucketed_topk(
         # corpus — an id-equality filter would silently drop legitimate
         # matches whose vec_id collides with a query id
         self_filter = F.lit(True)
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+        )
+        q = q.withColumn("bucket", F.explode(probes))
     cand = v.join(F.broadcast(q) if do_broadcast else q, "bucket").filter(self_filter)
     cos = cand.select(
         "q_id",

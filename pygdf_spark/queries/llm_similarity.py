@@ -348,6 +348,134 @@ FROM sums GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def sim_ann_recall(spark, sf_dir):
+    """ANN quality evaluation: recall@3 of the LSH-bucketed search vs
+    exact brute force over a bounded evaluation sample (vec_id < 300 —
+    at production scale this runs on a held-out sample, never the full
+    corpus; the brute side is quadratic BY DESIGN as the ground truth).
+    Output: one row of counts + integer basis-point recall (exact
+    arithmetic, no float division)."""
+    vecs = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    brute = SIM.brute_topk(vecs, vecs, k=3).select("q_id", "v_id")
+    ivf = SIM.bucketed_topk(vecs, k=3, n_planes=4).select("q_id", "v_id")
+    multi = SIM.bucketed_topk(vecs, k=3, n_planes=4, multiprobe=True).select("q_id", "v_id")
+    hits = brute.join(ivf, ["q_id", "v_id"], "left_semi")
+    mhits = brute.join(multi, ["q_id", "v_id"], "left_semi")
+    return (
+        brute.agg(
+            F.countDistinct("q_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_true"),
+        )
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .crossJoin(mhits.agg(F.count(F.lit(1)).alias("n_hits_multi")))
+        .select(
+            "n_queries", "n_true", "n_hits", "n_hits_multi",
+            F.expr("(n_hits * 10000) div n_true").alias("recall_bp"),
+            F.expr("(n_hits_multi * 10000) div n_true").alias("recall_bp_multi"),
+        )
+    )
+
+
+_IVF_CTES = rf"""
+contrib AS (
+  SELECT el.vid, p.p, el.x * (((p.p * 31 + (el.pos - 1) * 17) % 7) - 3) AS c
+  FROM el CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS p) p
+),
+bits AS (
+  SELECT vid, p, CASE WHEN SUM(c) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM contrib GROUP BY vid, p
+),
+buckets AS (
+  SELECT vid, CAST(SUM(bit * CAST(POW(2.0, p) AS BIGINT)) AS BIGINT) AS bucket
+  FROM bits GROUP BY vid
+),
+cand AS (
+  SELECT a.vid AS q_id, b.vid AS v_id
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vid <> b.vid
+),
+idots AS (
+  SELECT cand.q_id, cand.v_id, CAST(SUM(q.x * v.x) AS BIGINT) AS dot
+  FROM cand JOIN el q ON q.vid = cand.q_id JOIN el v ON v.vid = cand.v_id AND v.pos = q.pos
+  GROUP BY cand.q_id, cand.v_id
+),
+icos AS (
+  SELECT q_id, v_id, {_COS.format(dot='dot', na='nq.norm2', nb='nv.norm2')} AS cos
+  FROM idots JOIN nrm nq ON nq.vid = q_id JOIN nrm nv ON nv.vid = v_id
+),
+ivf AS (
+  SELECT q_id, v_id FROM (
+    SELECT q_id, v_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, v_id ASC) AS rank
+    FROM icos
+  ) WHERE rank <= 3
+),
+probes AS (
+  SELECT vid, bucket FROM buckets
+  UNION ALL
+  SELECT b.vid, xor(b.bucket, CAST(POW(2.0, p.p) AS BIGINT)) AS bucket
+  FROM buckets b CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS p) p
+),
+mcand AS (
+  SELECT p.vid AS q_id, c.vid AS v_id
+  FROM probes p JOIN buckets c ON p.bucket = c.bucket AND p.vid <> c.vid
+),
+mdots AS (
+  SELECT mcand.q_id, mcand.v_id, CAST(SUM(q.x * v.x) AS BIGINT) AS dot
+  FROM mcand JOIN el q ON q.vid = mcand.q_id JOIN el v ON v.vid = mcand.v_id AND v.pos = q.pos
+  GROUP BY mcand.q_id, mcand.v_id
+),
+mcos AS (
+  SELECT q_id, v_id, {_COS.format(dot='dot', na='nq.norm2', nb='nv.norm2')} AS cos
+  FROM mdots JOIN nrm nq ON nq.vid = q_id JOIN nrm nv ON nv.vid = v_id
+),
+mivf AS (
+  SELECT q_id, v_id FROM (
+    SELECT q_id, v_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, v_id ASC) AS rank
+    FROM mcos
+  ) WHERE rank <= 3
+)"""
+
+
+SIM_RECALL_SQL = rf"""
+WITH el AS (
+  SELECT vec_id AS vid,
+         generate_subscripts(embedding, 1) AS pos,
+         {_INT.replace('x', 'UNNEST(embedding)')} AS x
+  FROM embeddings WHERE vec_id < 300
+),
+nrm AS (SELECT vid, CAST(SUM(x * x) AS BIGINT) AS norm2 FROM el GROUP BY vid),
+bdots AS (
+  SELECT q.vid AS q_id, v.vid AS v_id, CAST(SUM(q.x * v.x) AS BIGINT) AS dot
+  FROM el q JOIN el v ON q.pos = v.pos AND q.vid <> v.vid
+  GROUP BY q.vid, v.vid
+),
+bcos AS (
+  SELECT q_id, v_id, {_COS.format(dot='dot', na='nq.norm2', nb='nv.norm2')} AS cos
+  FROM bdots JOIN nrm nq ON nq.vid = q_id JOIN nrm nv ON nv.vid = v_id
+),
+brute AS (
+  SELECT q_id, v_id FROM (
+    SELECT q_id, v_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, v_id ASC) AS rank
+    FROM bcos
+  ) WHERE rank <= 3
+),
+{_IVF_CTES}
+SELECT CAST(COUNT(DISTINCT b.q_id) AS BIGINT) AS n_queries,
+       COUNT(*) AS n_true,
+       CAST(SUM(CASE WHEN i.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN m.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_multi,
+       (CAST(SUM(CASE WHEN i.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+         // COUNT(*) AS recall_bp,
+       (CAST(SUM(CASE WHEN m.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+         // COUNT(*) AS recall_bp_multi
+FROM brute b
+LEFT JOIN ivf i ON b.q_id = i.q_id AND b.v_id = i.v_id
+LEFT JOIN mivf m ON b.q_id = m.q_id AND b.v_id = m.v_id
+"""
+
+
 QUERIES = {
     "sim_ivf_topk": sim_ivf_topk,
     "sim_cosine_topk": sim_cosine_topk,
@@ -356,6 +484,7 @@ QUERIES = {
     "sim_kmeans_ivf": sim_kmeans_ivf,
     "sim_ivf_probe": sim_ivf_probe,
     "sim_doc_pool": sim_doc_pool,
+    "sim_ann_recall": sim_ann_recall,
 }
 
 ORACLE = {
@@ -366,4 +495,5 @@ ORACLE = {
     "sim_kmeans_ivf": SIM_KMEANS_SQL,
     "sim_ivf_probe": SIM_IVF_PROBE_SQL,
     "sim_doc_pool": SIM_DOC_POOL_SQL,
+    "sim_ann_recall": SIM_RECALL_SQL,
 }
