@@ -189,8 +189,12 @@ def bucketed_topk(
     ``multiprobe=True`` is classic LSH multi-probe: each query also
     searches every bucket at Hamming distance 1 from its own (one
     sign-bit flip), multiplying candidates ×(n_planes+1) for a large
-    recall lift — the probe fan-out is a map-side explode on the QUERY
-    side only; the corpus is never replicated.
+    recall lift. The fan-out is a map-side explode of the QUERY side —
+    cheap for a bounded probe set; in SELF-ANN mode the query side IS
+    the corpus, so the shuffle carries (n_planes+1)× the corpus rows
+    (vector payloads included) — budget multi-probe self-ANN as
+    (n_planes+1)× the single-probe cost, or probe a bounded query
+    sample instead.
     """
     iv = _int_vec("embedding")
     v = vecs.select(

@@ -24,6 +24,26 @@ _INT = "CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)"
 _COS = ("ROUND(CAST({dot} AS DOUBLE) / "
         "SQRT(CAST({na} AS DOUBLE) * CAST({nb} AS DOUBLE)), 8)")
 
+def _bucket_ctes(n_planes: int) -> str:
+    """Shared oracle CTE block: sign-bit LSH bucket per vid from the
+    deterministic integer hyperplanes — the single source of truth the
+    bucketed-ANN oracles (ivf topk, lsh histogram, recall eval) build
+    on, parameterized by plane count.
+    (pos - 1): generate_subscripts is 1-based, Spark transform 0-based."""
+    return f"""contrib AS (
+  SELECT el.vid, p.p, el.x * (((p.p * 31 + (el.pos - 1) * 17) % 7) - 3) AS c
+  FROM el CROSS JOIN (SELECT UNNEST(generate_series(0, {n_planes - 1})) AS p) p
+),
+bits AS (
+  SELECT vid, p, CASE WHEN SUM(c) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM contrib GROUP BY vid, p
+),
+buckets AS (
+  SELECT vid, CAST(SUM(bit * CAST(POW(2.0, p) AS BIGINT)) AS BIGINT) AS bucket
+  FROM bits GROUP BY vid
+)"""
+
+
 _ELEMENTS_SQL = rf"""
 el AS (
   SELECT vec_id AS vid,
@@ -79,19 +99,7 @@ def sim_lsh_buckets(spark, sf_dir):
 
 SIM_LSH_SQL = rf"""
 WITH {_ELEMENTS_SQL},
-contrib AS (
-  -- (pos - 1): generate_subscripts is 1-based, Spark transform index 0-based
-  SELECT el.vid, p.p, el.x * (((p.p * 31 + (el.pos - 1) * 17) % 7) - 3) AS c
-  FROM el CROSS JOIN (SELECT UNNEST(generate_series(0, {SIM.N_PLANES - 1})) AS p) p
-),
-bits AS (
-  SELECT vid, p, CASE WHEN SUM(c) >= 0 THEN 1 ELSE 0 END AS bit
-  FROM contrib GROUP BY vid, p
-),
-buckets AS (
-  SELECT vid, CAST(SUM(bit * CAST(POW(2.0, p) AS BIGINT)) AS BIGINT) AS bucket
-  FROM bits GROUP BY vid
-)
+{_bucket_ctes(SIM.N_PLANES)}
 SELECT bucket, COUNT(*) AS n_vecs, MIN(vid) AS first_vec
 FROM buckets GROUP BY bucket ORDER BY bucket
 """
@@ -144,18 +152,7 @@ WITH el AS (
   FROM embeddings WHERE vec_id < 300
 ),
 nrm AS (SELECT vid, CAST(SUM(x * x) AS BIGINT) AS norm2 FROM el GROUP BY vid),
-contrib AS (
-  SELECT el.vid, p.p, el.x * (((p.p * 31 + (el.pos - 1) * 17) % 7) - 3) AS c
-  FROM el CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS p) p
-),
-bits AS (
-  SELECT vid, p, CASE WHEN SUM(c) >= 0 THEN 1 ELSE 0 END AS bit
-  FROM contrib GROUP BY vid, p
-),
-buckets AS (
-  SELECT vid, CAST(SUM(bit * CAST(POW(2.0, p) AS BIGINT)) AS BIGINT) AS bucket
-  FROM bits GROUP BY vid
-),
+{_bucket_ctes(4)},
 cand AS (
   SELECT a.vid AS q_id, b.vid AS v_id
   FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vid <> b.vid
@@ -377,37 +374,10 @@ def sim_ann_recall(spark, sf_dir):
 
 
 _IVF_CTES = rf"""
-contrib AS (
-  SELECT el.vid, p.p, el.x * (((p.p * 31 + (el.pos - 1) * 17) % 7) - 3) AS c
-  FROM el CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS p) p
-),
-bits AS (
-  SELECT vid, p, CASE WHEN SUM(c) >= 0 THEN 1 ELSE 0 END AS bit
-  FROM contrib GROUP BY vid, p
-),
-buckets AS (
-  SELECT vid, CAST(SUM(bit * CAST(POW(2.0, p) AS BIGINT)) AS BIGINT) AS bucket
-  FROM bits GROUP BY vid
-),
+{_bucket_ctes(4)},
 cand AS (
   SELECT a.vid AS q_id, b.vid AS v_id
   FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vid <> b.vid
-),
-idots AS (
-  SELECT cand.q_id, cand.v_id, CAST(SUM(q.x * v.x) AS BIGINT) AS dot
-  FROM cand JOIN el q ON q.vid = cand.q_id JOIN el v ON v.vid = cand.v_id AND v.pos = q.pos
-  GROUP BY cand.q_id, cand.v_id
-),
-icos AS (
-  SELECT q_id, v_id, {_COS.format(dot='dot', na='nq.norm2', nb='nv.norm2')} AS cos
-  FROM idots JOIN nrm nq ON nq.vid = q_id JOIN nrm nv ON nv.vid = v_id
-),
-ivf AS (
-  SELECT q_id, v_id FROM (
-    SELECT q_id, v_id,
-           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, v_id ASC) AS rank
-    FROM icos
-  ) WHERE rank <= 3
 ),
 probes AS (
   SELECT vid, bucket FROM buckets
@@ -433,6 +403,19 @@ mivf AS (
     SELECT q_id, v_id,
            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, v_id ASC) AS rank
     FROM mcos
+  ) WHERE rank <= 3
+),
+-- single-probe candidates are a strict subset of multi-probe ones:
+-- derive their cosines from mcos instead of recomputing the dots
+icos AS (
+  SELECT m.q_id, m.v_id, m.cos
+  FROM mcos m JOIN cand c ON m.q_id = c.q_id AND m.v_id = c.v_id
+),
+ivf AS (
+  SELECT q_id, v_id FROM (
+    SELECT q_id, v_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, v_id ASC) AS rank
+    FROM icos
   ) WHERE rank <= 3
 )"""
 
