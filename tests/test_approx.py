@@ -49,3 +49,30 @@ def test_approx_grouped_deterministic(spark, sf_dir):
         .collect()
     }
     assert a == b
+
+
+def test_bucketed_topk_explicit_queries_id_collision(spark):
+    """Round-2 review fix: with an explicit query set, a corpus match
+    whose vec_id equals a query's vec_id must NOT be dropped (the ids
+    live in different spaces; the self-filter applies only to
+    self-ANN)."""
+    from pyspark.sql import functions as F
+
+    from pygdf_spark.operators.similarity import bucketed_topk
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 3 + 1), 1.0]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    # query id 0 collides with corpus id 0; vector identical to corpus
+    # vec 3 so its nearest neighbors are well-defined
+    queries = spark.createDataFrame(
+        [(0, [1.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    got = bucketed_topk(corpus, k=12, n_planes=1, queries=queries).collect()
+    v_ids = {r["v_id"] for r in got}
+    # corpus vec 0 shares the query's bucket and MUST appear
+    assert 0 in v_ids, "id-collision match was dropped"
+    # self-ANN mode still excludes self-pairs
+    self_ann = bucketed_topk(corpus, k=3, n_planes=1).collect()
+    assert all(r["q_id"] != r["v_id"] for r in self_ann)
