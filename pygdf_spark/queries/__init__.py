@@ -38,40 +38,39 @@ _MODULES = [
 
 
 # The round driver checks the FIRST 50 registry entries against the DuckDB
-# oracle (round-1 lesson: positions 51+ got no driver correctness row). This
-# window is therefore hand-picked to span every SURVEY.md §2 family AND every
-# LLM-pipeline component, preferring (a) queries with no round-1 driver row
-# and (b) low per-query cost at sf0.01. Queries dropped from the window
-# (join_left_outer, agg_moments, reshape_pivot, ...) keep their round-1
-# driver-green rows in CORRECTNESS_r01.json.
+# oracle (round-1 lesson: positions 51+ got no driver correctness row). The
+# window is rebuilt each round (tools/rotate_window.py) from queries with NO
+# driver-green row in any prior CORRECTNESS_r*.json, hand-ordered to span
+# every SURVEY.md §2 family AND every LLM-pipeline component, preferring low
+# per-query cost at sf0.01. Queries dropped from the window keep their
+# prior-round driver-green rows (CORRECTNESS_r01.json: 47 green).
 _PRIORITY = [
-    # flagship + filters/predicates/AST
-    "q1_pricing_summary", "q6_forecast_revenue", "ast_filter_string",
-    # sort/top-k + dedup keep=first
-    "topk_orders", "dedup_keep_first",
-    # joins: inner, theta, null-safe, as-of, range, skew-salted
-    "join_inner_q3", "join_theta_bnlj", "join_nullsafe", "asof_join_events",
-    "join_range_bucketed", "join_salted_skew",
-    # grouped fill + aggregates
-    "group_fill_bfill", "agg_basic_stats", "agg_quantile_interp", "agg_rollup",
-    # windows
-    "win_rolling_time", "win_rank_methods",
+    # joins: null-safe + as-of (round-1 hash FAILs, now cast at the boundary)
+    "join_nullsafe", "asof_join_events",
+    # grouped fill (third round-1 hash FAIL) + aggregates
+    "group_fill_bfill", "groupby_describe",
     # reshape + copying/hashing
     "reshape_explode", "reshape_factorize", "take_slice_split",
-    "hash_values_row", "searchsorted_bounds",
+    "hash_values_row", "searchsorted_bounds", "reshape_concat_union",
+    # set-like + sorted-merge + sampling
+    "set_intersect_except", "merge_sorted_union", "sample_hash",
     # strings / datetimes / scalar math / dtypes (+ categorical accessor)
-    "str_basic_pack", "str_json_pack",
-    "dt_extract_pack", "dt_arith_pack",
-    "unary_math_pack", "binary_ops_pack", "rounding_pack",
+    "str_basic_pack", "str_json_pack", "str_regex_pack",
+    "dt_extract_pack", "dt_arith_pack", "dt_epoch_pack",
+    "unary_math_pack", "binary_ops_pack", "rounding_pack", "null_nan_pack",
     "cast_matrix_pack", "decimal_arith_pack", "cat_accessor",
+    "dict_encode_decode", "interval_contains",
     # lists / structs
     "list_ops_pack", "struct_pack",
+    # windows: rolling UDF (the one §2.5 surface with no driver row)
+    "rolling_apply_fold",
     # text analysis + NLP
-    "text_token_stats", "nlp_token_filter",
+    "text_token_stats", "nlp_token_filter", "text_pii_mask",
     # LLM dedup family
     "dedup_minhash_lsh", "dedup_keep_list", "dedup_exact_hash",
+    "dedup_simhash",
     # similarity search
-    "sim_cosine_topk", "sim_ivf_topk",
+    "sim_cosine_topk", "sim_ivf_topk", "sim_lsh_buckets",
     # graph + multimodal + composite pipeline
     "graph_connected_components", "mm_binary_meta", "pipeline_curation",
     # UDF surface
