@@ -59,9 +59,14 @@ def assign_clusters(ivecs: DataFrame, centroids: list[tuple[int, list[float]]]) 
             for cid, c in centroids
         ]
     )
-    best = F.sort_array(pairs)[0]
+    # stage the k-fold distance array once — referencing best["cid"]
+    # and best["dist"] inline would evaluate all k interpreted folds
+    # twice per row (HOFs sit outside codegen CSE)
     return ivecs.select(
-        "vid", "vec", best["cid"].alias("cid"), best["dist"].alias("dist2")
+        "vid", "vec", F.sort_array(pairs)[0].alias("__best")
+    ).select(
+        "vid", "vec", F.col("__best")["cid"].alias("cid"),
+        F.col("__best")["dist"].alias("dist2"),
     )
 
 

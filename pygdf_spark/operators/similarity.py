@@ -76,9 +76,12 @@ def _cos(dot_col: Column, norm_a: Column, norm_b: Column) -> Column:
 def with_vec(vecs: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
              id_out: str = "vid", vec_out: str = "vec") -> DataFrame:
     """Project (id, µ-unit int vector, int64 norm2) — all map-side."""
-    iv = _int_vec(vec_col)
-    return vecs.select(
-        F.col(id_col).alias(id_out), iv.alias(vec_out), norm2(iv).alias(f"{id_out}_norm2")
+    # stage the quantize transform behind an alias so it evaluates once
+    # per row — HOF trees are interpreted, so inlining `iv` into both
+    # the vector column and its norm runs the quantize twice (Catalyst
+    # does not CSE non-codegen subtrees)
+    return vecs.select(F.col(id_col).alias(id_out), _int_vec(vec_col).alias(vec_out)).select(
+        id_out, vec_out, norm2(F.col(vec_out)).alias(f"{id_out}_norm2")
     )
 
 
@@ -151,7 +154,9 @@ def hyperplane_buckets(vecs: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     """(vid, bucket): sign-bit bucketing against N deterministic integer
     hyperplanes, computed entirely map-side."""
     return vecs.select(
-        F.col("vec_id").alias("vid"), _bucket_expr(_int_vec("embedding"), n_planes).alias("bucket")
+        F.col("vec_id").alias("vid"), _int_vec("embedding").alias("__iv")
+    ).select(
+        "vid", _bucket_expr(F.col("__iv"), n_planes).alias("bucket")
     )
 
 
@@ -196,12 +201,13 @@ def bucketed_topk(
     (n_planes+1)× the single-probe cost, or probe a bounded query
     sample instead.
     """
-    iv = _int_vec("embedding")
-    v = vecs.select(
-        F.col("vec_id").alias("v_id"),
-        iv.alias("vvec"),
-        norm2(iv).alias("v_norm2"),
-        _bucket_expr(iv, n_planes).alias("bucket"),
+    # staged projection: quantize once per row, then derive norm and
+    # bucket from the column attribute (interpreted HOFs are not CSE'd)
+    v = vecs.select(F.col("vec_id").alias("v_id"), _int_vec("embedding").alias("vvec")).select(
+        "v_id",
+        "vvec",
+        norm2(F.col("vvec")).alias("v_norm2"),
+        _bucket_expr(F.col("vvec"), n_planes).alias("bucket"),
     )
     if queries is None:
         q = v.select(
@@ -214,12 +220,13 @@ def bucketed_topk(
         # self-ANN only: a vector is not its own neighbor
         self_filter = F.col("q_id") != F.col("v_id")
     else:
-        qiv = _int_vec("embedding")
         q = queries.select(
-            F.col("vec_id").alias("q_id"),
-            qiv.alias("qvec"),
-            norm2(qiv).alias("q_norm2"),
-            _bucket_expr(qiv, n_planes).alias("bucket"),
+            F.col("vec_id").alias("q_id"), _int_vec("embedding").alias("qvec")
+        ).select(
+            "q_id",
+            "qvec",
+            norm2(F.col("qvec")).alias("q_norm2"),
+            _bucket_expr(F.col("qvec"), n_planes).alias("bucket"),
         )
         do_broadcast = True if broadcast_queries is None else broadcast_queries
         # explicit query set: ids live in a DIFFERENT id space than the

@@ -82,13 +82,19 @@ def list_transform_slice(spark, sf_dir):
     elementwise scale of a slice, emitted as scalars."""
     e = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     sliced = F.slice(F.col("embedding"), 1, 3)
-    scaled = F.transform(sliced, lambda x: (x.cast("double") * 2.0))
-    return e.select(
+    # stage the HOF result once — inlining `scaled` into three
+    # element_at columns would run the interpreted transform 3x per row
+    staged = e.select(
         "vec_id",
-        F.element_at(scaled, 1).alias("s0"),
-        F.element_at(scaled, 2).alias("s1"),
-        F.element_at(scaled, 3).alias("s2"),
+        F.transform(sliced, lambda x: (x.cast("double") * 2.0)).alias("scaled"),
         F.size(F.concat(sliced, sliced)).alias("cat_len"),
+    )
+    return staged.select(
+        "vec_id",
+        F.element_at("scaled", 1).alias("s0"),
+        F.element_at("scaled", 2).alias("s1"),
+        F.element_at("scaled", 3).alias("s2"),
+        "cat_len",
     ).orderBy("vec_id")
 
 

@@ -26,16 +26,26 @@ def nlp_token_filter(spark, sf_dir):
     """replace_tokens + filter_tokens → re-join: stopwords replaced by
     a marker, tokens shorter than 3 chars dropped."""
     d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    toks = tokens(F.lower("text"))
-    replaced = F.transform(
-        toks, lambda t: F.when(t.isin(*_STOPLIST), F.lit("<stop>")).otherwise(t)
-    )
-    kept = F.filter(replaced, lambda t: F.length(t) >= 3)
-    return d.select(
+    # stage both HOF results behind aliases: `kept` inlined into two
+    # output columns would run the interpreted filter+transform chain
+    # (and its tokenize) twice per row
+    staged = d.select(
+        "doc_id", tokens(F.lower("text")).alias("toks")
+    ).select(
         "doc_id",
-        F.size(toks).alias("n_toks"),
-        F.size(kept).alias("n_kept"),
-        F.substring(F.array_join(kept, " "), 1, 80).alias("prefix"),
+        "toks",
+        F.filter(
+            F.transform(
+                "toks", lambda t: F.when(t.isin(*_STOPLIST), F.lit("<stop>")).otherwise(t)
+            ),
+            lambda t: F.length(t) >= 3,
+        ).alias("kept"),
+    )
+    return staged.select(
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        F.size("kept").alias("n_kept"),
+        F.substring(F.array_join("kept", " "), 1, 80).alias("prefix"),
     ).orderBy("doc_id")
 
 

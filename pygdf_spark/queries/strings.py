@@ -227,15 +227,17 @@ def str_rsplit_pack(spark, sf_dir):
     p = T(spark, sf_dir, "part").filter(
         (F.col("p_partkey") < 300) & F.col("p_name").contains(" ")
     )
-    rs = S.rsplit("p_name", " ", 2)
     rp = S.rpartition("p_type", " ")
     datestr = F.concat(
         F.lit("2024-01-"), F.lpad((F.col("p_partkey") % 40).cast("string"), 2, "0")
     )
+    # rsplit's reverse-transform HOF is staged once; two inline getItem
+    # references would run it twice per row
+    p = p.withColumn("__rs", S.rsplit("p_name", " ", 2))
     return p.select(
         "p_partkey",
-        rs.getItem(0).alias("rs_head"),
-        rs.getItem(1).alias("rs_last"),
+        F.col("__rs").getItem(0).alias("rs_head"),
+        F.col("__rs").getItem(1).alias("rs_last"),
         rp.getField("head").alias("rp_head"),
         rp.getField("tail").alias("rp_tail"),
         S.center("p_brand", 12, "*").alias("brand_center"),

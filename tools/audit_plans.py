@@ -7,6 +7,11 @@ scale-relevant facts of the executed plan:
 - parquet pushdown evidence (PushedFilters / pruned ReadSchema)
 - single-partition windows (empty partition spec — the 100 TB hazard)
 - Python eval mode (Arrow-batched good, row-at-a-time BatchEvalPython bad)
+- duplicated higher-order-function subtrees inside one plan node: HOF
+  lambdas run interpreted (outside whole-stage codegen), so Catalyst
+  does NOT common-subexpression-eliminate them — the same transform()
+  appearing twice in one Project runs twice per row (the round-2
+  shingle_sets regression: 3x the ngram pipeline per document)
 
 Exit code 1 if a hazard appears (row-Python or unexpected global
 window), so this can run as a regression gate.
@@ -29,6 +34,53 @@ import bench
 GLOBAL_WINDOW_OK = {"reshape_factorize", "take_slice_split", "merge_sorted_union"}
 
 
+_HOF_MARKERS = ("transform(", "zip_with(", "aggregate(", "filter(", "exists(")
+
+
+def _balanced(line: str, i: int, cap: int = 4000) -> str:
+    """The full parenthesized subtree starting at the marker at ``i``
+    (up to ``cap`` chars — longer trees compare by prefix, fine for
+    dedup counting)."""
+    depth = 0
+    j = line.find("(", i)
+    if j < 0:
+        return line[i : i + cap]
+    for k in range(j, min(len(line), i + cap)):
+        if line[k] == "(":
+            depth += 1
+        elif line[k] == ")":
+            depth -= 1
+            if depth == 0:
+                return line[i : k + 1]
+    return line[i : i + cap]
+
+
+def dup_hof_subtrees(plan: str) -> int:
+    """Count HOF subtrees whose FULL text appears >=2 times within a
+    single plan line (one node). Identical repeated HOF subtrees in one
+    Project run that many times per row — HOF lambdas are interpreted,
+    outside whole-stage codegen's subexpression elimination. Distinct
+    lambdas over the same array attribute (e.g. per-plane folds) differ
+    in their full text and are NOT flagged."""
+    dups = 0
+    for line in plan.splitlines():
+        # normalize expression IDs: duplicated subtrees get fresh lambda
+        # variable IDs per occurrence (lambda x_1#7 vs lambda x_1#9)
+        line = re.sub(r"#\d+", "#", line)
+        seen: dict[str, int] = {}
+        for m in _HOF_MARKERS:
+            start = 0
+            while True:
+                i = line.find(m, start)
+                if i < 0:
+                    break
+                key = _balanced(line, i)
+                seen[key] = seen.get(key, 0) + 1
+                start = i + 1
+        dups += sum(c - 1 for c in seen.values() if c > 1)
+    return dups
+
+
 def audit(name, df):
     plan = df._jdf.queryExecution().executedPlan().toString()
     facts = {
@@ -40,6 +92,7 @@ def audit(name, df):
         "pushed": "PushedFilters: [" in plan and "PushedFilters: []" not in plan,
         "arrow_py": sum(plan.count(k) for k in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas", "AggregateInPandas")),
         "row_py": plan.count("BatchEvalPython"),
+        "dup_hof": dup_hof_subtrees(plan),
     }
     # Window specs: `Window [exprs], [partition], [order]` — a window
     # whose partition spec is empty funnels data through one task.
@@ -47,7 +100,11 @@ def audit(name, df):
     facts["global_win"] = sum(
         1 for m in re.finditer(r"Window (?:\[[^\]]*\], ){1}\[\]", plan)
     ) + plan.count("], [], [")  # empty partition spec forms
-    hazard = facts["row_py"] > 0 or (facts["global_win"] > 0 and name not in GLOBAL_WINDOW_OK)
+    hazard = (
+        facts["row_py"] > 0
+        or (facts["global_win"] > 0 and name not in GLOBAL_WINDOW_OK)
+        or facts["dup_hof"] > 0
+    )
     return facts, hazard
 
 
@@ -59,7 +116,7 @@ def main():
     if names == ["--all"]:
         names = sorted(queries)
     bad = 0
-    print(f"{'query':28s} {'joins(B/S/H/N)':>14s} {'exch':>4s} {'push':>4s} {'pyA':>3s} {'pyR':>3s} {'gWin':>4s}")
+    print(f"{'query':28s} {'joins(B/S/H/N)':>14s} {'exch':>4s} {'push':>4s} {'pyA':>3s} {'pyR':>3s} {'gWin':>4s} {'dupH':>4s}")
     for name in names:
         fn = queries.get(name)
         if fn is None:
@@ -75,7 +132,7 @@ def main():
         print(
             f"{name:28s} {facts['bhj']}/{facts['smj']}/{facts['shj']}/{facts['bnlj']:>10} "
             f"{facts['exchanges']:>4d} {str(facts['pushed'])[0]:>4s} "
-            f"{facts['arrow_py']:>3d} {facts['row_py']:>3d} {facts['global_win']:>4d}{flag}"
+            f"{facts['arrow_py']:>3d} {facts['row_py']:>3d} {facts['global_win']:>4d} {facts['dup_hof']:>4d}{flag}"
         )
     print(f"\n{'HAZARDS: ' + str(bad) if bad else 'ALL CLEAN'}")
     sys.exit(1 if bad else 0)
