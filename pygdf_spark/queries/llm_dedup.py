@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from pygdf_spark.functions.hashing import MERSENNE_P, minhash_perm_sql
 from pygdf_spark.operators import dedup as D
+from pygdf_spark.operators.text import ngrams
 from pygdf_spark.queries._util import T
 
 _SHINGLE_SQL = r"""
@@ -279,6 +280,115 @@ SELECT comp, COUNT(*) AS n_orders FROM cc GROUP BY comp ORDER BY comp
 """
 
 
+def dedup_decontaminate(spark, sf_dir):
+    """Benchmark decontamination — the eval-set n-gram collision check
+    every pretraining pipeline runs before training: flag corpus
+    documents sharing any word n-gram with a held-out benchmark set.
+
+    Here n=3 (the word-soup fixture's collision scale); production uses
+    8-13-gram spans — same plan, one constant. The benchmark slice is
+    doc_id % 97 == 0 standing in for the external eval corpus.
+
+    Scale posture: a real benchmark set is bounded (thousands of docs),
+    so its distinct n-gram table broadcasts; the corpus side is one
+    map-side explode + broadcast hash semi-join + two keyed aggs — the
+    corpus is scanned exactly once and nothing corpus-sized shuffles."""
+    d = T(spark, sf_dir, "documents")
+    bench_grams = (
+        d.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(F.array_distinct(ngrams("text", 3))).alias("g"))
+        .distinct()
+    )
+    corpus_grams = d.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", "source", F.explode(F.array_distinct(ngrams("text", 3))).alias("g")
+    )
+    per_doc = (
+        corpus_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_contaminated"),
+            F.sum("n_hits").cast("long").alias("total_hits"),
+        )
+        .orderBy("source")
+    )
+
+
+DEDUP_DECONTAMINATE_SQL = r"""
+WITH words AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, source, g FROM (
+    SELECT doc_id, source,
+           UNNEST(list_distinct(list_transform(
+             generate_series(1, greatest(len(w) - 2, 0)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+    FROM words
+  )
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+per_doc AS (
+  SELECT c.doc_id, c.source, COUNT(*) AS n_hits
+  FROM grams c JOIN bench b USING (g)
+  WHERE c.doc_id % 97 <> 0
+  GROUP BY c.doc_id, c.source
+)
+SELECT source, COUNT(*) AS n_contaminated,
+       CAST(SUM(n_hits) AS BIGINT) AS total_hits
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+def dedup_span_fingerprint(spark, sf_dir):
+    """Sub-document (span-level) duplicate detection — the substring-
+    dedup analog: fingerprint strided word spans (6-gram, stride 3) and
+    surface spans repeated across distinct documents. Catches planted
+    near-dup passages that whole-document exact dedup misses.
+
+    Scale posture: spans are generated map-side (one strided HOF filter
+    over the in-row n-gram array, no per-span shuffle until the keyed
+    count); at 100 TB the span string would be replaced by its 64-bit
+    hash (functions/hashing.hash_u64 fast path) — same plan shape."""
+    d = T(spark, sf_dir, "documents")
+    spans = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(ngrams("text", 6), lambda x, i: i % 3 == 0)
+        ).alias("span"),
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occur"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), F.col("n_occur").desc(), F.col("span").asc())
+        .limit(20)
+    )
+
+
+DEDUP_SPAN_SQL = r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+spans AS (
+  SELECT doc_id, UNNEST(list_filter(list_transform(
+           generate_series(1, greatest(len(w) - 5, 0)),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5]),
+           (x, i) -> i % 3 = 1)) AS span
+  FROM words
+)
+SELECT span, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occur
+FROM spans GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occur DESC, span ASC LIMIT 20
+"""
+
+
 QUERIES = {
     "graph_connected_components": graph_connected_components,
     "dedup_keep_list": dedup_keep_list,
@@ -287,6 +397,8 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_decontaminate": dedup_decontaminate,
+    "dedup_span_fingerprint": dedup_span_fingerprint,
 }
 
 ORACLE = {
@@ -297,4 +409,6 @@ ORACLE = {
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
+    "dedup_decontaminate": DEDUP_DECONTAMINATE_SQL,
+    "dedup_span_fingerprint": DEDUP_SPAN_SQL,
 }

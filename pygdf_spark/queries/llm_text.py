@@ -185,6 +185,47 @@ FROM masked ORDER BY doc_id
 """
 
 
+def text_repetition(spark, sf_dir):
+    """Intra-document repetition score — the n-gram repetition filter
+    (Gopher/C4-style): fraction of word bigrams that are repeats of an
+    earlier bigram in the SAME document. High ratio = boilerplate /
+    degenerate text; a standard pretraining quality gate.
+
+    All in-row array arithmetic (one staged n-gram evaluation per
+    document — see the dup-HOF rule in tools/audit_plans.py), no
+    shuffle until the final deterministic sort."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    staged = d.select("doc_id", X.ngrams("text", 2).alias("g"))
+    n_total = F.size("g")
+    n_distinct = F.size(F.array_distinct("g"))
+    return staged.select(
+        "doc_id",
+        n_total.alias("n_bigrams"),
+        n_distinct.alias("n_distinct"),
+        F.when(n_total > 0,
+               F.round(F.lit(1.0) - n_distinct.cast("double") / n_total, 8)
+               ).otherwise(F.lit(0.0)).alias("rep_ratio"),
+    ).orderBy("doc_id")
+
+
+TEXT_REPETITION_SQL = r"""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                        i -> w[i] || ' ' || w[i+1]) AS grams
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents WHERE doc_id < 300)
+)
+SELECT doc_id,
+       CAST(len(grams) AS INT) AS n_bigrams,
+       CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+       CASE WHEN len(grams) > 0
+            THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 8)
+            ELSE 0.0 END AS rep_ratio
+FROM g ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_ngrams_top": text_ngrams_top,
@@ -192,6 +233,7 @@ QUERIES = {
     "text_quality": text_quality,
     "text_fingerprint": text_fingerprint,
     "text_pii_mask": text_pii_mask,
+    "text_repetition": text_repetition,
 }
 
 ORACLE = {
@@ -201,4 +243,5 @@ ORACLE = {
     "text_quality": TEXT_QUALITY_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_pii_mask": TEXT_PII_SQL,
+    "text_repetition": TEXT_REPETITION_SQL,
 }
