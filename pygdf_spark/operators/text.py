@@ -79,7 +79,7 @@ def ngrams(col, n: int = 2, sep: str = " ") -> Column:
     behavior and the oracle SQL."""
     w = tokens(col)
     if n == 1:
-        return w
+        return F.coalesce(w, F.array().cast("array<string>"))
     m = F.greatest(F.size(w) - (n - 1), F.lit(0))
     parts = [F.slice(w, j + 1, m) for j in range(n)]
     out = parts[0]

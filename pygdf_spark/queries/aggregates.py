@@ -387,8 +387,50 @@ FROM lineitem
 """
 
 
+def agg_sketch_approx(spark, sf_dir):
+    """Approximate sketches — HLL++ distinct count and quantile sketch
+    (approx_count_distinct / percentile_approx; the ~0-shuffle scale
+    path for cardinality and quantiles at 100 TB, where the exact
+    versions need a full distinct shuffle or sort).
+
+    Oracle discipline for inherently engine-specific sketches: each
+    engine computes its own approx AND exact value and emits the EXACT
+    count plus booleans asserting the approx landed within 10% — the
+    booleans are deterministic per engine (sketches here have <<10%
+    error), so the cross-engine value-hash stays exact while the sketch
+    path is still exercised end-to-end in BOTH engines. pytest
+    (test_approx.py) separately pins the numeric error bands."""
+    o = T(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_nd"),
+        F.approx_count_distinct("o_custkey").alias("__a_nd"),
+        F.expr("percentile_approx(o_totalprice, 0.5, 1000)").cast("double").alias("__a_med"),
+        F.expr("percentile(o_totalprice, 0.5)").cast("double").alias("__e_med"),
+    )
+    return g.select(
+        "o_orderpriority",
+        "exact_nd",
+        (F.abs(F.col("__a_nd") - F.col("exact_nd"))
+         <= 0.1 * F.col("exact_nd")).alias("nd_within_10pct"),
+        (F.abs(F.col("__a_med") - F.col("__e_med"))
+         <= 0.1 * F.abs(F.col("__e_med"))).alias("med_within_10pct"),
+    ).orderBy("o_orderpriority")
+
+
+AGG_SKETCH_SQL = """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS exact_nd,
+       abs(approx_count_distinct(o_custkey) - COUNT(DISTINCT o_custkey))
+         <= 0.1 * COUNT(DISTINCT o_custkey) AS nd_within_10pct,
+       abs(approx_quantile(o_totalprice, 0.5) - quantile_cont(o_totalprice, 0.5))
+         <= 0.1 * abs(quantile_cont(o_totalprice, 0.5)) AS med_within_10pct
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "agg_basic_stats": agg_basic_stats,
+    "agg_sketch_approx": agg_sketch_approx,
     "agg_moments": agg_moments,
     "agg_quantiles": agg_quantiles,
     "agg_quantile_interp": agg_quantile_interp,
@@ -404,6 +446,7 @@ QUERIES = {
 
 ORACLE = {
     "agg_basic_stats": AGG_BASIC_SQL,
+    "agg_sketch_approx": AGG_SKETCH_SQL,
     "agg_moments": AGG_MOMENTS_SQL,
     "agg_quantiles": AGG_QUANTILES_SQL,
     "agg_quantile_interp": AGG_QUANTILE_INTERP_SQL,

@@ -236,3 +236,34 @@ def test_range_join_parity(spark, ivals, points):
         if s <= p < s + ln
     }
     assert got == exp
+
+
+# -- ngrams (zip_with/slice formulation) ---------------------------------
+
+TEXTS = st.lists(
+    st.text(alphabet=" abx", min_size=0, max_size=24), min_size=1, max_size=8
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(TEXTS, st.integers(1, 4))
+def test_ngrams_parity(spark, texts, n):
+    """The slice/zip_with ngrams must equal the direct Python sliding
+    window over whitespace tokens for arbitrary spacing/empties/NULLs
+    (the r2 rewrite that removed the per-element re-tokenize)."""
+    import re as _re
+
+    from pygdf_spark.operators.text import ngrams
+
+    rows = [(i, t) for i, t in enumerate(texts)] + [(len(texts), None)]
+    sdf = spark.createDataFrame(rows, "i long, text string")
+    got = {r.i: list(r.g) for r in sdf.select("i", ngrams("text", n).alias("g")).collect()}
+
+    def py_ngrams(t):
+        if t is None:
+            return []
+        toks = _re.split(r"\s+", t.strip())
+        return [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+
+    exp = {i: py_ngrams(t) for i, t in rows}
+    assert got == exp
