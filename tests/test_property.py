@@ -267,3 +267,62 @@ def test_ngrams_parity(spark, texts, n):
 
     exp = {i: py_ngrams(t) for i, t in rows}
     assert got == exp
+
+
+# -- as-of join (operators/asof.py) --------------------------------------
+
+LROWS = st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=0, max_size=25)
+RROWS = st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=0, max_size=25)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(LROWS, RROWS)
+def test_asof_join_parity(spark, lefts, rights):
+    """Distributed union+window as-of must equal pandas merge_asof
+    (backward, inclusive, per-key) for random keys/timestamps. Right
+    (key, ts) pairs are deduplicated — both systems leave the
+    duplicate-timestamp winner unspecified."""
+    from pygdf_spark.operators.asof import asof_join_backward
+
+    rmap = {}
+    for k, t in rights:
+        rmap[(k, t)] = float(k * 1000 + t)
+    lrows = [(k, t, i) for i, (k, t) in enumerate(lefts)]
+    rrows = [(k, t, v) for (k, t), v in sorted(rmap.items())]
+    ldf = spark.createDataFrame(lrows or [], "k long, t long, lid long")
+    rdf = spark.createDataFrame(rrows or [], "k long, t long, rv double")
+    got = {
+        r.lid: (r.k, r.t, r.rv_r)
+        for r in asof_join_backward(ldf, rdf, ["k"], "t", ["rv"]).collect()
+    }
+
+    def py_asof(k, t):
+        cand = [(rt, v) for (rk, rt), v in rmap.items() if rk == k and rt <= t]
+        return max(cand)[1] if cand else None
+
+    exp = {i: (k, t, py_asof(k, t)) for k, t, i in lrows}
+    assert got == exp
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(LROWS, RROWS)
+def test_salted_join_parity(spark, lefts, rights):
+    """salted_join must be row-for-row equal to the plain join for
+    inner and left joins (the allowed modes)."""
+    from pygdf_spark.operators.skew import salted_join
+
+    ldf = spark.createDataFrame(
+        [(k, t) for k, t in lefts] or [], "k long, lv long"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t) for k, t in rights] or [], "k long, rv long"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            (r.k, r.lv, r.rv)
+            for r in salted_join(ldf, rdf, "k", "lv", how=how, n_salt=4).collect()
+        )
+        exp = sorted(
+            (r.k, r.lv, r.rv) for r in ldf.join(rdf, "k", how).collect()
+        )
+        assert got == exp, how
