@@ -28,12 +28,19 @@ def join_inner_q3(spark, sf_dir):
     c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = T(spark, sf_dir, "orders")
     li = T(spark, sf_dir, "lineitem")
-    one = F.lit(1).cast("decimal(4,2)")
+    # integer-cents revenue (see q1_pricing_summary): int64 per-row
+    # product, 128-bit decimal sum, one output rounding — the decimal
+    # multiply chain was the dominant per-row cost at 32x
+    pc = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    dc = F.round(F.col("l_discount") * 100, 0).cast("long")
+    du = pc * (F.lit(100).cast("long") - dc)
     return (
         c.join(o, c.c_custkey == o.o_custkey, "inner")
         .join(li, o.o_orderkey == li.l_orderkey, "inner")
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.sum(dec("l_extendedprice") * (one - dec("l_discount", 2, 4))).cast("double").alias("revenue"))
+        .agg(
+            (F.sum(du.cast("decimal(25,0)")).cast("double") / 10000.0).alias("revenue")
+        )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
     )
@@ -41,7 +48,8 @@ def join_inner_q3(spark, sf_dir):
 
 JOIN_INNER_Q3_SQL = """
 SELECT o_orderkey, o_orderdate,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+       CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+              * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON o_orderkey = l_orderkey
 WHERE c_mktsegment = 'BUILDING'

