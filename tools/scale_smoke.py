@@ -32,7 +32,8 @@ TIMED = ["q1_pricing_summary", "join_inner_q3", "agg_basic_stats",
          "sim_ivf_topk", "dedup_simhash", "join_salted_skew", "dedup_keep_list",
          "sstream_tumbling_live", "hash_partition_hist", "nlp_token_filter",
          "join_range_bucketed", "graph_connected_components", "mm_feature_stub",
-         "sim_kmeans_ivf"]
+         "sim_kmeans_ivf", "dedup_decontaminate", "dedup_span_fingerprint",
+         "text_repetition", "agg_sketch_approx"]
 
 
 def build(spark, n: int, dst: str) -> None:
