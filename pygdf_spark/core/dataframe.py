@@ -1050,12 +1050,30 @@ class DataFrame:
         if indicator:
             lsdf = lsdf.withColumn("__in_l", F.lit(1))
             rsdf = rsdf.withColumn("__in_r", F.lit(1))
+        # NULL join keys MATCH each other: the reference joins with
+        # null_equality::EQUAL (cpp/include/cudf/join.hpp:73), matching
+        # pandas' NaN-key merge behavior — so every key comparison is
+        # null-safe (`<=>`, still an equi-join predicate for Catalyst's
+        # hash/sort-merge strategies, not a nested-loop fallback).
         if lo is ro or lo == ro:
-            joined = lsdf.join(rsdf, on=lo, how=how)
+            rtmp = {k: f"__rk_{k}" for k in lo}
+            for k, t in rtmp.items():
+                rsdf = rsdf.withColumnRenamed(k, t)
+            cond = None
+            for k in lo:
+                c = lsdf[k].eqNullSafe(rsdf[rtmp[k]])
+                cond = c if cond is None else cond & c
+            joined = lsdf.join(rsdf, cond, how=how)
+            # pandas `on=` emits ONE key column: left value, right-side
+            # value for right-only rows of outer/right joins
+            for k in lo:
+                joined = joined.withColumn(
+                    k, F.coalesce(F.col(k), F.col(rtmp[k]))
+                ).drop(rtmp[k])
         else:
             cond = None
             for a, b in zip(lo, ro):
-                c = lsdf[a] == rsdf[b]
+                c = lsdf[a].eqNullSafe(rsdf[b])
                 cond = c if cond is None else cond & c
             joined = lsdf.join(rsdf, cond, how=how)
         if indicator:

@@ -706,3 +706,48 @@ def test_merge_outer_rid_backfill(spark):
     head = merged.to_pandas()
     assert set(head["k"]) == {"a", "b", "c", "d"}
     assert list(head["k"][:2]) == ["a", "b"]  # left block keeps left order
+
+
+def test_merge_null_keys_match(spark):
+    """NULL join keys match each other: the reference joins with
+    null_equality::EQUAL (cpp/include/cudf/join.hpp:73), like pandas'
+    NaN-key merge — verified against pandas for every how."""
+    import pandas as pd
+
+    import pygdf_spark as gd
+
+    lp = pd.DataFrame({"k": [1.0, None, 2.0, None], "lv": [10, 20, 30, 40]})
+    rp = pd.DataFrame({"k": [None, 2.0, 3.0], "rv": [1, 2, 3]})
+    gl = gd.DataFrame.from_pandas(spark, lp)
+    gr = gd.DataFrame.from_pandas(spark, rp)
+    for how in ("inner", "left", "outer", "right"):
+        exp = sorted(
+            map(tuple, lp.merge(rp, on="k", how=how).fillna(-999).values.tolist())
+        )
+        got = sorted(
+            map(
+                tuple,
+                gl.merge(gr, on="k", how=how).to_pandas().fillna(-999).values.tolist(),
+            )
+        )
+        assert got == exp, how
+    # differently-named keys take the same null-safe comparison
+    lp2 = pd.DataFrame({"a": [1.0, None], "lv": [1, 2]})
+    rp2 = pd.DataFrame({"b": [None, 1.0], "rv": [5, 6]})
+    exp = sorted(
+        map(
+            tuple,
+            lp2.merge(rp2, left_on="a", right_on="b", how="inner")
+            .fillna(-9).values.tolist(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            gd.DataFrame.from_pandas(spark, lp2)
+            .merge(gd.DataFrame.from_pandas(spark, rp2),
+                   left_on="a", right_on="b", how="inner")
+            .to_pandas().fillna(-9).values.tolist(),
+        )
+    )
+    assert got == exp
