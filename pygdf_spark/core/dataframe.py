@@ -957,10 +957,12 @@ class DataFrame:
         ).collect()[0]
         return row.asDict()
 
-    def value_counts(self, subset: str) -> "DataFrame":
-        """value_counts (series.py:5091): counts desc, value asc ties."""
+    def value_counts(self, subset: str, dropna: bool = True) -> "DataFrame":
+        """value_counts (series.py:5091): counts desc, value asc ties;
+        excludes nulls by default (dropna=True, the reference default)."""
+        sdf = self._sdf.filter(F.col(subset).isNotNull()) if dropna else self._sdf
         out = (
-            self._sdf.groupBy(subset)
+            sdf.groupBy(subset)
             .agg(F.count(F.lit(1)).alias("count"))
             .orderBy(F.col("count").desc(), F.col(subset).asc())
         )
@@ -1097,10 +1099,10 @@ class DataFrame:
 
     # -- groupby (§2.4, dataframe.py:4554) -------------------------------
 
-    def groupby(self, by) -> "GroupBy":
+    def groupby(self, by, dropna: bool = True) -> "GroupBy":
         if hasattr(by, "key"):  # cudf.Grouper
             by = by.key
-        return GroupBy(self, [by] if isinstance(by, str) else list(by))
+        return GroupBy(self, [by] if isinstance(by, str) else list(by), dropna=dropna)
 
 
 class Rolling:
@@ -1161,11 +1163,35 @@ _AGG_MAP = {
 
 class GroupBy:
     """GroupBy.agg with cuDF's str/list/dict spellings
-    (core/groupby/groupby.py:140, _normalize_aggs :193)."""
+    (core/groupby/groupby.py:140, _normalize_aggs :193).
 
-    def __init__(self, df: DataFrame, keys: list[str]):
+    ``dropna=True`` (the reference default, groupby.py:41): rows whose
+    group key is null form NO group — aggregations exclude them, and
+    transform-shaped ops (shift/cum*/rank/fill) emit null for them
+    while keeping the rows, exactly like pandas."""
+
+    def __init__(self, df: DataFrame, keys: list[str], dropna: bool = True):
         self._df = df
         self._keys = keys
+        self._dropna = dropna
+
+    def _gsdf(self):
+        """Aggregation input: null-key rows removed under dropna."""
+        sdf = self._df._sdf
+        if self._dropna:
+            for k in self._keys:
+                sdf = sdf.filter(F.col(k).isNotNull())
+        return sdf
+
+    def _mask(self, val):
+        """Transform-shaped output: null for null-key rows under dropna."""
+        if not self._dropna:
+            return val
+        cond = None
+        for k in self._keys:
+            c = F.col(k).isNotNull()
+            cond = c if cond is None else cond & c
+        return F.when(cond, val)
 
     def agg(self, spec) -> DataFrame:
         exprs, labels = [], []
@@ -1181,7 +1207,7 @@ class GroupBy:
                     labels.append((col, fn))
         else:
             raise TypeError("agg spec must be str or dict")
-        out = self._df._sdf.groupBy(*self._keys).agg(*exprs)
+        out = self._gsdf().groupBy(*self._keys).agg(*exprs)
         res = DataFrame(out.withColumn(_RID, F.monotonically_increasing_id()))
         if multi:
             # cuDF returns two-level column labels for list-valued specs
@@ -1194,12 +1220,12 @@ class GroupBy:
         return res
 
     def size(self) -> DataFrame:
-        out = self._df._sdf.groupBy(*self._keys).agg(F.count(F.lit(1)).alias("size"))
+        out = self._gsdf().groupBy(*self._keys).agg(F.count(F.lit(1)).alias("size"))
         return DataFrame(out.withColumn(_RID, F.monotonically_increasing_id()))
 
     def apply(self, func, schema) -> DataFrame:
         """GroupBy.apply (groupby.py:384) → applyInPandas."""
-        out = self._df._sdf.drop(_RID).groupBy(*self._keys).applyInPandas(func, schema=schema)
+        out = self._gsdf().drop(_RID).groupBy(*self._keys).applyInPandas(func, schema=schema)
         return DataFrame(out.withColumn(_RID, F.monotonically_increasing_id()))
 
     # -- grouped order-sensitive ops (groupby.py:781-902) ----------------
@@ -1213,21 +1239,21 @@ class GroupBy:
         """GroupBy.shift (groupby.py:902, groupby::shift groupby.hpp:278)."""
         fn = F.lag(col, periods) if periods >= 0 else F.lead(col, -periods)
         return self._df._with(
-            self._df._sdf.withColumn(f"{col}_shift", fn.over(self._w()))
+            self._df._sdf.withColumn(f"{col}_shift", self._mask(fn.over(self._w())))
         )
 
     def cumsum(self, col: str) -> DataFrame:
         """group scan (groupby.py:781, groupby::scan groupby.hpp:224)."""
         w = self._w().rowsBetween(Window.unboundedPreceding, 0)
         return self._df._with(
-            self._df._sdf.withColumn(f"{col}_cumsum", F.sum(col).over(w))
+            self._df._sdf.withColumn(f"{col}_cumsum", self._mask(F.sum(col).over(w)))
         )
 
     def cumcount(self) -> DataFrame:
         """cumcount (groupby.py:120, ROW_NUMBER aggregation.hpp:79)."""
         return self._df._with(
             self._df._sdf.withColumn(
-                "cumcount", F.row_number().over(self._w()) - 1
+                "cumcount", self._mask(F.row_number().over(self._w()) - 1)
             )
         )
 
@@ -1238,7 +1264,7 @@ class GroupBy:
         w = self._w().rowsBetween(Window.unboundedPreceding, 0)
         return self._df._with(
             self._df._sdf.withColumn(
-                col, F.last(self._df._nn(col), ignorenulls=True).over(w)
+                col, self._mask(F.last(self._df._nn(col), ignorenulls=True).over(w))
             )
         )
 
@@ -1247,7 +1273,7 @@ class GroupBy:
         w = self._w().rowsBetween(0, Window.unboundedFollowing)
         return self._df._with(
             self._df._sdf.withColumn(
-                col, F.first(self._df._nn(col), ignorenulls=True).over(w)
+                col, self._mask(F.first(self._df._nn(col), ignorenulls=True).over(w))
             )
         )
 
@@ -1264,7 +1290,7 @@ class GroupBy:
         else:
             expr = fns[method].over(w)
         return self._df._with(
-            self._df._sdf.withColumn(f"{col}_rank", expr.cast("double"))
+            self._df._sdf.withColumn(f"{col}_rank", self._mask(expr.cast("double")))
         )
 
 
@@ -1319,7 +1345,7 @@ def _gb_reduce(fn):
 
     def method(self: "GroupBy") -> DataFrame:
         cols = [c for c in self._df._numeric_cols() if c not in self._keys]
-        out = self._df._sdf.groupBy(*self._keys).agg(
+        out = self._gsdf().groupBy(*self._keys).agg(
             *[fn(self._df._nn(c)).alias(c) for c in cols]
         )
         return DataFrame(out.withColumn(_RID, F.monotonically_increasing_id()))
@@ -1346,7 +1372,7 @@ class _GroupedRolling:
         cnt = F.count(col).over(w)
         return self._gb._df._with(
             self._gb._df._sdf.withColumn(
-                f"{col}_roll_{name}", F.when(cnt >= self._min, val)
+                f"{col}_roll_{name}", self._gb._mask(F.when(cnt >= self._min, val))
             )
         )
 
@@ -1387,7 +1413,7 @@ def _extend_groupby():
         """collect (groupby.py list-agg): per-group value list in row
         order (array_agg is order-nondeterministic distributed; sorting
         by the order key pins it)."""
-        out = self._df._sdf.groupBy(*self._keys).agg(
+        out = self._gsdf().groupBy(*self._keys).agg(
             F.array_sort(
                 F.collect_list(F.struct(_RID, col))
             ).alias("__pairs")
@@ -1395,7 +1421,7 @@ def _extend_groupby():
         return DataFrame(out.withColumn(_RID, F.monotonically_increasing_id()))
 
     def unique(self, col: str) -> DataFrame:
-        out = self._df._sdf.groupBy(*self._keys).agg(
+        out = self._gsdf().groupBy(*self._keys).agg(
             F.array_sort(F.collect_set(col)).alias(col)
         )
         return DataFrame(out.withColumn(_RID, F.monotonically_increasing_id()))
@@ -1407,6 +1433,9 @@ def _extend_groupby():
         window — no collect, no nondeterministic max_by ties."""
         order = F.col(col).asc_nulls_last() if ascending else F.col(col).desc_nulls_last()
         pos = self._df._pos_sdf()
+        if self._dropna:
+            for k in self._keys:
+                pos = pos.filter(F.col(k).isNotNull())
         w = Window.partitionBy(*self._keys).orderBy(order, F.col("__pos"))
         out = (
             pos.withColumn("__rn", F.row_number().over(w))
@@ -1431,7 +1460,7 @@ def _extend_groupby():
             w = Window.partitionBy(*self._keys).orderBy(F.col(_RID).desc())
             k = -n
         return self._df._with(
-            self._df._sdf.withColumn("__rn", F.row_number().over(w))
+            self._gsdf().withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == k)
             .drop("__rn")
         )
@@ -1448,7 +1477,7 @@ def _extend_groupby():
     def describe(self, col: str) -> DataFrame:
         """describe (groupby.py:517): count/mean/std/min/25/50/75/max of
         one column per group — a single grouped aggregate."""
-        out = self._df._sdf.groupBy(*self._keys).agg(
+        out = self._gsdf().groupBy(*self._keys).agg(
             F.count(col).cast("double").alias("count"),
             F.avg(col).alias("mean"),
             F.stddev_samp(col).alias("std"),
@@ -1471,6 +1500,9 @@ def _extend_groupby():
         """groups (host, small-data): key → list of global row
         positions, like pandas' index lists."""
         pos = self._df._pos_sdf()
+        if self._dropna:
+            for k in self._keys:
+                pos = pos.filter(F.col(k).isNotNull())
         rows = pos.groupBy(*self._keys).agg(
             F.sort_array(F.collect_list(F.col("__pos") - 1)).alias("__idx")
         ).collect()
@@ -1488,7 +1520,7 @@ def _extend_groupby():
             Window.unboundedPreceding, 0
         )
         return self._df._with(
-            self._df._sdf.withColumn(f"{col}_cummax", F.max(col).over(w))
+            self._df._sdf.withColumn(f"{col}_cummax", self._mask(F.max(col).over(w)))
         )
 
     def cummin(self, col: str) -> DataFrame:
@@ -1496,7 +1528,7 @@ def _extend_groupby():
             Window.unboundedPreceding, 0
         )
         return self._df._with(
-            self._df._sdf.withColumn(f"{col}_cummin", F.min(col).over(w))
+            self._df._sdf.withColumn(f"{col}_cummin", self._mask(F.min(col).over(w)))
         )
 
     GroupBy.quantile = quantile

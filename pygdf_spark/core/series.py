@@ -550,12 +550,16 @@ class Series:
         check_driver_rows(distinct, "Series.unique")
         return sorted((r[0] for r in distinct.collect()), key=lambda v: (v is None, v))
 
-    def value_counts(self):
-        """value_counts (series.py:5091) as a core.DataFrame."""
+    def value_counts(self, dropna: bool = True):
+        """value_counts (series.py:5091) as a core.DataFrame; excludes
+        nulls by default (dropna=True, the reference default)."""
         from pygdf_spark.core.dataframe import DataFrame
 
+        sdf = self._parent._sdf
+        if dropna:
+            sdf = sdf.filter(self.col.isNotNull())
         out = (
-            self._parent._sdf.groupBy(self.col.alias(self._name))
+            sdf.groupBy(self.col.alias(self._name))
             .agg(F.count(F.lit(1)).alias("count"))
             .orderBy(F.col("count").desc(), F.col(self._name).asc_nulls_last())
         )

@@ -119,7 +119,7 @@ def test_merge_suffixes(spark, gdf, pdf):
 def test_groupby_agg_dict(gdf, pdf):
     got = gdf.groupby("k").agg({"x": ["sum", "max"], "y": "mean"})
     exp = (
-        pdf.groupby("k", dropna=False)
+        pdf.groupby("k")
         .agg(sum_x=("x", "sum"), max_x=("x", "max"), mean_y=("y", "mean"))
         .reset_index()
     )
@@ -128,7 +128,7 @@ def test_groupby_agg_dict(gdf, pdf):
 
 def test_groupby_size_and_apply(gdf, pdf):
     got = gdf.groupby("k").size()
-    exp = pdf.groupby("k", dropna=False).size().reset_index(name="size")
+    exp = pdf.groupby("k").size().reset_index(name="size")
     eq(got, exp, sort_by=["size"])
 
     def top1(g):
@@ -136,7 +136,7 @@ def test_groupby_size_and_apply(gdf, pdf):
 
     got2 = gdf.groupby("k").apply(top1, "k string, x long")
     exp2 = (
-        pdf.groupby("k", dropna=False, group_keys=False)[["k", "x"]]
+        pdf.groupby("k", group_keys=False)[["k", "x"]]
         .apply(lambda g: g.nlargest(1, "x"))
         .reset_index(drop=True)
     )
@@ -191,7 +191,7 @@ def test_frame_summaries(gdf, pdf):
     assert gdf.nunique() == {"k": 3, "x": 8, "y": 6}  # countDistinct skips null
     eq(gdf.value_counts("k")[["k", "count"]].to_pandas().dropna().reset_index(drop=True)
        if False else gdf.value_counts("k")[["k", "count"]],
-       pdf.k.value_counts(dropna=False).rename_axis("k").reset_index(name="count")
+       pdf.k.value_counts().rename_axis("k").reset_index(name="count")
           .sort_values(["count", "k"], ascending=[False, True], na_position="last")
           .reset_index(drop=True))
     desc = gdf.describe().to_pandas().set_index("statistic")
@@ -220,7 +220,7 @@ def test_sinks_roundtrip(gdf, pdf, tmp_path):
 
 
 def test_groupby_order_sensitive(gdf, pdf):
-    g, pg = gdf.groupby("k"), pdf.groupby("k", dropna=False)
+    g, pg = gdf.groupby("k"), pdf.groupby("k")
     eq(g.shift("x")[["x_shift"]], pdf.assign(x_shift=pg.x.shift())[["x_shift"]])
     eq(g.cumsum("x")[["x_cumsum"]], pdf.assign(x_cumsum=pg.x.cumsum())[["x_cumsum"]])
     eq(g.cumcount()[["cumcount"]], pdf.assign(cumcount=pg.cumcount())[["cumcount"]])
@@ -475,14 +475,12 @@ def test_cumprod_matches_pandas(gdf, pdf):
 
 
 def test_groupby_direct_reductions(gdf, pdf):
-    # the veneer keeps the null-key group (cuDF dropna=False layout);
-    # pandas drops it by default — compare the non-null keys
-    got = gdf.groupby("k").sum().to_pandas().dropna(subset=["k"]) \
+    got = gdf.groupby("k").sum().to_pandas() \
         .sort_values("k").reset_index(drop=True)
     exp = pdf.groupby("k")[["x", "y"]].sum().reset_index()
     assert got.x.tolist() == exp.x.tolist()
     assert got.y.tolist() == pytest.approx(exp.y.tolist())
-    med = gdf.groupby("k").median().to_pandas().dropna(subset=["k"]).sort_values("k")
+    med = gdf.groupby("k").median().to_pandas().sort_values("k")
     pmed = pdf.groupby("k")[["x", "y"]].median().reset_index()
     assert med.x.tolist() == pmed.x.tolist()
 
@@ -509,8 +507,10 @@ def test_groupby_groups_describe_rolling(gdf, pdf):
     pdesc = pdf.dropna(subset=["k"]).groupby("k").x.mean()
     assert desc["mean"].tolist() == pytest.approx(pdesc.tolist())
     roll = gb.rolling(2).sum("x").to_pandas()
-    proll = pdf.groupby("k", dropna=False).x.rolling(2).sum() \
-        .reset_index(level=0, drop=True).sort_index()
+    # dropna grouping: null-key rows stay but carry a null value —
+    # reindexing pandas' (row-dropping) result puts NaN there too
+    proll = pdf.groupby("k").x.rolling(2).sum() \
+        .reset_index(level=0, drop=True).reindex(pdf.index)
     assert roll.x_roll_sum.fillna(-1).tolist() == proll.fillna(-1).tolist()
 
 
@@ -751,3 +751,35 @@ def test_merge_null_keys_match(spark):
         )
     )
     assert got == exp
+
+
+def test_groupby_dropna_default(spark):
+    """Null group keys form no group by default (reference
+    groupby.py:41 dropna=True, like pandas): aggregations exclude
+    null-key rows; transform-shaped ops keep the rows but emit null."""
+    import pandas as pd
+
+    import pygdf_spark as gd
+
+    p = pd.DataFrame({"k": ["a", None, "a", "b"], "v": [1.0, 2.0, 3.0, 4.0]})
+    g = gd.DataFrame.from_pandas(spark, p)
+    got = g.groupby("k").agg({"v": "sum"}).to_pandas()
+    exp = p.groupby("k", as_index=False)["v"].sum()
+    assert sorted(map(tuple, got.values.tolist())) == sorted(
+        map(tuple, exp.values.tolist())
+    )
+    # dropna=False keeps the null group (pandas parity)
+    got = g.groupby("k", dropna=False).agg({"v": "sum"}).to_pandas()
+    assert len(got) == 3
+    # transform shape: row for the null key survives with a null value
+    got = g.groupby("k").cumsum("v").to_pandas()
+    exp = p.assign(v_cumsum=p.groupby("k")["v"].cumsum())
+    assert got["v_cumsum"].tolist()[1] != got["v_cumsum"].tolist()[1]  # NaN
+    assert [x for i, x in enumerate(got["v_cumsum"]) if i != 1] == [
+        x for i, x in enumerate(exp["v_cumsum"]) if i != 1
+    ]
+    # value_counts excludes nulls by default (series.py:5091 dropna)
+    vc = g["k"].value_counts().to_pandas()
+    assert vc["k"].tolist() == ["a", "b"] and vc["count"].tolist() == [2, 1]
+    vc = g["k"].value_counts(dropna=False).to_pandas()
+    assert len(vc) == 3

@@ -46,7 +46,8 @@ def test_series_exprs_filter(gdf, pdf):
 def test_series_unique_value_counts(gdf, pdf):
     assert gdf["x"].unique() == sorted(pdf.x.unique())
     vc = gdf["s"].value_counts().to_pandas()
-    assert vc["count"].tolist() == [1, 1, 1, 1, 1]
+    assert vc["count"].tolist() == [1, 1, 1, 1]  # dropna=True default
+    assert len(gdf["s"].value_counts(dropna=False).to_pandas()) == 5
 
 
 def test_series_corr_cov_prod_mode(spark):
