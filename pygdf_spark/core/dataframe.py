@@ -445,9 +445,22 @@ class DataFrame:
                 sdf = sdf.withColumn(c, F.bround(c, decimals))
         return self._with(sdf)
 
-    def rank(self, col: str, method: str = "min", ascending: bool = True) -> "DataFrame":
-        """rank (frame.py:1459, sorting.hpp:178) over one column."""
-        order = F.col(col).asc() if ascending else F.col(col).desc()
+    def rank(self, col: str, method: str = "min", ascending: bool = True,
+             na_option: str = "keep") -> "DataFrame":
+        """rank (frame.py:1459, sorting.hpp:178) over one column.
+
+        ``na_option='keep'`` (the reference/pandas default): missing
+        values (null, or NaN in float columns) receive a null rank and
+        do not consume rank positions — they sort past every ranked row
+        so non-missing ranks are unaffected. 'top'/'bottom' rank them
+        first/last instead."""
+        v = self._nn(col)
+        if na_option in ("keep", "bottom"):
+            order = v.asc_nulls_last() if ascending else v.desc_nulls_last()
+        elif na_option == "top":
+            order = v.asc_nulls_first() if ascending else v.desc_nulls_first()
+        else:
+            raise ValueError(f"na_option={na_option!r}")
         w = Window.orderBy(order)
         fns = {"min": F.rank(), "dense": F.dense_rank(), "first": F.row_number()}
         if method == "average":
@@ -455,6 +468,8 @@ class DataFrame:
                 w.rangeBetween(Window.currentRow, Window.currentRow)) - 1) / 2.0
         else:
             expr = fns[method].over(w)
+        if na_option == "keep":
+            expr = F.when(v.isNotNull(), expr)
         return self._with(self._sdf.withColumn(f"{col}_rank", expr.cast("double")))
 
     def rolling(self, window: int, min_periods: int | None = None) -> "Rolling":
@@ -1277,9 +1292,17 @@ class GroupBy:
             )
         )
 
-    def rank(self, col: str, method: str = "min", ascending: bool = True) -> DataFrame:
-        """per-group rank (frame.py:1459 grouped path)."""
-        order = F.col(col).asc() if ascending else F.col(col).desc()
+    def rank(self, col: str, method: str = "min", ascending: bool = True,
+             na_option: str = "keep") -> DataFrame:
+        """per-group rank (frame.py:1459 grouped path); na_option='keep'
+        leaves missing values unranked, like the whole-frame rank."""
+        v = self._df._nn(col)
+        if na_option in ("keep", "bottom"):
+            order = v.asc_nulls_last() if ascending else v.desc_nulls_last()
+        elif na_option == "top":
+            order = v.asc_nulls_first() if ascending else v.desc_nulls_first()
+        else:
+            raise ValueError(f"na_option={na_option!r}")
         w = Window.partitionBy(*self._keys).orderBy(order)
         fns = {"min": F.rank(), "dense": F.dense_rank(), "first": F.row_number()}
         if method == "average":
@@ -1289,6 +1312,8 @@ class GroupBy:
             expr = (2 * F.rank().over(w) + peers - 1) / 2.0
         else:
             expr = fns[method].over(w)
+        if na_option == "keep":
+            expr = F.when(v.isNotNull(), expr)
         return self._df._with(
             self._df._sdf.withColumn(f"{col}_rank", self._mask(expr.cast("double")))
         )

@@ -783,3 +783,33 @@ def test_groupby_dropna_default(spark):
     assert vc["k"].tolist() == ["a", "b"] and vc["count"].tolist() == [2, 1]
     vc = g["k"].value_counts(dropna=False).to_pandas()
     assert len(vc) == 3
+
+
+def test_rank_na_keep(spark):
+    """rank na_option='keep' (the reference/pandas default): missing
+    values get null rank and consume no positions; 'top'/'bottom'
+    rank them first/last."""
+    import pandas as pd
+
+    import pygdf_spark as gd
+
+    p = pd.DataFrame({"k": ["a", "a", "a", "b"], "v": [2.0, None, 1.0, 5.0]})
+    g = gd.DataFrame.from_pandas(spark, p)
+    for method in ("min", "dense", "first", "average"):
+        exp = p["v"].rank(method=method).fillna(-1).tolist()
+        got = (
+            g.rank("v", method=method).to_pandas()["v_rank"].fillna(-1).tolist()
+        )
+        assert got == exp, method
+        gexp = p.groupby("k")["v"].rank(method=method).fillna(-1).tolist()
+        ggot = (
+            g.groupby("k").rank("v", method=method)
+            .to_pandas()["v_rank"].fillna(-1).tolist()
+        )
+        assert ggot == gexp, method
+    exp = p["v"].rank(na_option="top").tolist()
+    got = g.rank("v", na_option="top").to_pandas()["v_rank"].tolist()
+    assert got == exp
+    exp = p["v"].rank(na_option="bottom").tolist()
+    got = g.rank("v", na_option="bottom").to_pandas()["v_rank"].tolist()
+    assert got == exp
