@@ -266,8 +266,16 @@ class DataFrame:
         return self._cum(col, F.min, "cummin")
 
     def _cum(self, col: str, fn, suffix: str) -> "DataFrame":
+        """Missing inputs (null / float-NaN) produce a missing scan
+        output at that row, and the scan continues past them — pandas /
+        reference scan semantics (null_policy EXCLUDE)."""
+        v = self._nn(col)
         w = Window.orderBy(_RID).rowsBetween(Window.unboundedPreceding, 0)
-        return self._with(self._sdf.withColumn(f"{col}_{suffix}", fn(col).over(w)))
+        return self._with(
+            self._sdf.withColumn(
+                f"{col}_{suffix}", F.when(v.isNotNull(), fn(v).over(w))
+            )
+        )
 
     def diff(self, col: str) -> "DataFrame":
         """Series.diff (series.py:5652): c − lag(c) over the row order."""
@@ -636,13 +644,16 @@ class DataFrame:
         """cumprod (frame.py scan surface, reduction.hpp:90): exact
         product scan via an array fold over the trailing frame (Spark
         has no product window aggregate; exp∘sum∘log would drift)."""
+        v = self._nn(col)
         w = Window.orderBy(_RID).rowsBetween(Window.unboundedPreceding, 0)
         prod = F.aggregate(
-            F.collect_list(col).over(w),
+            F.collect_list(v).over(w),  # collect_list skips missing
             F.lit(1.0).cast("double"),
-            lambda acc, v: acc * v,
+            lambda acc, x: acc * x,
         )
-        return self._with(self._sdf.withColumn(f"{col}_cumprod", prod))
+        return self._with(
+            self._sdf.withColumn(f"{col}_cumprod", F.when(v.isNotNull(), prod))
+        )
 
     # -- index discipline (reset/set/sort_index, frame.py surface) -------
 
@@ -1261,7 +1272,11 @@ class GroupBy:
         """group scan (groupby.py:781, groupby::scan groupby.hpp:224)."""
         w = self._w().rowsBetween(Window.unboundedPreceding, 0)
         return self._df._with(
-            self._df._sdf.withColumn(f"{col}_cumsum", self._mask(F.sum(col).over(w)))
+            self._df._sdf.withColumn(
+                f"{col}_cumsum",
+                self._mask(F.when(self._df._nn(col).isNotNull(),
+                                  F.sum(self._df._nn(col)).over(w))),
+            )
         )
 
     def cumcount(self) -> DataFrame:
@@ -1545,7 +1560,11 @@ def _extend_groupby():
             Window.unboundedPreceding, 0
         )
         return self._df._with(
-            self._df._sdf.withColumn(f"{col}_cummax", self._mask(F.max(col).over(w)))
+            self._df._sdf.withColumn(
+                f"{col}_cummax",
+                self._mask(F.when(self._df._nn(col).isNotNull(),
+                                  F.max(self._df._nn(col)).over(w))),
+            )
         )
 
     def cummin(self, col: str) -> DataFrame:
@@ -1553,7 +1572,11 @@ def _extend_groupby():
             Window.unboundedPreceding, 0
         )
         return self._df._with(
-            self._df._sdf.withColumn(f"{col}_cummin", self._mask(F.min(col).over(w)))
+            self._df._sdf.withColumn(
+                f"{col}_cummin",
+                self._mask(F.when(self._df._nn(col).isNotNull(),
+                                  F.min(self._df._nn(col)).over(w))),
+            )
         )
 
     GroupBy.quantile = quantile

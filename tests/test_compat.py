@@ -813,3 +813,23 @@ def test_rank_na_keep(spark):
     exp = p["v"].rank(na_option="bottom").tolist()
     got = g.rank("v", na_option="bottom").to_pandas()["v_rank"].tolist()
     assert got == exp
+
+
+def test_cumulative_missing_semantics(spark):
+    """Scans over missing inputs: the missing row's output is missing
+    and the scan continues past it (reference scan null_policy EXCLUDE,
+    pandas cum* semantics) — whole-frame and grouped."""
+    import pandas as pd
+
+    import pygdf_spark as gd
+
+    p = pd.DataFrame({"k": ["a", "a", "a", "b"], "v": [2.0, None, 1.0, 5.0]})
+    g = gd.DataFrame.from_pandas(spark, p)
+    for op in ("cumsum", "cummax", "cummin", "cumprod"):
+        exp = getattr(p["v"], op)().fillna(-1).tolist()
+        got = getattr(g[["v"]], op)("v").to_pandas()[f"v_{op}"].fillna(-1).tolist()
+        assert got == exp, op
+    for op in ("cumsum", "cummax", "cummin"):
+        exp = getattr(p.groupby("k")["v"], op)().fillna(-1).tolist()
+        got = getattr(g.groupby("k"), op)("v").to_pandas()[f"v_{op}"].fillna(-1).tolist()
+        assert got == exp, f"grouped {op}"
