@@ -1229,7 +1229,17 @@ class GroupBy:
         if isinstance(spec, dict):
             for col, fns in spec.items():
                 for fn in [fns] if isinstance(fns, str) else fns:
-                    exprs.append(_AGG_MAP[fn](col).alias(f"{fn}_{col}"))
+                    # NaN counts as missing (_nn), and sum/product of an
+                    # all-missing group take their identity element —
+                    # pandas/reference semantics, same as the direct
+                    # GroupBy.sum path below
+                    v = self._df._nn(col)
+                    e = _AGG_MAP[fn](v)
+                    if fn == "sum":
+                        e = F.coalesce(e, F.lit(0))
+                    elif fn == "product":
+                        e = F.coalesce(e, F.lit(1))
+                    exprs.append(e.alias(f"{fn}_{col}"))
                     labels.append((col, fn))
         else:
             raise TypeError("agg spec must be str or dict")

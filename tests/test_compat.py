@@ -833,3 +833,22 @@ def test_cumulative_missing_semantics(spark):
         exp = getattr(p.groupby("k")["v"], op)().fillna(-1).tolist()
         got = getattr(g.groupby("k"), op)("v").to_pandas()[f"v_{op}"].fillna(-1).tolist()
         assert got == exp, f"grouped {op}"
+
+
+def test_agg_dict_missing_identity(spark):
+    """agg dict-spec: NaN counts as missing, and sum/product of an
+    all-missing group take their identity (0 / 1) — pandas and the
+    direct GroupBy.sum path agree."""
+    import numpy as np
+    import pandas as pd
+
+    import pygdf_spark as gd
+
+    p = pd.DataFrame({"k": ["a", "a", "b"], "v": [1.0, np.nan, np.nan]})
+    g = gd.DataFrame.from_pandas(spark, p)
+    got = g.groupby("k").agg({"v": ["sum", "mean", "count"]}).to_pandas()
+    got = got.sort_values("k").reset_index(drop=True)
+    assert got["sum_v"].tolist() == [1.0, 0.0]
+    assert got["count_v"].tolist() == [1, 0]
+    m = got["mean_v"].tolist()
+    assert m[0] == 1.0 and pd.isna(m[1])
