@@ -326,3 +326,40 @@ def test_salted_join_parity(spark, lefts, rights):
             (r.k, r.lv, r.rv) for r in ldf.join(rdf, "k", how).collect()
         )
         assert got == exp, how
+
+
+# -- compat veneer vs pandas (null/NaN semantics fuzz) --------------------
+
+KV = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c", None]),
+        st.one_of(st.none(), st.floats(min_value=-50, max_value=50, allow_nan=False)),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(KV)
+def test_veneer_groupby_vs_pandas(spark, rows):
+    """Veneer groupby agg (dropna default, NaN-as-missing, sum/product
+    identity) must equal pandas on random frames with null keys and
+    missing values."""
+    import pygdf_spark as gd
+
+    p = pd.DataFrame(rows, columns=["k", "v"])
+    g = gd.DataFrame.from_pandas(spark, p)
+    got = g.groupby("k").agg({"v": ["sum", "count", "min"]}).to_pandas()
+    got = got.sort_values("k").reset_index(drop=True)
+    exp = (
+        p.groupby("k")
+        .agg(sum_v=("v", "sum"), count_v=("v", "count"), min_v=("v", "min"))
+        .reset_index()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got["k"].tolist() == exp["k"].tolist()
+    assert got["sum_v"].fillna(-1e18).tolist() == pytest.approx(exp["sum_v"].fillna(-1e18).tolist())
+    assert got["count_v"].tolist() == exp["count_v"].tolist()
+    assert got["min_v"].fillna(-1e18).tolist() == pytest.approx(exp["min_v"].fillna(-1e18).tolist())
