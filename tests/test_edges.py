@@ -81,7 +81,8 @@ def test_compat_all_null_column(spark):
     pdf = pd.DataFrame({"k": ["a", "b"], "v": [None, None]})
     g = from_spark(spark.createDataFrame(pdf.astype({"v": "float64"})))
     agg = g.groupby("k").agg({"v": "sum"}).to_pandas()
-    assert agg["sum_v"].isna().all()
+    # pandas identity: sum of an all-missing group is 0 (r2 parity fix)
+    assert agg["sum_v"].tolist() == [0.0, 0.0]
     assert g.dropna(subset=["v"]).shape[0] == 0
 
 
