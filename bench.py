@@ -97,10 +97,13 @@ def main() -> None:
             continue
         best = float("inf")
         for _ in range(2):
-            # each attempt starts cold: no persisted frames or sink
-            # tables from the previous attempt (min-of-2 must measure
-            # the plan, not a cache hit on its own intermediate)
+            # each attempt starts cold: no persisted frames or memory-
+            # sink tables from the previous attempt (min-of-2 must
+            # measure the plan, not a cache hit on its own intermediate)
             spark.catalog.clearCache()
+            for t in spark.catalog.listTables():
+                if t.tableType == "TEMPORARY" and t.name.startswith("pygdf_stream_sink"):
+                    spark.catalog.dropTempView(t.name)
             t0 = time.perf_counter()
             _force(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)

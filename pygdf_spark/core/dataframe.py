@@ -990,7 +990,7 @@ class DataFrame:
         out = (
             sdf.groupBy(subset)
             .agg(F.count(F.lit(1)).alias("count"))
-            .orderBy(F.col("count").desc(), F.col(subset).asc())
+            .orderBy(F.col("count").desc(), F.col(subset).asc_nulls_last())
         )
         return DataFrame(out.withColumn(_RID, F.monotonically_increasing_id()))
 
@@ -1227,18 +1227,28 @@ class GroupBy:
             not isinstance(fns, str) for fns in spec.values()
         )
         if isinstance(spec, dict):
+            numeric = set(self._df._numeric_cols())
             for col, fns in spec.items():
                 for fn in [fns] if isinstance(fns, str) else fns:
-                    # NaN counts as missing (_nn), and sum/product of an
-                    # all-missing group take their identity element —
-                    # pandas/reference semantics, same as the direct
-                    # GroupBy.sum path below
-                    v = self._df._nn(col)
-                    e = _AGG_MAP[fn](v)
-                    if fn == "sum":
-                        e = F.coalesce(e, F.lit(0))
-                    elif fn == "product":
-                        e = F.coalesce(e, F.lit(1))
+                    # pandas/reference missing semantics, per aggregate:
+                    # NaN counts as missing (_nn) for reductions;
+                    # first/last return the first/last NON-missing value
+                    # (pandas GroupBy.first/last); collect/unique keep
+                    # raw elements (cuDF list aggregation keeps nulls);
+                    # sum/product of an all-missing NUMERIC group take
+                    # their identity element, same as GroupBy.sum below
+                    if fn in ("collect", "unique"):
+                        e = _AGG_MAP[fn](F.col(col))
+                    elif fn in ("first", "last"):
+                        e = (F.first if fn == "first" else F.last)(
+                            self._df._nn(col), ignorenulls=True
+                        )
+                    else:
+                        e = _AGG_MAP[fn](self._df._nn(col))
+                        if fn == "sum" and col in numeric:
+                            e = F.coalesce(e, F.lit(0))
+                        elif fn == "product" and col in numeric:
+                            e = F.coalesce(e, F.lit(1))
                     exprs.append(e.alias(f"{fn}_{col}"))
                     labels.append((col, fn))
         else:

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from pygdf_spark.queries._util import T, dec, dsum
+from pygdf_spark.queries._util import T, dsum
 
 
 # --- TPC-H Q1 shape: the flagship scan→filter→agg→sort -----------------

@@ -852,3 +852,28 @@ def test_agg_dict_missing_identity(spark):
     assert got["count_v"].tolist() == [1, 0]
     m = got["mean_v"].tolist()
     assert m[0] == 1.0 and pd.isna(m[1])
+
+
+def test_agg_first_last_collect_missing(spark):
+    """review fixes: first/last skip missing (pandas GroupBy.first);
+    collect keeps raw elements; string-column sum stays null (no
+    fabricated 0); value_counts(dropna=False) ties put null last."""
+    import numpy as np
+    import pandas as pd
+
+    import pygdf_spark as gd
+
+    p = pd.DataFrame({"k": ["a", "a", "b"], "v": [np.nan, 2.0, 3.0],
+                      "s": ["x", "y", "z"]})
+    g = gd.DataFrame.from_pandas(spark, p)
+    got = g.groupby("k").agg({"v": ["first", "last"]}).to_pandas()
+    got = got.sort_values("k").reset_index(drop=True)
+    assert got["first_v"].tolist() == [2.0, 3.0]  # pandas .first() skips NaN
+    assert got["last_v"].tolist() == [2.0, 3.0]
+    got = g.groupby("k").agg({"s": "sum"}).to_pandas()
+    assert got["sum_s"].isna().all()  # no fabricated numeric zero
+    vc = g.value_counts("k", dropna=False).to_pandas()
+    p2 = pd.DataFrame({"k": ["a", None, "b"]})
+    g2 = gd.DataFrame.from_pandas(spark, p2)
+    vc = g2.value_counts("k", dropna=False).to_pandas()
+    assert vc["k"].tolist() == ["a", "b", None]  # null sorts last on ties

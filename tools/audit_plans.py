@@ -64,9 +64,12 @@ def dup_hof_subtrees(plan: str) -> int:
     in their full text and are NOT flagged."""
     dups = 0
     for line in plan.splitlines():
-        # normalize expression IDs: duplicated subtrees get fresh lambda
-        # variable IDs per occurrence (lambda x_1#7 vs lambda x_1#9)
-        line = re.sub(r"#\d+", "#", line)
+        # normalize LAMBDA-variable IDs only: duplicated subtrees get
+        # fresh lambda vars per occurrence (lambda x_1#7 vs lambda
+        # x_1#9), but attribute IDs stay — two same-named attributes
+        # from a self-join (vec#12 vs vec#45) are different columns and
+        # must not be conflated into a false duplicate
+        line = re.sub(r"(lambda\s+\w+?)#\d+", r"\1#", line)
         seen: dict[str, int] = {}
         for m in _HOF_MARKERS:
             start = 0
