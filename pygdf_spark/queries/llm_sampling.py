@@ -127,14 +127,58 @@ FROM packed GROUP BY shard ORDER BY shard
 """
 
 
+def sample_mixture(spark, sf_dir):
+    """Data-mixture (source-weighted) sampling — the per-source mixing
+    stage of a pretraining pipeline: each source gets a target keep
+    RATE and every document draws a deterministic hash-Bernoulli
+    against its source's rate (no RNG state, reproducible across runs,
+    retries, and engines; at 100 TB this is one map-side predicate,
+    zero shuffles before the per-source audit agg).
+
+    Rates here derive from the source's numeric suffix (suffix % 4 →
+    100/75/50/25%) standing in for the mixture-weights table a real
+    run broadcasts."""
+    d = T(spark, sf_dir, "documents")
+    pct = F.array(F.lit(100), F.lit(75), F.lit(50), F.lit(25))[
+        F.substring("source", 4, 10).cast("int") % 4
+    ]
+    keep = md5_u64(F.col("doc_id").cast("string")) % 100 < pct
+    return (
+        d.select("source", pct.alias("target_pct"), keep.alias("keep"), "n_chars")
+        .groupBy("source", "target_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_chars")).otherwise(0)).alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+SAMPLE_MIXTURE_SQL = f"""
+SELECT source, target_pct, COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+FROM (
+  SELECT source, n_chars,
+         ([100, 75, 50, 25])[(CAST(substring(source, 4, 10) AS INT) % 4) + 1] AS target_pct,
+         {_H} % 100 < ([100, 75, 50, 25])[(CAST(substring(source, 4, 10) AS INT) % 4) + 1] AS keep
+  FROM documents
+)
+GROUP BY source, target_pct ORDER BY source
+"""
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "sample_class_balance": sample_class_balance,
     "pack_sequences": pack_sequences,
+    "sample_mixture": sample_mixture,
 }
 
 ORACLE = {
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "sample_class_balance": SAMPLE_BALANCE_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
+    "sample_mixture": SAMPLE_MIXTURE_SQL,
 }
