@@ -349,6 +349,10 @@ def test_veneer_groupby_vs_pandas(spark, rows):
     import pygdf_spark as gd
 
     p = pd.DataFrame(rows, columns=["k", "v"])
+    # pin the value column to float64: an all-None object column has no
+    # Spark numeric type, so the sum-identity (a numeric-only rule)
+    # would not apply — that degenerate typing case is not the target
+    p["v"] = p["v"].astype("float64")
     g = gd.DataFrame.from_pandas(spark, p)
     got = g.groupby("k").agg({"v": ["sum", "count", "min"]}).to_pandas()
     got = got.sort_values("k").reset_index(drop=True)
