@@ -226,8 +226,52 @@ FROM g ORDER BY doc_id
 """
 
 
+def text_lm_frequency(spark, sf_dir):
+    """Corpus-statistics quality proxy (the CCNet-style LM-filter shape
+    without the float log): score each document by the corpus-wide
+    document frequency of its bigrams — garbled/unusual text scores
+    low, boilerplate scores high. Two keyed shuffles: the corpus bigram
+    count (vocabulary-bounded table) and the per-doc rollup; the join
+    key is the short bigram string. Exact integer output
+    (avg_df_x100 = sum_df*100 div n_bg) — no float accumulation."""
+    d = T(spark, sf_dir, "documents")
+    bg = d.select("doc_id", F.explode(X.ngrams("text", 2)).alias("g"))
+    counts = bg.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        bg.join(counts, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bg"), F.sum("df").cast("long").alias("sum_df"))
+    )
+    return (
+        per_doc.filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id", "n_bg", "sum_df",
+            F.expr("sum_df * 100 div n_bg").alias("avg_df_x100"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_LM_FREQ_SQL = r"""
+WITH bg AS (
+  SELECT doc_id,
+         UNNEST(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                               i -> w[i] || ' ' || w[i+1])) AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+),
+counts AS (SELECT g, COUNT(*) AS df FROM bg GROUP BY g),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_bg, CAST(SUM(df) AS BIGINT) AS sum_df
+  FROM bg JOIN counts USING (g) GROUP BY doc_id
+)
+SELECT doc_id, n_bg, sum_df, sum_df * 100 // n_bg AS avg_df_x100
+FROM per_doc WHERE doc_id < 300 ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "text_lm_frequency": text_lm_frequency,
     "text_ngrams_top": text_ngrams_top,
     "text_langid": text_langid,
     "text_quality": text_quality,
@@ -244,4 +288,5 @@ ORACLE = {
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_pii_mask": TEXT_PII_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
+    "text_lm_frequency": TEXT_LM_FREQ_SQL,
 }
