@@ -121,10 +121,13 @@ def ivf_probe_topk(vecs: DataFrame, k_clusters: int = 4, iters: int = 2,
 
 
 def kmeans(vecs: DataFrame, k: int = 4, iters: int = 2,
-           id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+           id_col: str = "vec_id", vec_col: str = "embedding",
+           return_centroids: bool = False):
     """Lloyd's: deterministic lowest-id init, ``iters`` assign/update
-    rounds, returns the final (vid, cid, dist2) assignment. The driver
-    loop is over ITERATIONS (each one Spark job), never rows."""
+    rounds, returns the final (vid, cid, dist2) assignment (plus the
+    final (cid, vector) centroid list when ``return_centroids`` — the
+    k×d numbers the driver already holds; PQ codebooks need them). The
+    driver loop is over ITERATIONS (each one Spark job), never rows."""
     # persisted: each iteration re-reads the quantized vectors (seed
     # collect + iters×(update agg + assignment)) — the same cache MLlib
     # keeps. Stays cached for the returned plan's lifetime (the
@@ -140,4 +143,5 @@ def kmeans(vecs: DataFrame, k: int = 4, iters: int = 2,
     for _ in range(iters):
         centroids = update_centroids(assigned, d)
         assigned = assign_clusters(iv, centroids)
-    return assigned.select("vid", "cid", "dist2")
+    out = assigned.select("vid", "cid", "dist2")
+    return (out, centroids) if return_centroids else out

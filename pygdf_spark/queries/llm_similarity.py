@@ -459,8 +459,98 @@ LEFT JOIN mivf m ON b.q_id = m.q_id AND b.v_id = m.v_id
 """
 
 
+def sim_pq_adc(spark, sf_dir):
+    """Product-quantization ADC search (the compression half of IVF-PQ,
+    operators/pq.py): m=4 per-subspace codebooks (k=4, one Lloyd's
+    round each), every vector encoded to 4 small codes map-side, then
+    the query's asymmetric-distance lookup tables folded into ONE
+    map-side expression — the corpus scan does 4 table lookups + 3
+    adds per row. Output: the query's top-5 by rounded ADC distance
+    (vid tiebreak) with the code words, rank via a 5-row window after
+    the TakeOrdered top-k."""
+    from pyspark.sql import Window
+
+    from pygdf_spark.operators import pq
+
+    vecs = T(spark, sf_dir, "embeddings")
+    codes, books = pq.pq_encode(vecs, m=4, sub=16, k=4, iters=1)
+    q_int = pq.query_int_vector(vecs, 0)
+    luts = pq.adc_lut(q_int, books, sub=16)
+    top5 = (
+        codes.filter(F.col("vid") != 0)
+        .select(
+            "vid", "c0", "c1", "c2", "c3",
+            F.round(pq.adc_expr(luts), 0).cast("long").alias("adc_r"),
+        )
+        .orderBy("adc_r", "vid")
+        .limit(5)
+    )
+    w = Window.orderBy("adc_r", "vid")  # bounded: 5 rows post-limit
+    return top5.withColumn("rank", F.row_number().over(w)).orderBy("rank")
+
+
+def _pq_sub_sql(s: int, sub: int = 16, k: int = 4) -> str:
+    """One subspace's oracle CTE chain: seeds → assign → update →
+    final assign → the query's ADC lookup table (mirrors kmeans
+    iters=1 + operators/pq.adc_lut)."""
+    off = s * sub
+    dist = (
+        f"list_reduce(list_transform(generate_series(1, {sub}), "
+        f"i -> (CAST(v.a[{off} + i] AS DOUBLE) - c.c[i]) ** 2), (x, y) -> x + y)"
+    )
+    qdist = (
+        f"list_reduce(list_transform(generate_series(1, {sub}), "
+        f"i -> (CAST(q.a[{off} + i] AS DOUBLE) - c.c[i]) ** 2), (x, y) -> x + y)"
+    )
+    return f"""
+s{s}c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vid) - 1 AS cid,
+         list_transform(generate_series(1, {sub}), i -> CAST(a[{off} + i] AS DOUBLE)) AS c
+  FROM (SELECT * FROM v ORDER BY vid LIMIT {k})
+),
+s{s}d0 AS (SELECT v.vid, c.cid, {dist} AS dist FROM v CROSS JOIN s{s}c0 c),
+s{s}a0 AS (SELECT vid, cid FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn FROM s{s}d0
+) WHERE rn = 1),
+s{s}c1 AS (
+  SELECT cid, list(m ORDER BY i) AS c FROM (
+    SELECT a0.cid, g.i, CAST(CAST(SUM(v.a[{off} + g.i]) AS BIGINT) AS DOUBLE) / COUNT(*) AS m
+    FROM s{s}a0 a0 JOIN v USING (vid) CROSS JOIN generate_series(1, {sub}) AS g(i)
+    GROUP BY a0.cid, g.i
+  ) GROUP BY cid
+),
+s{s}d1 AS (SELECT v.vid, c.cid, {dist} AS dist FROM v CROSS JOIN s{s}c1 c),
+s{s}a1 AS (SELECT vid, cid FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn FROM s{s}d1
+) WHERE rn = 1),
+s{s}lut AS (SELECT c.cid, {qdist} AS d FROM s{s}c1 c CROSS JOIN q)"""
+
+
+SIM_PQ_SQL = f"""
+WITH v AS (
+  SELECT vec_id AS vid, list_transform(embedding, x -> {_INT}) AS a
+  FROM embeddings
+),
+q AS (SELECT a FROM v WHERE vid = 0),{_pq_sub_sql(0)},{_pq_sub_sql(1)},{_pq_sub_sql(2)},{_pq_sub_sql(3)},
+approx AS (
+  SELECT v.vid, a0.cid AS c0, a1.cid AS c1, a2.cid AS c2, a3.cid AS c3,
+         CAST(round(l0.d + l1.d + l2.d + l3.d, 0) AS BIGINT) AS adc_r
+  FROM v
+  JOIN s0a1 a0 USING (vid) JOIN s0lut l0 ON l0.cid = a0.cid
+  JOIN s1a1 a1 USING (vid) JOIN s1lut l1 ON l1.cid = a1.cid
+  JOIN s2a1 a2 USING (vid) JOIN s2lut l2 ON l2.cid = a2.cid
+  JOIN s3a1 a3 USING (vid) JOIN s3lut l3 ON l3.cid = a3.cid
+  WHERE v.vid <> 0
+)
+SELECT vid, c0, c1, c2, c3, adc_r,
+       CAST(ROW_NUMBER() OVER (ORDER BY adc_r, vid) AS INT) AS rank
+FROM approx ORDER BY adc_r, vid LIMIT 5
+"""
+
+
 QUERIES = {
     "sim_ivf_topk": sim_ivf_topk,
+    "sim_pq_adc": sim_pq_adc,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_neardup_pairs": sim_neardup_pairs,
@@ -472,6 +562,7 @@ QUERIES = {
 
 ORACLE = {
     "sim_ivf_topk": SIM_IVF_SQL,
+    "sim_pq_adc": SIM_PQ_SQL,
     "sim_cosine_topk": SIM_TOPK_SQL,
     "sim_lsh_buckets": SIM_LSH_SQL,
     "sim_neardup_pairs": SIM_NEARDUP_SQL,

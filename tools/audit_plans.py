@@ -31,7 +31,8 @@ import bench
 
 # global-order windows that are semantically global AND bounded (tiny
 # domains or driver-documented positional ops)
-GLOBAL_WINDOW_OK = {"reshape_factorize", "take_slice_split", "merge_sorted_union"}
+GLOBAL_WINDOW_OK = {"reshape_factorize", "take_slice_split", "merge_sorted_union",
+                    "sim_pq_adc"}  # rank window runs AFTER limit(5) — 5 rows
 
 
 _HOF_MARKERS = ("transform(", "zip_with(", "aggregate(", "filter(", "exists(")
