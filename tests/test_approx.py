@@ -76,3 +76,44 @@ def test_bucketed_topk_explicit_queries_id_collision(spark):
     # self-ANN mode still excludes self-pairs
     self_ann = bucketed_topk(corpus, k=3, n_planes=1).collect()
     assert all(r["q_id"] != r["v_id"] for r in self_ann)
+
+
+def test_pq_adc_bounds_brute_force(spark, sf_dir):
+    """PQ ADC is a lossy quantization (k=4 codebooks leave large cell
+    error), so the guarantee tested is better-than-random: the exact
+    distance of ADC-selected neighbors must beat the corpus mean, and
+    ADC distances are nonnegative."""
+    import pyspark.sql.functions as F
+
+    from pygdf_spark.operators import pq
+    from pygdf_spark.operators.similarity import _int_vec
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    codes, books = pq.pq_encode(vecs, m=4, sub=16, k=4, iters=1)
+    q = pq.query_int_vector(vecs, 0)
+    luts = pq.adc_lut(q, books, sub=16)
+    top = (
+        codes.filter(F.col("vid") != 0)
+        .select("vid", F.round(pq.adc_expr(luts), 0).cast("long").alias("d"))
+        .orderBy("d", "vid")
+        .limit(5)
+        .collect()
+    )
+    assert all(r.d >= 0 for r in top)
+    iv = vecs.select(F.col("vec_id").alias("vid"), _int_vec("embedding").alias("a"))
+    qv = F.array(*[F.lit(int(x)) for x in q])
+    exact_d = {r.vid: r.d for r in (
+        iv.filter(F.col("vid") != 0)
+        .select(
+            "vid",
+            F.aggregate(
+                F.zip_with("a", qv, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+        )
+        .collect()
+    )}
+    sel_mean = sum(exact_d[r.vid] for r in top) / len(top)
+    corpus_mean = sum(exact_d.values()) / len(exact_d)
+    assert sel_mean < corpus_mean, (sel_mean, corpus_mean)

@@ -33,7 +33,8 @@ TIMED = ["q1_pricing_summary", "join_inner_q3", "agg_basic_stats",
          "sstream_tumbling_live", "hash_partition_hist", "nlp_token_filter",
          "join_range_bucketed", "graph_connected_components", "mm_feature_stub",
          "sim_kmeans_ivf", "dedup_decontaminate", "dedup_span_fingerprint",
-         "text_repetition", "agg_sketch_approx"]
+         "text_repetition", "agg_sketch_approx", "text_lm_frequency",
+         "sample_mixture", "sim_pq_adc"]
 
 
 def build(spark, n: int, dst: str) -> None:
