@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from pygdf_spark.operators.asof import asof_join_backward
+from pygdf_spark.operators.asof import asof_join, asof_join_backward
 from pygdf_spark.queries._util import T, dec, events_ts
 
 
@@ -44,6 +44,104 @@ FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
 ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
                 FROM events WHERE event_type = 'purchase') p
   ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY user_id, click_id
+"""
+
+
+_TOL_48H_US = 48 * 3600 * 1_000_000
+
+
+def asof_join_forward(spark, sf_dir):
+    """merge_asof(direction='forward', tolerance=48h): each click gets
+    the NEXT same-user purchase within 48 hours (nulls past tolerance).
+    Ties at the boundary ts resolve to the greatest purchase event_id
+    (right_order), matching the oracle's ORDER BY ... event_id DESC."""
+    e = events_ts(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", dec("value").alias("value")
+    )
+    out = asof_join(
+        clicks, buys, by=["user_id"], ts="ts", payload=["event_id", "value"],
+        direction="forward", tolerance=_TOL_48H_US, right_order=["event_id"],
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("event_id_r").alias("purchase_id"),
+        F.col("value_r").cast("double").alias("purchase_value"),
+    ).orderBy("user_id", "click_id")
+
+
+ASOF_FORWARD_SQL = """
+WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+           FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                  CAST(value AS DECIMAL(12,2)) AS value
+           FROM events WHERE event_type = 'purchase')
+SELECT c.user_id AS user_id, c.event_id AS click_id,
+  (SELECT p.event_id FROM p
+    WHERE p.user_id = c.user_id AND p.ts >= c.ts
+      AND epoch_us(p.ts) - epoch_us(c.ts) <= 172800000000
+    ORDER BY p.ts ASC, p.event_id DESC LIMIT 1) AS purchase_id,
+  CAST((SELECT p.value FROM p
+    WHERE p.user_id = c.user_id AND p.ts >= c.ts
+      AND epoch_us(p.ts) - epoch_us(c.ts) <= 172800000000
+    ORDER BY p.ts ASC, p.event_id DESC LIMIT 1) AS DOUBLE) AS purchase_value
+FROM c
+ORDER BY user_id, click_id
+"""
+
+
+def asof_join_nearest(spark, sf_dir):
+    """merge_asof(direction='nearest'): each click gets the time-closest
+    same-user purchase on either side; equidistant → backward wins."""
+    e = events_ts(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", dec("value").alias("value")
+    )
+    out = asof_join(
+        clicks, buys, by=["user_id"], ts="ts", payload=["event_id", "value"],
+        direction="nearest", right_order=["event_id"],
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("event_id_r").alias("purchase_id"),
+        F.col("value_r").cast("double").alias("purchase_value"),
+    ).orderBy("user_id", "click_id")
+
+
+ASOF_NEAREST_SQL = """
+WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+           FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                  CAST(value AS DECIMAL(12,2)) AS value
+           FROM events WHERE event_type = 'purchase'),
+cand AS (
+  SELECT c.user_id, c.event_id AS click_id, c.ts,
+    (SELECT p.event_id FROM p WHERE p.user_id = c.user_id AND p.ts <= c.ts
+      ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS b_id,
+    (SELECT p.ts FROM p WHERE p.user_id = c.user_id AND p.ts <= c.ts
+      ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS b_ts,
+    (SELECT p.value FROM p WHERE p.user_id = c.user_id AND p.ts <= c.ts
+      ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS b_val,
+    (SELECT p.event_id FROM p WHERE p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY p.ts ASC, p.event_id DESC LIMIT 1) AS f_id,
+    (SELECT p.ts FROM p WHERE p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY p.ts ASC, p.event_id DESC LIMIT 1) AS f_ts,
+    (SELECT p.value FROM p WHERE p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY p.ts ASC, p.event_id DESC LIMIT 1) AS f_val
+  FROM c)
+SELECT user_id, click_id,
+  CASE WHEN b_id IS NOT NULL AND (f_id IS NULL
+            OR epoch_us(ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(ts))
+       THEN b_id ELSE f_id END AS purchase_id,
+  CAST(CASE WHEN b_id IS NOT NULL AND (f_id IS NULL
+            OR epoch_us(ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(ts))
+       THEN b_val ELSE f_val END AS DOUBLE) AS purchase_value
+FROM cand
 ORDER BY user_id, click_id
 """
 
@@ -117,12 +215,16 @@ ORDER BY l_orderkey, l_linenumber
 
 QUERIES = {
     "asof_join_events": asof_join_events,
+    "asof_join_forward": asof_join_forward,
+    "asof_join_nearest": asof_join_nearest,
     "group_fill_bfill": group_fill_bfill,
     "ast_filter_string": ast_filter_string,
 }
 
 ORACLE = {
     "asof_join_events": ASOF_JOIN_SQL,
+    "asof_join_forward": ASOF_FORWARD_SQL,
+    "asof_join_nearest": ASOF_NEAREST_SQL,
     "group_fill_bfill": GROUP_BFILL_SQL,
     "ast_filter_string": AST_FILTER_SQL,
 }

@@ -304,6 +304,55 @@ def test_asof_join_parity(spark, lefts, rights):
     assert got == exp
 
 
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(LROWS, RROWS, st.sampled_from(["backward", "forward", "nearest"]),
+       st.sampled_from([None, 0, 5, 20]), st.booleans())
+def test_asof_join_directions(spark, lefts, rights, direction, tol, exact):
+    """Generalized asof_join (direction × tolerance × allow_exact_matches)
+    vs a brute-force per-row model. Right (key, ts) deduplicated, as in
+    the backward parity test."""
+    from pygdf_spark.operators.asof import asof_join
+
+    rmap = {}
+    for k, t in rights:
+        rmap[(k, t)] = float(k * 1000 + t)
+    lrows = [(k, t, i) for i, (k, t) in enumerate(lefts)]
+    rrows = [(k, t, v) for (k, t), v in sorted(rmap.items())]
+    ldf = spark.createDataFrame(lrows or [], "k long, t long, lid long")
+    rdf = spark.createDataFrame(rrows or [], "k long, t long, rv double")
+    got = {
+        r.lid: r.rv_r
+        for r in asof_join(
+            ldf, rdf, ["k"], "t", ["rv"],
+            direction=direction, tolerance=tol, allow_exact_matches=exact,
+        ).collect()
+    }
+
+    def model(k, t):
+        back = [
+            (rt, v) for (rk, rt), v in rmap.items()
+            if rk == k and (rt <= t if exact else rt < t)
+            and (tol is None or t - rt <= tol)
+        ]
+        fwd = [
+            (rt, v) for (rk, rt), v in rmap.items()
+            if rk == k and (rt >= t if exact else rt > t)
+            and (tol is None or rt - t <= tol)
+        ]
+        b = max(back) if back else None
+        f = min(fwd) if fwd else None
+        if direction == "backward":
+            return b[1] if b else None
+        if direction == "forward":
+            return f[1] if f else None
+        if b and f:
+            return b[1] if t - b[0] <= f[0] - t else f[1]
+        return (b or f)[1] if (b or f) else None
+
+    exp = {i: model(k, t) for k, t, i in lrows}
+    assert got == exp
+
+
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
 @given(LROWS, RROWS)
 def test_salted_join_parity(spark, lefts, rights):
