@@ -389,6 +389,82 @@ ORDER BY n_docs DESC, n_occur DESC, span ASC LIMIT 20
 """
 
 
+def dedup_decontaminate_bloom(spark, sf_dir):
+    """Decontamination through a distributed Bloom prefilter
+    (operators/bloom.py) — the 100 TB shape of `dedup_decontaminate`:
+    the eval set's n-grams become a broadcast BITSET (128 KB here; ~125
+    MB even at 100M eval grams) instead of a broadcast string table, and
+    each corpus document is screened IN-ROW with an exists() probe over
+    its n-gram array — bloom-negative docs never explode, never shuffle,
+    and resolve map-side as clean. Only bloom-positive candidates (true
+    collisions + the FP fraction) pay the exact explode + semi-join
+    verify, so the result is EXACT — the filter only prunes work.
+
+    Returns per-source counts of documents RETAINED (the anti side)."""
+    from pygdf_spark.operators.bloom import bloom_build, bloom_might_contain
+
+    m_bits, k = 1 << 20, 5  # fixture-sized; production sizes via bloom_params
+    d = T(spark, sf_dir, "documents")
+    grams3 = F.array_distinct(ngrams("text", 3))
+    bench = (
+        d.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(grams3).alias("g"))
+        .distinct()
+    )
+    bits = bloom_build(bench, "g", m_bits, k).withColumnRenamed("bits", "__bits")
+    corpus = d.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", "source", grams3.alias("grams")
+    )
+    cand = corpus.crossJoin(F.broadcast(bits)).withColumn(
+        "__hit",
+        F.exists(
+            "grams", lambda g: bloom_might_contain(g, F.col("__bits"), m_bits, k)
+        ),
+    )
+    clean_certain = cand.filter(~F.col("__hit")).select("doc_id", "source")
+    maybe = cand.filter(F.col("__hit")).select("doc_id", "source", "grams")
+    contaminated = (
+        maybe.select("doc_id", F.explode("grams").alias("g"))
+        .join(F.broadcast(bench), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    rescued = maybe.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id", "source"
+    )
+    return (
+        clean_certain.unionByName(rescued)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_clean"))
+        .orderBy("source")
+    )
+
+
+DEDUP_DECONTAMINATE_BLOOM_SQL = r"""
+WITH words AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, source, g FROM (
+    SELECT doc_id, source,
+           UNNEST(list_distinct(list_transform(
+             generate_series(1, greatest(len(w) - 2, 0)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+    FROM words
+  )
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+contaminated AS (
+  SELECT DISTINCT c.doc_id FROM grams c JOIN bench b USING (g)
+  WHERE c.doc_id % 97 <> 0
+)
+SELECT source, COUNT(*) AS n_clean
+FROM documents d
+WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "graph_connected_components": graph_connected_components,
     "dedup_keep_list": dedup_keep_list,
@@ -398,6 +474,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_decontaminate": dedup_decontaminate,
+    "dedup_decontaminate_bloom": dedup_decontaminate_bloom,
     "dedup_span_fingerprint": dedup_span_fingerprint,
 }
 
@@ -410,5 +487,6 @@ ORACLE = {
     "dedup_simhash": _simhash_sql(),
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_decontaminate": DEDUP_DECONTAMINATE_SQL,
+    "dedup_decontaminate_bloom": DEDUP_DECONTAMINATE_BLOOM_SQL,
     "dedup_span_fingerprint": DEDUP_SPAN_SQL,
 }

@@ -169,3 +169,38 @@ def test_pack_sequences_budget_invariant(spark):
         (F.max("pack_id") + 1).alias("n"), F.count(F.lit(1)).alias("k")
     ).filter(F.col("n") != F.col("k")).count()
     assert dense == 0
+
+
+def test_bloom_no_false_negatives_and_join_parity(spark):
+    """Bloom bitset: every inserted key probes true (no false
+    negatives), and bloom_prefilter_join equals the plain semi/anti
+    join row-for-row regardless of FP rate (forced tiny bitset)."""
+    from pyspark.sql import functions as F
+
+    from pygdf_spark.operators.bloom import (
+        bloom_build, bloom_might_contain, bloom_params, bloom_prefilter_join,
+    )
+
+    small = spark.range(0, 200).select((F.col("id") * 7).alias("k"))
+    big = spark.range(0, 3000).select((F.col("id") % 1400).alias("k"), F.col("id").alias("v"))
+    m, k = bloom_params(200, 0.01)
+    bits = bloom_build(small, "k", m, k)
+    probed = (
+        small.crossJoin(F.broadcast(bits))
+        .select(bloom_might_contain(F.col("k"), F.col("bits"), m, k).alias("hit"))
+    )
+    assert probed.filter(~F.col("hit")).count() == 0
+
+    for how in ("left_semi", "left_anti"):
+        exact = {tuple(r) for r in big.join(small, "k", how).collect()}
+        # healthy sizing
+        got = {tuple(r) for r in bloom_prefilter_join(big, "k", small, "k", how).collect()}
+        assert got == exact, how
+        # pathological sizing (64 bits for 200 keys -> FP-saturated)
+        got_fp = {
+            tuple(r)
+            for r in bloom_prefilter_join(
+                big, "k", small, "k", how, n_keys=1
+            ).collect()
+        }
+        assert got_fp == exact, f"{how} under saturation"
