@@ -183,6 +183,54 @@ def merge(left: "DataFrame", right: "DataFrame", on=None, how: str = "inner",
     return left.merge(right, on=on, how=how, suffixes=tuple(suffixes))
 
 
+def merge_asof(left: "DataFrame", right: "DataFrame", on: str, by=None,
+               direction: str = "backward", tolerance=None,
+               allow_exact_matches: bool = True,
+               suffixes=("_x", "_y")) -> "DataFrame":
+    """pandas/cudf-style merge_asof over the distributed as-of operator
+    (operators/asof.py; this pygdf generation has no merge_asof — the
+    surface mirrors the one later cuDF grew). Inputs need not be
+    pre-sorted (the window pass sorts per key). `tolerance` accepts a
+    number in the ts column's native units (µs for timestamps) or any
+    object with total_seconds() (e.g. pandas.Timedelta / datetime.timedelta).
+    """
+    from pyspark.sql import functions as F
+
+    from pygdf_spark.core.dataframe import _RID, DataFrame as _DF
+    from pygdf_spark.operators.asof import asof_join
+
+    by = [by] if isinstance(by, str) else list(by or [])
+    if tolerance is not None and hasattr(tolerance, "total_seconds"):
+        tolerance = int(tolerance.total_seconds() * 1_000_000)
+    lsdf = left._sdf
+    rsdf = right._sdf.drop(_RID)
+    payload = [c for c in rsdf.columns if c not in by and c != on]
+    # group-less as-of: constant key keeps ONE partition — fine for the
+    # veneer's small-data contract, use `by` for distributed runs
+    if not by:
+        by = ["__asof_g"]
+        lsdf = lsdf.withColumn("__asof_g", F.lit(1))
+        rsdf = rsdf.withColumn("__asof_g", F.lit(1))
+        dropped_by = True
+    else:
+        dropped_by = False
+    out = asof_join(
+        lsdf, rsdf, by=by, ts=on, payload=payload, suffix="__r",
+        direction=direction, tolerance=tolerance,
+        allow_exact_matches=allow_exact_matches,
+    )
+    clash = {c for c in payload if c in lsdf.columns and c != _RID}
+    for c in clash:
+        out = out.withColumnRenamed(c, c + suffixes[0])
+    for c in payload:
+        out = out.withColumnRenamed(
+            c + "__r", c + suffixes[1] if c in clash else c
+        )
+    if dropped_by:
+        out = out.drop("__asof_g")
+    return _DF(out)
+
+
 def factorize(series) -> tuple:
     """cudf.factorize — (codes, uniques) like the Series method."""
     return series.factorize()

@@ -428,8 +428,67 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def agg_winsorize(spark, sf_dir):
+    """Distributed winsorization (clip at per-group p05/p95) — the
+    outlier-capping cleanup step between clip (replace.hpp:202) and
+    quantile (group_quantiles.cu): quantiles from ONE grouped agg, a
+    broadcast join back (group table is tiny), and a map-side clip.
+    Exactness: quantiles over integer cents land on halves at worst, so
+    20× the clipped value is integral and sums as BIGINT — no
+    order-dependent double accumulation."""
+    li = T(spark, sf_dir, "lineitem")
+    cents = F.round(dec("l_extendedprice") * 100).cast("long")
+    q = li.groupBy("l_returnflag").agg(
+        F.percentile(cents, 0.05).alias("lo"),
+        F.percentile(cents, 0.95).alias("hi"),
+    )
+    # p05/p95 with linear interpolation over n points sit on 1/20-cent
+    # steps, so 20x the clipped value is integral; round() before the
+    # BIGINT cast (Spark truncates double->long, DuckDB rounds)
+    clipped20 = F.round(
+        F.greatest(F.col("lo"), F.least(F.col("hi"), cents.cast("double"))) * 20
+    ).cast("long")
+    return (
+        li.join(F.broadcast(q), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("lo").alias("p05_cents"),
+            F.min("hi").alias("p95_cents"),
+            F.sum(F.when(cents.cast("double") < F.col("lo"), 1).otherwise(0))
+            .cast("long").alias("n_lo"),
+            F.sum(F.when(cents.cast("double") > F.col("hi"), 1).otherwise(0))
+            .cast("long").alias("n_hi"),
+            (F.sum(clipped20) / F.count(F.lit(1)) / 2000.0).alias("mean_winsorized"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_WINSORIZE_SQL = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)) * 100, 0) AS BIGINT) AS cents
+  FROM lineitem
+),
+q AS (
+  SELECT l_returnflag,
+         quantile_cont(cents, 0.05) AS lo, quantile_cont(cents, 0.95) AS hi
+  FROM c GROUP BY l_returnflag
+)
+SELECT c.l_returnflag,
+       MIN(lo) AS p05_cents, MIN(hi) AS p95_cents,
+       CAST(SUM(CASE WHEN CAST(cents AS DOUBLE) < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+       CAST(SUM(CASE WHEN CAST(cents AS DOUBLE) > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+       SUM(CAST(round(greatest(lo, least(hi, CAST(cents AS DOUBLE))) * 20, 0) AS BIGINT))
+         / COUNT(*) / 2000.0 AS mean_winsorized
+FROM c JOIN q USING (l_returnflag)
+GROUP BY c.l_returnflag ORDER BY c.l_returnflag
+"""
+
+
 QUERIES = {
     "agg_basic_stats": agg_basic_stats,
+    "agg_winsorize": agg_winsorize,
     "agg_sketch_approx": agg_sketch_approx,
     "agg_moments": agg_moments,
     "agg_quantiles": agg_quantiles,
@@ -448,6 +507,7 @@ ORACLE = {
     "agg_basic_stats": AGG_BASIC_SQL,
     "agg_sketch_approx": AGG_SKETCH_SQL,
     "agg_moments": AGG_MOMENTS_SQL,
+    "agg_winsorize": AGG_WINSORIZE_SQL,
     "agg_quantiles": AGG_QUANTILES_SQL,
     "agg_quantile_interp": AGG_QUANTILE_INTERP_SQL,
     "agg_replace_values": AGG_REPLACE_SQL,

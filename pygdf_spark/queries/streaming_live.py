@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from pygdf_spark.streaming import (
     dedup_first_per_key,
+    enrich_with_dim,
     read_events_stream,
     run_available_now,
     session_counts,
@@ -133,8 +134,34 @@ ORDER BY 1, 2, 3
 """
 
 
+def sstream_static_join_live(spark, sf_dir):
+    """readStream ⋈ STATIC broadcast dim: purchases enriched with the
+    customer's nation inside each micro-batch (stateless map-side
+    join), aggregated per nation in complete mode."""
+    from pygdf_spark.queries._util import T
+
+    ev = read_events_stream(spark, sf_dir)
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    out = run_available_now(enrich_with_dim(ev, cust), "complete")
+    return out.select(
+        "c_nationkey",
+        "n_purchases",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    ).orderBy("c_nationkey")
+
+
+SSTREAM_STATIC_JOIN_SQL = """
+SELECT c.c_nationkey, COUNT(*) AS n_purchases,
+       CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase'
+GROUP BY c.c_nationkey ORDER BY c.c_nationkey
+"""
+
+
 QUERIES = {
     "sstream_stateful_counts": sstream_stateful_counts,
+    "sstream_static_join_live": sstream_static_join_live,
     "sstream_session_live": sstream_session_live,
     "sstream_join_live": sstream_join_live,
     "sstream_tumbling_live": sstream_tumbling_live,
@@ -144,6 +171,7 @@ QUERIES = {
 
 ORACLE = {
     "sstream_stateful_counts": SSTREAM_STATEFUL_SQL,
+    "sstream_static_join_live": SSTREAM_STATIC_JOIN_SQL,
     "sstream_session_live": SSTREAM_SESSION_SQL,
     "sstream_join_live": SSTREAM_JOIN_SQL,
     "sstream_tumbling_live": SSTREAM_TUMBLING_SQL,

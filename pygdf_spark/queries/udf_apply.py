@@ -160,11 +160,55 @@ FROM lineitem WHERE l_orderkey < 5000 GROUP BY l_returnflag ORDER BY l_returnfla
 """
 
 
+def udf_map_in_arrow(spark, sf_dir):
+    """Arrow-NATIVE batch kernel via DataFrame.mapInArrow — the parity
+    surface for the reference's zero-copy Arrow interop (interop.hpp:113
+    to_arrow / :125 from_arrow): RecordBatches flow to Python and back
+    with no pandas materialization, and the kernel itself stays columnar
+    in pyarrow.compute (vectorized C++, no per-row Python). The cheapest
+    Python boundary Spark offers — use it when pandas semantics aren't
+    needed."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = T(spark, sf_dir, "documents")
+
+    def kernel(batches):
+        for b in batches:
+            text = b.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pc.count_substring_regex(text, r"[^\s]+"),
+                    pc.binary_length(text),
+                ],
+                ["doc_id", "n_tok", "n_bytes"],
+            )
+
+    out = d.select("doc_id", "text").mapInArrow(
+        kernel, "doc_id long, n_tok int, n_bytes int"
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+    ).orderBy("doc_id")
+
+
+UDF_MAP_IN_ARROW_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[^\s]+')) AS BIGINT) AS n_tok,
+       CAST(strlen(text) AS BIGINT) AS n_bytes
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "udf_apply_rows_charge": udf_apply_rows_charge,
     "udf_apply_chunks_tokens": udf_apply_chunks_tokens,
     "udf_groupby_apply_top2": udf_groupby_apply_top2,
     "udf_grouped_agg_cents": udf_grouped_agg_cents,
+    "udf_map_in_arrow": udf_map_in_arrow,
 }
 
 ORACLE = {
@@ -172,4 +216,5 @@ ORACLE = {
     "udf_apply_chunks_tokens": UDF_APPLY_CHUNKS_SQL,
     "udf_groupby_apply_top2": UDF_GROUPBY_APPLY_SQL,
     "udf_grouped_agg_cents": UDF_GROUPED_AGG_SQL,
+    "udf_map_in_arrow": UDF_MAP_IN_ARROW_SQL,
 }

@@ -1,5 +1,6 @@
 from pygdf_spark.streaming.pipelines import (  # noqa: F401
     dedup_first_per_key,
+    enrich_with_dim,
     read_events_stream,
     run_available_now,
     session_counts,

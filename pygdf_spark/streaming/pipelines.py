@@ -136,6 +136,25 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def enrich_with_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-STATIC join: every purchase event enriched map-side with
+    its customer's nation via a broadcast of the static dimension — the
+    canonical streaming-ETL enrichment. Stateless (no watermark, no
+    state store): the static side is planned as a broadcast hash join
+    inside each micro-batch, so the stream never shuffles. At scale the
+    dim table refreshes by restarting the query or using a Delta-style
+    changeable source; the plan shape is identical."""
+    d = dim.select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    buys = events.filter(F.col("event_type") == "purchase")
+    enriched = buys.join(F.broadcast(d), "user_id")
+    return enriched.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value"),
+    )
+
+
 def view_purchase_join(events: DataFrame, horizon: str = "2 hours") -> DataFrame:
     """Stream-stream interval join: each purchase joined to the same
     user's views in the preceding `horizon`. Both sides carry

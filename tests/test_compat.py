@@ -877,3 +877,56 @@ def test_agg_first_last_collect_missing(spark):
     g2 = gd.DataFrame.from_pandas(spark, p2)
     vc = g2.value_counts("k", dropna=False).to_pandas()
     assert vc["k"].tolist() == ["a", "b", None]  # null sorts last on ties
+
+
+def test_merge_asof_vs_pandas(spark):
+    """Module-level merge_asof parity with pandas.merge_asof across
+    direction × tolerance × exact-match, with and without by-keys.
+    Right ts are even and left ts odd so 'nearest' never ties (pandas
+    leaves the tie rule unspecified; ours is backward, documented)."""
+    import random
+
+    import pandas as pd
+
+    import pygdf_spark as gd
+
+    rng = random.Random(7)
+    lpd = pd.DataFrame({
+        "t": sorted(rng.sample(range(1, 400, 2), 60)),
+        "k": [rng.randint(0, 2) for _ in range(60)],
+        "lv": range(60),
+    })
+    rpd = pd.DataFrame({
+        "t": sorted(rng.sample(range(0, 400, 2), 40)),
+        "k": [rng.randint(0, 2) for _ in range(40)],
+        "rv": [float(i) for i in range(40)],
+    })
+    gl, gr = gd.from_pandas(lpd, spark), gd.from_pandas(rpd, spark)
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 10):
+            for by in (None, "k"):
+                for exact in (True, False):
+                    if not exact and direction == "nearest":
+                        continue  # pandas disallows this combination
+                    exp = pd.merge_asof(
+                        lpd, rpd.drop(columns="k") if by is None else rpd,
+                        on="t", by=by, direction=direction, tolerance=tol,
+                        allow_exact_matches=exact,
+                    ).sort_values(["t", "lv"]).reset_index(drop=True)
+                    got = (
+                        gd.merge_asof(
+                            gl,
+                            gr if by else gr.drop(columns=["k"]),
+                            on="t", by=by, direction=direction, tolerance=tol,
+                            allow_exact_matches=exact,
+                        )
+                        .to_pandas()
+                        .sort_values(["t", "lv"])
+                        .reset_index(drop=True)
+                    )
+                    cols = list(exp.columns)
+                    got = got[cols]
+                    pd.testing.assert_frame_equal(
+                        got, exp, check_dtype=False,
+                        obj=f"{direction}/{tol}/{by}/{exact}",
+                    )
