@@ -465,8 +465,106 @@ GROUP BY source ORDER BY source
 """
 
 
+def pipeline_neardup_prune(spark, sf_dir):
+    """End-to-end near-duplicate PRUNING — the full production chain in
+    one pipeline: MinHash signatures → LSH band candidates → exact
+    Jaccard verify → connected components over the verified pairs →
+    keep the min-doc_id representative per cluster → per-source
+    retention report. Downstream of this, training reads only kept
+    docs.
+
+    Scale: the pair stage is the star-paired LSH (linear per bucket);
+    CC runs O(log D) label-propagation rounds over pair-sized edges
+    (pairs ≪ corpus); the final anti-join removes cluster non-reps with
+    one keyed shuffle. Nothing corpus-quadratic anywhere."""
+    from pygdf_spark.operators.graph import connected_components
+
+    d = T(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(d, num_perms=6, threshold=0.05)
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        cc = connected_components(edges)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+    # comp label IS the min member id == the kept representative
+    removed = cc.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias("doc_id")
+    )
+    return (
+        d.join(removed, "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .join(
+            d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total")),
+            "source",
+        )
+        .select(
+            "source", "n_total", "n_kept",
+            (F.col("n_total") - F.col("n_kept")).alias("n_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+def _neardup_prune_sql() -> str:
+    # same signature/band/verify CTEs as the LSH oracle, then a
+    # recursive-CTE fixpoint replaces the iterative label propagation
+    p = MERSENNE_P
+    perm_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS perm, {minhash_perm_sql('x', i)} AS h FROM hashed"
+        for i in range(6)
+    )
+    return rf"""
+WITH RECURSIVE {_SHINGLE_SQL.strip().lstrip()},
+hashed AS (
+  SELECT doc_id, CAST(md5_number_lower(shingle) % {p} AS BIGINT) AS x FROM shingles
+),
+sigs AS (
+  SELECT doc_id, perm, MIN(h) AS minhash FROM ({perm_rows}) GROUP BY doc_id, perm
+),
+cand AS (
+  SELECT DISTINCT m.doc_a, s.doc_id AS doc_b
+  FROM sigs s
+  JOIN (SELECT perm, minhash, MIN(doc_id) AS doc_a FROM sigs GROUP BY perm, minhash) m
+    ON s.perm = m.perm AND s.minhash = m.minhash AND s.doc_id > m.doc_a
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, COUNT(*) AS inter
+  FROM shingles s1 JOIN shingles s2 ON s1.shingle = s2.shingle
+  JOIN cand ON cand.doc_a = s1.doc_id AND cand.doc_b = s2.doc_id
+  GROUP BY s1.doc_id, s2.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b
+  WHERE CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter) >= 0.05
+),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+verts AS (SELECT DISTINCT a AS id FROM e),
+walk(id, label) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN e ON e.a = w.id
+),
+cc AS (SELECT id, MIN(label) AS comp FROM walk GROUP BY id),
+removed AS (SELECT id AS doc_id FROM cc WHERE id <> comp)
+SELECT source, COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN doc_id NOT IN (SELECT doc_id FROM removed) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM removed) THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "graph_connected_components": graph_connected_components,
+    "pipeline_neardup_prune": pipeline_neardup_prune,
     "dedup_keep_list": dedup_keep_list,
     "dedup_exact_hash": dedup_exact_hash,
     "dedup_prefix_groups": dedup_prefix_groups,
@@ -480,6 +578,7 @@ QUERIES = {
 
 ORACLE = {
     "graph_connected_components": GRAPH_CC_SQL,
+    "pipeline_neardup_prune": _neardup_prune_sql(),
     "dedup_keep_list": DEDUP_KEEP_LIST_SQL,
     "dedup_exact_hash": DEDUP_EXACT_SQL,
     "dedup_prefix_groups": DEDUP_PREFIX_SQL,

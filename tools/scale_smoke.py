@@ -34,7 +34,9 @@ TIMED = ["q1_pricing_summary", "join_inner_q3", "agg_basic_stats",
          "join_range_bucketed", "graph_connected_components", "mm_feature_stub",
          "sim_kmeans_ivf", "dedup_decontaminate", "dedup_span_fingerprint",
          "text_repetition", "agg_sketch_approx", "text_lm_frequency",
-         "sample_mixture", "sim_pq_adc"]
+         "sample_mixture", "sim_pq_adc", "asof_join_nearest",
+         "dedup_decontaminate_bloom", "agg_winsorize",
+         "pipeline_neardup_prune", "udf_map_in_arrow"]
 
 
 def build(spark, n: int, dst: str) -> None:
