@@ -83,12 +83,13 @@ def main() -> None:
             if t.tableType == "TEMPORARY" and t.name.startswith("pygdf_stream_sink"):
                 spark.catalog.dropTempView(t.name)
 
-    # Per-query time = min of 2 consecutive runs. The sandbox host has
+    # Per-query time = min of 3 consecutive runs. The sandbox host has
     # bursty external load (documented in SCALING.md: identical code
-    # measured 19s and 36s totals back-to-back); a single sample
-    # conflates neighbor noise with plan cost, while min-of-2 reads the
-    # steady-state execution the plan actually buys. load1 start/end is
-    # recorded so any residual inflation carries its own evidence.
+    # measured 19s and 36s totals back-to-back, and single queries 1.5s
+    # vs 15s minutes apart); a single sample conflates neighbor noise
+    # with plan cost, while min-of-N reads the steady-state execution
+    # the plan actually buys. load1 start/end is recorded so any
+    # residual inflation carries its own evidence.
     load_start = os.getloadavg()[0]
     times: dict[str, float] = {}
     for name in HEADLINE:
@@ -96,9 +97,9 @@ def main() -> None:
         if fn is None:
             continue
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             # each attempt starts cold: no persisted frames or memory-
-            # sink tables from the previous attempt (min-of-2 must
+            # sink tables from the previous attempt (min-of-N must
             # measure the plan, not a cache hit on its own intermediate)
             spark.catalog.clearCache()
             for t in spark.catalog.listTables():
@@ -116,7 +117,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
-        "agg": "min_of_2",
+        "agg": "min_of_3",
         "load1_start": round(load_start, 2),
         "load1_end": round(os.getloadavg()[0], 2),
     }))
