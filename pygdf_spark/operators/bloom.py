@@ -55,26 +55,30 @@ def bloom_build(keys: DataFrame, col: str, m_bits: int, k: int) -> DataFrame:
     assembly via map_from_entries + a gap-filling transform.
     """
     n_words = (m_bits + 63) // 64
+    spark = keys.sparkSession
     pos = F.explode(F.array(*_positions(F.col(col), m_bits, k))).alias("pos")
+    # zero rows for every word keep the domain dense, so the final
+    # assembly is just a sorted collect — NOT an element_at(map) per
+    # word (Spark maps are linear-scan arrays; a map-lookup assembly is
+    # O(W^2) on a single task and dominated an 8x smoke at W=16k)
+    zeros = spark.range(n_words).select(
+        F.col("id").cast("int").alias("w"), F.lit(0).cast("long").alias("bit")
+    )
     words = (
         keys.select(pos)
         .select(
             (F.col("pos") / 64).cast("int").alias("w"),
             (F.col("pos") % 64).cast("int").alias("b"),
         )
+        .select("w", F.expr("shiftleft(1L, b)").alias("bit"))
+        .unionByName(zeros)
         .groupBy("w")
-        .agg(F.bit_or(F.expr("shiftleft(1L, b)")).alias("word"))
+        .agg(F.bit_or("bit").alias("word"))
     )
     return words.agg(
-        F.map_from_entries(
-            F.sort_array(F.collect_list(F.struct("w", "word")))
-        ).alias("__wm")
-    ).select(
         F.transform(
-            F.sequence(F.lit(0), F.lit(n_words - 1)),
-            lambda i: F.coalesce(
-                F.element_at(F.col("__wm"), i), F.lit(0).cast("long")
-            ),
+            F.array_sort(F.collect_list(F.struct("w", "word"))),
+            lambda s: s.getField("word"),
         ).alias("bits")
     )
 

@@ -411,7 +411,14 @@ def dedup_decontaminate_bloom(spark, sf_dir):
         .select(F.explode(grams3).alias("g"))
         .distinct()
     )
-    bits = bloom_build(bench, "g", m_bits, k).withColumnRenamed("bits", "__bits")
+    # persisted: the 1-row bitset feeds three output branches
+    # (clean_certain / contaminated / rescued) — without it the whole
+    # build subtree re-runs per branch
+    bits = (
+        bloom_build(bench, "g", m_bits, k)
+        .withColumnRenamed("bits", "__bits")
+        .persist()
+    )
     corpus = d.filter(F.col("doc_id") % 97 != 0).select(
         "doc_id", "source", grams3.alias("grams")
     )

@@ -169,8 +169,72 @@ GROUP BY source, target_pct ORDER BY source
 """
 
 
+def sample_quality_weighted(spark, sf_dir):
+    """Quality-weighted sampling — the curation stage that keeps
+    high-quality documents at full rate and down-samples the tail:
+    an integer quality score (mean chars/token, milli-units) is
+    quartile-bucketed against GLOBAL quantile boundaries (one 1-row agg,
+    broadcast back — same shape as agg_winsorize), then every document
+    draws a deterministic hash-Bernoulli against its bucket's keep rate
+    (100/60/30/10% from best to worst quartile). Map-side end to end:
+    one scan + one scalar agg + one audit agg, zero corpus shuffles
+    before the report."""
+    d = T(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim("text"), r"\s+"))
+    score = F.round(F.lit(1000) * F.col("n_chars") / n_tok).cast("long")
+    scored = d.select("source", "n_chars", score.alias("s"), "doc_id")
+    qs = scored.agg(
+        F.percentile("s", 0.25).alias("q1"),
+        F.percentile("s", 0.50).alias("q2"),
+        F.percentile("s", 0.75).alias("q3"),
+    )
+    b = scored.crossJoin(F.broadcast(qs)).withColumn(
+        "bucket",
+        F.when(F.col("s") > F.col("q3"), 3)
+        .when(F.col("s") > F.col("q2"), 2)
+        .when(F.col("s") > F.col("q1"), 1)
+        .otherwise(0),
+    )
+    rate = F.array(F.lit(10), F.lit(30), F.lit(60), F.lit(100))[F.col("bucket")]
+    keep = md5_u64(F.col("doc_id").cast("string")) % 100 < rate
+    return (
+        b.select("bucket", rate.alias("keep_pct"), keep.alias("keep"), "n_chars")
+        .groupBy("bucket", "keep_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_chars")).otherwise(0)).alias("kept_chars"),
+        )
+        .orderBy("bucket")
+    )
+
+
+SAMPLE_QUALITY_SQL = f"""
+WITH scored AS (
+  SELECT source, n_chars, doc_id,
+         CAST(round(1000.0 * n_chars / len(string_split_regex(trim(text), '\\s+')), 0) AS BIGINT) AS s
+  FROM documents
+),
+qs AS (
+  SELECT quantile_cont(s, 0.25) AS q1, quantile_cont(s, 0.50) AS q2,
+         quantile_cont(s, 0.75) AS q3
+  FROM scored
+),
+b AS (
+  SELECT n_chars, doc_id,
+         CASE WHEN s > q3 THEN 3 WHEN s > q2 THEN 2 WHEN s > q1 THEN 1 ELSE 0 END AS bucket
+  FROM scored CROSS JOIN qs
+)
+SELECT bucket, ([10, 30, 60, 100])[bucket + 1] AS keep_pct, COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN {_H} % 100 < ([10, 30, 60, 100])[bucket + 1] THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN {_H} % 100 < ([10, 30, 60, 100])[bucket + 1] THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
+    "sample_quality_weighted": sample_quality_weighted,
     "sample_class_balance": sample_class_balance,
     "pack_sequences": pack_sequences,
     "sample_mixture": sample_mixture,
@@ -178,6 +242,7 @@ QUERIES = {
 
 ORACLE = {
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
+    "sample_quality_weighted": SAMPLE_QUALITY_SQL,
     "sample_class_balance": SAMPLE_BALANCE_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
     "sample_mixture": SAMPLE_MIXTURE_SQL,
