@@ -203,8 +203,47 @@ FROM documents ORDER BY doc_id
 """
 
 
+def udf_groupby_apply_arrow(spark, sf_dir):
+    """GroupBy.apply through the Arrow-NATIVE grouped surface
+    (GroupedData.applyInArrow): each group arrives as one pa.Table and
+    the kernel reduces it columnar-side (pyarrow.compute) with exact
+    integer cents — the zero-pandas analog of apply_grouped
+    (groupby.py:458)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 5000)
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        price = tbl.column("l_extendedprice")
+        cents = pc.round(pc.multiply(price, pa.scalar(100.0)))
+        return pa.table({
+            "l_returnflag": [tbl.column("l_returnflag")[0].as_py()],
+            "cents_sum": [int(pc.sum(pc.cast(cents, pa.int64())).as_py())],
+            "n": [tbl.num_rows],
+        })
+
+    prepared = li.select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("l_extendedprice")
+    )
+    return (
+        prepared.groupBy("l_returnflag")
+        .applyInArrow(kernel, "l_returnflag string, cents_sum long, n long")
+        .orderBy("l_returnflag")
+    )
+
+
+UDF_GROUPBY_ARROW_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(round(CAST(l_extendedprice AS DOUBLE) * 100, 0) AS BIGINT)) AS BIGINT) AS cents_sum,
+       COUNT(*) AS n
+FROM lineitem WHERE l_orderkey < 5000 GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "udf_apply_rows_charge": udf_apply_rows_charge,
+    "udf_groupby_apply_arrow": udf_groupby_apply_arrow,
     "udf_apply_chunks_tokens": udf_apply_chunks_tokens,
     "udf_groupby_apply_top2": udf_groupby_apply_top2,
     "udf_grouped_agg_cents": udf_grouped_agg_cents,
@@ -213,6 +252,7 @@ QUERIES = {
 
 ORACLE = {
     "udf_apply_rows_charge": UDF_APPLY_ROWS_SQL,
+    "udf_groupby_apply_arrow": UDF_GROUPBY_ARROW_SQL,
     "udf_apply_chunks_tokens": UDF_APPLY_CHUNKS_SQL,
     "udf_groupby_apply_top2": UDF_GROUPBY_APPLY_SQL,
     "udf_grouped_agg_cents": UDF_GROUPED_AGG_SQL,
