@@ -74,3 +74,55 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("id", F.col("label").alias("comp"))
+
+
+def pagerank_micro(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    iters: int = 5,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """(id, rank_micro): PageRank power iteration in EXACT integer
+    µ-unit arithmetic, so the result is bit-identical across engines
+    and partitionings (the oracle-pinnable form — float PageRank sums
+    contributions in nondeterministic order). Per iteration:
+
+        r'(v) = (100 - d)% · 1e6  +  d% · Σ_{u→v} (r(u) DIV outdeg(u))
+
+    with BIGINT floor divisions; dangling-vertex mass is dropped
+    (documented spec, matched by the oracle). Fixed ``iters`` rounds —
+    the unrolled-iteration contract the recursive oracle mirrors, same
+    as the k-means/PQ queries.
+
+    Scale shape: each round is one edges⋈ranks broadcast-or-shuffle
+    join + one keyed sum; lineage is truncated per round
+    (localCheckpoint) exactly like connected_components above.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    verts = e.select(F.col("a").alias("id")).union(
+        e.select(F.col("b").alias("id"))
+    ).distinct().localCheckpoint()
+    deg = e.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    base = (100 - damping_pct) * 10_000  # (100-d)% of 1e6 µ
+    r = verts.withColumn("r", F.lit(1_000_000).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            e.join(r.withColumnRenamed("id", "a"), "a")
+            .join(deg.withColumnRenamed("id", "a"), "a")
+            .select("b", F.expr("r div deg").alias("c"))
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.sum("c").alias("s"))
+        )
+        r = (
+            verts.join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return r.select("id", F.col("r").alias("rank_micro"))

@@ -472,6 +472,61 @@ GROUP BY source ORDER BY source
 """
 
 
+def graph_pagerank(spark, sf_dir):
+    """Distributed PageRank (5 fixed rounds, exact integer µ-units) on
+    the order↔part incidence graph — the link-analysis companion to
+    connected components for corpus/link-graph curation (e.g. domain
+    authority weighting before sampling). Symmetrized bipartite edges:
+    order nodes = l_orderkey, part nodes = 2e9 + l_partkey."""
+    from pygdf_spark.operators.graph import pagerank_micro
+
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 5000)
+    e0 = li.select(
+        F.col("l_orderkey").alias("a"),
+        (F.lit(2_000_000_000) + F.col("l_partkey")).alias("b"),
+    ).distinct()
+    edges = e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        pr = pagerank_micro(edges, iters=5)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+    return pr.orderBy(F.col("rank_micro").desc(), F.col("id").asc()).limit(20)
+
+
+def _pagerank_sql(iters: int = 5) -> str:
+    prev = "r0"
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""r{i} AS (
+  SELECT v.id, CAST(150000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r
+  FROM verts v LEFT JOIN (
+    SELECT e.b AS id, SUM(p.r // d.deg) AS s
+    FROM e JOIN {prev} p ON e.a = p.id JOIN deg d ON e.a = d.id
+    GROUP BY e.b
+  ) s ON v.id = s.id
+)""")
+        prev = f"r{i}"
+    joined = ",\n".join(steps)
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT l_orderkey AS a, 2000000000 + l_partkey AS b
+  FROM lineitem WHERE l_orderkey < 5000
+),
+e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+verts AS (SELECT DISTINCT a AS id FROM (SELECT a FROM e UNION ALL SELECT b FROM e) t(a)),
+deg AS (SELECT a AS id, COUNT(*) AS deg FROM e GROUP BY a),
+r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM verts),
+{joined}
+SELECT id, r AS rank_micro FROM {prev}
+ORDER BY rank_micro DESC, id ASC LIMIT 20
+"""
+
+
 def pipeline_neardup_prune(spark, sf_dir):
     """End-to-end near-duplicate PRUNING — the full production chain in
     one pipeline: MinHash signatures → LSH band candidates → exact
@@ -571,6 +626,7 @@ FROM documents GROUP BY source ORDER BY source
 
 QUERIES = {
     "graph_connected_components": graph_connected_components,
+    "graph_pagerank": graph_pagerank,
     "pipeline_neardup_prune": pipeline_neardup_prune,
     "dedup_keep_list": dedup_keep_list,
     "dedup_exact_hash": dedup_exact_hash,
@@ -585,6 +641,7 @@ QUERIES = {
 
 ORACLE = {
     "graph_connected_components": GRAPH_CC_SQL,
+    "graph_pagerank": _pagerank_sql(),
     "pipeline_neardup_prune": _neardup_prune_sql(),
     "dedup_keep_list": DEDUP_KEEP_LIST_SQL,
     "dedup_exact_hash": DEDUP_EXACT_SQL,

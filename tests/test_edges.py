@@ -204,3 +204,28 @@ def test_bloom_no_false_negatives_and_join_parity(spark):
             ).collect()
         }
         assert got_fp == exact, f"{how} under saturation"
+
+
+def test_pagerank_micro_vs_python_model(spark):
+    """pagerank_micro on a small directed graph equals a brute-force
+    integer model (same DIV/rounding spec), including a dangling node
+    and an unreferenced source node."""
+    from pygdf_spark.operators.graph import pagerank_micro
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]  # 4 has no in-edges
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r.id: r.rank_micro for r in pagerank_micro(df, iters=5).collect()}
+
+    nodes = {1, 2, 3, 4}
+    out = {}
+    for a, b in edges:
+        out.setdefault(a, []).append(b)
+    r = {v: 1_000_000 for v in nodes}
+    for _ in range(5):
+        s = {v: 0 for v in nodes}
+        for a, tgts in out.items():
+            share = r[a] // len(tgts)
+            for b in tgts:
+                s[b] += share
+        r = {v: 150_000 + (85 * s[v]) // 100 for v in nodes}
+    assert got == r
