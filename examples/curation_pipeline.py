@@ -1,0 +1,103 @@
+"""Training-data curation walkthrough: raw corpus → training-ready packs.
+
+Run: python examples/curation_pipeline.py [sf_dir]
+
+Chains the engine's LLM-pipeline operators the way a production corpus
+run would, printing stage-by-stage survivor counts. Every stage is a
+declarative Spark plan; the comments state the 100 TB shape of each.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from pygdf_spark import get_spark
+from pygdf_spark.functions.hashing import md5_u64
+from pygdf_spark.operators import dedup as D
+from pygdf_spark.operators.bloom import bloom_build, bloom_might_contain, bloom_params
+from pygdf_spark.operators.graph import connected_components
+from pygdf_spark.operators.packing import with_pack_ids
+from pygdf_spark.operators.text import ngrams
+from pygdf_spark.queries._util import T
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("curation-demo")
+    docs = T(spark, sf_dir, "documents")
+    n0 = docs.count()
+    print(f"corpus: {n0} docs")
+
+    # 1. exact dedup — one fingerprint groupBy; keep the min doc per group
+    groups = D.dedup_group_assignment(docs)
+    keep = groups.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
+    docs = docs.join(keep, "doc_id", "left_semi")
+    print(f"after exact dedup: {docs.count()}")
+
+    # 2. near-dup prune — LSH pairs -> connected components -> drop non-reps
+    #    (pairs ≪ corpus; CC is O(log D) rounds over pair-sized edges)
+    pairs = D.minhash_lsh_dedup(docs, num_perms=6, threshold=0.05)
+    cc = connected_components(
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    )
+    near_rm = cc.filter(F.col("id") != F.col("comp")).select(F.col("id").alias("doc_id"))
+    docs = docs.join(near_rm, "doc_id", "left_anti")
+    print(f"after near-dup prune: {docs.count()}")
+
+    # 3. decontamination — eval n-grams as a broadcast Bloom BITSET,
+    #    in-row exists() probe, exact verify only for bloom positives
+    bench = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(F.array_distinct(ngrams("text", 3))).alias("g"))
+        .distinct()
+    )
+    m, k = bloom_params(max(bench.count(), 1), 0.01)
+    bits = bloom_build(bench, "g", m, k).withColumnRenamed("bits", "__bits").persist()
+    cand = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .crossJoin(F.broadcast(bits))
+        .withColumn(
+            "__hit",
+            F.exists(
+                F.array_distinct(ngrams("text", 3)),
+                lambda g: bloom_might_contain(g, F.col("__bits"), m, k),
+            ),
+        )
+    )
+    dirty = (
+        cand.filter(F.col("__hit"))
+        .select("doc_id", F.explode(F.array_distinct(ngrams("text", 3))).alias("g"))
+        .join(F.broadcast(bench), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    docs = cand.drop("__bits", "__hit").join(dirty, "doc_id", "left_anti")
+    print(f"after decontamination: {docs.count()}")
+
+    # 4. quality-weighted keep — map-side hash-Bernoulli, no RNG state
+    keep_pct = F.array(F.lit(100), F.lit(75), F.lit(50), F.lit(25))[
+        F.substring("source", 4, 10).cast("int") % 4
+    ]
+    docs = docs.filter(md5_u64(F.col("doc_id").cast("string")) % 100 < keep_pct)
+    print(f"after quality/mixture sampling: {docs.count()}")
+
+    # 5. token-budget packing — running sums inside fixed shards
+    toks = F.size(F.split(F.trim("text"), r"\s+"))
+    packed = with_pack_ids(docs.select("doc_id", toks.alias("n_tok")), budget=2048, n_shards=8)
+    stats = packed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("docs"), (F.max("pack_id") + 1).alias("packs")
+    )
+    print("packs per shard:")
+    for r in stats.orderBy("shard").collect():
+        print(f"  shard {r.shard}: {r.docs} docs in {r.packs} packs")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
