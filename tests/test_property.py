@@ -416,3 +416,38 @@ def test_veneer_groupby_vs_pandas(spark, rows):
     assert got["sum_v"].fillna(-1e18).tolist() == pytest.approx(exp["sum_v"].fillna(-1e18).tolist())
     assert got["count_v"].tolist() == exp["count_v"].tolist()
     assert got["min_v"].fillna(-1e18).tolist() == pytest.approx(exp["min_v"].fillna(-1e18).tolist())
+
+
+MKV = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c", None]),
+        st.integers(0, 30),
+    ),
+    min_size=1,  # empty frames have no inferable Spark schema (object dtypes)
+    max_size=15,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(MKV, MKV, st.sampled_from(["inner", "left", "outer"]))
+def test_veneer_merge_vs_pandas(spark, lrows, rrows, how):
+    """Veneer merge must equal pandas.merge on random frames with NULL
+    join keys (both match null==null — join.hpp:73 null_equality::EQUAL,
+    which pandas merge also does for NaN object keys), overlapping
+    value-column names (suffix handling), and every how."""
+    import pygdf_spark as gd
+
+    lp = pd.DataFrame(lrows, columns=["k", "v"])
+    rp = pd.DataFrame(rrows, columns=["k", "v"])
+    exp = pd.merge(lp, rp, on="k", how=how, suffixes=("_x", "_y"))
+    gl = gd.DataFrame.from_pandas(spark, lp)
+    gr = gd.DataFrame.from_pandas(spark, rp)
+    got = gl.merge(gr, on="k", how=how, suffixes=("_x", "_y")).to_pandas()
+    key = lambda df: sorted(
+        [
+            (str(r.k), int(r.v_x) if pd.notna(r.v_x) else None,
+             int(r.v_y) if pd.notna(r.v_y) else None)
+            for r in df.itertuples()
+        ]
+    )
+    assert key(got) == key(exp), how
