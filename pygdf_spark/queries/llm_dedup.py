@@ -6,6 +6,7 @@ same hash arithmetic (md5_number_lower ≡ functions.hashing.md5_u64).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pygdf_spark.functions.hashing import MERSENNE_P, minhash_perm_sql
@@ -472,6 +473,62 @@ GROUP BY source ORDER BY source
 """
 
 
+def dedup_incremental(spark, sf_dir):
+    """Incremental ingest dedup — the daily-batch shape: a NEW batch
+    (doc_id % 10 == 0 standing in for today's crawl) is deduplicated
+    (a) against the EXISTING corpus's fingerprint table and (b) within
+    itself (keep the min doc per batch fingerprint group). Production
+    keeps the corpus fp table as a bucketed/sorted table so (a) is a
+    co-located semi-join; here both sides fingerprint map-side and meet
+    in one keyed shuffle each. Output: per-source ingest audit."""
+    from pygdf_spark.operators.text import doc_fingerprint
+
+    d = T(spark, sf_dir, "documents")
+    fp = doc_fingerprint("text")
+    new = d.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", "source", fp.alias("fp")
+    )
+    corpus_fp = d.filter(F.col("doc_id") % 10 != 0).select(fp.alias("fp")).distinct()
+    flagged = new.join(
+        corpus_fp.withColumn("__in_corpus", F.lit(True)), "fp", "left"
+    )
+    w_min = F.min("doc_id").over(Window.partitionBy("fp"))
+    flagged = flagged.withColumn("__batch_first", F.col("doc_id") == w_min)
+    ingest = F.col("__in_corpus").isNull() & F.col("__batch_first")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum(F.col("__in_corpus").isNotNull().cast("long")).alias("n_dup_corpus"),
+            F.sum((~F.col("__batch_first")).cast("long")).alias("n_dup_batch"),
+            F.sum(ingest.cast("long")).alias("n_ingest"),
+        )
+        .orderBy("source")
+    )
+
+
+DEDUP_INCREMENTAL_SQL = r"""
+WITH fps AS (
+  SELECT doc_id, source,
+         md5(LOWER(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+  FROM documents
+),
+new AS (SELECT * FROM fps WHERE doc_id % 10 = 0),
+corpus AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 10 <> 0),
+flagged AS (
+  SELECT n.source,
+         n.fp IN (SELECT fp FROM corpus) AS in_corpus,
+         n.doc_id = MIN(n.doc_id) OVER (PARTITION BY n.fp) AS batch_first
+  FROM new n
+)
+SELECT source, COUNT(*) AS n_new,
+       CAST(SUM(CASE WHEN in_corpus THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_corpus,
+       CAST(SUM(CASE WHEN NOT batch_first THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_batch,
+       CAST(SUM(CASE WHEN NOT in_corpus AND batch_first THEN 1 ELSE 0 END) AS BIGINT) AS n_ingest
+FROM flagged GROUP BY source ORDER BY source
+"""
+
+
 def graph_pagerank(spark, sf_dir):
     """Distributed PageRank (5 fixed rounds, exact integer µ-units) on
     the order↔part incidence graph — the link-analysis companion to
@@ -630,6 +687,7 @@ QUERIES = {
     "pipeline_neardup_prune": pipeline_neardup_prune,
     "dedup_keep_list": dedup_keep_list,
     "dedup_exact_hash": dedup_exact_hash,
+    "dedup_incremental": dedup_incremental,
     "dedup_prefix_groups": dedup_prefix_groups,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -645,6 +703,7 @@ ORACLE = {
     "pipeline_neardup_prune": _neardup_prune_sql(),
     "dedup_keep_list": DEDUP_KEEP_LIST_SQL,
     "dedup_exact_hash": DEDUP_EXACT_SQL,
+    "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "dedup_prefix_groups": DEDUP_PREFIX_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),

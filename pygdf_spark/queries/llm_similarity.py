@@ -548,8 +548,83 @@ FROM approx ORDER BY adc_r, vid LIMIT 5
 """
 
 
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup-shaped semantic dedup: k-means cells (the same coarse
+    quantizer as the IVF index), exact integer-cosine pairs WITHIN each
+    cell, and a drop rule — any vector with a lower-id cell-mate at
+    cosine ≥ τ is removed. Within-cell pairing is the SemDeDup cost
+    model: k scales with N so cells stay ~constant-sized and the
+    quadratic is bounded per cell. τ=0.30 is the fixture's
+    "semantically similar" scale (p99 of random-pair cosine);
+    production embeddings use ~0.95+."""
+    from pygdf_spark.operators.kmeans import kmeans
+
+    vecs = T(spark, sf_dir, "embeddings")
+    assign = kmeans(vecs, k=4, iters=2).select("vid", "cid")
+    v = SIM.with_vec(vecs).join(assign, "vid")
+    a = v.select(
+        F.col("cid"), F.col("vid").alias("va"), F.col("vec").alias("veca"),
+        F.col("vid_norm2").alias("na"),
+    )
+    b = v.select(
+        F.col("cid"), F.col("vid").alias("vb"), F.col("vec").alias("vecb"),
+        F.col("vid_norm2").alias("nb"),
+    )
+    pairs = a.join(b, "cid").filter(F.col("va") < F.col("vb"))
+    cos = SIM._cos(SIM.dot(F.col("veca"), F.col("vecb")), F.col("na"), F.col("nb"))
+    dropped = (
+        pairs.filter(cos >= 0.30).select("cid", F.col("vb").alias("vid")).distinct()
+    )
+    return (
+        v.select("cid", "vid")
+        .join(dropped.select(F.col("vid"), F.lit(True).alias("__drop")), "vid", "left")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.col("__drop").isNotNull().cast("long")).alias("n_dropped"),
+            F.sum(F.col("__drop").isNull().cast("long")).alias("n_kept"),
+        )
+        .orderBy("cid")
+    )
+
+
+DEDUP_SEMANTIC_SQL = f"""
+WITH v AS (
+  SELECT vec_id AS vid,
+         list_transform(embedding, x -> {_INT}) AS a
+  FROM embeddings
+),
+c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vid) - 1 AS cid,
+         list_transform(a, x -> CAST(x AS DOUBLE)) AS c
+  FROM (SELECT * FROM v ORDER BY vid LIMIT 4)
+),{_km_round("0", "c0")},{_km_update("1", "a0")},{_km_round("1", "c1")},{_km_update("2", "a1")},{_km_round("2", "c2")},
+nrm AS (
+  SELECT vid, CAST(list_reduce(list_transform(a, x -> x * x), (x, y) -> x + y) AS BIGINT) AS n2
+  FROM v
+),
+m AS (
+  SELECT a2.vid, a2.cid, v.a, nrm.n2
+  FROM a2 JOIN v USING (vid) JOIN nrm USING (vid)
+),
+pairs AS (
+  SELECT x.cid, x.vid AS va, y.vid AS vb,
+         ROUND(CAST(list_reduce(list_transform(generate_series(1, 64),
+                 i -> CAST(x.a[i] AS DOUBLE) * y.a[i]), (p, q) -> p + q) AS DOUBLE)
+               / sqrt(CAST(x.n2 AS DOUBLE) * y.n2), 8) AS cos
+  FROM m x JOIN m y ON x.cid = y.cid AND x.vid < y.vid
+),
+dropped AS (SELECT DISTINCT vb AS vid FROM pairs WHERE cos >= 0.30)
+SELECT cid, COUNT(*) AS n_members,
+       CAST(SUM(CASE WHEN vid IN (SELECT vid FROM dropped) THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN vid IN (SELECT vid FROM dropped) THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+FROM m GROUP BY cid ORDER BY cid
+"""
+
+
 QUERIES = {
     "sim_ivf_topk": sim_ivf_topk,
+    "dedup_semantic": dedup_semantic,
     "sim_pq_adc": sim_pq_adc,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_buckets": sim_lsh_buckets,
@@ -562,6 +637,7 @@ QUERIES = {
 
 ORACLE = {
     "sim_ivf_topk": SIM_IVF_SQL,
+    "dedup_semantic": DEDUP_SEMANTIC_SQL,
     "sim_pq_adc": SIM_PQ_SQL,
     "sim_cosine_topk": SIM_TOPK_SQL,
     "sim_lsh_buckets": SIM_LSH_SQL,
