@@ -62,12 +62,18 @@ def read_csv(
     comment: str | None = None,
     dayfirst: bool = False,
     compression: str = "infer",
+    doublequote: bool = True,
 ) -> DataFrame:
     """read_csv (csv.hpp:1124; py io/csv.py). ``names`` + ``dtype``
     supply an explicit schema (cuDF semantics); otherwise the header is
     used with type inference. ``usecols`` prunes columns — Catalyst
-    pushes the pruning into the scan."""
+    pushes the pruning into the scan. ``doublequote`` mirrors the
+    cuDF/pandas default (a doubled quotechar inside a quoted field is a
+    literal quote); Spark's native default is backslash-escape, so the
+    escape char is pinned to the quotechar unless doublequote=False."""
     r = spark.read.option("sep", sep).option("quote", quotechar)
+    if doublequote:
+        r = r.option("escape", quotechar)
     schema = _schema(names, dtype)
     if schema is not None:
         r = r.schema(schema).option("header", "false" if header == "infer" else str(bool(header)).lower())

@@ -200,3 +200,59 @@ def test_stream_parquet_sink_roundtrip(spark, tmp_path):
         agg, str(tmp_path / "sink"), str(tmp_path / "ckpt")
     )
     assert sink2.count() == sink.count()
+
+
+def test_csv_dialect_quoting_and_nulls(spark, tmp_path):
+    """CSV dialect depth (csv.hpp option builder): quoted separators,
+    embedded quotes, custom quotechar, na sentinel, comment lines, and
+    explicit names+dtype schema (cuDF semantics: schema implies no
+    header row)."""
+    p = tmp_path / "dialect.csv"
+    p.write_text(
+        "# leading comment\n"
+        "1;'a;b';10\n"
+        "2;'say ''hi''';NA\n"
+        "3;plain;30\n"
+    )
+    df = IO.read_csv(
+        spark, str(p), sep=";", quotechar="'", comment="#",
+        names=["id", "s", "v"], dtype={"id": "int64", "s": "str", "v": "int64"},
+        na_values="NA", header=False,
+    )
+    rows = {r.id: (r.s, r.v) for r in df.collect()}
+    assert rows == {1: ("a;b", 10), 2: ("say 'hi'", None), 3: ("plain", 30)}
+
+
+def test_csv_compressed_roundtrip(spark, sample, tmp_path):
+    """gzip-compressed CSV write/read (compression member of the cuIO
+    option builders; Spark infers the codec from the extension)."""
+    path = str(tmp_path / "gz")
+    sample.write.option("header", "true").option("compression", "gzip").mode(
+        "overwrite"
+    ).csv(path)
+    back = IO.read_csv(spark, path)
+    assert back.count() == sample.count()
+    got = {tuple(r) for r in back.select("o_orderkey", "o_orderstatus").collect()}
+    exp = {tuple(r) for r in sample.select("o_orderkey", "o_orderstatus").collect()}
+    assert got == exp
+
+
+def test_parquet_codec_matrix(spark, sample, tmp_path):
+    """snappy/gzip/zstd parquet round-trips (parquet.hpp compression
+    enum) — same rows back under every codec."""
+    exp = _sorted_rows(sample)
+    for codec in ("snappy", "gzip", "zstd"):
+        path = str(tmp_path / codec)
+        sample.write.option("compression", codec).mode("overwrite").parquet(path)
+        assert _sorted_rows(spark.read.parquet(path)) == exp
+
+
+def test_orc_filter_pushdown_reaches_scan(spark, sample, tmp_path):
+    """ORC predicate pushdown evidence (orc.hpp stripe statistics →
+    _filter_stripes io/orc.py:110): the filter must appear in the ORC
+    scan's pushed filters, mirroring the parquet assertion."""
+    path = str(tmp_path / "orc_pd")
+    IO.write_orc(sample, path)
+    df = spark.read.orc(path).filter(F.col("o_orderkey") < 100).select("o_orderkey")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_orderkey" in plan.split("PushedFilters")[1][:200]
