@@ -1824,7 +1824,35 @@ _extend_dataframe_aliases()
 
 
 def from_pandas(spark, pdf) -> DataFrame:
-    """cudf.from_pandas analog (needs the SparkSession for ingest)."""
+    """cudf.from_pandas analog (needs the SparkSession for ingest).
+    Empty frames carry their schema through the pandas dtypes (Spark's
+    sampler has no rows to infer from; cuDF ingests empty typed frames
+    fine, so the veneer must too — object dtype maps to string)."""
+    if len(pdf) == 0:
+        from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+        _MAP = {
+            "int8": "tinyint", "int16": "smallint", "int32": "int",
+            "int64": "long", "Int8": "tinyint", "Int16": "smallint",
+            "Int32": "int", "Int64": "long", "uint8": "smallint",
+            "uint16": "int", "uint32": "long", "float32": "float",
+            "float64": "double", "bool": "boolean", "boolean": "boolean",
+            "object": "string", "string": "string", "category": "string",
+        }
+
+        def _t(dt):
+            s = str(dt)
+            if s.startswith("datetime64"):
+                return "timestamp"
+            return _MAP.get(s, "string")
+
+        schema = StructType(
+            [
+                StructField(str(c), _parse_datatype_string(_t(dt)), True)
+                for c, dt in pdf.dtypes.items()
+            ]
+        )
+        return from_spark(spark.createDataFrame([], schema=schema))
     return from_spark(spark.createDataFrame(pdf))
 
 

@@ -930,3 +930,23 @@ def test_merge_asof_vs_pandas(spark):
                         got, exp, check_dtype=False,
                         obj=f"{direction}/{tol}/{by}/{exact}",
                     )
+
+
+def test_from_pandas_empty_typed_frame(spark):
+    """Empty pandas frames ingest with their dtype-derived schema (cuDF
+    accepts empty typed frames; Spark's row sampler alone cannot)."""
+    import pandas as pd
+
+    import pygdf_spark as gd
+
+    p = pd.DataFrame({"k": pd.Series(dtype="object"),
+                      "v": pd.Series(dtype="int64"),
+                      "t": pd.Series(dtype="datetime64[ns]")})
+    g = gd.from_pandas(p, spark)
+    assert [f.dataType.simpleString() for f in g.spark.schema.fields[:3]] == [
+        "string", "bigint", "timestamp"]
+    assert g.spark.count() == 0
+    # an empty side composes with real operators
+    rp = pd.DataFrame({"k": ["a"], "w": [1]})
+    out = g.merge(gd.from_pandas(rp, spark), on="k", how="outer").to_pandas()
+    assert len(out) == 1 and out["w"].iloc[0] == 1
