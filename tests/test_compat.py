@@ -950,3 +950,32 @@ def test_from_pandas_empty_typed_frame(spark):
     rp = pd.DataFrame({"k": ["a"], "w": [1]})
     out = g.merge(gd.from_pandas(rp, spark), on="k", how="outer").to_pandas()
     assert len(out) == 1 and out["w"].iloc[0] == 1
+
+
+@pytest.mark.parametrize("keys,how", [
+    (["s1", "s2", None, "s1"], "inner"),          # string keys + null
+    ([pd.Timestamp("2024-01-01"), pd.Timestamp("2024-02-03"),
+      pd.Timestamp("2024-01-01"), None], "left"), # datetime keys + null
+    ([1.5, 2.25, None, 1.5], "outer"),            # float keys + null
+], ids=["str-inner", "ts-left", "float-outer"])
+def test_merge_dtype_matrix(spark, keys, how):
+    """Join-key dtype matrix vs pandas (reference test_joining.py runs
+    how x dtype x null combos): string, datetime, and float keys with
+    nulls must merge identically (null keys match null — the engine's
+    pinned reference semantics, which pandas.merge shares for NaN/NaT
+    object-level keys)."""
+    import pygdf_spark as gd
+
+    lp = pd.DataFrame({"k": keys, "lv": range(len(keys))})
+    rp = pd.DataFrame({"k": keys[::-1], "rv": range(100, 100 + len(keys))})
+    exp = pd.merge(lp, rp, on="k", how=how)
+    got = (
+        gd.merge(gd.from_pandas(lp, spark), gd.from_pandas(rp, spark), on="k", how=how)
+        .to_pandas()
+    )
+    norm = lambda df: sorted(
+        (str(r.k), None if pd.isna(r.lv) else int(r.lv),
+         None if pd.isna(r.rv) else int(r.rv))
+        for r in df.itertuples()
+    )
+    assert norm(got) == norm(exp)
