@@ -58,7 +58,7 @@ def main() -> None:
         .distinct()
     )
     m, k = bloom_params(max(bench.count(), 1), 0.01)
-    bits = bloom_build(bench, "g", m, k).withColumnRenamed("bits", "__bits").persist()
+    bits = bloom_build(bench, "g", m, k).withColumnRenamed("bits", "__bits").localCheckpoint()
     cand = (
         docs.filter(F.col("doc_id") % 97 != 0)
         .crossJoin(F.broadcast(bits))

@@ -203,7 +203,11 @@ def merge_asof(left: "DataFrame", right: "DataFrame", on: str, by=None,
     if tolerance is not None and hasattr(tolerance, "total_seconds"):
         tolerance = int(tolerance.total_seconds() * 1_000_000)
     lsdf = left._sdf
-    rsdf = right._sdf.drop(_RID)
+    # the right frame's row-order id doubles as the pandas tiebreak for
+    # duplicate (by, on) right rows: merge_asof keeps input order, so
+    # the LAST input row wins backward and the FIRST wins forward —
+    # exactly asof_join's right_order rule
+    rsdf = right._sdf.withColumnRenamed(_RID, "__r_ord")
     payload = [c for c in rsdf.columns if c not in by and c != on]
     # group-less as-of: constant key keeps ONE partition — fine for the
     # veneer's small-data contract, use `by` for distributed runs
@@ -217,8 +221,9 @@ def merge_asof(left: "DataFrame", right: "DataFrame", on: str, by=None,
     out = asof_join(
         lsdf, rsdf, by=by, ts=on, payload=payload, suffix="__r",
         direction=direction, tolerance=tolerance,
-        allow_exact_matches=allow_exact_matches,
-    )
+        allow_exact_matches=allow_exact_matches, right_order=["__r_ord"],
+    ).drop("__r_ord__r")
+    payload = [c for c in payload if c != "__r_ord"]
     clash = {c for c in payload if c in lsdf.columns and c != _RID}
     for c in clash:
         out = out.withColumnRenamed(c, c + suffixes[0])

@@ -1835,8 +1835,11 @@ def from_pandas(spark, pdf) -> DataFrame:
             "int8": "tinyint", "int16": "smallint", "int32": "int",
             "int64": "long", "Int8": "tinyint", "Int16": "smallint",
             "Int32": "int", "Int64": "long", "uint8": "smallint",
-            "uint16": "int", "uint32": "long", "float32": "float",
-            "float64": "double", "bool": "boolean", "boolean": "boolean",
+            "uint16": "int", "uint32": "long",
+            "uint64": "decimal(20,0)",  # SURVEY §1.2 widening rule
+            "float32": "float", "float64": "double",
+            "Float32": "float", "Float64": "double",
+            "bool": "boolean", "boolean": "boolean",
             "object": "string", "string": "string", "category": "string",
         }
 
@@ -1844,6 +1847,8 @@ def from_pandas(spark, pdf) -> DataFrame:
             s = str(dt)
             if s.startswith("datetime64"):
                 return "timestamp"
+            if s.startswith("timedelta64"):
+                return "interval day to second"
             return _MAP.get(s, "string")
 
         schema = StructType(

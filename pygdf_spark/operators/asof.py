@@ -1,4 +1,4 @@
-"""As-of (backward) join — a deliberate extension past the reference
+"""As-of join — a deliberate extension past the reference
 (SURVEY.md §2.3: this pygdf generation has NO merge_asof; cuDF grew one
 later, and it is table stakes for event/time-series pipelines).
 
@@ -6,11 +6,13 @@ Scale design: the naive formulation — range join + per-left-row argmax —
 is quadratic inside hot keys. The implementation here is the standard
 distributed as-of: UNION both sides with a side tag, ONE shuffle on the
 `by` key, and a single ordered window pass carrying the most recent
-right-side payload forward (`last(..., ignorenulls=True)`). Cost is one
-shuffle + one sort — the same complexity as a sort-merge join, with no
-per-row probing. Right rows sort before left rows at equal timestamps,
-giving the inclusive (`ts_left >= ts_right`) match DuckDB's ASOF JOIN
-uses, which is how the oracle verifies it.
+right-side row forward. The carried value is ONE STRUCT per right row
+(`last(struct, ignorenulls=True)`) — never per-column carries, which
+would substitute older rows' values wherever the matched row holds a
+NULL and could stitch together fields of different right rows. Right
+rows sort before left rows at equal timestamps, giving the inclusive
+(`ts_left >= ts_right`) match DuckDB's ASOF JOIN uses, which is how the
+oracle verifies it.
 """
 
 from __future__ import annotations
@@ -44,18 +46,19 @@ def asof_join(
       units (µs for TimestampType via unix_micros; column units for
       numerics). None = unbounded.
     - right_order: payload-column names breaking ties among right rows
-      sharing a boundary timestamp — the row with the GREATEST
-      right_order tuple wins (in both directions; without it, ties are
-      engine-nondeterministic and can't be oracle-pinned).
+      sharing a boundary timestamp — pandas-compatible: the LAST such
+      row in `right_order` order wins for backward matches, the FIRST
+      for forward matches (pandas merge_asof keeps input order and its
+      searchsorted picks exactly those). Without it, boundary-ts ties
+      are engine-nondeterministic and can't be oracle-pinned.
 
-    Scale shape (same as asof_join_backward): union + ONE shuffle on the
-    `by` key + ordered window carry. 'nearest' adds a second window pass
-    over the SAME partitioning (one extra intra-partition sort, no extra
-    shuffle).
+    Scale shape: union + ONE shuffle on the `by` key + ordered window
+    carry. 'nearest' adds a second window pass over the SAME
+    partitioning (one extra intra-partition sort, no extra shuffle).
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"asof_join: unknown direction {direction!r}")
-    from pyspark.sql.types import TimestampType
+    from pyspark.sql.types import LongType, StructField, StructType, TimestampType
 
     lcols = left.columns
     is_time = isinstance(left.schema[ts].dataType, TimestampType)
@@ -63,17 +66,27 @@ def asof_join(
     def _t(c):
         return F.unix_micros(c) if is_time else c
 
+    # The matched right row travels as ONE nullable struct: null on left
+    # rows, atomically the whole row's payload on right rows — so a
+    # NULL inside the matched row's payload stays NULL instead of being
+    # backfilled by last(ignorenulls) from an older right row.
+    rts_type = LongType() if is_time else left.schema[ts].dataType
+    pay_type = StructType(
+        [StructField("__rts", rts_type)]
+        + [StructField(c, right.schema[c].dataType) for c in payload]
+    )
     l = left.select(
         *by, ts, F.lit(1).alias("__side"),
-        F.lit(None).cast("long" if is_time else left.schema[ts].dataType.simpleString()).alias("__rts"),
         *[F.col(c) for c in lcols if c not in by and c != ts],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c + suffix) for c in payload],
+        F.lit(None).cast(pay_type).alias("__pay"),
     )
     r = right.select(
         *by, ts, F.lit(0).alias("__side"),
-        _t(F.col(ts)).alias("__rts"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in by and c != ts],
-        *[F.col(c).alias(c + suffix) for c in payload],
+        F.struct(
+            _t(F.col(ts)).alias("__rts"),
+            *[F.col(c).alias(c) for c in payload],
+        ).alias("__pay"),
     )
     unioned = l.unionByName(r)
 
@@ -81,56 +94,59 @@ def asof_join(
     # (so last() at the left row sees them); after, for strict matches.
     side = F.col("__side").asc() if allow_exact_matches else F.col("__side").desc()
 
-    # Tiebreak among right rows at the same ts: keep them ascending in
-    # scan order so last() resolves to the greatest right_order tuple —
-    # identical in both passes (left rows carry nulls there, inert
-    # within their own side group).
-    tiebreak = [F.col(c + suffix).asc() for c in (right_order or [])]
-
     def _pass(descending, tag):
         order = F.col(ts).desc() if descending else F.col(ts).asc()
+        # Tiebreak among right rows at the same ts (left rows hold null
+        # there — inert within their own side group). last() takes the
+        # final row in scan order, so ascending right_order here makes
+        # the GREATEST tuple win in the backward (asc) pass; the
+        # forward (desc) pass flips to descending so the SMALLEST
+        # right_order wins — the pandas first-at-boundary rule.
+        tiebreak = [
+            (F.col("__pay").getField(c).desc() if descending
+             else F.col("__pay").getField(c).asc())
+            for c in (right_order or [])
+        ]
         w = (
             Window.partitionBy(*by)
             .orderBy(order, side, *tiebreak)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        return [
-            F.last("__rts", ignorenulls=True).over(w).alias("__mts" + tag),
-            *[
-                F.last(c + suffix, ignorenulls=True).over(w).alias(c + suffix + tag)
-                for c in payload
-            ],
-        ]
+        return F.last("__pay", ignorenulls=True).over(w).alias("__pay" + tag)
 
     carry = []
     if direction in ("backward", "nearest"):
-        carry += _pass(False, "_b")
+        carry.append(_pass(False, "_b"))
     if direction in ("forward", "nearest"):
-        carry += _pass(True, "_f")
+        carry.append(_pass(True, "_f"))
     carried = unioned.select("*", *carry).filter(F.col("__side") == 1)
 
     lts = _t(F.col(ts))
 
+    def _mts(tag):
+        return F.col("__pay" + tag).getField("__rts")
+
     def _ok(tag, delta):
-        ok = F.col("__mts" + tag).isNotNull()
+        ok = _mts(tag).isNotNull()
         if tolerance is not None:
             ok = ok & (delta <= F.lit(tolerance))
         return ok
 
+    def _val(tag, c):
+        return F.col("__pay" + tag).getField(c)
+
     if direction == "backward":
-        keep = _ok("_b", lts - F.col("__mts_b"))
-        pick = {c: F.when(keep, F.col(c + suffix + "_b")) for c in payload}
+        keep = _ok("_b", lts - _mts("_b"))
+        pick = {c: F.when(keep, _val("_b", c)) for c in payload}
     elif direction == "forward":
-        keep = _ok("_f", F.col("__mts_f") - lts)
-        pick = {c: F.when(keep, F.col(c + suffix + "_f")) for c in payload}
+        keep = _ok("_f", _mts("_f") - lts)
+        pick = {c: F.when(keep, _val("_f", c)) for c in payload}
     else:  # nearest: closer side wins; tie -> backward
-        db, df_ = lts - F.col("__mts_b"), F.col("__mts_f") - lts
+        db, df_ = lts - _mts("_b"), _mts("_f") - lts
         okb, okf = _ok("_b", db), _ok("_f", df_)
         use_b = okb & (~okf | (db <= df_))
         pick = {
-            c: F.when(use_b, F.col(c + suffix + "_b")).when(
-                okf, F.col(c + suffix + "_f")
-            )
+            c: F.when(use_b, _val("_b", c)).when(okf, _val("_f", c))
             for c in payload
         }
 
@@ -150,34 +166,6 @@ def asof_join_backward(
     suffix: str = "_r",
 ) -> DataFrame:
     """For each left row, attach the payload of the latest right row of
-    the same `by` key with ``right.ts <= left.ts`` (nulls if none)."""
-    lcols = left.columns
-    l = left.select(
-        *by, ts, F.lit(1).alias("__side"),
-        *[F.col(c) for c in lcols if c not in by and c != ts],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c + suffix) for c in payload],
-    )
-    r = right.select(
-        *by, ts, F.lit(0).alias("__side"),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in by and c != ts],
-        *[F.col(c).alias(c + suffix) for c in payload],
-    )
-    unioned = l.unionByName(r)
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col(ts).asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    carried = unioned.select(
-        "*",
-        *[
-            F.last(c + suffix, ignorenulls=True).over(w).alias(c + suffix + "__c")
-            for c in payload
-        ],
-    )
-    out = carried.filter(F.col("__side") == 1).select(
-        *by, ts,
-        *[F.col(c) for c in lcols if c not in by and c != ts],
-        *[F.col(c + suffix + "__c").alias(c + suffix) for c in payload],
-    )
-    return out
+    the same `by` key with ``right.ts <= left.ts`` (nulls if none).
+    Thin alias of :func:`asof_join` with its defaults."""
+    return asof_join(left, right, by=by, ts=ts, payload=payload, suffix=suffix)

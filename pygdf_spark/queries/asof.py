@@ -54,8 +54,9 @@ _TOL_48H_US = 48 * 3600 * 1_000_000
 def asof_join_forward(spark, sf_dir):
     """merge_asof(direction='forward', tolerance=48h): each click gets
     the NEXT same-user purchase within 48 hours (nulls past tolerance).
-    Ties at the boundary ts resolve to the greatest purchase event_id
-    (right_order), matching the oracle's ORDER BY ... event_id DESC."""
+    Boundary-ts ties resolve pandas-style: forward takes the SMALLEST
+    purchase event_id (first at the boundary), matching the oracle's
+    ORDER BY ... event_id ASC."""
     e = events_ts(spark, sf_dir)
     clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
     buys = e.filter(F.col("event_type") == "purchase").select(
@@ -83,11 +84,11 @@ SELECT c.user_id AS user_id, c.event_id AS click_id,
   (SELECT p.event_id FROM p
     WHERE p.user_id = c.user_id AND p.ts >= c.ts
       AND epoch_us(p.ts) - epoch_us(c.ts) <= 172800000000
-    ORDER BY p.ts ASC, p.event_id DESC LIMIT 1) AS purchase_id,
+    ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS purchase_id,
   CAST((SELECT p.value FROM p
     WHERE p.user_id = c.user_id AND p.ts >= c.ts
       AND epoch_us(p.ts) - epoch_us(c.ts) <= 172800000000
-    ORDER BY p.ts ASC, p.event_id DESC LIMIT 1) AS DOUBLE) AS purchase_value
+    ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS DOUBLE) AS purchase_value
 FROM c
 ORDER BY user_id, click_id
 """
@@ -128,11 +129,11 @@ cand AS (
     (SELECT p.value FROM p WHERE p.user_id = c.user_id AND p.ts <= c.ts
       ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS b_val,
     (SELECT p.event_id FROM p WHERE p.user_id = c.user_id AND p.ts >= c.ts
-      ORDER BY p.ts ASC, p.event_id DESC LIMIT 1) AS f_id,
+      ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS f_id,
     (SELECT p.ts FROM p WHERE p.user_id = c.user_id AND p.ts >= c.ts
-      ORDER BY p.ts ASC, p.event_id DESC LIMIT 1) AS f_ts,
+      ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS f_ts,
     (SELECT p.value FROM p WHERE p.user_id = c.user_id AND p.ts >= c.ts
-      ORDER BY p.ts ASC, p.event_id DESC LIMIT 1) AS f_val
+      ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS f_val
   FROM c)
 SELECT user_id, click_id,
   CASE WHEN b_id IS NOT NULL AND (f_id IS NULL

@@ -412,13 +412,14 @@ def dedup_decontaminate_bloom(spark, sf_dir):
         .select(F.explode(grams3).alias("g"))
         .distinct()
     )
-    # persisted: the 1-row bitset feeds three output branches
-    # (clean_certain / contaminated / rescued) — without it the whole
-    # build subtree re-runs per branch
+    # localCheckpoint: the 1-row bitset feeds three output branches —
+    # without it the whole build subtree re-runs per branch. Checkpoint
+    # (not persist) so the cached block is released when the DataFrame
+    # is garbage-collected instead of leaking for the session lifetime.
     bits = (
         bloom_build(bench, "g", m_bits, k)
         .withColumnRenamed("bits", "__bits")
-        .persist()
+        .localCheckpoint()
     )
     corpus = d.filter(F.col("doc_id") % 97 != 0).select(
         "doc_id", "source", grams3.alias("grams")

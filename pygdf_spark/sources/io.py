@@ -91,9 +91,16 @@ def read_csv(
 
 
 def write_csv(df: DataFrame, path: str, sep: str = ",", header: bool = True,
-              mode: str = "overwrite") -> None:
-    """write_csv (csv.hpp:1452)."""
-    df.write.option("sep", sep).option("header", str(header).lower()).mode(mode).csv(path)
+              mode: str = "overwrite", quotechar: str = '"',
+              doublequote: bool = True) -> None:
+    """write_csv (csv.hpp:1452). ``doublequote`` matches read_csv's
+    default (Spark's native writer backslash-escapes quotes, which the
+    doublequote reader would then read back verbatim — the writer and
+    reader must agree on the dialect for round-trips)."""
+    w = df.write.option("sep", sep).option("header", str(header).lower()).option("quote", quotechar)
+    if doublequote:
+        w = w.option("escape", quotechar)
+    w.mode(mode).csv(path)
 
 
 def read_parquet(

@@ -979,3 +979,25 @@ def test_merge_dtype_matrix(spark, keys, how):
         for r in df.itertuples()
     )
     assert norm(got) == norm(exp)
+
+
+def test_merge_asof_duplicate_right_ts_matches_pandas(spark):
+    """Duplicate (by, on) right rows: pandas keeps input order, so the
+    LAST duplicate wins for backward matches and the FIRST for forward.
+    The veneer plumbs the right frame's ingest-order id through
+    asof_join's right_order to reproduce exactly that."""
+    import pandas as pd
+
+    import pygdf_spark as gd
+
+    lp = pd.DataFrame({"t": [10, 20], "lid": [0, 1]})
+    rp = pd.DataFrame({"t": [10, 10, 15, 15], "rv": [1.0, 2.0, 3.0, 4.0]})
+    gl, gr = gd.from_pandas(lp, spark), gd.from_pandas(rp, spark)
+    for direction in ("backward", "forward", "nearest"):
+        exp = pd.merge_asof(lp, rp, on="t", direction=direction)
+        got = (
+            gd.merge_asof(gl, gr, on="t", direction=direction)
+            .to_pandas().sort_values("lid").reset_index(drop=True)
+        )
+        norm = lambda xs: [None if pd.isna(x) else x for x in xs]
+        assert norm(got["rv"]) == norm(exp["rv"]), direction

@@ -315,7 +315,9 @@ def test_asof_join_directions(spark, lefts, rights, direction, tol, exact):
 
     rmap = {}
     for k, t in rights:
-        rmap[(k, t)] = float(k * 1000 + t)
+        # every third right row carries a NULL payload: the carry must
+        # return the matched row's NULL, not an older row's value
+        rmap[(k, t)] = None if t % 3 == 0 else float(k * 1000 + t)
     lrows = [(k, t, i) for i, (k, t) in enumerate(lefts)]
     rrows = [(k, t, v) for (k, t), v in sorted(rmap.items())]
     ldf = spark.createDataFrame(lrows or [], "k long, t long, lid long")
