@@ -36,7 +36,9 @@ TIMED = ["q1_pricing_summary", "join_inner_q3", "agg_basic_stats",
          "text_repetition", "agg_sketch_approx", "text_lm_frequency",
          "sample_mixture", "sim_pq_adc", "asof_join_nearest",
          "dedup_decontaminate_bloom", "agg_winsorize",
-         "pipeline_neardup_prune", "udf_map_in_arrow"]
+         "pipeline_neardup_prune", "udf_map_in_arrow", "text_bm25_topk",
+         "graph_pagerank", "dedup_incremental", "dedup_semantic",
+         "sample_quality_weighted"]
 
 
 def build(spark, n: int, dst: str) -> None:
