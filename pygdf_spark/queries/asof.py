@@ -147,6 +147,88 @@ ORDER BY user_id, click_id
 """
 
 
+def events_funnel(spark, sf_dir):
+    """Conversion-funnel analysis (match_recognize-style event
+    sequencing): view → first same-user click STRICTLY after it within
+    1 h → first same-user purchase strictly after that click within
+    2 h. Built as TWO chained forward as-of joins — each stage is one
+    by-key shuffle + window pass, so the funnel costs 2 shuffles total
+    regardless of corpus size (no self-join blowup). Boundary ties use
+    the forward rule (smallest event_id)."""
+    e = events_ts(spark, sf_dir)
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.col("ts").alias("cts")
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    h1, h2 = 3600 * 1_000_000, 2 * 3600 * 1_000_000
+    s1 = asof_join(
+        views, clicks, by=["user_id"], ts="ts", payload=["event_id", "cts"],
+        direction="forward", tolerance=h1, allow_exact_matches=False,
+        right_order=["event_id"],
+    )
+    stage2_in = (
+        s1.filter(F.col("event_id_r").isNotNull())
+        .select("user_id", F.col("cts_r").alias("ts"), F.col("event_id_r").alias("click_id"))
+    )
+    s2 = asof_join(
+        stage2_in, buys, by=["user_id"], ts="ts", payload=["event_id"],
+        direction="forward", tolerance=h2, allow_exact_matches=False,
+        right_order=["event_id"],
+    )
+    vcount = views.agg(F.count(F.lit(1)).alias("n_views"))
+    return (
+        s2.agg(
+            F.count(F.lit(1)).alias("n_clicked"),
+            F.sum(F.col("event_id_r").isNotNull().cast("long")).alias("n_purchased"),
+        )
+        .crossJoin(F.broadcast(vcount))
+        .select(
+            "n_views", "n_clicked", "n_purchased",
+            F.round(F.col("n_clicked") / F.col("n_views").cast("double"), 8).alias("view_click_rate"),
+            F.round(F.col("n_purchased") / F.col("n_clicked").cast("double"), 8).alias("click_purchase_rate"),
+        )
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+           FROM events WHERE event_type = 'view'),
+     c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+           FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+           FROM events WHERE event_type = 'purchase'),
+s1 AS (
+  SELECT v.user_id, v.event_id AS view_id,
+    (SELECT c.event_id FROM c
+      WHERE c.user_id = v.user_id AND c.ts > v.ts
+        AND epoch_us(c.ts) - epoch_us(v.ts) <= 3600000000
+      ORDER BY c.ts ASC, c.event_id ASC LIMIT 1) AS click_id,
+    (SELECT c.ts FROM c
+      WHERE c.user_id = v.user_id AND c.ts > v.ts
+        AND epoch_us(c.ts) - epoch_us(v.ts) <= 3600000000
+      ORDER BY c.ts ASC, c.event_id ASC LIMIT 1) AS click_ts
+  FROM v
+),
+s2 AS (
+  SELECT s1.*,
+    (SELECT p.event_id FROM p
+      WHERE p.user_id = s1.user_id AND p.ts > s1.click_ts
+        AND epoch_us(p.ts) - epoch_us(s1.click_ts) <= 7200000000
+      ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS buy_id
+  FROM s1 WHERE s1.click_id IS NOT NULL
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_views,
+       COUNT(*) AS n_clicked,
+       CAST(SUM(CASE WHEN buy_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased,
+       ROUND(COUNT(*) / CAST((SELECT COUNT(*) FROM v) AS DOUBLE), 8) AS view_click_rate,
+       ROUND(SUM(CASE WHEN buy_id IS NOT NULL THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 8) AS click_purchase_rate
+FROM s2
+"""
+
+
 def group_fill_bfill(spark, sf_dir):
     """groupby bfill (backfill groupby.py:821): next non-null value
     within the group — F.first(ignorenulls) over the forward frame."""
@@ -218,6 +300,7 @@ QUERIES = {
     "asof_join_events": asof_join_events,
     "asof_join_forward": asof_join_forward,
     "asof_join_nearest": asof_join_nearest,
+    "events_funnel": events_funnel,
     "group_fill_bfill": group_fill_bfill,
     "ast_filter_string": ast_filter_string,
 }
@@ -226,6 +309,7 @@ ORACLE = {
     "asof_join_events": ASOF_JOIN_SQL,
     "asof_join_forward": ASOF_FORWARD_SQL,
     "asof_join_nearest": ASOF_NEAREST_SQL,
+    "events_funnel": EVENTS_FUNNEL_SQL,
     "group_fill_bfill": GROUP_BFILL_SQL,
     "ast_filter_string": AST_FILTER_SQL,
 }

@@ -347,8 +347,61 @@ ORDER BY bm25 DESC, doc_id ASC LIMIT 20
 """
 
 
+def text_vocab_coverage(spark, sf_dir):
+    """Tokenizer-prep vocabulary coverage: build the top-64 corpus
+    vocabulary (count desc, token asc — deterministic), then measure
+    per-source token coverage and OOV rate against it. The vocab is a
+    bounded broadcast (real tokenizers cap vocab at 32–256k); the
+    corpus side is one explode + broadcast join + keyed agg — the same
+    two-scan, no-corpus-shuffle shape as BM25's stats pass."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(64)
+        .select("tok", F.lit(True).alias("__in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("__in_vocab").isNotNull().cast("long")).alias("n_in_vocab"),
+            F.round(
+                F.sum(F.col("__in_vocab").isNull().cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                8,
+            ).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+TEXT_VOCAB_COVERAGE_SQL = r"""
+WITH toks AS (
+  SELECT source, UNNEST(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+    ORDER BY cnt DESC, tok ASC LIMIT 64
+  )
+)
+SELECT source, COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN tok IN (SELECT tok FROM vocab) THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab,
+       ROUND(SUM(CASE WHEN tok IN (SELECT tok FROM vocab) THEN 0 ELSE 1 END)
+             / CAST(COUNT(*) AS DOUBLE), 8) AS oov_rate
+FROM toks GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "text_vocab_coverage": text_vocab_coverage,
     "text_bm25_topk": text_bm25_topk,
     "text_lm_frequency": text_lm_frequency,
     "text_ngrams_top": text_ngrams_top,
@@ -361,6 +414,7 @@ QUERIES = {
 
 ORACLE = {
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
+    "text_vocab_coverage": TEXT_VOCAB_COVERAGE_SQL,
     "text_bm25_topk": TEXT_BM25_SQL,
     "text_ngrams_top": TEXT_NGRAMS_SQL,
     "text_langid": _langid_sql(),
