@@ -622,9 +622,145 @@ FROM m GROUP BY cid ORDER BY cid
 """
 
 
+def search_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval — the RAG-stack fusion step: BM25 lexical top-20
+    (terms 'hash join window' over documents) and embedding-cosine
+    top-20 (query = vec 0, ids aligned doc_id↔vec_id) fused by
+    Reciprocal Rank Fusion (1/(60+rank), the standard k=60). Each
+    branch keeps its scale shape (BM25: in-row tf + 1-row stats
+    broadcast; cosine: bounded query broadcast); ranking windows run
+    over the LIMITed top-k only (bounded, never corpus-wide); fusion is
+    a 20∪20-row full join."""
+    from pyspark.sql import Window
+
+    TERMS, K, RRF_K = ["hash", "join", "window"], 20, 60
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    def _tf(term):
+        # NB: a 2-arg lambda (e.g. default-arg capture `t=t`) would be
+        # read by F.filter as (element, index) and silently compare
+        # against the position — capture via closure instead
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    tf_cols = [_tf(t).alias(f"tf{i}") for i, t in enumerate(TERMS)]
+    per_doc = d.select("doc_id", F.size(toks).alias("dl"), *tf_cols)
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(TERMS))
+        ],
+    )
+    k1, b = F.lit(1.2), F.lit(0.75)
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(TERMS)):
+        tf = F.col(f"tf{i}").cast("double")
+        df_ = F.col(f"df{i}").cast("double")
+        n = F.col("n_docs").cast("double")
+        avg = F.col("total_len").cast("double") / n
+        idf = F.log((n - df_ + 0.5) / (df_ + 0.5) + 1.0)
+        part = idf * tf * (k1 + 1.0) / (
+            tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / avg)
+        )
+        score = part if score is None else score + part
+    bm_top = (
+        scored.select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(K)
+    )
+    w_bm = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    bm_rank = bm_top.select("doc_id", F.row_number().over(w_bm).alias("rank_bm"))
+
+    vecs = T(spark, sf_dir, "embeddings")
+    q = vecs.filter(F.col("vec_id") == 0)
+    cos = SIM.cosine_pairs(vecs, q).select(
+        F.col("v_id").alias("doc_id"), "cos"
+    )
+    cos_top = cos.orderBy(F.col("cos").desc(), F.col("doc_id").asc()).limit(K)
+    w_cos = Window.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+    cos_rank = cos_top.select("doc_id", F.row_number().over(w_cos).alias("rank_cos"))
+
+    rrf = F.coalesce(1.0 / (F.lit(RRF_K) + F.col("rank_bm")), F.lit(0.0)) + F.coalesce(
+        1.0 / (F.lit(RRF_K) + F.col("rank_cos")), F.lit(0.0)
+    )
+    return (
+        bm_rank.join(cos_rank, "doc_id", "full")
+        .select("doc_id", "rank_bm", "rank_cos", F.round(rrf, 8).alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+SEARCH_HYBRID_SQL = rf"""
+WITH per_doc AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS dl,
+         len(list_filter(string_split_regex(trim(text), '\s+'), x -> x = 'hash')) AS tf0,
+         len(list_filter(string_split_regex(trim(text), '\s+'), x -> x = 'join')) AS tf1,
+         len(list_filter(string_split_regex(trim(text), '\s+'), x -> x = 'window')) AS tf2
+  FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len,
+         SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM per_doc
+),
+bm AS (
+  SELECT doc_id,
+         ROUND(
+           ln((CAST(n_docs AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5) + 1.0)
+             * CAST(tf0 AS DOUBLE) * (1.2 + 1.0)
+             / (CAST(tf0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+         + ln((CAST(n_docs AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5) + 1.0)
+             * CAST(tf1 AS DOUBLE) * (1.2 + 1.0)
+             / (CAST(tf1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+         + ln((CAST(n_docs AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5) + 1.0)
+             * CAST(tf2 AS DOUBLE) * (1.2 + 1.0)
+             / (CAST(tf2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+         , 6) AS bm25
+  FROM per_doc CROSS JOIN stats
+),
+bm_rank AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INT) AS rank_bm
+  FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT 20)
+),
+el AS (
+  SELECT vec_id AS vid,
+         generate_subscripts(embedding, 1) AS pos,
+         {_INT.replace('x', 'UNNEST(embedding)')} AS x
+  FROM embeddings
+),
+nrm AS (SELECT vid, CAST(SUM(x * x) AS BIGINT) AS norm2 FROM el GROUP BY vid),
+dots AS (
+  SELECT v.vid AS doc_id, CAST(SUM(q.x * v.x) AS BIGINT) AS dot
+  FROM el q JOIN el v ON q.pos = v.pos AND v.vid <> 0
+  WHERE q.vid = 0
+  GROUP BY v.vid
+),
+cosv AS (
+  SELECT doc_id, {_COS.format(dot='dot', na='nq.norm2', nb='nv.norm2')} AS cos
+  FROM dots JOIN nrm nq ON nq.vid = 0 JOIN nrm nv ON nv.vid = doc_id
+),
+cos_rank AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id ASC) AS INT) AS rank_cos
+  FROM (SELECT * FROM cosv ORDER BY cos DESC, doc_id ASC LIMIT 20)
+)
+SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id, b.rank_bm, c.rank_cos,
+       ROUND(COALESCE(1.0 / (60 + b.rank_bm), 0.0)
+           + COALESCE(1.0 / (60 + c.rank_cos), 0.0), 8) AS rrf
+FROM bm_rank b FULL JOIN cos_rank c ON b.doc_id = c.doc_id
+ORDER BY rrf DESC, doc_id ASC LIMIT 10
+"""
+
+
 QUERIES = {
     "sim_ivf_topk": sim_ivf_topk,
     "dedup_semantic": dedup_semantic,
+    "search_hybrid_rrf": search_hybrid_rrf,
     "sim_pq_adc": sim_pq_adc,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_buckets": sim_lsh_buckets,
@@ -638,6 +774,7 @@ QUERIES = {
 ORACLE = {
     "sim_ivf_topk": SIM_IVF_SQL,
     "dedup_semantic": DEDUP_SEMANTIC_SQL,
+    "search_hybrid_rrf": SEARCH_HYBRID_SQL,
     "sim_pq_adc": SIM_PQ_SQL,
     "sim_cosine_topk": SIM_TOPK_SQL,
     "sim_lsh_buckets": SIM_LSH_SQL,
