@@ -229,6 +229,50 @@ FROM s2
 """
 
 
+def events_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix — the other classic event-analytics op
+    beside the funnel: users cohorted by their first-activity week,
+    then per (cohort, week) distinct-active counts and retention rate.
+    Two keyed shuffles (per-user first week; per-cohort-week distinct
+    count) — no self-joins, scales linearly in events."""
+    e = events_ts(spark, sf_dir)
+    wk = F.date_trunc("week", F.col("ts"))
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    active = e.select("user_id", wk.alias("week")).distinct()
+    cohort_sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    return (
+        active.join(first, "user_id")
+        .groupBy("cohort", "week")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .join(cohort_sizes, "cohort")
+        .select(
+            "cohort", "week", "n_active", "n_cohort",
+            F.round(F.col("n_active") / F.col("n_cohort").cast("double"), 8).alias("retention"),
+        )
+        .orderBy("cohort", "week")
+    )
+
+
+EVENTS_COHORT_SQL = """
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+first AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort FROM e GROUP BY user_id
+),
+active AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM e),
+sizes AS (SELECT cohort, COUNT(*) AS n_cohort FROM first GROUP BY cohort)
+SELECT f.cohort AS cohort, a.week AS week,
+       COUNT(DISTINCT a.user_id) AS n_active, MIN(s.n_cohort) AS n_cohort,
+       ROUND(COUNT(DISTINCT a.user_id) / CAST(MIN(s.n_cohort) AS DOUBLE), 8) AS retention
+FROM active a JOIN first f USING (user_id) JOIN sizes s ON s.cohort = f.cohort
+GROUP BY f.cohort, a.week
+ORDER BY f.cohort, a.week
+"""
+
+
 def group_fill_bfill(spark, sf_dir):
     """groupby bfill (backfill groupby.py:821): next non-null value
     within the group — F.first(ignorenulls) over the forward frame."""
@@ -301,6 +345,7 @@ QUERIES = {
     "asof_join_forward": asof_join_forward,
     "asof_join_nearest": asof_join_nearest,
     "events_funnel": events_funnel,
+    "events_cohort_retention": events_cohort_retention,
     "group_fill_bfill": group_fill_bfill,
     "ast_filter_string": ast_filter_string,
 }
@@ -310,6 +355,7 @@ ORACLE = {
     "asof_join_forward": ASOF_FORWARD_SQL,
     "asof_join_nearest": ASOF_NEAREST_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
+    "events_cohort_retention": EVENTS_COHORT_SQL,
     "group_fill_bfill": GROUP_BFILL_SQL,
     "ast_filter_string": AST_FILTER_SQL,
 }

@@ -757,10 +757,74 @@ ORDER BY rrf DESC, doc_id ASC LIMIT 10
 """
 
 
+def sim_quantize_int8(spark, sf_dir):
+    """Int8 embedding quantization — the 4× storage compression an
+    embedding store applies before indexing at 100 TB: per-vector
+    symmetric scale (max |x| / 127), codes = round(x/scale), plus exact
+    integer reconstruction-error accounting (µ-unit absolute error sums
+    — a double error sum would be fold-order-dependent). Entirely
+    in-row; the output is the per-source compression audit."""
+    vecs = T(spark, sf_dir, "embeddings")
+    x = F.transform("embedding", lambda v: v.cast("double"))
+    amax = F.array_max(F.transform(x, F.abs))
+    scale = amax / F.lit(127.0)
+    codes = F.transform(x, lambda v: F.round(v / scale).cast("int"))
+    # reconstruction error in exact µ-units: |round(1e6*x) - round(1e6*code*scale)|
+    err_u = F.zip_with(
+        x, codes,
+        lambda v, c: F.abs(
+            F.round(v * 1_000_000).cast("long")
+            - F.round(c.cast("double") * scale * 1_000_000).cast("long")
+        ),
+    )
+    per_vec = vecs.select(
+        "vec_id",
+        F.round(scale, 8).alias("scale"),
+        F.aggregate(err_u, F.lit(0).cast("long"), lambda a, e: a + e).alias("err_u"),
+        F.size(F.filter(codes, lambda c: (c > 127) | (c < -127))).alias("n_clipped"),
+    )
+    return per_vec.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("err_u").alias("total_err_u"),
+        F.round(F.avg("scale"), 8).alias("avg_scale"),
+        F.sum("n_clipped").cast("long").alias("n_clipped"),
+    )
+
+
+SIM_QUANTIZE_SQL = """
+WITH x AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS a
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, a,
+         list_max(list_transform(a, v -> abs(v))) / 127.0 AS scale
+  FROM x
+),
+pv AS (
+  SELECT vec_id, ROUND(scale, 8) AS scale,
+         CAST(list_reduce(
+           list_transform(generate_series(1, len(a)),
+             i -> abs(CAST(round(a[i] * 1000000, 0) AS BIGINT)
+                    - CAST(round(CAST(round(a[i] / scale, 0) AS DOUBLE) * scale * 1000000, 0) AS BIGINT))),
+           (p, q) -> p + q) AS BIGINT) AS err_u,
+         len(list_filter(list_transform(a, v -> CAST(round(v / scale, 0) AS INT)),
+                         c -> c > 127 OR c < -127)) AS n_clipped
+  FROM s
+)
+SELECT COUNT(*) AS n_vecs,
+       CAST(SUM(err_u) AS BIGINT) AS total_err_u,
+       ROUND(AVG(scale), 8) AS avg_scale,
+       CAST(SUM(n_clipped) AS BIGINT) AS n_clipped
+FROM pv
+"""
+
+
 QUERIES = {
     "sim_ivf_topk": sim_ivf_topk,
     "dedup_semantic": dedup_semantic,
     "search_hybrid_rrf": search_hybrid_rrf,
+    "sim_quantize_int8": sim_quantize_int8,
     "sim_pq_adc": sim_pq_adc,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_buckets": sim_lsh_buckets,
@@ -775,6 +839,7 @@ ORACLE = {
     "sim_ivf_topk": SIM_IVF_SQL,
     "dedup_semantic": DEDUP_SEMANTIC_SQL,
     "search_hybrid_rrf": SEARCH_HYBRID_SQL,
+    "sim_quantize_int8": SIM_QUANTIZE_SQL,
     "sim_pq_adc": SIM_PQ_SQL,
     "sim_cosine_topk": SIM_TOPK_SQL,
     "sim_lsh_buckets": SIM_LSH_SQL,
