@@ -224,7 +224,7 @@ def merge_asof(left: "DataFrame", right: "DataFrame", on: str, by=None,
         allow_exact_matches=allow_exact_matches, right_order=["__r_ord"],
     ).drop("__r_ord__r")
     payload = [c for c in payload if c != "__r_ord"]
-    clash = {c for c in payload if c in lsdf.columns and c != _RID}
+    clash = {c for c in payload if c in lsdf.columns}
     for c in clash:
         out = out.withColumnRenamed(c, c + suffixes[0])
     for c in payload:

@@ -1836,7 +1836,11 @@ def from_pandas(spark, pdf) -> DataFrame:
             "int64": "long", "Int8": "tinyint", "Int16": "smallint",
             "Int32": "int", "Int64": "long", "uint8": "smallint",
             "uint16": "int", "uint32": "long",
-            "uint64": "decimal(20,0)",  # SURVEY §1.2 widening rule
+            # uint64 → long, matching what the non-empty ingest path
+            # infers (values ≥ 2^63 are unsupported through from_pandas
+            # either way; decimal(20,0) here would give empty and
+            # non-empty frames incompatible schemas)
+            "uint64": "long",
             "float32": "float", "float64": "double",
             "Float32": "float", "Float64": "double",
             "bool": "boolean", "boolean": "boolean",

@@ -624,49 +624,20 @@ FROM m GROUP BY cid ORDER BY cid
 
 def search_hybrid_rrf(spark, sf_dir):
     """Hybrid retrieval — the RAG-stack fusion step: BM25 lexical top-20
-    (terms 'hash join window' over documents) and embedding-cosine
-    top-20 (query = vec 0, ids aligned doc_id↔vec_id) fused by
-    Reciprocal Rank Fusion (1/(60+rank), the standard k=60). Each
-    branch keeps its scale shape (BM25: in-row tf + 1-row stats
+    (llm_text.bm25_scores, the same pipeline text_bm25_topk exposes) and
+    embedding-cosine top-20 (query = vec 0, ids aligned doc_id↔vec_id)
+    fused by Reciprocal Rank Fusion (1/(60+rank), the standard k=60).
+    Each branch keeps its scale shape (BM25: in-row tf + 1-row stats
     broadcast; cosine: bounded query broadcast); ranking windows run
     over the LIMITed top-k only (bounded, never corpus-wide); fusion is
     a 20∪20-row full join."""
     from pyspark.sql import Window
 
-    TERMS, K, RRF_K = ["hash", "join", "window"], 20, 60
-    d = T(spark, sf_dir, "documents")
-    toks = F.split(F.trim("text"), r"\s+")
-    def _tf(term):
-        # NB: a 2-arg lambda (e.g. default-arg capture `t=t`) would be
-        # read by F.filter as (element, index) and silently compare
-        # against the position — capture via closure instead
-        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+    from pygdf_spark.queries.llm_text import bm25_scores
 
-    tf_cols = [_tf(t).alias(f"tf{i}") for i, t in enumerate(TERMS)]
-    per_doc = d.select("doc_id", F.size(toks).alias("dl"), *tf_cols)
-    stats = per_doc.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").alias("total_len"),
-        *[
-            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
-            for i in range(len(TERMS))
-        ],
-    )
-    k1, b = F.lit(1.2), F.lit(0.75)
-    scored = per_doc.crossJoin(F.broadcast(stats))
-    score = None
-    for i in range(len(TERMS)):
-        tf = F.col(f"tf{i}").cast("double")
-        df_ = F.col(f"df{i}").cast("double")
-        n = F.col("n_docs").cast("double")
-        avg = F.col("total_len").cast("double") / n
-        idf = F.log((n - df_ + 0.5) / (df_ + 0.5) + 1.0)
-        part = idf * tf * (k1 + 1.0) / (
-            tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / avg)
-        )
-        score = part if score is None else score + part
+    K, RRF_K = 20, 60
     bm_top = (
-        scored.select("doc_id", F.round(score, 6).alias("bm25"))
+        bm25_scores(spark, sf_dir)
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(K)
     )
@@ -693,37 +664,11 @@ def search_hybrid_rrf(spark, sf_dir):
     )
 
 
-SEARCH_HYBRID_SQL = rf"""
-WITH per_doc AS (
-  SELECT doc_id,
-         len(string_split_regex(trim(text), '\s+')) AS dl,
-         len(list_filter(string_split_regex(trim(text), '\s+'), x -> x = 'hash')) AS tf0,
-         len(list_filter(string_split_regex(trim(text), '\s+'), x -> x = 'join')) AS tf1,
-         len(list_filter(string_split_regex(trim(text), '\s+'), x -> x = 'window')) AS tf2
-  FROM documents
-),
-stats AS (
-  SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len,
-         SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
-         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
-         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
-  FROM per_doc
-),
-bm AS (
-  SELECT doc_id,
-         ROUND(
-           ln((CAST(n_docs AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5) + 1.0)
-             * CAST(tf0 AS DOUBLE) * (1.2 + 1.0)
-             / (CAST(tf0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))
-         + ln((CAST(n_docs AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5) + 1.0)
-             * CAST(tf1 AS DOUBLE) * (1.2 + 1.0)
-             / (CAST(tf1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))
-         + ln((CAST(n_docs AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5) + 1.0)
-             * CAST(tf2 AS DOUBLE) * (1.2 + 1.0)
-             / (CAST(tf2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))
-         , 6) AS bm25
-  FROM per_doc CROSS JOIN stats
-),
+def _hybrid_sql() -> str:
+    from pygdf_spark.queries.llm_text import BM25_CTES
+
+    return rf"""
+WITH {BM25_CTES},
 bm_rank AS (
   SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INT) AS rank_bm
   FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT 20)
@@ -765,28 +710,45 @@ def sim_quantize_int8(spark, sf_dir):
     — a double error sum would be fold-order-dependent). Entirely
     in-row; the output is the per-source compression audit."""
     vecs = T(spark, sf_dir, "embeddings")
-    x = F.transform("embedding", lambda v: v.cast("double"))
-    amax = F.array_max(F.transform(x, F.abs))
-    scale = amax / F.lit(127.0)
-    codes = F.transform(x, lambda v: F.round(v / scale).cast("int"))
+    # staged selects: interpreted HOF subtrees are not CSE'd by Catalyst
+    # (operators/similarity.py staging convention) — compute x, scale,
+    # codes once each instead of inlining the chain into every column
+    staged = vecs.select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("x")
+    ).select(
+        "vec_id", "x",
+        # zero vector → scale 1.0 (codes all 0, zero error) — x/0.0
+        # otherwise diverges between engines (Spark non-ANSI NULL,
+        # DuckDB NaN)
+        F.when(F.array_max(F.transform("x", F.abs)) == 0, F.lit(1.0))
+        .otherwise(F.array_max(F.transform("x", F.abs)) / F.lit(127.0))
+        .alias("scale"),
+    ).select(
+        "vec_id", "x", "scale",
+        F.transform("x", lambda v: F.round(v / F.col("scale")).cast("int")).alias("codes"),
+    )
     # reconstruction error in exact µ-units: |round(1e6*x) - round(1e6*code*scale)|
     err_u = F.zip_with(
-        x, codes,
+        "x", "codes",
         lambda v, c: F.abs(
             F.round(v * 1_000_000).cast("long")
-            - F.round(c.cast("double") * scale * 1_000_000).cast("long")
+            - F.round(c.cast("double") * F.col("scale") * 1_000_000).cast("long")
         ),
     )
-    per_vec = vecs.select(
+    per_vec = staged.select(
         "vec_id",
-        F.round(scale, 8).alias("scale"),
+        # scale in exact 1e-8 units so the final average is an integer
+        # sum + one division (a double AVG is fold-order-dependent)
+        F.round(F.col("scale") * 100_000_000).cast("long").alias("scale_u"),
         F.aggregate(err_u, F.lit(0).cast("long"), lambda a, e: a + e).alias("err_u"),
-        F.size(F.filter(codes, lambda c: (c > 127) | (c < -127))).alias("n_clipped"),
+        F.size(F.filter("codes", lambda c: (c > 127) | (c < -127))).alias("n_clipped"),
     )
     return per_vec.agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum("err_u").alias("total_err_u"),
-        F.round(F.avg("scale"), 8).alias("avg_scale"),
+        F.round(
+            F.sum("scale_u") / F.count(F.lit(1)) / 100_000_000.0, 8
+        ).alias("avg_scale"),
         F.sum("n_clipped").cast("long").alias("n_clipped"),
     )
 
@@ -798,11 +760,12 @@ WITH x AS (
 ),
 s AS (
   SELECT vec_id, a,
-         list_max(list_transform(a, v -> abs(v))) / 127.0 AS scale
+         CASE WHEN list_max(list_transform(a, v -> abs(v))) = 0 THEN 1.0
+              ELSE list_max(list_transform(a, v -> abs(v))) / 127.0 END AS scale
   FROM x
 ),
 pv AS (
-  SELECT vec_id, ROUND(scale, 8) AS scale,
+  SELECT vec_id, CAST(ROUND(scale * 100000000, 0) AS BIGINT) AS scale_u,
          CAST(list_reduce(
            list_transform(generate_series(1, len(a)),
              i -> abs(CAST(round(a[i] * 1000000, 0) AS BIGINT)
@@ -814,7 +777,7 @@ pv AS (
 )
 SELECT COUNT(*) AS n_vecs,
        CAST(SUM(err_u) AS BIGINT) AS total_err_u,
-       ROUND(AVG(scale), 8) AS avg_scale,
+       ROUND(CAST(SUM(scale_u) AS BIGINT) / COUNT(*) / 100000000.0, 8) AS avg_scale,
        CAST(SUM(n_clipped) AS BIGINT) AS n_clipped
 FROM pv
 """
@@ -838,7 +801,7 @@ QUERIES = {
 ORACLE = {
     "sim_ivf_topk": SIM_IVF_SQL,
     "dedup_semantic": DEDUP_SEMANTIC_SQL,
-    "search_hybrid_rrf": SEARCH_HYBRID_SQL,
+    "search_hybrid_rrf": _hybrid_sql(),
     "sim_quantize_int8": SIM_QUANTIZE_SQL,
     "sim_pq_adc": SIM_PQ_SQL,
     "sim_cosine_topk": SIM_TOPK_SQL,

@@ -269,35 +269,39 @@ FROM per_doc WHERE doc_id < 300 ORDER BY doc_id
 """
 
 
-def text_bm25_topk(spark, sf_dir):
-    """Distributed BM25 retrieval (k1=1.2, b=0.75; Lucene-style
-    smoothed IDF) for a 3-term query — the lexical-search scoring a
-    corpus pipeline pairs with the embedding ANN path. Scale shape:
-    per-term tf comes from an IN-ROW filter over the token array (no
-    explode, no (term, doc) shuffle); df/N/avg_len come from ONE global
-    agg collapsed to a 1-row broadcast; scoring is a map-side
-    expression; top-k is TakeOrderedAndProject. Two corpus scans, zero
-    corpus-sized shuffles."""
-    TERMS = ["hash", "join", "window"]
+
+#: shared BM25 parameters/terms (also used by search_hybrid_rrf)
+BM25_TERMS = ["hash", "join", "window"]
+
+
+def bm25_scores(spark, sf_dir, terms=None):
+    """(doc_id, bm25) for every document — the shared scoring pipeline
+    behind text_bm25_topk and search_hybrid_rrf: in-row tf per term,
+    one global df/N/len agg broadcast back, Lucene-smoothed IDF,
+    k1=1.2 / b=0.75, rounded to 6 dp."""
+    terms = terms or BM25_TERMS
     d = T(spark, sf_dir, "documents")
     toks = F.split(F.trim("text"), r"\s+")
-    tf_cols = [
-        F.size(F.filter(toks, lambda x: x == F.lit(t))).alias(f"tf{i}")
-        for i, t in enumerate(TERMS)
-    ]
+
+    def _tf(term):
+        # NB: F.filter reads a 2-arg lambda as (element, index) — term
+        # must be captured by closure, never by default arg
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    tf_cols = [_tf(t).alias(f"tf{i}") for i, t in enumerate(terms)]
     per_doc = d.select("doc_id", F.size(toks).alias("dl"), *tf_cols)
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_len"),
         *[
             F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
-            for i in range(len(TERMS))
+            for i in range(len(terms))
         ],
     )
     k1, b = F.lit(1.2), F.lit(0.75)
     scored = per_doc.crossJoin(F.broadcast(stats))
     score = None
-    for i in range(len(TERMS)):
+    for i in range(len(terms)):
         tf = F.col(f"tf{i}").cast("double")
         df_ = F.col(f"df{i}").cast("double")
         n = F.col("n_docs").cast("double")
@@ -307,15 +311,12 @@ def text_bm25_topk(spark, sf_dir):
             tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / avg)
         )
         score = part if score is None else score + part
-    return (
-        scored.select("doc_id", F.round(score, 6).alias("bm25"))
-        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
-        .limit(20)
-    )
+    return scored.select("doc_id", F.round(score, 6).alias("bm25"))
 
 
-TEXT_BM25_SQL = r"""
-WITH per_doc AS (
+#: the matching oracle CTE block (per_doc/stats/bm) — single source of
+#: truth for both BM25 oracles
+BM25_CTES = r"""per_doc AS (
   SELECT doc_id,
          len(string_split_regex(trim(text), '\s+')) AS dl,
          len(list_filter(string_split_regex(trim(text), '\s+'), x -> x = 'hash')) AS tf0,
@@ -329,20 +330,43 @@ stats AS (
          SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
          SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
   FROM per_doc
-)
-SELECT doc_id,
-       ROUND(
-         ln((CAST(n_docs AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5) + 1.0)
-           * CAST(tf0 AS DOUBLE) * (1.2 + 1.0)
-           / (CAST(tf0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))
-       + ln((CAST(n_docs AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5) + 1.0)
-           * CAST(tf1 AS DOUBLE) * (1.2 + 1.0)
-           / (CAST(tf1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))
-       + ln((CAST(n_docs AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5) + 1.0)
-           * CAST(tf2 AS DOUBLE) * (1.2 + 1.0)
-           / (CAST(tf2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))
-       , 6) AS bm25
-FROM per_doc CROSS JOIN stats
+),
+bm AS (
+  SELECT doc_id,
+         ROUND(
+           ln((CAST(n_docs AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5) + 1.0)
+             * CAST(tf0 AS DOUBLE) * (1.2 + 1.0)
+             / (CAST(tf0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+         + ln((CAST(n_docs AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5) + 1.0)
+             * CAST(tf1 AS DOUBLE) * (1.2 + 1.0)
+             / (CAST(tf1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+         + ln((CAST(n_docs AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5) + 1.0)
+             * CAST(tf2 AS DOUBLE) * (1.2 + 1.0)
+             / (CAST(tf2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+         , 6) AS bm25
+  FROM per_doc CROSS JOIN stats
+)"""
+
+
+def text_bm25_topk(spark, sf_dir):
+    """Distributed BM25 retrieval (k1=1.2, b=0.75; Lucene-style
+    smoothed IDF) for a 3-term query — the lexical-search scoring a
+    corpus pipeline pairs with the embedding ANN path. Scale shape (see
+    bm25_scores): per-term tf comes from an IN-ROW filter over the
+    token array (no explode, no (term, doc) shuffle); df/N/avg_len come
+    from ONE global agg collapsed to a 1-row broadcast; scoring is a
+    map-side expression; top-k is TakeOrderedAndProject. Two corpus
+    scans, zero corpus-sized shuffles."""
+    return (
+        bm25_scores(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+TEXT_BM25_SQL = f"""
+WITH {BM25_CTES}
+SELECT doc_id, bm25 FROM bm
 ORDER BY bm25 DESC, doc_id ASC LIMIT 20
 """
 
