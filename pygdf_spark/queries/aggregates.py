@@ -347,6 +347,41 @@ ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 """
 
 
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form behind cube/rollup —
+    DataFrame.groupingSets, Spark 4+): three hand-picked sets
+    ((flag, status), (status), ()) in ONE partial-agg pass instead of
+    three separate groupBys + union."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+            "l_returnflag", "l_linestatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+            F.col("g_flag").asc(),
+        )
+    )
+
+
+AGG_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST, g_flag ASC
+"""
+
+
 def agg_product(spark, sf_dir):
     """PRODUCT (aggregation.hpp:61). Products of integer-valued doubles
     below 2^53 are exact in fp regardless of order → deterministic."""
@@ -499,6 +534,7 @@ QUERIES = {
     "agg_bool_any_all": agg_bool_any_all,
     "agg_corr_cov": agg_corr_cov,
     "agg_rollup": agg_rollup,
+    "agg_grouping_sets": agg_grouping_sets,
     "agg_product": agg_product,
     "agg_global_reduce": agg_global_reduce,
 }
@@ -516,6 +552,7 @@ ORACLE = {
     "agg_bool_any_all": AGG_BOOL_SQL,
     "agg_corr_cov": AGG_CORR_SQL,
     "agg_rollup": AGG_ROLLUP_SQL,
+    "agg_grouping_sets": AGG_GROUPING_SETS_SQL,
     "agg_product": AGG_PRODUCT_SQL,
     "agg_global_reduce": AGG_GLOBAL_SQL,
 }
