@@ -453,3 +453,27 @@ def test_veneer_merge_vs_pandas(spark, lrows, rrows, how):
         ]
     )
     assert key(got) == key(exp), how
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(0, 60), min_size=0, max_size=30),
+       st.lists(st.integers(0, 60), min_size=1, max_size=20),
+       st.sampled_from(["left_semi", "left_anti"]))
+def test_bloom_prefilter_join_fuzz(spark, big_keys, small_keys, how):
+    """bloom_prefilter_join ≡ plain semi/anti join on random key sets,
+    both healthy and deliberately undersized (FP-saturated) bitsets."""
+    from pygdf_spark.operators.bloom import bloom_prefilter_join
+
+    big = spark.createDataFrame([(k, i) for i, k in enumerate(big_keys)] or [(0, 0)],
+                                "k long, v long")
+    small = spark.createDataFrame([(k,) for k in small_keys], "k long")
+    if not big_keys:
+        big = big.filter("v < 0")  # truly empty probe side
+    exact = {tuple(r) for r in big.join(small, "k", how).collect()}
+    got = {tuple(r) for r in bloom_prefilter_join(big, "k", small, "k", how).collect()}
+    assert got == exact
+    got_sat = {
+        tuple(r)
+        for r in bloom_prefilter_join(big, "k", small, "k", how, n_keys=1).collect()
+    }
+    assert got_sat == exact
