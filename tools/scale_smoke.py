@@ -38,7 +38,9 @@ TIMED = ["q1_pricing_summary", "join_inner_q3", "agg_basic_stats",
          "dedup_decontaminate_bloom", "agg_winsorize",
          "pipeline_neardup_prune", "udf_map_in_arrow", "text_bm25_topk",
          "graph_pagerank", "dedup_incremental", "dedup_semantic",
-         "sample_quality_weighted"]
+         "sample_quality_weighted", "search_hybrid_rrf", "sim_quantize_int8",
+         "events_funnel", "events_cohort_retention", "text_vocab_coverage",
+         "agg_grouping_sets"]
 
 
 def build(spark, n: int, dst: str) -> None:
