@@ -190,6 +190,59 @@ FROM customer GROUP BY 1 ORDER BY bin
 """
 
 
+def reshape_qcut_bins(spark, sf_dir):
+    """qcut — quantile binning (the pandas/cuDF companion to cut):
+    quartile boundaries of integer cents from ONE scalar agg, broadcast
+    back, bucket assigned map-side as a boundary comparison (b = #
+    boundaries strictly below the value — right-closed bins like
+    pandas). Exact: boundaries interpolate on quarter steps of integer
+    cents, so 4x each is integral and the comparisons are
+    bit-deterministic in both engines."""
+    c = T(spark, sf_dir, "customer")
+    cents = F.round(dec("c_acctbal") * 100).cast("long")
+    qs = c.agg(
+        *[F.percentile(cents, i / 4).alias(f"q{i}") for i in (1, 2, 3)]
+    )
+    x = cents.cast("double")
+    b = (
+        (x > F.col("q1")).cast("int")
+        + (x > F.col("q2")).cast("int")
+        + (x > F.col("q3")).cast("int")
+    )
+    return (
+        c.crossJoin(F.broadcast(qs))
+        .select(b.alias("bin"), cents.alias("cents"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("cents").alias("lo"),
+            F.max("cents").alias("hi"),
+        )
+        .orderBy("bin")
+    )
+
+
+RESHAPE_QCUT_SQL = """
+WITH c AS (
+  SELECT CAST(round(CAST(c_acctbal AS DECIMAL(12,2)) * 100, 0) AS BIGINT) AS cents
+  FROM customer
+),
+qs AS (
+  SELECT quantile_cont(cents, 0.25) AS q1, quantile_cont(cents, 0.50) AS q2,
+         quantile_cont(cents, 0.75) AS q3
+  FROM c
+)
+SELECT (CASE WHEN CAST(cents AS DOUBLE) > q1 THEN 1 ELSE 0 END
+      + CASE WHEN CAST(cents AS DOUBLE) > q2 THEN 1 ELSE 0 END
+      + CASE WHEN CAST(cents AS DOUBLE) > q3 THEN 1 ELSE 0 END) AS bin,
+       COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       MIN(cents) AS lo, MAX(cents) AS hi
+FROM c CROSS JOIN qs
+GROUP BY 1 ORDER BY bin
+"""
+
+
 def reshape_factorize(spark, sf_dir):
     """factorize/label_encoding (core/algorithms.py:61): stable codes via
     dense_rank over the sorted distinct domain."""
@@ -283,6 +336,7 @@ QUERIES = {
     "reshape_sequence": reshape_sequence,
     "reshape_interleave": reshape_interleave,
     "reshape_cut_bins": reshape_cut_bins,
+    "reshape_qcut_bins": reshape_qcut_bins,
     "reshape_factorize": reshape_factorize,
     "reshape_concat_union": reshape_concat_union,
     "set_intersect_except": set_intersect_except,
@@ -297,6 +351,7 @@ ORACLE = {
     "reshape_sequence": RESHAPE_SEQUENCE_SQL,
     "reshape_interleave": RESHAPE_INTERLEAVE_SQL,
     "reshape_cut_bins": RESHAPE_CUT_SQL,
+    "reshape_qcut_bins": RESHAPE_QCUT_SQL,
     "reshape_factorize": RESHAPE_FACTORIZE_SQL,
     "reshape_concat_union": RESHAPE_CONCAT_SQL,
     "set_intersect_except": SET_INTERSECT_SQL,
