@@ -1862,7 +1862,16 @@ def from_pandas(spark, pdf) -> DataFrame:
             ]
         )
         return from_spark(spark.createDataFrame([], schema=schema))
-    return from_spark(spark.createDataFrame(pdf))
+    sdf = spark.createDataFrame(pdf)
+    # an all-None object column infers as NullType, on which joins and
+    # comparisons silently return nothing (cuDF types it as its column
+    # dtype; pandas merge matches None keys) — surface it as string
+    from pyspark.sql.types import NullType
+
+    for f in sdf.schema.fields:
+        if isinstance(f.dataType, NullType):
+            sdf = sdf.withColumn(f.name, sdf[f.name].cast("string"))
+    return from_spark(sdf)
 
 
 def from_arrow(spark, table) -> DataFrame:

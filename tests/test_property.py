@@ -447,8 +447,8 @@ def test_veneer_merge_vs_pandas(spark, lrows, rrows, how):
     got = gl.merge(gr, on="k", how=how, suffixes=("_x", "_y")).to_pandas()
     key = lambda df: sorted(
         [
-            (str(r.k), int(r.v_x) if pd.notna(r.v_x) else None,
-             int(r.v_y) if pd.notna(r.v_y) else None)
+            (str(r.k), int(r.v_x) if pd.notna(r.v_x) else -1,
+             int(r.v_y) if pd.notna(r.v_y) else -1)
             for r in df.itertuples()
         ]
     )
