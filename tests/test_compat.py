@@ -1001,3 +1001,26 @@ def test_merge_asof_duplicate_right_ts_matches_pandas(spark):
         )
         norm = lambda xs: [None if pd.isna(x) else x for x in xs]
         assert norm(got["rv"]) == norm(exp["rv"]), direction
+
+
+def test_merge_asof_timedelta_tolerance(spark):
+    """tolerance as pandas.Timedelta on a timestamp 'on' column — the
+    total_seconds() -> µs conversion path — vs pandas.merge_asof."""
+    import pandas as pd
+
+    import pygdf_spark as gd
+
+    base = pd.Timestamp("2024-03-01")
+    lp = pd.DataFrame({"t": [base + pd.Timedelta(minutes=m) for m in (0, 30, 90)],
+                       "lid": [0, 1, 2]})
+    rp = pd.DataFrame({"t": [base + pd.Timedelta(minutes=m) for m in (-10, 25, 70)],
+                       "rv": [1.0, 2.0, 3.0]})
+    tol = pd.Timedelta(minutes=15)
+    exp = pd.merge_asof(lp, rp, on="t", tolerance=tol)
+    got = (
+        gd.merge_asof(gd.from_pandas(lp, spark), gd.from_pandas(rp, spark),
+                      on="t", tolerance=tol)
+        .to_pandas().sort_values("lid").reset_index(drop=True)
+    )
+    norm = lambda xs: [None if pd.isna(x) else x for x in xs]
+    assert norm(got["rv"]) == norm(exp["rv"])
