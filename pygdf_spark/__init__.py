@@ -201,7 +201,12 @@ def merge_asof(left: "DataFrame", right: "DataFrame", on: str, by=None,
 
     by = [by] if isinstance(by, str) else list(by or [])
     if tolerance is not None and hasattr(tolerance, "total_seconds"):
-        tolerance = int(tolerance.total_seconds() * 1_000_000)
+        # exact integer µs: float total_seconds()*1e6 truncates (249µs→248µs)
+        td = tolerance
+        if hasattr(td, "days"):  # datetime.timedelta / pandas.Timedelta
+            tolerance = (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+        else:
+            tolerance = int(round(td.total_seconds() * 1_000_000))
     lsdf = left._sdf
     # the right frame's row-order id doubles as the pandas tiebreak for
     # duplicate (by, on) right rows: merge_asof keeps input order, so

@@ -1844,11 +1844,17 @@ def from_pandas(spark, pdf) -> DataFrame:
             "float32": "float", "float64": "double",
             "Float32": "float", "Float64": "double",
             "bool": "boolean", "boolean": "boolean",
-            "object": "string", "string": "string", "category": "string",
+            "object": "string", "string": "string",
         }
 
         def _t(dt):
             s = str(dt)
+            if s == "category":
+                # map via the categories' value dtype: the non-empty
+                # ingest path infers e.g. long for numeric categories, so
+                # hardcoding string would give empty and non-empty frames
+                # of the same pandas dtype incompatible schemas
+                return _t(dt.categories.dtype)
             if s.startswith("datetime64"):
                 return "timestamp"
             if s.startswith("timedelta64"):

@@ -127,7 +127,10 @@ def asof_join(
         return F.col("__pay" + tag).getField("__rts")
 
     def _ok(tag, delta):
-        ok = _mts(tag).isNotNull()
+        # lts.isNotNull(): a NULL left ts must never match (pandas raises on
+        # null merge keys; the desc-ordered forward pass sorts nulls last, so
+        # without this guard the carry would hand the null row a match)
+        ok = lts.isNotNull() & _mts(tag).isNotNull()
         if tolerance is not None:
             ok = ok & (delta <= F.lit(tolerance))
         return ok

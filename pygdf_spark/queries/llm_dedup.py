@@ -424,10 +424,16 @@ def dedup_decontaminate_bloom(spark, sf_dir):
     corpus = d.filter(F.col("doc_id") % 97 != 0).select(
         "doc_id", "source", grams3.alias("grams")
     )
+    # coalesce: NULL text -> NULL grams -> exists() is NULL, which would
+    # silently drop the row from BOTH the ~hit and hit branches; a null
+    # doc has no grams so it is clean by definition
     cand = corpus.crossJoin(F.broadcast(bits)).withColumn(
         "__hit",
-        F.exists(
-            "grams", lambda g: bloom_might_contain(g, F.col("__bits"), m_bits, k)
+        F.coalesce(
+            F.exists(
+                "grams", lambda g: bloom_might_contain(g, F.col("__bits"), m_bits, k)
+            ),
+            F.lit(False),
         ),
     )
     clean_certain = cand.filter(~F.col("__hit")).select("doc_id", "source")

@@ -216,7 +216,13 @@ def udf_groupby_apply_arrow(spark, sf_dir):
 
     def kernel(tbl: pa.Table) -> pa.Table:
         price = tbl.column("l_extendedprice")
-        cents = pc.round(pc.multiply(price, pa.scalar(100.0)))
+        # half_towards_infinity pins Arrow to the same half-away-from-zero
+        # rounding as Spark F.round / the DuckDB oracle (pc.round defaults
+        # to banker's half_to_even — a latent tie divergence)
+        cents = pc.round(
+            pc.multiply(price, pa.scalar(100.0)),
+            round_mode="half_towards_infinity",
+        )
         return pa.table({
             "l_returnflag": [tbl.column("l_returnflag")[0].as_py()],
             "cents_sum": [int(pc.sum(pc.cast(cents, pa.int64())).as_py())],

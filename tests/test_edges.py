@@ -229,3 +229,86 @@ def test_pagerank_micro_vs_python_model(spark):
                 s[b] += share
         r = {v: 150_000 + (85 * s[v]) // 100 for v in nodes}
     assert got == r
+
+
+def test_merge_asof_timedelta_exact_microsecond_boundary(spark):
+    """ADVICE r2: int(total_seconds()*1e6) truncated 249µs to 248µs, so a
+    right row exactly AT the tolerance boundary was wrongly rejected.
+    Exercise odd-µs tolerances where the float path is off by one."""
+    import pandas as pd
+
+    import pygdf_spark as gd
+
+    base = pd.Timestamp("2024-03-01")
+    for us in (249, 1001, 1999):
+        tol = pd.Timedelta(microseconds=us)
+        lp = pd.DataFrame({"t": [base + tol], "lid": [0]})
+        rp = pd.DataFrame({"t": [base], "rv": [7.0]})
+        exp = pd.merge_asof(lp, rp, on="t", tolerance=tol)
+        got = (
+            gd.merge_asof(gd.from_pandas(lp, spark), gd.from_pandas(rp, spark),
+                          on="t", tolerance=tol)
+            .to_pandas()
+        )
+        assert exp["rv"].iloc[0] == 7.0, "pandas model sanity"
+        assert got["rv"].iloc[0] == 7.0, f"boundary match lost at {us}us"
+
+
+def test_asof_forward_null_left_ts_unmatched(spark):
+    """ADVICE r2: forward/nearest with tolerance=None matched a NULL left
+    ts (desc window sorts nulls last -> carry sees all right rows). A
+    null-ts left row must match nothing in every direction."""
+    from pygdf_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, None, "b")], "g int, t int, lab string"
+    )
+    right = spark.createDataFrame([(1, 5, 1.5), (1, 20, 2.5)], "g int, t int, v double")
+    for direction in ("backward", "forward", "nearest"):
+        out = {
+            r.lab: r.v_r
+            for r in asof_join(
+                left, right, by=["g"], ts="t", payload=["v"],
+                suffix="_r", direction=direction,
+            ).collect()
+        }
+        assert out["b"] is None, f"null left ts matched under {direction}"
+        assert out["a"] is not None
+
+
+def test_from_pandas_empty_category_schema_matches_nonempty(spark):
+    """ADVICE r2: empty-frame dtype map hardcoded category->string; numeric
+    categories then gave empty and non-empty frames incompatible schemas."""
+    import pandas as pd
+
+    import pygdf_spark as gd
+
+    pdf = pd.DataFrame({"c": pd.Categorical([10, 20, 10]), "s": pd.Categorical(["x", "y", "x"])})
+    nonempty = gd.from_pandas(pdf, spark)._sdf
+    empty = gd.from_pandas(pdf.iloc[0:0], spark)._sdf
+    want = {f.name: f.dataType for f in nonempty.schema.fields if f.name in ("c", "s")}
+    got = {f.name: f.dataType for f in empty.schema.fields if f.name in ("c", "s")}
+    assert got == want
+
+
+def test_bloom_decontaminate_null_text_counted_clean(spark, tmp_path):
+    """ADVICE r2: a NULL-text doc made exists() return NULL and the row
+    vanished from both branches; it must count as clean."""
+    import pandas as pd
+
+    from pygdf_spark.queries.llm_dedup import QUERIES
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 98, 97 * 2],
+        "source": ["web", "web", "web", "web", "web"],
+        "text": ["alpha beta gamma delta", None, "epsilon zeta eta theta",
+                 "iota kappa lambda mu", "nu xi omicron pi"],
+        "lang": ["en"] * 5, "quality": [0.5] * 5,
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    docs.to_parquet(sf / "documents.parquet")
+    out = QUERIES["dedup_decontaminate_bloom"](spark, str(sf)).collect()
+    # doc_id 194 is the only %97==0 bench doc; the other 4 (incl. the NULL
+    # one) are corpus and none shares a 3-gram with the bench -> all clean
+    assert {(r.source, r.n_clean) for r in out} == {("web", 4)}
