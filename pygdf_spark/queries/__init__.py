@@ -45,39 +45,40 @@ _MODULES = [
 # per-query cost at sf0.01. Queries dropped from the window keep their
 # prior-round driver-green rows (CORRECTNESS_r01.json: 47 green).
 _PRIORITY = [
-    # joins: null-safe + as-of (round-1 hash FAILs, now cast at the boundary)
-    "join_nullsafe", "asof_join_events",
-    # grouped fill (third round-1 hash FAIL) + aggregates
-    "group_fill_bfill", "groupby_describe",
-    # reshape + copying/hashing
-    "reshape_explode", "reshape_factorize", "take_slice_split",
-    "hash_values_row", "searchsorted_bounds", "reshape_concat_union",
-    # set-like + sorted-merge + sampling
-    "set_intersect_except", "merge_sorted_union", "sample_hash",
-    # strings / datetimes / scalar math / dtypes (+ categorical accessor)
-    "str_basic_pack", "str_json_pack", "str_regex_pack",
-    "dt_extract_pack", "dt_arith_pack", "dt_epoch_pack",
-    "unary_math_pack", "binary_ops_pack", "rounding_pack", "null_nan_pack",
-    "cast_matrix_pack", "decimal_arith_pack", "cat_accessor",
-    "dict_encode_decode", "interval_contains",
-    # lists / structs
-    "list_ops_pack", "struct_pack",
-    # windows: rolling UDF (the one §2.5 surface with no driver row)
-    "rolling_apply_fold",
-    # text analysis + NLP
-    "text_token_stats", "nlp_token_filter", "text_pii_mask",
-    # LLM dedup family
-    "dedup_minhash_lsh", "dedup_keep_list", "dedup_exact_hash",
-    "dedup_simhash",
-    # similarity search
-    "sim_cosine_topk", "sim_ivf_topk", "sim_lsh_buckets",
-    # graph + multimodal + composite pipeline
-    "graph_connected_components", "mm_binary_meta", "pipeline_curation",
-    # UDF surface
-    "udf_apply_rows_charge", "udf_grouped_agg_cents",
-    # streaming: batch-checkable + live micro-batch + custom stateful
-    "stream_tumbling_window", "stream_session_window",
-    "sstream_tumbling_live", "sstream_stateful_counts",
+    # r3 window: 50 of the 84 queries with no driver-green row in
+    # CORRECTNESS_r01/r02 (tools/rotate_window.py); the remaining 34
+    # (sampling, mm stubs, sstream variants, udf variants, remaining
+    # sim_*) rotate in next round. Prior-green rows are cumulative.
+    # as-of variants + event analytics
+    "asof_join_forward", "asof_join_nearest",
+    "events_funnel", "events_cohort_retention",
+    # aggregates not yet driver-checked
+    "agg_winsorize", "agg_sketch_approx", "agg_grouping_sets",
+    # reshape / copying
+    "reshape_get_dummies", "reshape_sequence", "reshape_interleave",
+    "reshape_cut_bins", "reshape_qcut_bins", "reverse_tail",
+    "repeat_tile_fill", "is_sorted_check", "hash_partition_hist",
+    # strings: the 7 packs without a driver row
+    "str_rsplit_pack", "str_find_pack", "str_split_pack", "str_is_pack",
+    "str_translate_strip", "str_distance", "str_url_wrap_pack",
+    "str_convert_pack",
+    # datetimes / dtypes / misc
+    "dt_duration_pack", "dt_window_bucket", "transpose_small",
+    "interval_range_ops", "byte_cast_pack",
+    # lists HOFs
+    "list_fold_norm", "list_transform_slice",
+    # text analysis family
+    "text_vocab_coverage", "text_bm25_topk", "text_lm_frequency",
+    "text_ngrams_top", "text_langid", "text_quality",
+    "text_fingerprint", "text_repetition",
+    # NLP
+    "nlp_subword_tokenize", "nlp_char_ngrams", "nlp_porter_measure",
+    "nlp_normalize_chars", "nlp_edit_distance_matrix",
+    # graph + composite pipelines
+    "graph_pagerank", "pipeline_neardup_prune",
+    # dedup family remainder
+    "dedup_incremental", "dedup_prefix_groups", "dedup_ngram_jaccard",
+    "dedup_decontaminate",
 ]
 
 
