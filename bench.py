@@ -55,6 +55,45 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _veneer_merge(spark, sf_dir):
+    """Compat-surface merge: orders ⋈ customer with suffixes (the
+    round-2 verdict asked for the veneer itself to be benched so the
+    order-discipline rewrite is regression-measured)."""
+    import pygdf_spark as gd
+
+    o = gd.from_spark(spark.read.parquet(os.path.join(sf_dir, "orders.parquet")))
+    c = gd.from_spark(spark.read.parquet(os.path.join(sf_dir, "customer.parquet")))
+    return o.merge(c, left_on="o_custkey", right_on="c_custkey", how="inner")._sdf
+
+
+def _veneer_sort_head(spark, sf_dir):
+    """Compat-surface sort_values (distributed re-key via sampled
+    boundaries) + head."""
+    import pygdf_spark as gd
+
+    li = gd.from_spark(spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")))
+    return li.sort_values(["l_extendedprice", "l_orderkey"], ascending=[False, True]).head(100)._sdf
+
+
+def _veneer_groupby_agg(spark, sf_dir):
+    """Compat-surface groupby().agg dict form."""
+    import pygdf_spark as gd
+
+    li = gd.from_spark(spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")))
+    return li.groupby("l_returnflag").agg(
+        {"l_quantity": ["sum", "mean"], "l_extendedprice": ["sum", "max"]}
+    )._sdf
+
+
+# Benchmarked separately from HEADLINE so the headline total stays
+# round-over-round comparable; reported under "veneer" in the JSON.
+VENEER_BENCH = {
+    "veneer_merge": _veneer_merge,
+    "veneer_sort_head": _veneer_sort_head,
+    "veneer_groupby_agg": _veneer_groupby_agg,
+}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -110,12 +149,24 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 4)
 
+    veneer: dict[str, float] = {}
+    for name, fn in VENEER_BENCH.items():
+        best = float("inf")
+        for _ in range(3):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            _force(fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        veneer[name] = round(best, 4)
+
     total = round(sum(times.values()), 4)
     print(json.dumps({
         "metric": "headline_query_wall_total",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "veneer": veneer,
+        "veneer_total": round(sum(veneer.values()), 4),
         "sf": sf,
         "agg": "min_of_3",
         "load1_start": round(load_start, 2),

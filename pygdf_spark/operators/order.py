@@ -1,27 +1,322 @@
 """Distributed ordering primitives (SURVEY.md §7 row-order discipline;
 §2.6 distributed sort — dask_cudf/sorting.py:207's sample→divisions→
-shuffle→local-sort, which is Spark's RangePartitioner natively).
+shuffle→local-sort).
 
 ``Window.orderBy(...)`` with no partition key funnels the whole dataset
-through ONE task — correct at test SF, fatal at 100 TB. The scalable
-global row number here is the classic three-step:
+through ONE task — correct at test SF, fatal at 100 TB. Everything here
+is the explicit three-step instead:
 
-1. ``repartitionByRange(keys)`` — sampled range shuffle; equal keys
-   co-locate, partition p holds keys strictly below partition p+1.
-2. per-partition ``row_number`` (parallel — window partitioned by the
-   physical partition id).
-3. add each partition's cumulative row-count offset — a driver-side
-   collect of ONE count per partition (bounded metadata, the same
-   footprint as Spark's own range-boundary sampling), broadcast back.
+1. **Sample boundaries once, driver-side, into literals.** One count +
+   one key-sample job (bounded: ≤ _SAMPLE_CAP key tuples). The bucket
+   id then becomes a PURE FUNCTION of row values — a literal
+   comparison chain, fully deterministic across every branch and every
+   re-evaluation. (Spark's own ``repartitionByRange`` re-samples
+   nondeterministically per exchange; two pruning-differentiated
+   branches of one plan then disagree on partition ids, which
+   corrupted offsets — round-3 lesson. Literal boundaries make the
+   whole downstream plan referentially transparent, so no caching, no
+   checkpoint, and no reliance on ReuseExchange.)
+2. Per-bucket window (parallel — the window's own hash shuffle on the
+   bucket id co-locates each bucket).
+3. Stitch buckets with bounded metadata: per-bucket totals are reduced
+   to ONE row (an n_buckets array), prefix-combined with a single
+   array fold, and broadcast-joined back on the bucket id.
 
-Result is bit-identical to ``ROW_NUMBER() OVER (ORDER BY keys)`` when
-``keys`` is a total order (callers append a tiebreaker otherwise).
+Boundary QUALITY affects only load balance, never correctness: every
+row strictly-after k boundaries lands in bucket k, ties co-locate by
+value. Nothing is persisted — repeated calls accumulate zero cached
+partitions (tests/test_edges.py::test_order_primitives_no_cache_…).
+At 100 TB, callers chaining many order ops should persist the input
+once themselves (each primitive re-scans its input for count/sample).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import math
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+_PID = "__pid"
+_SAMPLE_CAP = 200_000  # max key tuples collected for boundary sampling
+_PER_BUCKET = 64       # sampled keys per target bucket
+
+
+# null-skipping combiners: combine(a, b) over possibly-null partials,
+# used both for the prefix fold across bucket totals and for the final
+# local⊕offset application (aggregates skip nulls — reference
+# null_policy EXCLUDE)
+_COMBINE = {
+    "sum": lambda a, b: F.coalesce(a + b, a, b),
+    "min": lambda a, b: F.least(a, b),
+    "max": lambda a, b: F.greatest(a, b),
+    "prod": lambda a, b: F.coalesce(a * b, a, b),
+}
+
+
+def _spec(key) -> tuple:
+    """Normalize a key into (expr, asc, nulls_first). Accepts a column
+    name / Column (ascending, nulls first — Spark's ASC default) or an
+    explicit (expr, 'asc'|'desc', 'nulls_first'|'nulls_last') triple."""
+    if isinstance(key, tuple):
+        expr, direction, nulls = key
+        expr = F.col(expr) if isinstance(expr, str) else expr
+        return expr, direction == "asc", nulls == "nulls_first"
+    return (F.col(key) if isinstance(key, str) else key), True, True
+
+
+def _sort_cols(specs) -> list[Column]:
+    """The Spark sort-order forms of the MATERIALIZED key columns
+    (``__k<i>``) for the per-bucket window ORDER BY."""
+    out = []
+    for i, (_, asc, nf) in enumerate(specs):
+        expr = F.col(f"__k{i}")
+        if asc:
+            out.append(expr.asc_nulls_first() if nf else expr.asc_nulls_last())
+        else:
+            out.append(expr.desc_nulls_first() if nf else expr.desc_nulls_last())
+    return out
+
+
+def _is_nan(v) -> bool:
+    return isinstance(v, float) and math.isnan(v)
+
+
+def _cmp_key(row: tuple, specs) -> tuple:
+    """Python sort key mirroring the Spark ordering: per column a
+    (null_rank, nan_rank, value') triple — nulls placed per the spec
+    (independent of direction), NaN greater than every number (Spark
+    double ordering, so first under desc), values wrapped in a
+    direction-aware comparator."""
+    out = []
+    for v, (_, asc, nf) in zip(row, specs):
+        if v is None:
+            out.append((-1 if nf else 1, 0, 0))
+        elif _is_nan(v):
+            out.append((0, 1 if asc else -1, 0))
+        else:
+            out.append((0, 0, _Asc(v) if asc else _Desc(v)))
+    return tuple(out)
+
+
+class _Asc:
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+    def __lt__(self, o):
+        return self.v < o.v
+
+    def __eq__(self, o):
+        return self.v == o.v
+
+
+class _Desc:
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+    def __lt__(self, o):
+        return o.v < self.v
+
+    def __eq__(self, o):
+        return self.v == o.v
+
+
+def _sql_lit(v) -> str:
+    """Render a sampled key value as a Spark SQL literal."""
+    import datetime
+    from decimal import Decimal
+
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return f"{v}L"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "CAST('NaN' AS DOUBLE)"
+        if math.isinf(v):
+            return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+        return f"CAST({v!r} AS DOUBLE)"
+    if isinstance(v, Decimal):
+        return f"{v}BD"
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    if isinstance(v, datetime.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, datetime.date):
+        return f"DATE '{v.isoformat()}'"
+    raise TypeError(f"unsupported boundary key type {type(v).__name__}")
+
+
+def _after_sql(specs, boundary: tuple) -> str:
+    """SQL predicate: the row's materialized key tuple (``__k<i>``
+    columns) sorts STRICTLY AFTER the literal ``boundary`` under the
+    spec ordering (lexicographic). Kept minimal — null keys fold into
+    IS NULL disjuncts instead of rank CASEs — so the full nested-CASE
+    bucket search stays small enough for whole-stage codegen (an
+    interpreted fallback here costs ~5x on the scan stage)."""
+    res = "FALSE"
+    # right-to-left: after = after_0 OR (eq_0 AND (after_1 OR ...))
+    for i, ((_, asc, nf), bval) in reversed(list(enumerate(zip(specs, boundary)))):
+        c = f"__k{i}"
+        if bval is None:
+            if nf:  # null boundary sorts first: any non-null is after
+                after_i = f"({c} IS NOT NULL)"
+            else:  # null boundary sorts last: nothing is after
+                after_i = "FALSE"
+            eq_i = f"({c} IS NULL)"
+        else:
+            lit = _sql_lit(bval)
+            op = ">" if asc else "<"
+            if nf:  # null keys sort before every non-null boundary
+                after_i = f"({c} {op} {lit})"  # NULL -> FALSE in CASE ✓
+            else:  # null keys sort after everything
+                after_i = f"({c} IS NULL OR {c} {op} {lit})"
+            eq_i = f"({c} = {lit})"  # NULL -> not equal ✓
+        res = f"({after_i} OR ({eq_i} AND {res}))"
+    return res
+
+
+def _bucket_sql(specs, boundaries: list[tuple]) -> str:
+    """Bucket id = number of boundaries the key sorts strictly after,
+    found by a BINARY SEARCH rendered as a nested CASE (depth log2 n,
+    ~log2(n) lexicographic compares per row; one compact SQL string so
+    plan construction is one call and codegen methods stay small)."""
+    if not boundaries:
+        return "0"
+
+    def go(lo: int, hi: int) -> str:
+        # bucket known to lie in [lo, hi]
+        if lo == hi:
+            return str(lo)
+        mid = (lo + hi) // 2
+        return (
+            f"(CASE WHEN {_after_sql(specs, boundaries[mid])} "
+            f"THEN {go(mid + 1, hi)} ELSE {go(lo, mid)} END)"
+        )
+
+    return go(0, len(boundaries))
+
+
+def _boundaries(keys_df: DataFrame, specs, num_partitions: int) -> list[tuple]:
+    """Sample the key distribution and pick ``num_partitions − 1``
+    evenly spaced split points (driver footprint ≤ _SAMPLE_CAP tuples).
+    Boundary quality is a load-balance concern only."""
+    if num_partitions <= 1:
+        return []
+    target = min(_SAMPLE_CAP, max(num_partitions * _PER_BUCKET, 1024))
+    # one sampling scan (no count pass): a 1% unbiased sample capped at
+    # `target`; inputs small enough that 1% under-fills get a full
+    # (cheap) collect instead — still bounded by _SAMPLE_CAP
+    rows = keys_df.sample(withReplacement=False, fraction=0.01, seed=17).limit(target).collect()
+    if len(rows) < max(8 * num_partitions, 64):
+        rows = keys_df.limit(_SAMPLE_CAP).collect()
+    if not rows:
+        return []
+    sample = sorted((tuple(r) for r in rows), key=lambda t: _cmp_key(t, specs))
+    n = len(sample)
+    step = n / num_partitions
+    out, seen = [], set()
+    for i in range(1, num_partitions):
+        b = sample[min(n - 1, int(i * step))]
+        marker = tuple(repr(x) for x in b)
+        if marker not in seen:  # dedup equal split points
+            seen.add(marker)
+            out.append(b)
+    return out
+
+
+def _bucketed(df: DataFrame, keys: list, num_partitions: int | None = None):
+    """(df + materialized ``__k<i>`` key columns + deterministic
+    ``__pid`` bucket column, specs, helper-column names). The window
+    shuffle on ``__pid`` does the co-location; no separate repartition.
+    Callers drop the helpers from their final projection."""
+    import re
+
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    specs = [_spec(k) for k in keys]
+    kcols = [expr.alias(f"__k{i}") for i, (expr, _, _) in enumerate(specs)]
+    work = df.select("*", *kcols)
+    knames = [f"__k{i}" for i in range(len(specs))]
+    # decimal keys: order-preserving re-encode as the unscaled BIGINT
+    # (precision ≤ 18 always fits) — Decimal compares are ~5x slower
+    # than long compares and the bucket search does O(log n) of them
+    # per row (measured 1.75s → 0.4s on a 600k-row decimal sort key)
+    retyped = []
+    for name, t in work.select(*knames).dtypes:
+        m = re.fullmatch(r"decimal\((\d+),(\d+)\)", t)
+        if m and int(m.group(1)) <= 18:
+            retyped.append(F.expr(f"CAST({name} * {10 ** int(m.group(2))} AS BIGINT)").alias(name))
+        else:
+            retyped.append(F.col(name))
+    work = df.select("*", *kcols).select(
+        *[c for c in work.columns if c not in knames], *retyped
+    )
+    bounds = _boundaries(work.select(*knames), specs, n)
+    sql = _bucket_sql(specs, bounds)
+    # HotSpot never JIT-compiles methods over ~8000 bytecodes
+    # (-XX:DontCompileHugeMethods): a bucket search whose generated
+    # method crosses that cliff runs interpreted at ~5x the cost
+    # (measured 0.33s vs 1.67s on a 600k-row scan). Bytecode tracks SQL
+    # text ~1.9:1 (7516 chars → 14445 bytecodes measured), so thin the
+    # boundary list until the search compiles hot; fewer buckets only
+    # coarsens load balance.
+    while len(bounds) > 7 and len(sql) > 3_800:
+        bounds = bounds[1::2]
+        sql = _bucket_sql(specs, bounds)
+    parted = work.withColumn(_PID, F.expr(sql))
+    return parted, specs, knames
+
+
+def _prefix_offsets(parted: DataFrame, totals: list[tuple[Column, str, str]]) -> DataFrame:
+    """One row per bucket id with, for every (total_agg, name, kind),
+    the combined total of all EARLIER buckets (null when none) —
+    computed wholly inside the plan: per-bucket aggregate → ONE row as
+    a pid-sorted array → single array fold emitting running prefixes →
+    explode back. n_buckets rows of metadata, broadcast-joined back."""
+    tot = parted.groupBy(_PID).agg(
+        *[agg.alias(name) for agg, name, _ in totals]
+    )
+    types = dict(tot.dtypes)
+    entry = F.struct(
+        F.col(_PID).alias("pid"), *[F.col(name).alias(name) for _, name, _ in totals]
+    )
+    one = tot.agg(F.sort_array(F.collect_list(entry)).alias("__arr"))
+    zero = F.struct(
+        F.expr(
+            "CAST(array() AS array<struct<pid:int,"
+            + ",".join(f"{n}:{types[n]}" for _, n, _ in totals)
+            + ">>)"
+        ).alias("out"),
+        *[F.expr(f"CAST(NULL AS {types[name]})").alias(f"run_{name}") for _, name, _ in totals],
+    )
+
+    def step(acc, e):
+        emitted = F.struct(
+            e["pid"].alias("pid"),
+            *[acc[f"run_{name}"].alias(name) for _, name, _ in totals],
+        )
+        return F.struct(
+            F.concat(acc["out"], F.array(emitted)).alias("out"),
+            *[
+                _COMBINE[kind](acc[f"run_{name}"], e[name]).alias(f"run_{name}")
+                for _, name, kind in totals
+            ],
+        )
+
+    return one.select(
+        F.explode(F.aggregate(F.col("__arr"), zero, step)["out"]).alias("e")
+    ).select(
+        F.col("e.pid").alias(_PID),
+        *[F.col(f"e.{name}").alias(f"__off_{name}") for _, name, _ in totals],
+    )
+
+
+def _with_offsets(parted: DataFrame, totals: list[tuple[Column, str, str]]) -> DataFrame:
+    return parted.join(F.broadcast(_prefix_offsets(parted, totals)), _PID, "left")
 
 
 def global_row_number(
@@ -29,42 +324,214 @@ def global_row_number(
 ) -> DataFrame:
     """Scalable ``row_number() over (order by *keys)`` (1-based).
 
-    NOTE: the repartitioned intermediate stays persisted for the
-    lifetime of the returned plan (required — see below: the offset
-    collect and every downstream execution must observe the same
-    sampled range boundaries). Callers running many independent
-    row-number jobs in one session should materialize the result
-    (write/localCheckpoint) and then ``spark.catalog.clearCache()`` or
-    unpersist via ``df.sparkSession.catalog`` to release the cached
-    partitions; at 100 TB the equivalent step is writing the numbered
-    intermediate to storage."""
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    parted = df.repartitionByRange(n, *keys).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    w = Window.partitionBy("__pid").orderBy(*keys)
-    # persisted: the offset collect and the downstream query MUST see
-    # the same range boundaries — repartitionByRange samples it
-    # boundaries per execution, so an unpersisted plan could renumber
-    # between the two jobs. (At 100 TB this materialization is the
-    # usual write-intermediate step of a distributed rank.)
-    local = parted.withColumn("__lrn", F.row_number().over(w)).persist()
-
-    # one row per partition; cumulative offsets computed driver-side
-    counts = sorted(
-        (r["__pid"], r["cnt"])
-        for r in local.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    )
-    offsets, acc = {}, 0
-    for pid, cnt in counts:
-        offsets[pid] = acc
-        acc += cnt
-    off_expr = F.lit(0)
-    for pid, off in offsets.items():
-        if off:
-            off_expr = F.when(F.col("__pid") == pid, F.lit(off)).otherwise(off_expr)
-
+    Identical to the single-task window whenever ``keys`` is a total
+    order (callers append a tiebreaker otherwise)."""
+    parted, specs, knames = _bucketed(df, keys, num_partitions)
+    w = Window.partitionBy(_PID).orderBy(*_sort_cols(specs))
+    out = _with_offsets(parted, [(F.count(F.lit(1)), "cnt", "sum")])
     return (
-        local.withColumn(rn_col, (F.col("__lrn") + off_expr).cast("long"))
-        .drop("__pid", "__lrn")
+        out.withColumn(
+            rn_col,
+            (F.row_number().over(w) + F.coalesce(F.col("__off_cnt"), F.lit(0))).cast("long"),
+        )
+        .drop(_PID, "__off_cnt", *knames)
     )
+
+
+def rekey_row_id(df: DataFrame, keys: list, rid_col: str) -> DataFrame:
+    """Re-derive the veneer's order column from a new sort: drop the old
+    ``rid_col`` and replace it with the global row number over ``keys``
+    (which may reference the old rid as tiebreaker)."""
+    out = global_row_number(df, keys, "__new_rid")
+    return out.drop(rid_col).withColumnRenamed("__new_rid", rid_col)
+
+
+def prefix_scan(
+    df: DataFrame,
+    keys: list,
+    value: Column,
+    kind: str,
+    out_col: str,
+    mask: Column | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed cumulative aggregate (``kind`` ∈ sum/min/max/prod)
+    of ``value`` over the global order by ``keys`` — the two-level
+    prefix scan: per-bucket window scan ⊕ prefix-combined earlier-
+    bucket totals. Aggregates skip nulls; ``mask`` nulls the OUTPUT at
+    rows where the input is missing (pandas/cuDF scan semantics)."""
+    combine = _COMBINE[kind]
+    parted, specs, knames = _bucketed(df, keys, num_partitions)
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*_sort_cols(specs))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    if kind == "prod":
+        # Spark has no product window/agg: exact array fold; null when
+        # no inputs yet (agg semantics)
+        local = F.aggregate(
+            F.collect_list(value).over(w), F.lit(1.0).cast("double"), lambda a, x: a * x
+        )
+        local = F.when(F.size(F.collect_list(value).over(w)) > 0, local)
+        total = F.when(
+            F.count(value) > 0,
+            F.aggregate(F.collect_list(value), F.lit(1.0).cast("double"), lambda a, x: a * x),
+        )
+    else:
+        agg = {"sum": F.sum, "min": F.min, "max": F.max}[kind]
+        local = agg(value).over(w)
+        total = agg(value)
+    out = _with_offsets(parted, [(total, "t", kind)])
+    expr = F.when(local.isNotNull(), combine(local, F.col("__off_t")))
+    if mask is not None:
+        expr = F.when(mask, expr)
+    return out.withColumn(out_col, expr).drop(_PID, "__off_t", *knames)
+
+
+def global_shift(
+    df: DataFrame, keys: list, cols: dict[str, str], periods: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Shift columns by ``periods`` over the global order by ``keys``:
+    number the rows, then equi-join row n with row n−periods — a keyed
+    shuffle, never a single-task window. ``cols`` maps output name →
+    source column."""
+    numbered = global_row_number(df, keys, "__grn", num_partitions)
+    shifted = numbered.select(
+        (F.col("__grn") + F.lit(int(periods))).alias("__grn"),
+        *[F.col(c).alias(o) for o, c in cols.items()],
+    )
+    return numbered.join(shifted, "__grn", "left").drop("__grn")
+
+
+def global_rank(
+    df: DataFrame,
+    value: Column,
+    order,
+    method: str,
+    out_col: str,
+    tiebreak: list | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed ``rank/dense/first/average`` over one global value
+    order. Value-defined buckets co-locate equal keys, so per-bucket
+    ranks are exact after adding the earlier-bucket offset: cumulative
+    row count for rank/first/average, cumulative distinct-value count
+    for dense (distinct sets are disjoint across buckets). ``order`` is
+    the key spec (expr, 'asc'|'desc', 'nulls_first'|'nulls_last');
+    ``tiebreak`` applies only to 'first' (row_number wants a total
+    order — for the peer-grouped methods it would split ties)."""
+    parted, specs, knames = _bucketed(df, [order], num_partitions)
+    sort_col = _sort_cols(specs)[0]
+    w = Window.partitionBy(_PID).orderBy(sort_col)
+    w_first = Window.partitionBy(_PID).orderBy(sort_col, *(tiebreak or []))
+    out = _with_offsets(
+        parted,
+        [
+            (F.count(F.lit(1)), "cnt", "sum"),
+            # countDistinct skips nulls; a bucket holding nulls
+            # contributes one extra dense value
+            (F.countDistinct(value) + F.max(value.isNull().cast("long")), "nd", "sum"),
+        ],
+    )
+    r_off = F.coalesce(F.col("__off_cnt"), F.lit(0))
+    d_off = F.coalesce(F.col("__off_nd"), F.lit(0))
+    if method == "dense":
+        expr = F.dense_rank().over(w) + d_off
+    elif method == "first":
+        expr = F.row_number().over(w_first) + r_off
+    elif method == "average":
+        peers = F.count(F.lit(1)).over(
+            w.rangeBetween(Window.currentRow, Window.currentRow)
+        )
+        expr = (2 * (F.rank().over(w) + r_off) + peers - 1) / 2.0
+    else:  # "min"
+        expr = F.rank().over(w) + r_off
+    return out.withColumn(out_col, expr).drop(_PID, "__off_cnt", "__off_nd", *knames)
+
+
+def blocked_rolling(
+    df: DataFrame,
+    keys: list,
+    aggs: list,
+    window_n: int,
+    block: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Trailing ``window_n``-row rolling aggregates over the global order
+    by ``keys``, without a global window: number the rows, bucket them
+    into blocks of ``block`` rows, and DUPLICATE each block's last
+    ``window_n−1`` rows into the next block as carry-in (they feed
+    frames there but emit no output). Each block then evaluates its
+    rolling frames inside a block-partitioned window — exact for any
+    ``window_n ≤ block``, fully parallel, ~(w/B) row duplication.
+
+    ``aggs``: list of (fn(window) → Column, output name)."""
+    B = block or max(int(window_n) * 64, 1 << 16)
+    assert window_n <= B, "window wider than block"
+    numbered = global_row_number(df, keys, "__grn", num_partitions)
+    blk = ((F.col("__grn") - 1) / B).cast("long")
+    base = numbered.withColumn("__blk", blk).withColumn("__carry", F.lit(False))
+    out_cols = base.columns
+    if window_n > 1:
+        carry = (
+            numbered.filter(((F.col("__grn") - 1) % B) >= B - (window_n - 1))
+            .withColumn("__blk", blk + 1)
+            .withColumn("__carry", F.lit(True))
+        )
+        base = base.unionByName(carry)
+    w = (
+        Window.partitionBy("__blk")
+        .orderBy("__grn")
+        .rowsBetween(-(window_n - 1), 0)
+    )
+    proj = base
+    for expr_fn, name in aggs:
+        proj = proj.withColumn(name, expr_fn(w))
+    return (
+        proj.filter(~F.col("__carry"))
+        .select(*[c for c in out_cols if c not in ("__blk", "__carry", "__grn")],
+                *[name for _, name in aggs])
+    )
+
+
+def is_monotonic_dist(
+    df: DataFrame, rid: str, col: Column, increasing: bool,
+    num_partitions: int | None = None,
+) -> bool:
+    """Distributed monotonicity check over the ``rid`` order: in-bucket
+    lag compare (parallel), reduced to ONE row per bucket (violations,
+    first value, last value) in a single action; the bucket chain is
+    verified driver-side over that bounded metadata. Null semantics
+    match the single-task spelling it replaces: a null current value
+    never counts as a violation."""
+    slim = df.select(F.col(rid).alias("__r"), col.alias("__v"))
+    parted, specs, knames = _bucketed(slim, ["__r"], num_partitions)
+    w = Window.partitionBy(_PID).orderBy("__r")
+    prev = F.lag("__v").over(w)
+    cur = F.col("__v")
+    ok = (cur >= prev) if increasing else (cur <= prev)
+    stats = sorted(
+        (r[_PID], r["bad"], r["first"], r["last"])
+        for r in parted.select(
+            _PID, "__r", "__v", F.when(prev.isNotNull() & ~ok, 1).alias("__b")
+        )
+        .groupBy(_PID)
+        .agg(
+            F.sum("__b").alias("bad"),
+            F.min_by("__v", F.col("__r")).alias("first"),
+            F.max_by("__v", F.col("__r")).alias("last"),
+        )
+        .collect()
+    )
+    if any(bad for _, bad, _, _ in stats):
+        return False
+    for (_, _, _, last_a), (_, _, first_b, _) in zip(stats, stats[1:]):
+        if last_a is None or first_b is None:
+            continue
+        if increasing and not (first_b >= last_a):
+            return False
+        if not increasing and not (first_b <= last_a):
+            return False
+    return True

@@ -183,6 +183,57 @@ GROUP BY s_nationkey ORDER BY nk
 """
 
 
+def join_conditional_semi(spark, sf_dir):
+    """conditional LEFT SEMI join (join.hpp:809
+    conditional_left_semi_join): suppliers with at least one same-nation
+    customer of strictly lower balance — existence only, no pair
+    fan-out. Spark plans the mixed equi+θ predicate as a semi hash join
+    on the equi key with the θ residual, so the probe never materializes
+    matches (the same work-shape as the reference's gather-of-left-only
+    output)."""
+    s = T(spark, sf_dir, "supplier")
+    c = T(spark, sf_dir, "customer")
+    return (
+        s.join(c, (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal), "left_semi")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+        .orderBy("nk")
+    )
+
+
+JOIN_CONDITIONAL_SEMI_SQL = """
+SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+FROM supplier s
+WHERE EXISTS (SELECT 1 FROM customer c
+              WHERE c.c_nationkey = s.s_nationkey AND s.s_acctbal > c.c_acctbal)
+GROUP BY s_nationkey ORDER BY nk
+"""
+
+
+def join_conditional_anti(spark, sf_dir):
+    """conditional LEFT ANTI join (join.hpp:846
+    conditional_left_anti_join): suppliers with NO same-nation customer
+    of lower balance (complement of the semi set — the reference's test
+    matrix pairs the two; cpp/tests/join/conditional_join_tests.cu)."""
+    s = T(spark, sf_dir, "supplier")
+    c = T(spark, sf_dir, "customer")
+    return (
+        s.join(c, (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal), "left_anti")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+        .orderBy("nk")
+    )
+
+
+JOIN_CONDITIONAL_ANTI_SQL = """
+SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+FROM supplier s
+WHERE NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_nationkey = s.s_nationkey AND s.s_acctbal > c.c_acctbal)
+GROUP BY s_nationkey ORDER BY nk
+"""
+
+
 def join_theta_bnlj(spark, sf_dir):
     """pure non-equi θ-join → BroadcastNestedLoopJoin (cuDF
     nested_loop_join.cuh)."""
@@ -335,6 +386,8 @@ QUERIES = {
     "join_anti": join_anti,
     "join_cross": join_cross,
     "join_conditional": join_conditional,
+    "join_conditional_semi": join_conditional_semi,
+    "join_conditional_anti": join_conditional_anti,
     "join_theta_bnlj": join_theta_bnlj,
     "join_nullsafe": join_nullsafe,
     "join_index_aligned": join_index_aligned,
@@ -350,6 +403,8 @@ ORACLE = {
     "join_anti": JOIN_ANTI_SQL,
     "join_cross": JOIN_CROSS_SQL,
     "join_conditional": JOIN_CONDITIONAL_SQL,
+    "join_conditional_semi": JOIN_CONDITIONAL_SEMI_SQL,
+    "join_conditional_anti": JOIN_CONDITIONAL_ANTI_SQL,
     "join_theta_bnlj": JOIN_THETA_SQL,
     "join_nullsafe": JOIN_NULLSAFE_SQL,
     "join_index_aligned": JOIN_INDEX_SQL,

@@ -312,3 +312,95 @@ def test_bloom_decontaminate_null_text_counted_clean(spark, tmp_path):
     # doc_id 194 is the only %97==0 bench doc; the other 4 (incl. the NULL
     # one) are corpus and none shares a 3-gram with the bench -> all clean
     assert {(r.source, r.n_clean) for r in out} == {("web", 4)}
+
+
+def test_order_primitives_no_cache_accumulation(spark):
+    """r2 verdict task #7: the ordering primitives must not accumulate
+    cached/checkpointed partitions across repeated calls. The lazy
+    single-plan design persists NOTHING, so the persistent-RDD count
+    never grows across 10 numbered-and-executed frames (<=: a shared
+    test session may GC other fixtures' frames concurrently)."""
+    from pygdf_spark.operators.order import global_row_number
+
+    sc = spark.sparkContext
+    n0 = sc._jsc.getPersistentRDDs().size()
+    for _ in range(10):
+        out = global_row_number(spark.range(10000), ["id"], "rn")
+        assert out.count() == 10000
+    assert sc._jsc.getPersistentRDDs().size() <= n0
+
+
+def test_global_row_number_permutation_invariant(spark):
+    """The bucket id is a pure function of row values (literal sampled
+    boundaries), so the offsets branch and the data branch can never
+    disagree on partitioning — unlike repartitionByRange, whose
+    per-branch re-sampling corrupted offsets when column pruning
+    differentiated the branches (round-3 lesson). A skewed-key
+    permutation check is the canary: any disagreement yields gaps or
+    duplicate row numbers."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from pygdf_spark.operators.order import global_row_number
+
+    rng = np.random.default_rng(3)
+    vals = np.concatenate(
+        [rng.lognormal(0, 3, 10000), np.repeat(rng.lognormal(0, 3, 5), 2000)]
+    )
+    rng.shuffle(vals)
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"v": vals, "i": np.arange(len(vals))})
+    ).repartition(17)
+    out = global_row_number(sdf, ["v", "i"], "rn")
+    n = len(vals)
+    nd, mn, mx = out.agg(F.countDistinct("rn"), F.min("rn"), F.max("rn")).first()
+    assert (nd, mn, mx) == (n, 1, n)
+
+
+def test_blocked_rolling_cross_block_exact(spark):
+    """Rolling frames that span block boundaries must be exact: tiny
+    block forces every window to cross blocks."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from pygdf_spark.operators.order import blocked_rolling
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame({"r": np.arange(500), "b": rng.normal(size=500)})
+    pdf.loc[rng.choice(500, 40, replace=False), "b"] = None
+    sdf = spark.createDataFrame(pdf).repartition(7)
+    out = blocked_rolling(
+        sdf, ["r"], [(lambda w: F.sum("b").over(w), "s")], 9, block=16
+    )
+    got = out.orderBy("r").select("s").toPandas()["s"]
+    exp = pdf["b"].rolling(9, min_periods=1).sum()
+    assert np.allclose(
+        got.fillna(-9e9).values, exp.fillna(-9e9).values
+    )
+
+
+def test_kmeans_driver_cell_cap_and_no_cache_leak(spark):
+    """r2 verdict task #10: the k-means driver bound is k*d cells per
+    iteration — the guard raises above the cap, and the iteration cache
+    is released before return (no persistent RDDs outlive the call)."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    import pygdf_spark.operators.kmeans as km
+
+    pdf = pd.DataFrame({
+        "vec_id": range(60),
+        "embedding": [list(map(float, np.random.default_rng(i).normal(size=8))) for i in range(60)],
+    })
+    sdf = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="centroid cells"):
+        km.kmeans(sdf, k=km._MAX_DRIVER_CELLS // 8 + 1, iters=1)
+    n0 = spark.sparkContext._jsc.getPersistentRDDs().size()
+    out = km.kmeans(sdf, k=3, iters=2)
+    assert out.count() == 60
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == n0
