@@ -769,6 +769,120 @@ class DataFrame:
         no MultiIndex; cuDF's join is merge-on-index)."""
         return self.merge(right, on=on, how=how, suffixes=(lsuffix, rsuffix))
 
+    # -- MultiIndex level surface (reference core/multiindex.py xs/
+    #    swaplevel/droplevel; labels live in _col_tuples, keys carry an
+    #    empty second level — see GroupBy.agg) ---------------------------
+
+    def _mi_key_cols(self) -> list[str]:
+        """The group-key columns of a multi-agg output (their label
+        tuples carry an empty level — at any position, so the
+        convention survives swaplevel)."""
+        mi = self.columns_tuples
+        if mi is None:
+            return []
+        return [c for c, t in zip(self.columns, mi) if "" in t]
+
+    def xs(self, key, axis: int = 0, level=None, drop_level: bool = True) -> "DataFrame":
+        """Cross-section (reference core/dataframe.py xs / multiindex
+        row selection). ``axis=0`` selects ROWS of a grouped output
+        whose leading key columns equal ``key`` (a scalar or tuple —
+        pandas ``out.xs('A')`` after a 2-key groupby); ``level`` may
+        name the key column(s) explicitly. ``axis=1`` selects COLUMNS
+        whose label tuple matches ``key`` at ``level`` and drops that
+        label level. Distributed: row-xs is a filter (pushes to the
+        scan); column-xs is a projection."""
+        from pygdf_spark.core.multiindex import MultiIndex
+
+        mi = self.columns_tuples
+        if axis == 1:
+            if mi is None:
+                raise TypeError("xs(axis=1) needs multi-level column labels")
+            lv = mi._level_num(level or 0)
+            # the group-key columns play the row-index role (pandas
+            # keeps the index through a column xs) — always retained
+            key_cols = self._mi_key_cols()
+            keep = [
+                (c, t) for c, t in zip(self.columns, mi)
+                if t[lv] == key and "" not in t
+            ]
+            if not keep:
+                raise KeyError(key)
+            rem = [tuple(p for i, p in enumerate(t) if i != lv) for _, t in keep]
+            if mi.nlevels <= 2:
+                names = [str(r[0]) for r in rem]
+            else:
+                names = ["_".join(str(p) for p in r if p != "") for r in rem]
+            if len(set(names)) != len(names):
+                raise ValueError(f"xs would create duplicate columns {names}")
+            sdf = self._sdf.select(
+                _RID, *key_cols,
+                *[F.col(c).alias(n) for (c, _), n in zip(keep, names)],
+            )
+            out = self._with(sdf)
+            if mi.nlevels > 2:
+                width = mi.nlevels - 1
+                out._col_tuples = MultiIndex(
+                    [(k,) + ("",) * (width - 1) for k in key_cols] + rem
+                )
+            return out
+        key = key if isinstance(key, tuple) else (key,)
+        if level is not None:
+            key_cols = [level] if isinstance(level, str) else list(level)
+        else:
+            key_cols = self._mi_key_cols()[: len(key)]
+            if not key_cols:
+                raise TypeError(
+                    "xs(axis=0) needs grouped-output key columns (or pass "
+                    "level=<key column name(s)>)"
+                )
+        if len(key_cols) != len(key):
+            raise KeyError(f"key {key!r} does not match key columns {key_cols}")
+        cond = F.lit(True)
+        for c, v in zip(key_cols, key):
+            cond = cond & (F.col(c) == F.lit(v))
+        sdf = self._sdf.filter(cond)
+        if drop_level:
+            sdf = sdf.drop(*key_cols)
+        out = self._with(sdf)
+        if mi is not None:
+            kept = [
+                t for c, t in zip(self.columns, mi)
+                if not (drop_level and c in key_cols)
+            ]
+            out._col_tuples = MultiIndex(kept, mi.names)
+        return out
+
+    def swaplevel(self, i=-2, j=-1, axis: int = 1) -> "DataFrame":
+        """Swap column-label levels (multiindex.py swaplevel; the
+        physical columns are untouched — labels only)."""
+        mi = self.columns_tuples
+        if axis != 1 or mi is None:
+            raise TypeError("swaplevel: only multi-level column labels here")
+        out = self._with(self._sdf)
+        out._col_tuples = mi.swaplevel(i, j)
+        return out
+
+    def droplevel(self, level=0, axis: int = 1) -> "DataFrame":
+        """Drop one column-label level; remaining labels become the
+        column names (multiindex.py droplevel)."""
+        from pygdf_spark.core.multiindex import MultiIndex
+
+        mi = self.columns_tuples
+        if axis != 1 or mi is None:
+            raise TypeError("droplevel: only multi-level column labels here")
+        dropped = mi.droplevel(level)
+        if isinstance(dropped, MultiIndex):
+            out = self._with(self._sdf)
+            out._col_tuples = dropped
+            return out
+        names = [str(x) for x in dropped]
+        if len(set(names)) != len(names):
+            raise ValueError(f"droplevel would create duplicate columns {names}")
+        out = self._with(
+            self._sdf.withColumnsRenamed(dict(zip(self.columns, names)))
+        )
+        return out
+
     # -- search / encode (search.hpp, transform surface) -----------------
 
     def searchsorted(self, col: str, values: list, side: str = "left") -> list[int]:
@@ -1411,6 +1525,16 @@ class _Loc:
 
     def __getitem__(self, key):
         if isinstance(key, tuple):
+            # multi-level row lookup on a grouped output: a tuple of
+            # SCALAR key values (pandas df.loc[("A", 5)]) — distinct
+            # from the (mask, columns) form whose first element is a
+            # Column / list / slice
+            if (
+                self._df.columns_tuples is not None
+                and not any(isinstance(k, (Column, list, slice)) for k in key)
+                and len(key) <= len(self._df._mi_key_cols())
+            ):
+                return self._df.xs(key, axis=0)
             mask, cols = key
             out = self._df[mask] if isinstance(mask, Column) else _ILoc(self._df)[mask]
             return out[[cols] if isinstance(cols, str) else list(cols)]

@@ -66,6 +66,40 @@ class MultiIndex:
         with ``sep`` ('' level labels — plain key columns — drop out)."""
         return [sep.join(str(p) for p in t if p != "") for t in self._tuples]
 
+    # -- level ops (multiindex.py swaplevel/droplevel) -----------------
+    def _level_num(self, level) -> int:
+        """Resolve a level by position or name."""
+        if isinstance(level, int):
+            return level + self.nlevels if level < 0 else level
+        if level in self.names:
+            return self.names.index(level)
+        raise KeyError(f"level {level!r} not found (names={self.names})")
+
+    def swaplevel(self, i=-2, j=-1) -> "MultiIndex":
+        """Swap two label levels (reference core/multiindex.py
+        swaplevel)."""
+        a, b = self._level_num(i), self._level_num(j)
+
+        def sw(t):
+            t = list(t)
+            t[a], t[b] = t[b], t[a]
+            return tuple(t)
+
+        names = list(self.names)
+        names[a], names[b] = names[b], names[a]
+        return MultiIndex([sw(t) for t in self._tuples], names)
+
+    def droplevel(self, level=0) -> "MultiIndex | list":
+        """Remove one label level; collapses to a plain label list when
+        one level remains (pandas/cuDF behavior)."""
+        k = self._level_num(level)
+        if self.nlevels <= 2:
+            return [t[1 - k] for t in self._tuples]
+        names = [n for i, n in enumerate(self.names) if i != k]
+        return MultiIndex(
+            [tuple(p for i, p in enumerate(t) if i != k) for t in self._tuples], names
+        )
+
     # -- container protocol --------------------------------------------
     def __iter__(self):
         return iter(self._tuples)

@@ -182,11 +182,52 @@ FROM part WHERE p_partkey < 500 ORDER BY p_partkey
 """
 
 
+def io_avro_roundtrip(spark, sf_dir):
+    """read_avro (avro.hpp:212) end-to-end: nation exported to an Avro
+    OCF file (pure-Python encoder, deflate codec) and read back through
+    the DISTRIBUTED decoder (sources/avro_lite.py mapInPandas — one
+    task per file), then aggregated. The oracle runs the same aggregate
+    on the original parquet, so a decode divergence anywhere in the
+    round-trip breaks the value hash."""
+    import os
+    import tempfile
+
+    from pygdf_spark.queries._util import T
+    from pygdf_spark.sources.avro_lite import write_avro
+    from pygdf_spark.sources.io import read_avro
+
+    nation = T(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"pygdf_avro_{tag}_nation.avro")
+    write_avro(nation.toPandas(), path)
+    back = read_avro(spark, path)
+    return (
+        back.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_nationkey").alias("key_sum"),
+            F.min("n_name").alias("first_name"),
+            F.sum(F.length("n_name")).alias("name_chars"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+IO_AVRO_SQL = """
+SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+       MIN(n_name) AS first_name, CAST(SUM(LENGTH(n_name)) AS BIGINT) AS name_chars
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+"""
+
+
 QUERIES = {
     "transpose_small": transpose_small,
     "groupby_describe": groupby_describe,
     "rolling_apply_fold": rolling_apply_fold,
     "str_convert_pack": str_convert_pack,
+    "io_avro_roundtrip": io_avro_roundtrip,
 }
 
 ORACLE = {
@@ -194,4 +235,5 @@ ORACLE = {
     "groupby_describe": DESCRIBE_SQL,
     "rolling_apply_fold": ROLLING_APPLY_SQL,
     "str_convert_pack": STR_CONVERT_SQL,
+    "io_avro_roundtrip": IO_AVRO_SQL,
 }

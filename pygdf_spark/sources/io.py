@@ -165,15 +165,29 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 
 def read_avro(spark: SparkSession, filepath: str) -> DataFrame:
-    """read_avro (avro.hpp:212). The spark-avro module is an external
-    jar; without it this raises a clear error instead of a Py4J wall."""
+    """read_avro (avro.hpp:212). Prefers the spark-avro datasource when
+    its jar is on the classpath (JVM-native decode); otherwise falls
+    back to the in-repo pure-Python OCF decoder (sources/avro_lite.py),
+    which still decodes DISTRIBUTED — one mapInPandas task per file —
+    so the fallback scales with file count rather than gating on an
+    absent jar."""
     try:
-        return spark.read.format("avro").load(filepath)
-    except Exception as e:  # pragma: no cover - environment-dependent
-        raise RuntimeError(
-            "avro support needs the spark-avro package "
-            "(--packages org.apache.spark:spark-avro_2.13:<spark-version>)"
-        ) from e
+        df = spark.read.format("avro").load(filepath)
+        df.schema  # force datasource resolution
+        return df
+    except Exception:
+        from pygdf_spark.sources.avro_lite import read_avro_lite
+
+        return read_avro_lite(spark, filepath)
+
+
+def write_avro(df: DataFrame, path: str) -> None:
+    """Single-file Avro export via the pure-Python encoder (host
+    round-trip — fixture/interop scale, like read_feather; bulk data
+    belongs in parquet/ORC)."""
+    from pygdf_spark.sources.avro_lite import write_avro as _write
+
+    _write(df.toPandas(), path)
 
 
 def read_feather(spark: SparkSession, filepath: str,

@@ -1024,3 +1024,62 @@ def test_merge_asof_timedelta_tolerance(spark):
     )
     norm = lambda xs: [None if pd.isna(x) else x for x in xs]
     assert norm(got["rv"]) == norm(exp["rv"])
+
+
+def test_multiindex_level_ops_vs_pandas(spark):
+    """r2 verdict task #6: xs / swaplevel / droplevel / multi-level loc
+    on the tuple-label surface of 2-level groupby outputs, vs pandas."""
+    import pandas as pd
+
+    import pygdf_spark as gd
+
+    pdf = pd.DataFrame({
+        "a": ["x", "x", "y", "y", "z"],
+        "b": [1, 2, 1, 2, 1],
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0],
+        "w": [10.0, 20.0, 30.0, 40.0, 50.0],
+    })
+    gdf = gd.from_pandas(pdf, spark)
+    got = gdf.groupby(["a", "b"]).agg({"v": ["sum", "max"], "w": ["mean"]})
+    exp = pdf.groupby(["a", "b"]).agg({"v": ["sum", "max"], "w": ["mean"]})
+
+    # column xs: select the 'v' aggregates, dropping level 0
+    gx = got.xs("v", axis=1, level=0)
+    px = exp.xs("v", axis=1, level=0).reset_index()
+    gp = gx.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    assert list(gp["sum"]) == list(px["sum"]) and list(gp["max"]) == list(px["max"])
+
+    # swaplevel then xs on the (now-leading) fn level
+    gs = got.swaplevel(axis=1)
+    assert ("sum", "v") in gs.columns_tuples
+    gx2 = gs.xs("mean", axis=1, level=0).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    px2 = exp.swaplevel(axis=1).xs("mean", axis=1, level=0).reset_index()
+    assert list(gx2["w"]) == list(px2["w"])
+
+    # droplevel guard: dropping the fn level would duplicate 'v'
+    import pytest
+
+    with pytest.raises(ValueError, match="duplicate"):
+        got.droplevel(level=1, axis=1)
+    gw = got.xs("w", axis=1, level=0).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    pw = exp.xs("w", axis=1, level=0).reset_index()
+    assert list(gw["mean"]) == list(pw["mean"])
+
+    # row xs: out.xs('x') selects the a=='x' slice and drops the key
+    gr = got.xs("x").to_pandas().sort_values("b").reset_index(drop=True)
+    pr = exp.xs("x").reset_index()
+    assert "a" not in gr.columns
+    assert list(gr["b"]) == list(pr["b"])
+    assert list(gr[got._flat_name(("v", "sum"))]) == list(pr[("v", "sum")])
+
+    # multi-level loc: full key tuple
+    gl = got.loc[("y", 2)].to_pandas()
+    pl = exp.loc[("y", 2)]
+    assert len(gl) == 1
+    assert gl[got._flat_name(("v", "max"))].iloc[0] == pl[("v", "max")]
+
+    # MultiIndex label ops directly
+    mi = got.columns_tuples
+    assert mi.swaplevel().swaplevel() == mi
+    flat = mi.droplevel(level=1)
+    assert flat[:2] == ["a", "b"]
