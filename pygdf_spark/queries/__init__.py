@@ -45,10 +45,14 @@ _MODULES = [
 # per-query cost at sf0.01. Queries dropped from the window keep their
 # prior-round driver-green rows (CORRECTNESS_r01.json: 47 green).
 _PRIORITY = [
-    # r3 window: 50 of the 84 queries with no driver-green row in
-    # CORRECTNESS_r01/r02 (tools/rotate_window.py); the remaining 34
+    # r3 window: 47 of the 84 queries with no driver-green row in
+    # CORRECTNESS_r01/r02 (tools/rotate_window.py) plus the 3 net-new
+    # r3 queries (avro round-trip, conditional semi/anti joins — the
+    # r2 verdict asks for driver-green rows on them); the remaining 37
     # (sampling, mm stubs, sstream variants, udf variants, remaining
-    # sim_*) rotate in next round. Prior-green rows are cumulative.
+    # sim_*, transpose/reverse/repeat utils) rotate in next round.
+    # Prior-green rows are cumulative.
+    "io_avro_roundtrip", "join_conditional_semi", "join_conditional_anti",
     # as-of variants + event analytics
     "asof_join_forward", "asof_join_nearest",
     "events_funnel", "events_cohort_retention",
@@ -56,14 +60,14 @@ _PRIORITY = [
     "agg_winsorize", "agg_sketch_approx", "agg_grouping_sets",
     # reshape / copying
     "reshape_get_dummies", "reshape_sequence", "reshape_interleave",
-    "reshape_cut_bins", "reshape_qcut_bins", "reverse_tail",
-    "repeat_tile_fill", "is_sorted_check", "hash_partition_hist",
+    "reshape_cut_bins", "reshape_qcut_bins",
+    "is_sorted_check", "hash_partition_hist",
     # strings: the 7 packs without a driver row
     "str_rsplit_pack", "str_find_pack", "str_split_pack", "str_is_pack",
     "str_translate_strip", "str_distance", "str_url_wrap_pack",
     "str_convert_pack",
     # datetimes / dtypes / misc
-    "dt_duration_pack", "dt_window_bucket", "transpose_small",
+    "dt_duration_pack", "dt_window_bucket",
     "interval_range_ops", "byte_cast_pack",
     # lists HOFs
     "list_fold_norm", "list_transform_slice",

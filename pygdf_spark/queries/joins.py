@@ -212,11 +212,14 @@ GROUP BY s_nationkey ORDER BY nk
 
 def join_conditional_anti(spark, sf_dir):
     """conditional LEFT ANTI join (join.hpp:846
-    conditional_left_anti_join): suppliers with NO same-nation customer
-    of lower balance (complement of the semi set — the reference's test
-    matrix pairs the two; cpp/tests/join/conditional_join_tests.cu)."""
+    conditional_left_anti_join): suppliers with NO same-nation
+    top-tier customer (c_acctbal > 9950) of lower balance — the
+    complement of the semi set; the reference's test matrix pairs the
+    two (cpp/tests/join/conditional_join_tests.cu). The right-side
+    filter keeps the anti set non-degenerate at every SF (unfiltered,
+    every supplier matches some customer and the result is empty)."""
     s = T(spark, sf_dir, "supplier")
-    c = T(spark, sf_dir, "customer")
+    c = T(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9950)
     return (
         s.join(c, (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal), "left_anti")
         .groupBy(F.col("s_nationkey").alias("nk"))
@@ -229,7 +232,8 @@ JOIN_CONDITIONAL_ANTI_SQL = """
 SELECT s_nationkey AS nk, COUNT(*) AS n_supp
 FROM supplier s
 WHERE NOT EXISTS (SELECT 1 FROM customer c
-                  WHERE c.c_nationkey = s.s_nationkey AND s.s_acctbal > c.c_acctbal)
+                  WHERE c.c_acctbal > 9950
+                    AND c.c_nationkey = s.s_nationkey AND s.s_acctbal > c.c_acctbal)
 GROUP BY s_nationkey ORDER BY nk
 """
 

@@ -141,8 +141,65 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def kafka_avro_payload(spark, sf_dir):
+    """Kafka read_gdf with an AVRO payload (custreamz kafka.py:130:
+    message_format='avro' hands each message buffer to cudf.read_avro).
+    Supplier is encoded into per-nation Avro OCF messages driver-side
+    (bounded: one message per nation key, connector raw schema), then
+    the REAL consumer path decodes them executor-side via mapInPandas +
+    the in-repo OCF codec, trims an offset range, and aggregates. The
+    oracle runs the same aggregate on the original parquet, so any
+    decode divergence breaks the value hash."""
+    import datetime
+
+    from pygdf_spark.sources.avro_lite import encode_avro
+    from pygdf_spark.streaming import kafka as K
+
+    sup = (
+        T(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey", "s_acctbal")
+        .toPandas()
+    )
+    rows = []
+    for off, (nk, grp) in enumerate(sorted(sup.groupby("s_nationkey"))):
+        rows.append(
+            (
+                None,
+                bytearray(encode_avro(grp.sort_values("s_suppkey"))),
+                "suppliers",
+                0,
+                off,
+                datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=off),
+            )
+        )
+    raw = spark.createDataFrame(rows, K.RAW_SCHEMA_DDL)
+    c = K.Consumer(spark, raw_source=lambda topic: raw)
+    df = c.read_gdf("suppliers", partition=0, start=2, message_format="avro")
+    return (
+        df.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("s_suppkey").alias("key_sum"),
+            F.sum(dec("s_acctbal")).cast("double").alias("bal_sum"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+KAFKA_AVRO_SQL = """
+WITH ranked AS (
+  SELECT *, DENSE_RANK() OVER (ORDER BY s_nationkey) - 1 AS off FROM supplier
+)
+SELECT s_nationkey, COUNT(*) AS n, CAST(SUM(s_suppkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal_sum
+FROM ranked WHERE off >= 2
+GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
 QUERIES = {
     "stream_tumbling_window": stream_tumbling_window,
+    "kafka_avro_payload": kafka_avro_payload,
     "stream_sliding_window": stream_sliding_window,
     "stream_session_window": stream_session_window,
     "stream_dedup_keys": stream_dedup_keys,
@@ -151,6 +208,7 @@ QUERIES = {
 
 ORACLE = {
     "stream_tumbling_window": STREAM_TUMBLING_SQL,
+    "kafka_avro_payload": KAFKA_AVRO_SQL,
     "stream_sliding_window": STREAM_SLIDING_SQL,
     "stream_session_window": STREAM_SESSION_SQL,
     "stream_dedup_keys": STREAM_DEDUP_SQL,

@@ -133,30 +133,42 @@ def _read_header(fh):
     return schema, codec, sync
 
 
+def _decode_stream(fh) -> tuple[dict, list[dict]]:
+    """Decode one OCF stream → (schema, records)."""
+    schema, codec, sync = _read_header(fh)
+    assert schema["type"] == "record", "top-level schema must be a record"
+    readers = [(f["name"], _field_reader(f["type"])) for f in schema["fields"]]
+    records = []
+    while True:
+        head = fh.read(1)
+        if not head:
+            break
+        fh.seek(-1, os.SEEK_CUR)
+        count = _read_long(fh)
+        size = _read_long(fh)
+        block = fh.read(size)
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)
+        elif codec != "null":
+            raise TypeError(f"unsupported codec {codec}")
+        buf = io.BytesIO(block)
+        for _ in range(count):
+            records.append({name: rd(buf) for name, rd in readers})
+        assert fh.read(16) == sync, "sync marker mismatch"
+    return schema, records
+
+
 def read_records(path: str) -> tuple[dict, list[dict]]:
     """Decode one file → (schema, records). Used per-task."""
     with open(path, "rb") as fh:
-        schema, codec, sync = _read_header(fh)
-        assert schema["type"] == "record", "top-level schema must be a record"
-        readers = [(f["name"], _field_reader(f["type"])) for f in schema["fields"]]
-        records = []
-        while True:
-            head = fh.read(1)
-            if not head:
-                break
-            fh.seek(-1, os.SEEK_CUR)
-            count = _read_long(fh)
-            size = _read_long(fh)
-            block = fh.read(size)
-            if codec == "deflate":
-                block = zlib.decompress(block, -15)
-            elif codec != "null":
-                raise TypeError(f"unsupported codec {codec}")
-            buf = io.BytesIO(block)
-            for _ in range(count):
-                records.append({name: rd(buf) for name, rd in readers})
-            assert fh.read(16) == sync, "sync marker mismatch"
-    return schema, records
+        return _decode_stream(fh)
+
+
+def read_records_buf(data: bytes) -> tuple[dict, list[dict]]:
+    """Decode an in-memory OCF blob (Kafka message payload shape —
+    custreamz read_gdf hands cudf.read_avro the raw buffer the same
+    way; kafka.py:158-165)."""
+    return _decode_stream(io.BytesIO(data))
 
 
 # -- writer (fixtures / export parity) -----------------------------------
@@ -224,8 +236,8 @@ def _field_writer(ftype):
     raise TypeError(f"unsupported avro type {ftype!r}")
 
 
-def write_avro(pdf, path: str, codec: str = "deflate") -> None:
-    """pandas frame → one Avro OCF file (null-able union per column)."""
+def encode_avro(pdf, codec: str = "deflate") -> bytes:
+    """pandas frame → one Avro OCF blob (null-able union per column)."""
     import numpy as np
 
     schema = _schema_for(pdf)
@@ -259,8 +271,13 @@ def write_avro(pdf, path: str, codec: str = "deflate") -> None:
     _write_long(out, len(data))
     out.extend(data)
     out.extend(sync)
+    return bytes(out)
+
+
+def write_avro(pdf, path: str, codec: str = "deflate") -> None:
+    """pandas frame → one Avro OCF file."""
     with open(path, "wb") as fh:
-        fh.write(bytes(out))
+        fh.write(encode_avro(pdf, codec))
 
 
 # -- the distributed Spark reader ----------------------------------------

@@ -49,12 +49,106 @@ RAW_SCHEMA_DDL = (
 )
 
 
+#: payload formats decoded executor-side from the binary value column
+#: (custreamz kafka.py:158-165 routes these to cuIO readers; here avro
+#: goes to the in-repo OCF codec, parquet/orc to pyarrow — all three
+#: inside ONE mapInPandas so decode parallelism == raw partition count)
+_BINARY_FORMATS = ("avro", "parquet", "orc")
+
+
+def _parse_payload(message_format: str, data: bytes):
+    """One binary payload blob → pandas frame (executor-side)."""
+    import pandas as pd
+
+    if message_format == "avro":
+        from pygdf_spark.sources.avro_lite import read_records_buf
+
+        schema, records = read_records_buf(data)
+        names = [f["name"] for f in schema["fields"]]
+        return pd.DataFrame.from_records(records, columns=names)
+    import pyarrow as pa
+
+    if message_format == "parquet":
+        import pyarrow.parquet as pq
+
+        return pq.read_table(pa.BufferReader(data)).to_pandas()
+    import pyarrow.orc as orc
+
+    return orc.ORCFile(pa.BufferReader(data)).read().to_pandas()
+
+
+def _infer_payload_schema(raw: DataFrame, message_format: str):
+    """Spark StructType of a binary payload, inferred from ONE message
+    (driver-side, bounded: limit(1) — the same inference cudf's readers
+    do from each buffer's embedded header/footer)."""
+    first = raw.select("value").limit(1).collect()
+    if not first:
+        raise ValueError(
+            f"cannot infer {message_format} payload schema from an empty "
+            "topic; pass schema= explicitly"
+        )
+    data = bytes(first[0]["value"])
+    if message_format == "avro":
+        from pygdf_spark.sources.avro_lite import _read_header, _spark_type
+
+        import io as _io
+
+        schema, _, _ = _read_header(_io.BytesIO(data))
+        ddl = ", ".join(
+            f"`{f['name']}` {_spark_type(f['type'])}" for f in schema["fields"]
+        )
+        return ddl
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    import pyarrow as pa
+
+    if message_format == "parquet":
+        import pyarrow.parquet as pq
+
+        arrow = pq.read_schema(pa.BufferReader(data))
+    else:
+        import pyarrow.orc as orc
+
+        arrow = orc.ORCFile(pa.BufferReader(data)).schema
+    return from_arrow_schema(arrow)
+
+
 def _decode(raw: DataFrame, message_format: str, schema: str | None) -> DataFrame:
     """value-column decode shared by every source (connector or mock):
-    the Spark analog of custreamz's cuIO message_format parse."""
-    value = F.col("value").cast("string")
+    the Spark analog of custreamz's cuIO message_format parse
+    (kafka.py:158-165: json/csv/avro/orc/parquet)."""
     if message_format == "raw":
         return raw
+    if message_format in _BINARY_FORMATS:
+        from pyspark.sql.types import StructType
+
+        payload = schema if schema is not None else _infer_payload_schema(
+            raw, message_format
+        )
+        if isinstance(payload, str):
+            payload_t = StructType.fromDDL(payload)
+        else:
+            payload_t = payload
+        meta_t = StructType.fromDDL(
+            "partition int, offset bigint, timestamp timestamp"
+        )
+        out_t = StructType(payload_t.fields + meta_t.fields)
+        names = [f.name for f in payload_t.fields]
+        fmt = message_format
+
+        def decode(batches):
+            for pdf in batches:
+                for val, part, off, ts in zip(
+                    pdf["value"], pdf["partition"], pdf["offset"], pdf["timestamp"]
+                ):
+                    rec = _parse_payload(fmt, bytes(val))[names]
+                    rec = rec.assign(partition=part, offset=off, timestamp=ts)
+                    yield rec
+
+        return raw.select("value", "partition", "offset", "timestamp").mapInPandas(
+            decode, schema=out_t
+        )
+    value = F.col("value").cast("string")
     if schema is None:
         raise ValueError(f"{message_format} decode needs a schema DDL string")
     parser = {"json": F.from_json, "csv": F.from_csv}.get(message_format)

@@ -106,3 +106,72 @@ def test_read_stream_gated_without_jar(spark):
         assert "spark-sql-kafka" in str(e)
     else:
         assert sdf.isStreaming
+
+
+def _binary_raw_frame(spark, fmt: str):
+    """6 messages (3 per partition), each payload a multi-row binary
+    blob — avro OCF via the in-repo codec, parquet/orc via pyarrow —
+    the shape custreamz read_gdf hands to cuIO (kafka.py:158-165)."""
+    import io
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from pygdf_spark.sources.avro_lite import encode_avro
+
+    def blob(lo: int) -> bytes:
+        pdf = pd.DataFrame({
+            "id": list(range(lo, lo + 4)),
+            "name": [f"row{j}" for j in range(lo, lo + 4)],
+            "score": [j * 1.5 for j in range(lo, lo + 4)],
+        })
+        if fmt == "avro":
+            return encode_avro(pdf)
+        table = pa.Table.from_pandas(pdf, preserve_index=False)
+        sink = io.BytesIO()
+        if fmt == "parquet":
+            import pyarrow.parquet as pq
+
+            pq.write_table(table, sink)
+        else:
+            import pyarrow.orc as orc
+
+            orc.write_table(table, sink)
+        return sink.getvalue()
+
+    rows = []
+    for p in (0, 1):
+        for off in range(3):
+            lo = (p * 3 + off) * 4
+            rows.append(
+                (None, bytearray(blob(lo)), "t", p, off,
+                 datetime.datetime(2024, 1, 1, 0, 0, off))
+            )
+    return spark.createDataFrame(rows, K.RAW_SCHEMA_DDL)
+
+
+@pytest.mark.parametrize("fmt", ["avro", "parquet", "orc"])
+def test_consumer_binary_payload_decode(spark, fmt):
+    """read_gdf message_format avro/parquet/orc: schema inferred from
+    the first message, offset trim still applies, values exact."""
+    raw = _binary_raw_frame(spark, fmt)
+    c = K.Consumer(spark, raw_source=lambda topic: raw)
+    df = c.read_gdf("t", partition=0, start=1, end=3, message_format=fmt)
+    got = sorted((r["id"], r["name"], r["score"], r["offset"]) for r in df.collect())
+    exp = [(i, f"row{i}", i * 1.5, i // 4) for i in range(4, 12)]
+    assert got == exp
+    # explicit DDL schema path (column subset ordering still honored)
+    df2 = c.read_gdf("t", partition=1, message_format=fmt,
+                     schema="id bigint, name string, score double")
+    assert df2.count() == 12
+    assert df2.columns == ["id", "name", "score", "partition", "offset", "timestamp"]
+    # decode stays executor-side: one mapInPandas, no Python row loop
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+
+
+def test_binary_payload_empty_topic_schema_error(spark):
+    raw = spark.createDataFrame([], K.RAW_SCHEMA_DDL)
+    c = K.Consumer(spark, raw_source=lambda topic: raw)
+    with pytest.raises(ValueError, match="empty"):
+        c.read_gdf("t", message_format="avro")
