@@ -46,27 +46,50 @@ def _dim_probe(vecs: DataFrame, vec_col: str) -> int:
     return int(row["d"]) if row else 0
 
 
-def _dist2(vec_col, centroid: list[float]):
+def _dist2(vec_col, centroid: list[float], quantize: bool = False):
     """Squared L2 distance from a µ-unit int64 array column to a
     literal double centroid, folded in array order (IEEE-identical in
-    DuckDB's list_sum(list_transform(...)))."""
+    DuckDB's list_sum(list_transform(...))). With ``quantize``, the
+    input is the RAW float array and each element quantizes INSIDE the
+    fold: a separate ``transform`` projection would be inlined by
+    Catalyst into all k per-centroid folds (HOF lambdas sit outside
+    codegen CSE — k copies of the quantize pass per row, the
+    audit_plans dup-HOF hazard); fusing costs two extra flops per
+    element and keeps one pass per centroid with no intermediate
+    array. The bigint→double cast is exact at µ-unit magnitudes, so
+    values are bit-identical to the two-step path."""
     c_arr = F.array(*[F.lit(float(x)) for x in centroid])
+    if quantize:
+        def elem(a, c):
+            q = F.round(a.cast("double") * F.lit(1000000.0), 0).cast("bigint")
+            return (q.cast("double") - c) * (q.cast("double") - c)
+    else:
+        def elem(a, c):
+            return (a.cast("double") - c) * (a.cast("double") - c)
     return F.aggregate(
-        F.zip_with(vec_col, c_arr, lambda a, c: (a.cast("double") - c) * (a.cast("double") - c)),
+        F.zip_with(vec_col, c_arr, elem),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
 
 
-def assign_clusters(ivecs: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+def assign_clusters(ivecs: DataFrame, centroids: list[tuple[int, list[float]]],
+                    quantize: bool = False) -> DataFrame:
     """(vid, vec, cid, dist2): nearest centroid per vector — one
     map-side projection, ties to the lower cluster index. ``centroids``
     is (cid, vector) pairs so a dropped (emptied) cluster's id simply
     stops competing — identical to the oracle CTE, where an empty
-    cluster vanishes from the centroid table."""
+    cluster vanishes from the centroid table. ``quantize`` means "vec"
+    is the raw float array and quantization fuses into each distance
+    fold (see _dist2) — for call sites where a persisted pre-quantized
+    frame is NOT available to stop Catalyst inlining the quantize
+    transform k times."""
     pairs = F.array(
         *[
-            F.struct(_dist2(F.col("vec"), c).alias("dist"), F.lit(cid).alias("cid"))
+            F.struct(
+                _dist2(F.col("vec"), c, quantize=quantize).alias("dist"),
+                F.lit(cid).alias("cid"),
+            )
             for cid, c in centroids
         ]
     )
@@ -170,6 +193,10 @@ def kmeans(vecs: DataFrame, k: int = 4, iters: int = 2,
         centroids = update_centroids(assigned, d)
         assigned = assign_clusters(iv, centroids)
     iv.unpersist()
-    fresh = vecs.select(F.col(id_col).alias("vid"), _int_vec(vec_col).alias("vec"))
-    out = assign_clusters(fresh, centroids).select("vid", "cid", "dist2")
+    # final assignment rebuilds from the source relation (nothing
+    # cached outlives this call) with quantization FUSED into the
+    # distance folds — a separate _int_vec projection here would be
+    # inlined k times (no cache boundary to stop CollapseProject)
+    fresh = vecs.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    out = assign_clusters(fresh, centroids, quantize=True).select("vid", "cid", "dist2")
     return (out, centroids) if return_centroids else out
