@@ -286,27 +286,29 @@ def byte_cast_pack(spark, sf_dir):
     be = [byte_at(k, i) for i in range(8)]
     i32 = k.cast("int").cast("long")
     be32 = [F.shiftright(i32, 8 * (3 - i)).bitwiseAND(F.lit(255)).cast("int") for i in range(4)]
+    # byte lists stringified: the driver canonicalizer sorts with pandas,
+    # which cannot hash list cells (r3 hash-fail root cause)
     return o.select(
         "o_orderkey",
-        F.array(*be).alias("bytes_be"),
-        F.array(*reversed(be)).alias("bytes_le"),
-        F.array(*be32).alias("bytes_be_i32"),
+        F.array_join(F.array(*be), ",").alias("bytes_be"),
+        F.array_join(F.array(*reversed(be)), ",").alias("bytes_le"),
+        F.array_join(F.array(*be32), ",").alias("bytes_be_i32"),
         be[7].alias("lo_byte"),
     ).orderBy("o_orderkey")
 
 
 BYTE_CAST_SQL = """
 SELECT o_orderkey,
-       [CAST((o_orderkey >> 56) & 255 AS INT), CAST((o_orderkey >> 48) & 255 AS INT),
+       array_to_string([CAST((o_orderkey >> 56) & 255 AS INT), CAST((o_orderkey >> 48) & 255 AS INT),
         CAST((o_orderkey >> 40) & 255 AS INT), CAST((o_orderkey >> 32) & 255 AS INT),
         CAST((o_orderkey >> 24) & 255 AS INT), CAST((o_orderkey >> 16) & 255 AS INT),
-        CAST((o_orderkey >> 8) & 255 AS INT),  CAST(o_orderkey & 255 AS INT)] AS bytes_be,
-       [CAST(o_orderkey & 255 AS INT),         CAST((o_orderkey >> 8) & 255 AS INT),
+        CAST((o_orderkey >> 8) & 255 AS INT),  CAST(o_orderkey & 255 AS INT)], ',') AS bytes_be,
+       array_to_string([CAST(o_orderkey & 255 AS INT),         CAST((o_orderkey >> 8) & 255 AS INT),
         CAST((o_orderkey >> 16) & 255 AS INT), CAST((o_orderkey >> 24) & 255 AS INT),
         CAST((o_orderkey >> 32) & 255 AS INT), CAST((o_orderkey >> 40) & 255 AS INT),
-        CAST((o_orderkey >> 48) & 255 AS INT), CAST((o_orderkey >> 56) & 255 AS INT)] AS bytes_le,
-       [CAST((o_orderkey >> 24) & 255 AS INT), CAST((o_orderkey >> 16) & 255 AS INT),
-        CAST((o_orderkey >> 8) & 255 AS INT),  CAST(o_orderkey & 255 AS INT)] AS bytes_be_i32,
+        CAST((o_orderkey >> 48) & 255 AS INT), CAST((o_orderkey >> 56) & 255 AS INT)], ',') AS bytes_le,
+       array_to_string([CAST((o_orderkey >> 24) & 255 AS INT), CAST((o_orderkey >> 16) & 255 AS INT),
+        CAST((o_orderkey >> 8) & 255 AS INT),  CAST(o_orderkey & 255 AS INT)], ',') AS bytes_be_i32,
        CAST(o_orderkey & 255 AS INT) AS lo_byte
 FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey
 """

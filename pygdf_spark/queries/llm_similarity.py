@@ -320,8 +320,10 @@ def sim_doc_pool(spark, sf_dir):
     for i in range(64):
         t = F.col(f"s{i}") * F.col(f"s{i}")
         sum_norm2 = t if sum_norm2 is None else sum_norm2 + t
+    # pooled vector stringified: the driver canonicalizer sorts with
+    # pandas, which cannot hash list cells (r3 hash-fail class)
     return agg.select(
-        "doc_id", "n_chunks", pooled.alias("doc_vec"),
+        "doc_id", "n_chunks", F.array_join(pooled, ",").alias("doc_vec"),
         sum_norm2.alias("sum_norm2"),
     ).orderBy("doc_id")
 
@@ -339,7 +341,7 @@ sums AS (
 )
 SELECT doc_id,
        CAST(MAX(n) AS BIGINT) AS n_chunks,
-       list((s * 1000) // n ORDER BY i) AS doc_vec,
+       array_to_string(list((s * 1000) // n ORDER BY i), ',') AS doc_vec,
        CAST(SUM(s * s) AS BIGINT) AS sum_norm2
 FROM sums GROUP BY doc_id ORDER BY doc_id
 """

@@ -160,8 +160,14 @@ def str_convert_pack(spark, sf_dir):
         F.conv(hex6, 16, 10).cast("long").alias("htoi"),
         ip.alias("ip"),
         ip2int.alias("ip2int"),
-        F.transform(F.split(F.substring("p_name", 1, 8), ""), F.ascii).alias("code_points"),
-        F.array(F.instr("p_name", "a"), F.instr("p_name", "ol"), F.instr("p_name", "e")).alias("find_multiple"),
+        # arrays stringified: the driver canonicalizer sorts columns with
+        # pandas, which cannot hash list cells (r3 hash-fail root cause)
+        F.array_join(
+            F.transform(F.split(F.substring("p_name", 1, 8), ""), F.ascii), ","
+        ).alias("code_points"),
+        F.array_join(
+            F.array(F.instr("p_name", "a"), F.instr("p_name", "ol"), F.instr("p_name", "e")), ","
+        ).alias("find_multiple"),
     ).orderBy("p_partkey")
 
 
@@ -175,9 +181,10 @@ SELECT p_partkey,
        ((p_partkey * 7) % 256) || '.' || ((p_partkey * 13) % 256) AS ip,
        (p_partkey % 224 + 1) * 16777216 + (p_partkey % 256) * 65536 +
        ((p_partkey * 7) % 256) * 256 + ((p_partkey * 13) % 256) AS ip2int,
-       list_transform(string_split(substring(p_name, 1, 8), ''), c -> CAST(ascii(c) AS INT)) AS code_points,
-       [CAST(strpos(p_name, 'a') AS INT), CAST(strpos(p_name, 'ol') AS INT),
-        CAST(strpos(p_name, 'e') AS INT)] AS find_multiple
+       array_to_string(list_transform(string_split(substring(p_name, 1, 8), ''),
+                                      c -> CAST(ascii(c) AS INT)), ',') AS code_points,
+       array_to_string([CAST(strpos(p_name, 'a') AS INT), CAST(strpos(p_name, 'ol') AS INT),
+                        CAST(strpos(p_name, 'e') AS INT)], ',') AS find_multiple
 FROM part WHERE p_partkey < 500 ORDER BY p_partkey
 """
 

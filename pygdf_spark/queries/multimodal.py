@@ -178,9 +178,11 @@ def mm_feature_stub(spark, sf_dir):
     feat = F.array(*[
         md5_mod(F.concat(F.col("text"), F.lit(str(j))), 997) for j in range(8)
     ])
+    # feature vector stringified: the driver canonicalizer sorts with
+    # pandas, which cannot hash list cells (r3 hash-fail class)
     return d.select(
         "doc_id",
-        feat.alias("feat"),
+        F.array_join(feat, ",").alias("feat"),
         F.aggregate(feat, F.lit(0).cast("long"), lambda a, v: a + v).alias("feat_sum"),
     ).orderBy("doc_id")
 
@@ -191,9 +193,9 @@ SELECT doc_id,
        CAST({sum} AS BIGINT) AS feat_sum
 FROM documents WHERE doc_id < 200 ORDER BY doc_id
 """.format(
-    feat="list_value(" + ", ".join(
+    feat="array_to_string(list_value(" + ", ".join(
         f"CAST(md5_number_lower(text || '{j}') % 997 AS BIGINT)" for j in range(8)
-    ) + ")",
+    ) + "), ',')",
     sum=" + ".join(f"md5_number_lower(text || '{j}') % 997" for j in range(8)),
 )
 

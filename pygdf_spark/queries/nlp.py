@@ -188,10 +188,12 @@ def nlp_subword_tokenize(spark, sf_dir):
 
     d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     out = subword_tokenize(d, "text", max_len=32)
+    # ids stringified: the driver canonicalizer sorts with pandas, which
+    # cannot hash list cells (r3 rows-only check still errored on sort)
     return out.select(
         "doc_id",
         "n_tokens",
-        F.slice("input_ids", 1, 12).alias("ids_head"),
+        F.array_join(F.slice("input_ids", 1, 12), ",").alias("ids_head"),
         F.element_at("attention_mask", 1).alias("mask_first"),
     ).orderBy("doc_id")
 
