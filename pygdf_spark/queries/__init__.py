@@ -45,44 +45,44 @@ _MODULES = [
 # per-query cost at sf0.01. Queries dropped from the window keep their
 # prior-round driver-green rows (CORRECTNESS_r01.json: 47 green).
 _PRIORITY = [
-    # r3 window: 47 of the 84 queries with no driver-green row in
-    # CORRECTNESS_r01/r02 (tools/rotate_window.py) plus the 3 net-new
-    # r3 queries (avro round-trip, conditional semi/anti joins — the
-    # r2 verdict asks for driver-green rows on them); the remaining 37
-    # (sampling, mm stubs, sstream variants, udf variants, remaining
-    # sim_*, transpose/reverse/repeat utils) rotate in next round.
-    # Prior-green rows are cumulative.
-    "io_avro_roundtrip", "join_conditional_semi", "join_conditional_anti",
-    # as-of variants + event analytics
-    "asof_join_forward", "asof_join_nearest",
-    "events_funnel", "events_cohort_retention",
-    # aggregates not yet driver-checked
-    "agg_winsorize", "agg_sketch_approx", "agg_grouping_sets",
-    # reshape / copying
-    "reshape_get_dummies", "reshape_sequence", "reshape_interleave",
-    "reshape_cut_bins", "reshape_qcut_bins",
-    "is_sorted_check", "hash_partition_hist",
-    # strings: the 7 packs without a driver row
-    "str_rsplit_pack", "str_find_pack", "str_split_pack", "str_is_pack",
-    "str_translate_strip", "str_distance", "str_url_wrap_pack",
-    "str_convert_pack",
-    # datetimes / dtypes / misc
-    "dt_duration_pack", "dt_window_bucket",
-    "interval_range_ops", "byte_cast_pack",
-    # lists HOFs
-    "list_fold_norm", "list_transform_slice",
-    # text analysis family
-    "text_vocab_coverage", "text_bm25_topk", "text_lm_frequency",
-    "text_ngrams_top", "text_langid", "text_quality",
-    "text_fingerprint", "text_repetition",
-    # NLP
-    "nlp_subword_tokenize", "nlp_char_ngrams", "nlp_porter_measure",
-    "nlp_normalize_chars", "nlp_edit_distance_matrix",
-    # graph + composite pipelines
-    "graph_pagerank", "pipeline_neardup_prune",
-    # dedup family remainder
-    "dedup_incremental", "dedup_prefix_groups", "dedup_ngram_jaccard",
-    "dedup_decontaminate",
+    # r4 window (tools/rotate_window.py): the 41 queries with no
+    # driver-green row in CORRECTNESS_r01-r03 — including the 5 that
+    # hash-failed r3 ONLY because the driver canonicalizer cannot sort
+    # list cells (array outputs now stringified via array_join) — plus
+    # the 9 net-new r4 queries. 41 + 9 = 50 exactly; after this round
+    # every registry entry has had a driver row. Prior-green rows are
+    # cumulative.
+    # -- r3 canon-hazard retries (fixed: arrays stringified)
+    "str_convert_pack", "byte_cast_pack", "nlp_subword_tokenize",
+    "sim_doc_pool", "mm_feature_stub",
+    # -- net-new r4 queries
+    "join_conditional_left", "win_ntile_bucket", "topk_per_group",
+    "events_sessionize", "agg_filtered_pack", "str_like_pack",
+    "sample_reservoir", "text_tfidf_top", "mi_xs_level",
+    # -- copy/reshape utilities
+    "reverse_tail", "repeat_tile_fill", "transpose_small",
+    # -- dedup remainder
+    "dedup_decontaminate_bloom", "dedup_span_fingerprint", "dedup_semantic",
+    # -- similarity / ANN remainder
+    "search_hybrid_rrf", "sim_quantize_int8", "sim_pq_adc",
+    "sim_neardup_pairs", "sim_kmeans_ivf", "sim_ivf_probe",
+    "sim_ann_recall",
+    # -- sampling / packing
+    "sample_stratified", "sample_quality_weighted", "sample_class_balance",
+    "pack_sequences", "sample_mixture",
+    # -- multimodal stubs
+    "mm_image_decode_stub", "mm_frame_sample", "mm_resize_stub",
+    "mm_audio_stub",
+    # -- composite pipeline
+    "pipeline_pretrain_prep",
+    # -- UDF variants
+    "udf_groupby_apply_arrow", "udf_apply_chunks_tokens",
+    "udf_groupby_apply_top2", "udf_map_in_arrow",
+    # -- streaming (batch-semantics + live micro-batch variants)
+    "kafka_avro_payload", "stream_sliding_window", "stream_dedup_keys",
+    "stream_late_data_cutoff", "sstream_static_join_live",
+    "sstream_session_live", "sstream_join_live", "sstream_sliding_live",
+    "sstream_dedup_live",
 ]
 
 

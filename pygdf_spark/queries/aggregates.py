@@ -521,7 +521,53 @@ GROUP BY c.l_returnflag ORDER BY c.l_returnflag
 """
 
 
+def agg_filtered_pack(spark, sf_dir):
+    """Conditional / filtered aggregates (SQL FILTER clause; pandas
+    masked-agg idiom; reference null-skipping agg semantics
+    aggregation.hpp with a boolean mask). count_if, conditional sums,
+    and a conditional mean — each is one map-side predicate folded into
+    the partial aggregate, so the pack is still a single shuffle on the
+    group key with full map-side combine."""
+    o = T(spark, sf_dir, "orders")
+    cents = (dec("o_totalprice") * 100).cast("long")
+    hi = F.when(cents > 15_000_000, cents)
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.count_if(cents > 15_000_000).alias("n_hi"),
+            F.sum(hi).alias("sum_hi_cents"),
+            F.count_if(urgent).alias("n_urgent"),
+            F.sum(F.when(urgent, cents).otherwise(F.lit(0))).alias("sum_urgent_cents"),
+            F.floor(
+                F.sum(hi) / F.nullif(F.count_if(cents > 15_000_000), F.lit(0))
+            ).alias("mean_hi_floor"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+AGG_FILTERED_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_all,
+       COUNT(*) FILTER (WHERE cents > 15000000) AS n_hi,
+       CAST(SUM(cents) FILTER (WHERE cents > 15000000) AS BIGINT) AS sum_hi_cents,
+       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+       CAST(COALESCE(SUM(cents) FILTER (WHERE o_orderpriority = '1-URGENT'), 0) AS BIGINT)
+         AS sum_urgent_cents,
+       CAST(FLOOR(CAST(SUM(cents) FILTER (WHERE cents > 15000000) AS DOUBLE)
+                  / NULLIF(COUNT(*) FILTER (WHERE cents > 15000000), 0)) AS BIGINT)
+         AS mean_hi_floor
+FROM (SELECT o_orderstatus, o_orderpriority,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM orders)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
+    "agg_filtered_pack": agg_filtered_pack,
     "agg_basic_stats": agg_basic_stats,
     "agg_winsorize": agg_winsorize,
     "agg_sketch_approx": agg_sketch_approx,
@@ -540,6 +586,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_filtered_pack": AGG_FILTERED_SQL,
     "agg_basic_stats": AGG_BASIC_SQL,
     "agg_sketch_approx": AGG_SKETCH_SQL,
     "agg_moments": AGG_MOMENTS_SQL,

@@ -340,7 +340,68 @@ ORDER BY l_orderkey, l_linenumber
 """
 
 
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (the batch form of the streaming
+    session window — Structured Streaming session_window's semantics
+    re-derived over history): per user, a new session starts when the
+    gap to the previous event exceeds 30 min. Classic lag→flag→cumsum:
+    both windows share ONE partitioning (user_id), so the whole
+    operator is a single shuffle + one in-partition pass, then a
+    partial-aggregable groupBy on (user, session). Scales: state per
+    task is one row of look-back."""
+    e = events_ts(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(us.asc(), F.col("event_id").asc())
+    gap_us = 30 * 60 * 1_000_000
+    flagged = e.select(
+        "user_id", "event_id", us.alias("us"),
+        F.when(
+            F.lag(us).over(w).isNull() | (us - F.lag(us).over(w) > gap_us),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("is_new"),
+    )
+    sess = flagged.withColumn(
+        "session_seq",
+        F.sum("is_new").over(
+            Window.partitionBy("user_id")
+            .orderBy(F.col("us").asc(), F.col("event_id").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("us") - F.min("us")).alias("dur_us"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         CASE WHEN LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+                OR epoch_us(CAST(ts AS TIMESTAMP))
+                   - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+),
+sess AS (
+  SELECT user_id, us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       COUNT(*) AS n_events, CAST(MAX(us) - MIN(us) AS BIGINT) AS dur_us
+FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq
+"""
+
+
 QUERIES = {
+    "events_sessionize": events_sessionize,
     "asof_join_events": asof_join_events,
     "asof_join_forward": asof_join_forward,
     "asof_join_nearest": asof_join_nearest,
@@ -351,6 +412,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_sessionize": EVENTS_SESSIONIZE_SQL,
     "asof_join_events": ASOF_JOIN_SQL,
     "asof_join_forward": ASOF_FORWARD_SQL,
     "asof_join_nearest": ASOF_NEAREST_SQL,

@@ -201,6 +201,38 @@ def join_conditional_semi(spark, sf_dir):
     )
 
 
+def join_conditional_left(spark, sf_dir):
+    """conditional LEFT join (join.hpp:747 conditional_left_join):
+    every supplier row survives; matches require same nation AND a
+    top-tier customer (c_acctbal > 8000) of strictly lower balance.
+    Unmatched suppliers keep NULL right columns — counted via
+    COUNT(c_custkey) = 0. Spark plans equi-key hash join with the θ
+    residual; the left preservation is free (no second pass)."""
+    s = T(spark, sf_dir, "supplier")
+    c = T(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 8000)
+    j = s.join(
+        c, (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal), "left"
+    )
+    return (
+        j.groupBy("s_suppkey")
+        .agg(
+            F.count("c_custkey").alias("n_matched"),
+            F.max("c_acctbal").cast("decimal(12,2)").alias("best_bal"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+JOIN_CONDITIONAL_LEFT_SQL = """
+SELECT s_suppkey, COUNT(c.c_custkey) AS n_matched,
+       CAST(MAX(c.c_acctbal) AS DECIMAL(12,2)) AS best_bal
+FROM supplier s
+LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 8000) c
+  ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
+GROUP BY s_suppkey ORDER BY s_suppkey
+"""
+
+
 JOIN_CONDITIONAL_SEMI_SQL = """
 SELECT s_nationkey AS nk, COUNT(*) AS n_supp
 FROM supplier s
@@ -390,6 +422,7 @@ QUERIES = {
     "join_anti": join_anti,
     "join_cross": join_cross,
     "join_conditional": join_conditional,
+    "join_conditional_left": join_conditional_left,
     "join_conditional_semi": join_conditional_semi,
     "join_conditional_anti": join_conditional_anti,
     "join_theta_bnlj": join_theta_bnlj,
@@ -407,6 +440,7 @@ ORACLE = {
     "join_anti": JOIN_ANTI_SQL,
     "join_cross": JOIN_CROSS_SQL,
     "join_conditional": JOIN_CONDITIONAL_SQL,
+    "join_conditional_left": JOIN_CONDITIONAL_LEFT_SQL,
     "join_conditional_semi": JOIN_CONDITIONAL_SEMI_SQL,
     "join_conditional_anti": JOIN_CONDITIONAL_ANTI_SQL,
     "join_theta_bnlj": JOIN_THETA_SQL,

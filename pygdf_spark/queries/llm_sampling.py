@@ -232,7 +232,39 @@ FROM b GROUP BY bucket ORDER BY bucket
 """
 
 
+def sample_reservoir(spark, sf_dir):
+    """Fixed-k per-group reservoir sample, derandomized: uniform-at-k
+    selection == top-k by an order-independent uniform hash key (the
+    distributed replacement for sequential reservoir state, which
+    cannot shard). ROW_NUMBER over (group, md5(key)) then rk<=k — one
+    shuffle on the group key, partial top-k per map task via
+    WindowGroupLimit pushdown in Spark 4. Every engine sees the same
+    hash → same sample, so the oracle is exact."""
+    d = T(spark, sf_dir, "documents")
+    hkey = md5_u64(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(hkey.asc(), F.col("doc_id").asc())
+    return (
+        d.select(
+            "lang", "doc_id", "n_chars",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 5)
+        .orderBy("lang", "rk")
+    )
+
+
+SAMPLE_RESERVOIR_SQL = f"""
+SELECT lang, doc_id, n_chars, CAST(rk AS INT) AS rk
+FROM (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {_H}, doc_id) AS rk
+  FROM documents
+) WHERE rk <= 5 ORDER BY lang, rk
+"""
+
+
 QUERIES = {
+    "sample_reservoir": sample_reservoir,
     "sample_stratified": sample_stratified,
     "sample_quality_weighted": sample_quality_weighted,
     "sample_class_balance": sample_class_balance,
@@ -241,6 +273,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sample_reservoir": SAMPLE_RESERVOIR_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "sample_quality_weighted": SAMPLE_QUALITY_SQL,
     "sample_class_balance": SAMPLE_BALANCE_SQL,

@@ -423,7 +423,74 @@ FROM toks GROUP BY source ORDER BY source
 """
 
 
+def text_tfidf_top(spark, sf_dir):
+    """TF-IDF term ranking, all-integer (top-3 terms per doc). idf is
+    the scaled floor ratio (N*1000) div df — exact in both engines, no
+    transcendental ln whose last bit could differ. Shape at scale:
+    tf is one (doc,term) shuffle; df is a second agg over the SAME
+    keys' distinct pairs; the df table is vocab-sized, so the score
+    join broadcasts; top-3 is a partitioned WindowGroupLimit. No
+    driver materialization anywhere."""
+    from pyspark.sql import Window
+
+    d = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("toks"))
+    )
+    tokens = d.select("doc_id", F.explode("toks").alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.select(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term", "tf",
+            (F.col("tf") * F.expr("(n * 1000) div df")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "score", "rk")
+        .orderBy("doc_id", "rk")
+    )
+
+
+TEXT_TFIDF_SQL = r"""
+WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(LOWER(text)), '\s+') AS toks
+  FROM documents WHERE doc_id < 100
+),
+tokens AS (
+  SELECT doc_id, unnest(toks) AS term FROM docs
+),
+toks2 AS (SELECT doc_id, term FROM tokens WHERE term <> ''),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks2 GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks2 GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM docs),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * ((n.n * 1000) // df.df) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(score AS BIGINT) AS score,
+       CAST(rk AS INT) AS rk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rk
+      FROM scored)
+WHERE rk <= 3 ORDER BY doc_id, rk
+"""
+
+
 QUERIES = {
+    "text_tfidf_top": text_tfidf_top,
     "text_token_stats": text_token_stats,
     "text_vocab_coverage": text_vocab_coverage,
     "text_bm25_topk": text_bm25_topk,
@@ -437,6 +504,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "text_tfidf_top": TEXT_TFIDF_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_vocab_coverage": TEXT_VOCAB_COVERAGE_SQL,
     "text_bm25_topk": TEXT_BM25_SQL,

@@ -229,7 +229,45 @@ FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
 """
 
 
+def mi_xs_level(spark, sf_dir):
+    """MultiIndex cross-section through the pandas-compat veneer
+    (reference core/multiindex.py xs; r2-verdict task #6 surface):
+    2-key groupby multi-agg → column-xs on the value level → row-xs on
+    the leading key. Both xs ops are pure projection/filter on the
+    distributed frame (the row-xs filter pushes to the scan) — the
+    veneer adds labels, not work."""
+    import pygdf_spark as gd
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus", "o_custkey"
+    )
+    out = gd.from_spark(o).groupby(["o_orderpriority", "o_orderstatus"]).agg(
+        {"o_custkey": ["sum", "max"]}
+    )
+    sl = out.xs("o_custkey", axis=1, level=0)  # keys + sum/max columns
+    # level= names the key column explicitly: the 2-level column-xs
+    # result is flat, so the grouped-key metadata is gone
+    row = sl.xs("1-URGENT", level="o_orderpriority")
+    return (
+        row.spark.select(
+            "o_orderstatus",
+            F.col("sum").cast("long").alias("custkey_sum"),
+            F.col("max").cast("long").alias("custkey_max"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+MI_XS_SQL = """
+SELECT o_orderstatus, CAST(SUM(o_custkey) AS BIGINT) AS custkey_sum,
+       CAST(MAX(o_custkey) AS BIGINT) AS custkey_max
+FROM orders WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
+    "mi_xs_level": mi_xs_level,
     "transpose_small": transpose_small,
     "groupby_describe": groupby_describe,
     "rolling_apply_fold": rolling_apply_fold,
@@ -238,6 +276,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "mi_xs_level": MI_XS_SQL,
     "transpose_small": TRANSPOSE_SQL,
     "groupby_describe": DESCRIBE_SQL,
     "rolling_apply_fold": ROLLING_APPLY_SQL,

@@ -267,7 +267,39 @@ FROM part WHERE p_partkey < 300 AND p_name LIKE '% %' ORDER BY p_partkey
 """
 
 
+def str_like_pack(spark, sf_dir):
+    """SQL pattern matching family (strings/contains.hpp like();
+    cuDF Series.str.like): LIKE with %/_ wildcards, case-insensitive
+    ILIKE, a custom ESCAPE char on a derived underscore column, NOT
+    LIKE, and startswith/endswith as the degenerate patterns. Pure
+    row-level predicates — whole-stage codegen, trivially partitionable."""
+    p = T(spark, sf_dir, "part").filter(F.col("p_partkey") < 400)
+    return p.select(
+        "p_partkey",
+        F.col("p_name").like("%o_i%").cast("int").alias("like_oXi"),
+        F.col("p_name").ilike("%BLUSH%").cast("int").alias("ilike_blush"),
+        F.col("p_name").like("almond%").cast("int").alias("starts_almond"),
+        F.col("p_name").like("%ivory").cast("int").alias("ends_ivory"),
+        (~F.col("p_name").like("%e%")).cast("int").alias("not_like_e"),
+        F.expr("replace(p_name, ' ', '_') LIKE '%!_rose%' ESCAPE '!'")
+        .cast("int").alias("esc_underscore_rose"),
+    ).orderBy("p_partkey")
+
+
+STR_LIKE_SQL = """
+SELECT p_partkey,
+       CAST(p_name LIKE '%o_i%' AS INT) AS like_oXi,
+       CAST(p_name ILIKE '%BLUSH%' AS INT) AS ilike_blush,
+       CAST(p_name LIKE 'almond%' AS INT) AS starts_almond,
+       CAST(p_name LIKE '%ivory' AS INT) AS ends_ivory,
+       CAST(p_name NOT LIKE '%e%' AS INT) AS not_like_e,
+       CAST(replace(p_name, ' ', '_') LIKE '%!_rose%' ESCAPE '!' AS INT) AS esc_underscore_rose
+FROM part WHERE p_partkey < 400 ORDER BY p_partkey
+"""
+
+
 QUERIES = {
+    "str_like_pack": str_like_pack,
     "str_rsplit_pack": str_rsplit_pack,
     "str_basic_pack": str_basic_pack,
     "str_find_pack": str_find_pack,
@@ -280,6 +312,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "str_like_pack": STR_LIKE_SQL,
     "str_rsplit_pack": STR_RSPLIT_SQL,
     "str_basic_pack": STR_BASIC_SQL,
     "str_find_pack": STR_FIND_SQL,

@@ -284,7 +284,83 @@ ORDER BY l_orderkey, l_linenumber
 """
 
 
+def win_ntile_bucket(spark, sf_dir):
+    """NTILE / PERCENT_RANK / CUME_DIST pack (rank variants beyond
+    sorting.hpp:178 rank — the distribution family; pandas analogs
+    qcut-per-group / rank(pct=True)). Windows are PARTITIONED by
+    o_orderpriority, so each group sorts independently — the shuffle
+    key is the partition column, no global funnel. Ordering key is
+    (cents, o_orderkey): unique, so every function is deterministic.
+    percent_rank/cume_dist are exact integer ratios evaluated in
+    binary64 — bit-identical across engines."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    cents = (dec("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_orderpriority").orderBy(cents.asc(), F.col("o_orderkey").asc())
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            cents.alias("cents"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+WIN_NTILE_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+       CAST(NTILE(4) OVER w AS INT) AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
+FROM orders WHERE o_custkey < 300
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT), o_orderkey)
+ORDER BY o_orderkey
+"""
+
+
+def topk_per_group(spark, sf_dir):
+    """Distributed per-group top-k (the grouped form of
+    nlargest — reference series.py nlargest + groupby apply):
+    top-3 customers by balance per nation via ROW_NUMBER over a
+    partitioned window, then filter. One shuffle on the group key; each
+    partition keeps a 3-row heap equivalent (Spark's WindowExec is
+    streaming per partition) — no global sort, no driver collect."""
+    c = T(spark, sf_dir, "customer")
+    cents = (dec("c_acctbal") * 100).cast("long")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        cents.desc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.select(
+            "c_nationkey", "c_custkey", cents.alias("bal_cents"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+        .orderBy("c_nationkey", "rk")
+    )
+
+
+TOPK_PER_GROUP_SQL = """
+SELECT c_nationkey, c_custkey,
+       CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_cents,
+       CAST(rk AS INT) AS rk
+FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) DESC,
+                                     c_custkey) AS rk
+  FROM customer
+) WHERE rk <= 3 ORDER BY c_nationkey, rk
+"""
+
+
 QUERIES = {
+    "win_ntile_bucket": win_ntile_bucket,
+    "topk_per_group": topk_per_group,
     "win_rolling_var": win_rolling_var,
     "win_rolling_center": win_rolling_center,
     "win_group_cumsum": win_group_cumsum,
@@ -297,6 +373,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "win_ntile_bucket": WIN_NTILE_SQL,
+    "topk_per_group": TOPK_PER_GROUP_SQL,
     "win_rolling_var": WIN_ROLLING_VAR_SQL,
     "win_rolling_center": WIN_ROLLING_CENTER_SQL,
     "win_group_cumsum": WIN_GROUP_CUMSUM_SQL,
