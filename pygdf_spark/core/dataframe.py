@@ -46,7 +46,33 @@ class DataFrame:
     def __init__(self, sdf: SDF):
         if _RID not in sdf.columns:
             sdf = sdf.withColumn(_RID, F.monotonically_increasing_id())
-        self._sdf = sdf
+        self.__sdf_cached = sdf
+        self.__sdf_thunk = None
+
+    @classmethod
+    def _lazy(cls, thunk) -> "DataFrame":
+        """Frame whose Spark plan is built on first access. Used by
+        sort_values: the distributed re-key runs a boundary-sampling
+        collect at plan-CONSTRUCTION time, so deferring it lets
+        composed consumers (head/tail/len) substitute cheaper plans —
+        sort_values().head(n) becomes one TakeOrderedAndProject with
+        no sampling, no shuffle (r3 advice: eager per-op sampling)."""
+        obj = cls.__new__(cls)
+        obj._DataFrame__sdf_cached = None
+        obj._DataFrame__sdf_thunk = thunk
+        return obj
+
+    @property
+    def _sdf(self) -> SDF:
+        if self.__sdf_cached is None and self.__sdf_thunk is not None:
+            self.__sdf_cached = self.__sdf_thunk()
+            self.__sdf_thunk = None
+        return self.__sdf_cached
+
+    @_sdf.setter
+    def _sdf(self, v: SDF) -> None:
+        self.__sdf_cached = v
+        self.__sdf_thunk = None
 
     # -- plumbing -------------------------------------------------------
 
@@ -88,6 +114,9 @@ class DataFrame:
         return self._sdf.orderBy(_RID)
 
     def __len__(self) -> int:
+        ps = getattr(self, "_presort", None)
+        if ps is not None and self.__sdf_cached is None:
+            return ps[0].count()  # count is order-independent: skip the re-key
         return self._sdf.count()
 
     @property
@@ -223,7 +252,12 @@ class DataFrame:
 
     def sort_values(self, by, ascending=True, na_position: str = "last") -> "DataFrame":
         """sort_values (dataframe.py:3949, sorting.hpp:114): re-keys the
-        order column to the new sort (stable: old order breaks ties)."""
+        order column to the new sort (stable: old order breaks ties).
+
+        The re-key is LAZY: nothing is sampled or shuffled until the
+        sorted order is actually consumed, and top/bottom consumers
+        (head/tail) replace the full distributed sort with one
+        TakeOrderedAndProject pass."""
         by = [by] if isinstance(by, str) else list(by)
         asc = [ascending] * len(by) if isinstance(ascending, bool) else list(ascending)
         nulls = "nulls_last" if na_position == "last" else "nulls_first"
@@ -231,12 +265,56 @@ class DataFrame:
         keys.append(_RID)  # stability
         from pygdf_spark.operators.order import rekey_row_id
 
-        return self._with(rekey_row_id(self._sdf, keys, _RID))
+        base = self._sdf
+        out = DataFrame._lazy(lambda: rekey_row_id(base, keys, _RID))
+        out._presort = (base, keys)
+        out._col_tuples = self.columns_tuples
+        return out
+
+    @staticmethod
+    def _presort_cols(keys, reverse: bool = False) -> list:
+        """Spark sort-order Columns for a sort_values key spec (the
+        order.py _spec convention: plain name = asc nulls_first).
+        ``reverse`` inverts both direction and null placement — the
+        exact mirror order, for tail()."""
+        cols = []
+        for k in keys:
+            if isinstance(k, tuple):
+                c, d, nl = k
+                a = (d == "asc") != reverse
+                nf = (nl == "nulls_first") != reverse
+            else:
+                c, a, nf = k, not reverse, not reverse
+            col = F.col(c) if isinstance(c, str) else c
+            if a:
+                cols.append(col.asc_nulls_first() if nf else col.asc_nulls_last())
+            else:
+                cols.append(col.desc_nulls_first() if nf else col.desc_nulls_last())
+        return cols
 
     def head(self, n: int = 5) -> "DataFrame":
+        ps = getattr(self, "_presort", None)
+        if ps is not None:
+            # top-n of a pending sort: TakeOrderedAndProject — no
+            # sampling, no shuffle; the re-rid window spans ≤ n rows
+            # (bounded small data, not a scale hazard)
+            base, keys = ps
+            cols = self._presort_cols(keys)
+            sdf = base.orderBy(*cols).limit(n)
+            return self._with(
+                sdf.withColumn(_RID, F.row_number().over(Window.orderBy(*cols)))
+            )
         return self._with(self._ordered().limit(n))
 
     def tail(self, n: int = 5) -> "DataFrame":
+        ps = getattr(self, "_presort", None)
+        if ps is not None:
+            base, keys = ps
+            sdf = base.orderBy(*self._presort_cols(keys, reverse=True)).limit(n)
+            fwd = self._presort_cols(keys)
+            return self._with(
+                sdf.withColumn(_RID, F.row_number().over(Window.orderBy(*fwd)))
+            )
         return self._with(self._sdf.orderBy(F.col(_RID).desc()).limit(n))
 
     def shift(self, col: str, periods: int = 1) -> "DataFrame":
@@ -1523,18 +1601,52 @@ class _Loc:
     def __init__(self, df: DataFrame):
         self._df = df
 
+    @staticmethod
+    def _key_compat(v, t: str) -> bool:
+        """Is scalar ``v`` type-compatible with Spark dtype ``t``? Used
+        to disambiguate a multi-level row key from the pandas
+        df.loc[row_key, column_label] form (r3 advice: an all-scalar
+        2-tuple was always read as a 2-level row key, so the column
+        label got filtered against the second key column)."""
+        if t in ("string", "varchar"):
+            return isinstance(v, str)
+        if t in ("tinyint", "smallint", "int", "bigint"):
+            return isinstance(v, int) and not isinstance(v, bool)
+        if t in ("float", "double") or t.startswith("decimal"):
+            return isinstance(v, (int, float)) and not isinstance(v, bool)
+        if t == "boolean":
+            return isinstance(v, bool)
+        if t.startswith("timestamp") or t == "date":
+            return hasattr(v, "year")
+        return True
+
     def __getitem__(self, key):
         if isinstance(key, tuple):
             # multi-level row lookup on a grouped output: a tuple of
             # SCALAR key values (pandas df.loc[("A", 5)]) — distinct
             # from the (mask, columns) form whose first element is a
-            # Column / list / slice
+            # Column / list / slice, and from df.loc[row_key, col_label]
+            # whose LAST element names a column
+            mi = self._df.columns_tuples
+            scalars = not any(isinstance(k, (Column, list, slice)) for k in key)
+            if mi is not None and scalars and len(key) == 2:
+                labels = set(self._df.columns) | set(tuple(t) for t in mi)
+                if key[1] in labels:
+                    # pandas df.loc[row_key, column_label]: row-xs on
+                    # the leading key level(s), then the column
+                    row_key = key[0] if isinstance(key[0], tuple) else (key[0],)
+                    return self._df.xs(row_key, axis=0, drop_level=False)[key[1]]
             if (
-                self._df.columns_tuples is not None
-                and not any(isinstance(k, (Column, list, slice)) for k in key)
+                mi is not None
+                and scalars
                 and len(key) <= len(self._df._mi_key_cols())
             ):
-                return self._df.xs(key, axis=0)
+                types = dict(self._df._sdf.dtypes)
+                kc = self._df._mi_key_cols()[: len(key)]
+                if all(
+                    self._key_compat(v, types.get(c, "")) for v, c in zip(key, kc)
+                ):
+                    return self._df.xs(key, axis=0)
             mask, cols = key
             out = self._df[mask] if isinstance(mask, Column) else _ILoc(self._df)[mask]
             return out[[cols] if isinstance(cols, str) else list(cols)]

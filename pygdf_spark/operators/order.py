@@ -26,8 +26,10 @@ Boundary QUALITY affects only load balance, never correctness: every
 row strictly-after k boundaries lands in bucket k, ties co-locate by
 value. Nothing is persisted — repeated calls accumulate zero cached
 partitions (tests/test_edges.py::test_order_primitives_no_cache_…).
-At 100 TB, callers chaining many order ops should persist the input
-once themselves (each primitive re-scans its input for count/sample).
+At 100 TB, callers chaining many order ops over the same keys should
+persist the input once AND reuse one ``sample_boundaries(...)`` result
+via each primitive's ``boundaries=`` parameter — otherwise every
+primitive re-runs its own sampling scan of the upstream plan.
 """
 
 from __future__ import annotations
@@ -201,6 +203,110 @@ def _bucket_sql(specs, boundaries: list[tuple]) -> str:
     return go(0, len(boundaries))
 
 
+def _bucket_udf_col(specs, boundaries: list[tuple], ktypes) -> Column:
+    """Bucket id via a VECTORIZED binary search in one scalar pandas
+    UDF — the large-boundary path (r3 advice: the former CASE-thinning
+    capped buckets at ~tens because the inlined search had to fit the
+    codegen budget; here ALL sampled boundaries are kept, so bucket
+    count — and thus window parallelism — scales with the data).
+
+    Exactness without Arrow fidelity traps: every key reaching this
+    point is already a primitive (ints/doubles/strings — _work_frame
+    re-encodes decimal/timestamp/date/boolean keys to integers), and
+    the UDF inputs are NULL-FREE pairs per key:
+
+    - ``rank``: tinyint folding null placement and NaN ordering into
+      one value (null_rank*2 + nan_rank: nulls ±2 per nulls_first/
+      nulls_last, NaN ±1 per asc/desc, plain values 0) — so Arrow
+      never sees a null int64 (which pandas would widen to float64,
+      losing >2^53 precision) and never sees a NaN that means NULL;
+    - ``val``: the key with null/NaN replaced by a constant (unused:
+      value ordering only applies between rank-0 entries).
+
+    The numpy search runs log2(n) fancy-indexed vector compares per
+    batch (~100ns/row measured incl. Arrow transfer), Arrow-batched
+    and parallel across Python workers. Pure function of row values →
+    deterministic across re-evaluations, like the literal CASE. No SQL
+    text anywhere, so legacy escapedStringLiterals sessions are safe
+    (the second r3 advice finding)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType
+
+    k = len(specs)
+    nb = len(boundaries)
+
+    def enc_rank(v, asc, nf):
+        if v is None:
+            return (-2 if nf else 2)
+        if _is_nan(v):
+            return (1 if asc else -1)
+        return 0
+
+    repl = [0 if t not in ("string",) else "" for t in ktypes]
+    b_rank, b_val, dirs = [], [], []
+    for i, (_, asc, nf) in enumerate(specs):
+        b_rank.append(
+            np.array([enc_rank(b[i], asc, nf) for b in boundaries], dtype=np.int8)
+        )
+        vals = [repl[i] if (b[i] is None or _is_nan(b[i])) else b[i] for b in boundaries]
+        if ktypes[i] == "string":
+            b_val.append(np.array(vals, dtype=object))
+        elif ktypes[i] in ("float", "double"):
+            b_val.append(np.array(vals, dtype=np.float64))
+        else:
+            b_val.append(np.array(vals, dtype=np.int64))
+        dirs.append(asc)
+    steps = max(1, math.ceil(math.log2(nb + 1)))
+
+    def _search(*cols):
+        m = len(cols[0])
+        ranks = [cols[2 * i].to_numpy() for i in range(k)]
+        vals = [
+            cols[2 * i + 1].to_numpy()
+            if ktypes[i] != "string"
+            else cols[2 * i + 1].to_numpy(dtype=object)
+            for i in range(k)
+        ]
+        lo = np.zeros(m, dtype=np.int64)
+        hi = np.full(m, nb, dtype=np.int64)
+        for _ in range(steps):
+            live = lo < hi
+            mid = (lo + hi) // 2
+            res = np.zeros(m, dtype=bool)
+            for i in reversed(range(k)):
+                br = b_rank[i][mid]
+                bv = b_val[i][mid]
+                rr, rv = ranks[i], vals[i]
+                gt = (rv > bv) if dirs[i] else (rv < bv)
+                after_i = (rr > br) | ((rr == br) & (rr == 0) & gt)
+                eq_i = (rr == br) & ((rr != 0) | (rv == bv))
+                res = after_i | (eq_i & res)
+            lo = np.where(live & res, mid + 1, lo)
+            hi = np.where(live & ~res, mid, hi)
+        return pd.Series(lo.astype(np.int32))
+
+    # no type hints: pandas_udf's hint inference rejects *args
+    # signatures — the explicit returnType form infers SCALAR eval
+    search = F.pandas_udf(_search, IntegerType())
+
+    args = []
+    for i, (_, asc, nf) in enumerate(specs):
+        key = F.col(f"__k{i}")
+        if ktypes[i] in ("float", "double"):
+            rank = (
+                F.when(key.isNull(), F.lit(-2 if nf else 2))
+                .when(F.isnan(key), F.lit(1 if asc else -1))
+                .otherwise(F.lit(0))
+            )
+            val = F.when(key.isNull() | F.isnan(key), F.lit(0.0)).otherwise(key)
+        else:
+            rank = F.when(key.isNull(), F.lit(-2 if nf else 2)).otherwise(F.lit(0))
+            val = F.coalesce(key, F.lit(repl[i]))
+        args += [rank.cast("tinyint"), val]
+    return search(*args)
+
+
 def _boundaries(keys_df: DataFrame, specs, num_partitions: int) -> list[tuple]:
     """Sample the key distribution and pick ``num_partitions − 1``
     evenly spaced split points (driver footprint ≤ _SAMPLE_CAP tuples).
@@ -229,46 +335,111 @@ def _boundaries(keys_df: DataFrame, specs, num_partitions: int) -> list[tuple]:
     return out
 
 
-def _bucketed(df: DataFrame, keys: list, num_partitions: int | None = None):
+def _bucketed(
+    df: DataFrame,
+    keys: list,
+    num_partitions: int | None = None,
+    boundaries: list[tuple] | None = None,
+):
     """(df + materialized ``__k<i>`` key columns + deterministic
     ``__pid`` bucket column, specs, helper-column names). The window
     shuffle on ``__pid`` does the co-location; no separate repartition.
-    Callers drop the helpers from their final projection."""
+    Callers drop the helpers from their final projection.
+
+    ``boundaries``: precomputed split points (from sample_boundaries)
+    — pass them when composing several order primitives over the same
+    keys so the input plan isn't re-sampled per call (r3 advice: each
+    primitive otherwise runs its own boundary-sampling collect, which
+    re-executes the upstream plan).
+
+    Bucket-id strategy is hybrid:
+    - small boundary sets → one inlined nested-CASE binary search
+      (pure whole-stage codegen; HotSpot never JIT-compiles methods
+      over ~8000 bytecodes / ~3800 SQL chars, measured 5x cliff);
+    - larger sets (multi-key / string keys) → a vectorized numpy
+      binary search in one Arrow-batched pandas UDF
+      (_bucket_udf_col): generated-code size is constant, so ALL
+      sampled boundaries are kept and bucket count scales with the
+      data — no parallelism cap. Also the only path used under legacy
+      spark.sql.parser.escapedStringLiterals=true sessions, where
+      _sql_lit's backslash escaping would be misparsed (the UDF path
+      has no SQL text).
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    work, specs, knames = _work_frame(df, keys)
+    bounds = (
+        boundaries
+        if boundaries is not None
+        else _boundaries(work.select(*knames), specs, n)
+    )
+    if not bounds:
+        pid: Column = F.lit(0)
+    else:
+        legacy_parser = (
+            str(
+                df.sparkSession.conf.get(
+                    "spark.sql.parser.escapedStringLiterals", "false"
+                )
+            ).lower()
+            == "true"
+        )
+        sql = None if legacy_parser else _bucket_sql(specs, bounds)
+        if sql is not None and len(sql) <= 3_800:
+            pid = F.expr(sql)
+        else:
+            ktypes = [t for _, t in work.select(*knames).dtypes]
+            pid = _bucket_udf_col(specs, bounds, ktypes)
+    parted = work.withColumn(_PID, pid.cast("int"))
+    return parted, specs, knames
+
+
+def _work_frame(df: DataFrame, keys: list):
+    """df + materialized ``__k<i>`` key columns (decimal keys
+    order-preserving re-encoded as the unscaled BIGINT — precision ≤ 18
+    always fits; Decimal compares are ~5x slower than long compares and
+    the bucket search does O(log n) of them per row, measured
+    1.75s → 0.4s on a 600k-row decimal sort key)."""
     import re
 
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     specs = [_spec(k) for k in keys]
     kcols = [expr.alias(f"__k{i}") for i, (expr, _, _) in enumerate(specs)]
     work = df.select("*", *kcols)
     knames = [f"__k{i}" for i in range(len(specs))]
-    # decimal keys: order-preserving re-encode as the unscaled BIGINT
-    # (precision ≤ 18 always fits) — Decimal compares are ~5x slower
-    # than long compares and the bucket search does O(log n) of them
-    # per row (measured 1.75s → 0.4s on a 600k-row decimal sort key)
     retyped = []
     for name, t in work.select(*knames).dtypes:
         m = re.fullmatch(r"decimal\((\d+),(\d+)\)", t)
         if m and int(m.group(1)) <= 18:
             retyped.append(F.expr(f"CAST({name} * {10 ** int(m.group(2))} AS BIGINT)").alias(name))
+        elif t.startswith("timestamp"):
+            # order-preserving µs integer: long compares beat timestamp
+            # compares in the bucket search, and the UDF path then only
+            # ever sees primitive types (no tz/unit pitfalls)
+            retyped.append(F.unix_micros(F.col(name)).alias(name))
+        elif t == "date":
+            retyped.append(F.datediff(F.col(name), F.lit("1970-01-01")).alias(name))
+        elif t == "boolean":
+            retyped.append(F.col(name).cast("int").alias(name))
         else:
             retyped.append(F.col(name))
     work = df.select("*", *kcols).select(
         *[c for c in work.columns if c not in knames], *retyped
     )
-    bounds = _boundaries(work.select(*knames), specs, n)
-    sql = _bucket_sql(specs, bounds)
-    # HotSpot never JIT-compiles methods over ~8000 bytecodes
-    # (-XX:DontCompileHugeMethods): a bucket search whose generated
-    # method crosses that cliff runs interpreted at ~5x the cost
-    # (measured 0.33s vs 1.67s on a 600k-row scan). Bytecode tracks SQL
-    # text ~1.9:1 (7516 chars → 14445 bytecodes measured), so thin the
-    # boundary list until the search compiles hot; fewer buckets only
-    # coarsens load balance.
-    while len(bounds) > 7 and len(sql) > 3_800:
-        bounds = bounds[1::2]
-        sql = _bucket_sql(specs, bounds)
-    parted = work.withColumn(_PID, F.expr(sql))
-    return parted, specs, knames
+    return work, specs, knames
+
+
+def sample_boundaries(
+    df: DataFrame, keys: list, num_partitions: int | None = None
+) -> list[tuple]:
+    """Public boundary sampling for callers chaining several order
+    primitives over the SAME keys: sample once (ideally over a
+    persisted input), pass the result to each primitive's
+    ``boundaries=`` — avoiding one full upstream re-execution per
+    chained call. Uses the same key materialization as _bucketed
+    (including the decimal→BIGINT re-encode), so the returned tuples
+    are directly comparable."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    work, specs, knames = _work_frame(df, keys)
+    return _boundaries(work.select(*knames), specs, n)
 
 
 def _prefix_offsets(parted: DataFrame, totals: list[tuple[Column, str, str]]) -> DataFrame:
@@ -320,13 +491,14 @@ def _with_offsets(parted: DataFrame, totals: list[tuple[Column, str, str]]) -> D
 
 
 def global_row_number(
-    df: DataFrame, keys: list, rn_col: str = "rn", num_partitions: int | None = None
+    df: DataFrame, keys: list, rn_col: str = "rn", num_partitions: int | None = None,
+    boundaries: list | None = None,
 ) -> DataFrame:
     """Scalable ``row_number() over (order by *keys)`` (1-based).
 
     Identical to the single-task window whenever ``keys`` is a total
     order (callers append a tiebreaker otherwise)."""
-    parted, specs, knames = _bucketed(df, keys, num_partitions)
+    parted, specs, knames = _bucketed(df, keys, num_partitions, boundaries)
     w = Window.partitionBy(_PID).orderBy(*_sort_cols(specs))
     out = _with_offsets(parted, [(F.count(F.lit(1)), "cnt", "sum")])
     return (
@@ -354,6 +526,7 @@ def prefix_scan(
     out_col: str,
     mask: Column | None = None,
     num_partitions: int | None = None,
+    boundaries: list | None = None,
 ) -> DataFrame:
     """Distributed cumulative aggregate (``kind`` ∈ sum/min/max/prod)
     of ``value`` over the global order by ``keys`` — the two-level
@@ -361,7 +534,7 @@ def prefix_scan(
     bucket totals. Aggregates skip nulls; ``mask`` nulls the OUTPUT at
     rows where the input is missing (pandas/cuDF scan semantics)."""
     combine = _COMBINE[kind]
-    parted, specs, knames = _bucketed(df, keys, num_partitions)
+    parted, specs, knames = _bucketed(df, keys, num_partitions, boundaries)
     w = (
         Window.partitionBy(_PID)
         .orderBy(*_sort_cols(specs))
@@ -391,13 +564,13 @@ def prefix_scan(
 
 def global_shift(
     df: DataFrame, keys: list, cols: dict[str, str], periods: int,
-    num_partitions: int | None = None,
+    num_partitions: int | None = None, boundaries: list | None = None,
 ) -> DataFrame:
     """Shift columns by ``periods`` over the global order by ``keys``:
     number the rows, then equi-join row n with row n−periods — a keyed
     shuffle, never a single-task window. ``cols`` maps output name →
     source column."""
-    numbered = global_row_number(df, keys, "__grn", num_partitions)
+    numbered = global_row_number(df, keys, "__grn", num_partitions, boundaries)
     shifted = numbered.select(
         (F.col("__grn") + F.lit(int(periods))).alias("__grn"),
         *[F.col(c).alias(o) for o, c in cols.items()],
@@ -413,6 +586,7 @@ def global_rank(
     out_col: str,
     tiebreak: list | None = None,
     num_partitions: int | None = None,
+    boundaries: list | None = None,
 ) -> DataFrame:
     """Distributed ``rank/dense/first/average`` over one global value
     order. Value-defined buckets co-locate equal keys, so per-bucket
@@ -422,7 +596,7 @@ def global_rank(
     the key spec (expr, 'asc'|'desc', 'nulls_first'|'nulls_last');
     ``tiebreak`` applies only to 'first' (row_number wants a total
     order — for the peer-grouped methods it would split ties)."""
-    parted, specs, knames = _bucketed(df, [order], num_partitions)
+    parted, specs, knames = _bucketed(df, [order], num_partitions, boundaries)
     sort_col = _sort_cols(specs)[0]
     w = Window.partitionBy(_PID).orderBy(sort_col)
     w_first = Window.partitionBy(_PID).orderBy(sort_col, *(tiebreak or []))

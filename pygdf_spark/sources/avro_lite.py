@@ -177,7 +177,24 @@ _PD_AVRO = {
     "int8": "int", "int16": "int", "int32": "int", "int64": "long",
     "float32": "float", "float64": "double", "bool": "boolean",
     "object": "string", "string": "string",
+    # pandas nullable extension dtypes (r3 advice: these fell through
+    # to "string", so nullable booleans round-tripped as "True"/"False")
+    "Int8": "int", "Int16": "int", "Int32": "int", "Int64": "long",
+    "UInt8": "int", "UInt16": "int", "UInt32": "long", "UInt64": "long",
+    "Float32": "float", "Float64": "double", "boolean": "boolean",
 }
+
+
+def _is_missing(v) -> bool:
+    """Scalar-safe missing test (r3 advice: ``str(v) == "NaT"`` nulled a
+    legitimate string "NaT", and pd.NA fell through to the writer)."""
+    import pandas as pd
+
+    if v is None or v is pd.NaT or v is pd.NA:
+        return True
+    if isinstance(v, float):
+        return v != v
+    return False
 
 
 def _schema_for(pdf) -> dict:
@@ -238,8 +255,6 @@ def _field_writer(ftype):
 
 def encode_avro(pdf, codec: str = "deflate") -> bytes:
     """pandas frame → one Avro OCF blob (null-able union per column)."""
-    import numpy as np
-
     schema = _schema_for(pdf)
     writers = [
         (f["name"], _field_writer(f["type"])) for f in schema["fields"]
@@ -249,10 +264,7 @@ def encode_avro(pdf, codec: str = "deflate") -> bytes:
     for row in rows:
         for name, wr in writers:
             v = row[name]
-            if v is None or (isinstance(v, float) and np.isnan(v)) or str(v) == "NaT":
-                wr(body, None)
-            else:
-                wr(body, v)
+            wr(body, None if _is_missing(v) else v)
     data = bytes(body)
     if codec == "deflate":
         comp = zlib.compressobj(9, zlib.DEFLATED, -15)

@@ -1083,3 +1083,38 @@ def test_multiindex_level_ops_vs_pandas(spark):
     assert mi.swaplevel().swaplevel() == mi
     flat = mi.droplevel(level=1)
     assert flat[:2] == ["a", "b"]
+
+
+def test_loc_row_key_column_label(spark):
+    """r3 advice: df.loc[row_key, column_label] on an MI frame must
+    select the row slice THEN the column — the all-scalar 2-tuple was
+    previously always misread as a 2-level row key."""
+    import pandas as pd
+
+    import pygdf_spark as gd
+
+    pdf = pd.DataFrame({
+        "a": ["x", "x", "y", "y", "z"],
+        "b": [1, 2, 1, 2, 1],
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0],
+    })
+    gdf = gd.from_pandas(pdf, spark)
+    got = gdf.groupby(["a", "b"]).agg({"v": ["sum", "max"]})
+    exp = pdf.groupby(["a", "b"]).agg({"v": ["sum", "max"]})
+
+    def _vals(obj):
+        p = obj.to_pandas()
+        return list(p.iloc[:, -1]) if hasattr(p, "columns") else list(p)
+
+    # row key + tuple column label
+    gs = _vals(got.loc["x", ("v", "sum")])
+    ps = exp.loc["x", ("v", "sum")]
+    assert sorted(gs) == sorted(ps)
+
+    # full row key tuple + column label
+    g1 = _vals(got.loc[("y", 2), ("v", "max")])
+    assert g1 == [exp.loc[("y", 2), ("v", "max")]]
+
+    # the plain 2-level row key still routes to xs
+    g2 = got.loc[("y", 2)].to_pandas()
+    assert len(g2) == 1

@@ -404,3 +404,104 @@ def test_kmeans_driver_cell_cap_and_no_cache_leak(spark):
     out = km.kmeans(sdf, k=3, iters=2)
     assert out.count() == 60
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == n0
+
+
+def test_bucket_array_path_matches_inline(spark):
+    """r3-advice fix: when the inlined CASE search would blow the
+    codegen budget, _bucketed switches to the literal-array binary
+    search (_bucket_array_col) with ALL boundaries instead of thinning.
+    Both paths must agree with the single-task window row_number on a
+    nasty key mix: strings with quotes/backslashes, desc doubles with
+    NaN and nulls, nulls_last."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pygdf_spark.operators.order import _bucketed, global_row_number
+
+    rng = np.random.default_rng(7)
+    n = 6000
+    base = ["al'pha", 'be"ta', "ga\\mma", "d_lt%a", "epsilon"]
+    strs = [
+        None if i % 11 == 0 else base[i % 5] + str(i % 97) for i in range(n)
+    ]
+    dbl = rng.normal(0, 1, n)
+    dbl[::13] = np.nan
+    pdf = pd.DataFrame({"s": strs, "d": dbl, "i": np.arange(n)})
+    pdf.loc[::17, "d"] = None
+    sdf = spark.createDataFrame(pdf).repartition(13)
+    keys = [("s", "asc", "nulls_last"), ("d", "desc", "nulls_first"), ("i", "asc", "nulls_first")]
+
+    # force the array path: ask for enough partitions that the CASE SQL
+    # exceeds the inline budget for multi-key string boundaries
+    parted, specs, knames = _bucketed(sdf, keys, num_partitions=256)
+    npart = parted.select("__pid").distinct().count()
+    assert npart > 40, f"array path should keep >40 buckets, got {npart}"
+
+    out = global_row_number(sdf, keys, "rn", num_partitions=256)
+    w = (
+        Window.orderBy(
+            F.col("s").asc_nulls_last(),
+            F.col("d").desc_nulls_first(),
+            F.col("i").asc_nulls_first(),
+        )
+    )
+    exp = sdf.withColumn("rn", F.row_number().over(w))
+    got = {r["i"]: r["rn"] for r in out.select("i", "rn").collect()}
+    want = {r["i"]: r["rn"] for r in exp.select("i", "rn").collect()}
+    assert got == want
+
+
+def test_bucketed_legacy_parser_mode(spark):
+    """With spark.sql.parser.escapedStringLiterals=true the backslash
+    escaping in _sql_lit would be misparsed — _bucketed must route to
+    the F.lit-based array path (r3 advice). Verified by running a
+    string-keyed global_row_number containing quotes under the legacy
+    conf."""
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pygdf_spark.operators.order import global_row_number
+
+    pdf = pd.DataFrame(
+        {"s": [f"x'{i % 50}\\q" for i in range(2000)], "i": range(2000)}
+    )
+    sdf = spark.createDataFrame(pdf).repartition(7)
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        out = global_row_number(sdf, ["s", "i"], "rn")
+        w = Window.orderBy(F.col("s").asc_nulls_first(), F.col("i").asc_nulls_first())
+        exp = sdf.withColumn("rn", F.row_number().over(w))
+        got = {r["i"]: r["rn"] for r in out.collect()}
+        want = {r["i"]: r["rn"] for r in exp.collect()}
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
+
+
+def test_sample_boundaries_reuse(spark):
+    """sample_boundaries output feeds several primitives without
+    re-sampling; results identical to the self-sampling path."""
+    from pyspark.sql import functions as F
+
+    from pygdf_spark.operators.order import (
+        global_row_number,
+        prefix_scan,
+        sample_boundaries,
+    )
+
+    sdf = spark.range(20000).select(
+        (F.col("id") * 37 % 1000).alias("k"), F.col("id").alias("i")
+    )
+    b = sample_boundaries(sdf, ["k", "i"], num_partitions=16)
+    assert b, "expected non-empty boundaries"
+    a = global_row_number(sdf, ["k", "i"], "rn", boundaries=b)
+    c = global_row_number(sdf, ["k", "i"], "rn")
+    assert a.orderBy("rn").collect() == c.orderBy("rn").collect()
+    p = prefix_scan(sdf, ["k", "i"], F.col("i"), "sum", "cs", boundaries=b)
+    exp = (20000 - 1) * 20000 // 2
+    assert p.agg(F.max("cs")).first()[0] == exp

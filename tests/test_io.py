@@ -310,3 +310,29 @@ def test_read_avro_falls_back_distributed(spark, tmp_path):
     assert {(r.k, r.v) for r in back.collect()} == {(1, "a"), (2, "b"), (3, "c")}
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan or "avro" in plan.lower()
+
+
+def test_avro_lite_nullable_dtypes_and_nat_string(spark, tmp_path):
+    """r3 advice: pandas nullable Int64/boolean columns must map to
+    long/boolean (not string), pd.NA must encode as null, and a
+    LEGITIMATE string value "NaT" must survive (the old missing test
+    stringified every value)."""
+    import pandas as pd
+
+    from pygdf_spark.sources.avro_lite import read_avro_lite, write_avro
+
+    pdf = pd.DataFrame({
+        "i": pd.array([10, None, -3], dtype="Int64"),
+        "f": pd.array([1.5, None, 2.5], dtype="Float64"),
+        "b": pd.array([True, None, False], dtype="boolean"),
+        "s": ["NaT", None, "x"],
+    })
+    path = str(tmp_path / "n.avro")
+    write_avro(pdf, path)
+    out = read_avro_lite(spark, path)
+    sch = dict((f.name, f.dataType.simpleString()) for f in out.schema.fields)
+    assert sch == {"i": "bigint", "f": "double", "b": "boolean", "s": "string"}
+    rows = {r["i"]: r for r in out.collect()}
+    assert rows[10]["b"] is True and rows[10]["s"] == "NaT"
+    assert rows[None]["f"] is None and rows[None]["b"] is None and rows[None]["s"] is None
+    assert rows[-3]["f"] == 2.5 and rows[-3]["b"] is False and rows[-3]["s"] == "x"

@@ -40,7 +40,11 @@ TIMED = ["q1_pricing_summary", "join_inner_q3", "agg_basic_stats",
          "graph_pagerank", "dedup_incremental", "dedup_semantic",
          "sample_quality_weighted", "search_hybrid_rrf", "sim_quantize_int8",
          "events_funnel", "events_cohort_retention", "text_vocab_coverage",
-         "agg_grouping_sets"]
+         "agg_grouping_sets",
+         # r4 additions
+         "events_sessionize", "text_tfidf_top", "topk_per_group",
+         "win_ntile_bucket", "sample_reservoir", "agg_filtered_pack",
+         "join_conditional_left"]
 
 
 def build(spark, n: int, dst: str) -> None:
