@@ -646,6 +646,14 @@ class Series:
     def logical_not(self):
         return ~self.col.cast("boolean")
 
+    # -- numpy ufunc interop (cudf test_array_ufunc.py: np.sin(series)
+    # etc. dispatch to the GPU; here every ufunc lowers to the
+    # equivalent JVM Column expression — no numpy evaluation, no
+    # collect; the result composes into the same lazy plan) -----------
+
+    def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
+        return _ufunc_dispatch(ufunc, method, inputs, kwargs)
+
     # -- unary math (unary.hpp; series applymap-free fast path) ----------
 
     def abs(self):
@@ -1150,3 +1158,110 @@ def _attach_series_constructors():
 
 
 _attach_series_constructors()
+
+
+# numpy-ufunc → Spark Column lowering tables (module level so the
+# Series dispatch stays a dict lookup). Semantics notes:
+# - trunc: toward zero (numpy), so ceil for negatives;
+# - remainder: sign follows the divisor (numpy/python %), which is
+#   ((a % b) + b) % b over Spark's truncated %;
+# - isfinite/isinf are double-only, like the cuDF originals.
+_UFUNC_UNARY = {
+    "sin": F.sin, "cos": F.cos, "tan": F.tan,
+    "arcsin": F.asin, "arccos": F.acos, "arctan": F.atan,
+    "sinh": F.sinh, "cosh": F.cosh, "tanh": F.tanh,
+    "arcsinh": F.asinh, "arccosh": F.acosh, "arctanh": F.atanh,
+    "exp": F.exp, "expm1": F.expm1, "exp2": lambda c: F.pow(F.lit(2.0), c),
+    "log": F.log, "log2": F.log2, "log10": F.log10, "log1p": F.log1p,
+    "sqrt": F.sqrt, "cbrt": F.cbrt,
+    "absolute": F.abs, "fabs": lambda c: F.abs(c.cast("double")),
+    "negative": lambda c: -c, "positive": lambda c: c,
+    "sign": F.signum, "rint": F.rint,
+    "floor": F.floor, "ceil": F.ceil,
+    "trunc": lambda c: F.when(c < 0, F.ceil(c)).otherwise(F.floor(c)),
+    "reciprocal": lambda c: F.lit(1.0) / c,
+    "square": lambda c: c * c,
+    "degrees": F.degrees, "radians": F.radians,
+    "rad2deg": F.degrees, "deg2rad": F.radians,
+    "isnan": F.isnan,
+    "isinf": lambda c: c.isin(float("inf"), float("-inf")),
+    "isfinite": lambda c: ~(F.isnan(c) | c.isin(float("inf"), float("-inf"))),
+    "logical_not": lambda c: ~c.cast("boolean"),
+    "invert": lambda c: F.bitwise_not(c),
+}
+
+_UFUNC_BINARY = {
+    "add": lambda a, b: a + b,
+    "subtract": lambda a, b: a - b,
+    "multiply": lambda a, b: a * b,
+    "divide": lambda a, b: a / b,
+    "true_divide": lambda a, b: a / b,
+    "floor_divide": lambda a, b: F.floor(a / b),
+    "remainder": lambda a, b: ((a % b) + b) % b,
+    "mod": lambda a, b: ((a % b) + b) % b,
+    "fmod": lambda a, b: a % b,
+    "power": F.pow, "float_power": lambda a, b: F.pow(a.cast("double") if isinstance(a, Column) else a, b),
+    "arctan2": F.atan2, "hypot": F.hypot,
+    "logaddexp": lambda a, b: F.log(F.exp(a) + F.exp(b)),
+    "logaddexp2": lambda a, b: F.log2(F.pow(F.lit(2.0), a) + F.pow(F.lit(2.0), b)),
+    "maximum": F.greatest, "minimum": F.least,
+    "fmax": F.greatest, "fmin": F.least,
+    "equal": lambda a, b: a == b, "not_equal": lambda a, b: a != b,
+    "less": lambda a, b: a < b, "less_equal": lambda a, b: a <= b,
+    "greater": lambda a, b: a > b, "greater_equal": lambda a, b: a >= b,
+    "bitwise_and": lambda a, b: a.bitwiseAND(b),
+    "bitwise_or": lambda a, b: a.bitwiseOR(b),
+    "bitwise_xor": lambda a, b: a.bitwiseXOR(b),
+    "logical_and": lambda a, b: a.cast("boolean") & b.cast("boolean"),
+    "logical_or": lambda a, b: a.cast("boolean") | b.cast("boolean"),
+    "logical_xor": lambda a, b: a.cast("boolean") != b.cast("boolean"),
+    "copysign": lambda a, b: F.when(b < 0, -F.abs(a)).otherwise(F.abs(a)),
+}
+
+
+def _ufunc_dispatch(ufunc, method, inputs, kwargs):
+    """Shared numpy-ufunc → Column lowering for Series AND Column (the
+    latter so chained calls like np.sqrt(np.absolute(s)) — whose inner
+    result is a raw Column — keep dispatching)."""
+    if method != "__call__" or kwargs.get("out") is not None:
+        return NotImplemented
+    name = ufunc.__name__
+
+    def to_col(v):
+        if isinstance(v, Series):
+            return v.col
+        if isinstance(v, Column):
+            return v
+        try:
+            import numpy as np
+
+            if isinstance(v, np.generic):
+                v = v.item()
+        except ImportError:
+            pass
+        return F.lit(v)
+
+    # bit shifts: F.shiftleft/right take a plain int bit count
+    if name in ("left_shift", "right_shift") and len(inputs) == 2:
+        n = inputs[1]
+        if hasattr(n, "item"):
+            n = n.item()
+        if isinstance(n, int):
+            fn = F.shiftleft if name == "left_shift" else F.shiftright
+            return fn(to_col(inputs[0]), n)
+        return NotImplemented
+    cols = [to_col(v) for v in inputs]
+    if len(cols) == 1 and name in _UFUNC_UNARY:
+        return _UFUNC_UNARY[name](cols[0])
+    if len(cols) == 2 and name in _UFUNC_BINARY:
+        return _UFUNC_BINARY[name](cols[0], cols[1])
+    return NotImplemented
+
+
+def _column_array_ufunc(self, ufunc, method, *inputs, **kwargs):
+    return _ufunc_dispatch(ufunc, method, inputs, kwargs)
+
+
+# attach to pyspark Column so intermediate Columns stay dispatchable
+# (additive: defines only the numpy interop dunder)
+Column.__array_ufunc__ = _column_array_ufunc

@@ -341,3 +341,54 @@ def test_series_applymap_scale(gdf, pdf):
     got = gdf.assign(t=x.scale()).to_pandas().t.tolist()
     exp = ((pdf.x - pdf.x.min()) / (pdf.x.max() - pdf.x.min())).tolist()
     assert got == pytest.approx(exp)
+
+
+def test_array_ufunc_dispatch(spark):
+    """cudf test_array_ufunc.py parity: numpy ufuncs on a Series lower
+    to JVM Column expressions (no numpy evaluation, no collect)."""
+    import numpy as np
+    import pandas as pd
+
+    import pygdf_spark as gd
+    from pyspark.sql import Column
+
+    pdf = pd.DataFrame({"x": [0.1, -1.5, 2.0, 4.0], "y": [1.0, 2.0, 0.5, -3.0],
+                        "i": [1, 2, 3, 4]})
+    g = gd.from_pandas(pdf, spark)
+
+    cases = {
+        "sin": np.sin(g["x"]),
+        "sqrt_abs": np.sqrt(np.absolute(g["x"])),
+        "add": np.add(g["x"], g["y"]),
+        "maximum": np.maximum(g["x"], g["y"]),
+        "arctan2": np.arctan2(g["x"], g["y"]),
+        "floor_div": np.floor_divide(g["x"], g["y"]),
+        "trunc": np.trunc(g["y"]),
+        "rem": np.remainder(g["i"], 3),
+        "shift": np.left_shift(g["i"], 2),
+        "logexp": np.logaddexp(g["x"], g["y"]),
+        "ge": np.greater_equal(g["x"], g["y"]),
+    }
+    for c in cases.values():
+        assert isinstance(c, Column)
+    out = g.assign(**cases).to_pandas()
+    exp = {
+        "sin": np.sin(pdf["x"]),
+        "sqrt_abs": np.sqrt(np.abs(pdf["x"])),
+        "add": pdf["x"] + pdf["y"],
+        "maximum": np.maximum(pdf["x"], pdf["y"]),
+        "arctan2": np.arctan2(pdf["x"], pdf["y"]),
+        "floor_div": np.floor_divide(pdf["x"], pdf["y"]),
+        "trunc": np.trunc(pdf["y"]),
+        "rem": np.remainder(pdf["i"], 3),
+        "shift": np.left_shift(pdf["i"], 2),
+        "logexp": np.logaddexp(pdf["x"], pdf["y"]),
+        "ge": pdf["x"] >= pdf["y"],
+    }
+    for k, v in exp.items():
+        got = out[k].to_numpy()
+        want = np.asarray(v)
+        if want.dtype == bool:
+            assert (got == want).all(), k
+        else:
+            assert np.allclose(got.astype(float), want.astype(float)), k
