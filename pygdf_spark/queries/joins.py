@@ -213,11 +213,14 @@ def join_conditional_left(spark, sf_dir):
     j = s.join(
         c, (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal), "left"
     )
+    # cents BIGINT, not DECIMAL: Decimal objects hash differently than
+    # DuckDB's float64 decimals in the driver compare (dtype audit)
+    best_cents = (F.max("c_acctbal").cast("decimal(12,2)") * 100).cast("long")
     return (
         j.groupBy("s_suppkey")
         .agg(
             F.count("c_custkey").alias("n_matched"),
-            F.max("c_acctbal").cast("decimal(12,2)").alias("best_bal"),
+            best_cents.alias("best_bal_cents"),
         )
         .orderBy("s_suppkey")
     )
@@ -225,7 +228,7 @@ def join_conditional_left(spark, sf_dir):
 
 JOIN_CONDITIONAL_LEFT_SQL = """
 SELECT s_suppkey, COUNT(c.c_custkey) AS n_matched,
-       CAST(MAX(c.c_acctbal) AS DECIMAL(12,2)) AS best_bal
+       CAST(CAST(MAX(c.c_acctbal) AS DECIMAL(12,2)) * 100 AS BIGINT) AS best_bal_cents
 FROM supplier s
 LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 8000) c
   ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
