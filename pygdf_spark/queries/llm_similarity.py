@@ -558,11 +558,19 @@ def dedup_semantic(spark, sf_dir):
     model: k scales with N so cells stay ~constant-sized and the
     quadratic is bounded per cell. τ=0.30 is the fixture's
     "semantically similar" scale (p99 of random-pair cosine);
-    production embeddings use ~0.95+."""
+    production embeddings use ~0.95+.
+
+    k SCALES WITH N (target cell ≈ 256 vectors, floor 4): within-cell
+    pairing is then n·cell ≈ linear, not the fixed-k n²/k quadratic —
+    the r4 8× smoke measured 157 s at k=4 on 16k vectors (4k-row
+    cells). The oracle computes the same k from COUNT(*), so both
+    engines agree exactly. At 100 TB, train the quantizer on a sample
+    (assignment is n·k·d) — here the full fixture IS the sample."""
     from pygdf_spark.operators.kmeans import kmeans
 
     vecs = T(spark, sf_dir, "embeddings")
-    assign = kmeans(vecs, k=4, iters=2).select("vid", "cid")
+    k = max(4, vecs.count() // 256)
+    assign = kmeans(vecs, k=k, iters=2).select("vid", "cid")
     v = SIM.with_vec(vecs).join(assign, "vid")
     a = v.select(
         F.col("cid"), F.col("vid").alias("va"), F.col("vec").alias("veca"),
@@ -599,7 +607,8 @@ WITH v AS (
 c0 AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vid) - 1 AS cid,
          list_transform(a, x -> CAST(x AS DOUBLE)) AS c
-  FROM (SELECT * FROM v ORDER BY vid LIMIT 4)
+  FROM (SELECT * FROM v ORDER BY vid
+        LIMIT GREATEST(4, (SELECT COUNT(*) // 256 FROM v)))
 ),{_km_round("0", "c0")},{_km_update("1", "a0")},{_km_round("1", "c1")},{_km_update("2", "a1")},{_km_round("2", "c2")},
 nrm AS (
   SELECT vid, CAST(list_reduce(list_transform(a, x -> x * x), (x, y) -> x + y) AS BIGINT) AS n2
