@@ -270,6 +270,45 @@ class Consumer:
         v = state.get(f"{topic}/{partition}")
         return None if v is None else int(v)
 
+    def list_topics(self, specific_topic: str | None = None) -> dict:
+        """Topic → partition-id list (kafka.py:36 list_topics, which
+        proxies librdkafka metadata). Without a broker admin API, the
+        connector path derives it from the raw frame's partition
+        column; the file-backed store contributes topics this group has
+        committed against (bookkeeping parity)."""
+        topics: dict[str, list[int]] = {}
+        path = self._store_path()
+        if os.path.exists(path):
+            with open(path) as f:
+                for key in json.load(f):
+                    t, p = key.rsplit("/", 1)
+                    topics.setdefault(t, [])
+                    if int(p) not in topics[t]:
+                        topics[t].append(int(p))
+        if specific_topic is not None:
+            try:
+                parts = (
+                    self._raw_source(specific_topic)
+                    .select("partition").distinct().collect()
+                )
+                topics[specific_topic] = sorted(int(r[0]) for r in parts)
+            except Exception:
+                topics.setdefault(specific_topic, [])
+        return {k: sorted(v) for k, v in topics.items()}
+
+    def unsubscribe(self) -> None:
+        """Drop the group's stored offsets (kafka.py:53 unsubscribe —
+        librdkafka forgets the assignment; here the assignment IS the
+        offset store)."""
+        path = self._store_path()
+        if os.path.exists(path):
+            os.remove(path)
+
+    def close(self, timeout: int = 10000) -> None:
+        """kafka.py:62 close — no persistent client to tear down (the
+        Spark session owns the connector); kept for call-site parity."""
+        return None
+
 
 def read_gdf(
     spark: SparkSession,

@@ -28,8 +28,14 @@ def duckdb_con(sf_dir: str):
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+        if os.path.isdir(path):
+            # Spark-written table: a DIRECTORY of part files (the sf1
+            # fixture; single-file tables at the driver tiers) — DuckDB
+            # needs the explicit glob
+            path = os.path.join(path, "*.parquet")
+        elif not os.path.exists(path):
+            continue
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     return con
 
 

@@ -175,3 +175,26 @@ def test_binary_payload_empty_topic_schema_error(spark):
     c = K.Consumer(spark, raw_source=lambda topic: raw)
     with pytest.raises(ValueError, match="empty"):
         c.read_gdf("t", message_format="avro")
+
+
+def test_consumer_list_topics_unsubscribe_close(spark, tmp_path):
+    """custreamz kafka.py:36/53/62 parity: list_topics from committed
+    state + raw source partitions; unsubscribe clears the group store;
+    close is a no-op."""
+    from pygdf_spark.streaming.kafka import Consumer
+
+    raw = _raw_frame(spark)
+    c = Consumer(spark, offset_dir=str(tmp_path), group="g1",
+                 raw_source=lambda topic: raw)
+    c.commit("t1", 0, 5)
+    c.commit("t1", 1, 9)
+    c.commit("t2", 0, 1)
+    topics = c.list_topics()
+    assert topics == {"t1": [0, 1], "t2": [0]}
+    t1 = c.list_topics(specific_topic="t1")
+    assert 0 in t1["t1"]
+    c.close()
+    assert c.committed("t1", 0) == 5
+    c.unsubscribe()
+    assert c.committed("t1", 0) is None
+    assert c.list_topics() == {"t1": [0]} or "t1" not in c.list_topics()
