@@ -489,7 +489,73 @@ WHERE rk <= 3 ORDER BY doc_id, rk
 """
 
 
+def text_chunk_split(spark, sf_dir):
+    """Training-data chunker: split each document into fixed-size token
+    windows (size 50, stride 40 → 10-token overlap) — the standard
+    pretraining chunk step between cleaning and packing. Map-side only:
+    tokenize → per-row chunk-count arithmetic → explode(sequence) →
+    slice; output volume is Σ ceil((n−size)/stride)+1 rows, linear in
+    corpus tokens, zero shuffles before the fixture's orderBy. The
+    chunk fingerprint (md5 of the joined window) feeds incremental
+    dedup downstream."""
+    size, stride = 50, 40
+    d = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("toks")
+        )
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") > 0)
+    )
+    # ceil((n-size)/stride): add stride-1 before the floor-div
+    n_chunks = F.lit(1) + F.floor(
+        (F.greatest(F.col("n") - size, F.lit(0)) + stride - 1) / stride
+    ).cast("int")
+    chunks = d.withColumn(
+        "chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+    )
+    start = F.col("chunk_id") * stride + 1
+    # stage the window ONCE (dup-HOF rule, tools/audit_plans.py): three
+    # direct slice() references tripled the generated code and cost
+    # ~10 s of one-time codegen on the first run
+    staged = chunks.select(
+        "doc_id", "chunk_id", F.slice("toks", start, size).alias("w")
+    )
+    return (
+        staged.select(
+            "doc_id",
+            "chunk_id",
+            F.size("w").alias("chunk_tokens"),
+            F.element_at("w", 1).alias("first_tok"),
+            F.md5(F.array_join("w", " ")).alias("chunk_fp"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+TEXT_CHUNK_SQL = r"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(LOWER(text)), '\s+') AS toks,
+         len(string_split_regex(trim(LOWER(text)), '\s+')) AS n
+  FROM documents WHERE doc_id < 200
+),
+nz AS (SELECT * FROM d WHERE n > 0),
+c AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(0, CAST(1 + FLOOR((GREATEST(n - 50, 0) + 39) / 40.0) AS INT) - 1)) AS chunk_id
+  FROM nz
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(len(list_slice(toks, chunk_id * 40 + 1, chunk_id * 40 + 50)) AS INT) AS chunk_tokens,
+       toks[chunk_id * 40 + 1] AS first_tok,
+       md5(array_to_string(list_slice(toks, chunk_id * 40 + 1, chunk_id * 40 + 50), ' ')) AS chunk_fp
+FROM c ORDER BY doc_id, chunk_id
+"""
+
+
 QUERIES = {
+    "text_chunk_split": text_chunk_split,
     "text_tfidf_top": text_tfidf_top,
     "text_token_stats": text_token_stats,
     "text_vocab_coverage": text_vocab_coverage,
@@ -504,6 +570,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "text_chunk_split": TEXT_CHUNK_SQL,
     "text_tfidf_top": TEXT_TFIDF_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_vocab_coverage": TEXT_VOCAB_COVERAGE_SQL,
