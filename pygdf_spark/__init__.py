@@ -24,6 +24,7 @@ from pygdf_spark.core import (  # noqa: F401
     pivot,
     unstack,
 )
+from pygdf_spark import datasets  # noqa: F401
 from pygdf_spark.options import (  # noqa: F401
     describe_option,
     get_option,
