@@ -543,10 +543,11 @@ def test_module_namespace_parity(spark):
     assert gd.NA is None
     gdt.assert_eq(df, df.copy())
     assert df.astype({"x": gd.Decimal64Dtype(10, 1)}).dtypes["x"] == "decimal(10,1)"
-    ts = datasets.timeseries(periods=4, spark=spark)
-    assert len(ts) == 4 and ts.columns == ["ts", "id", "name", "x", "y"]
+    ts = datasets.timeseries(spark, end="2000-01-01 00:00:04")
+    assert len(ts) == 4
+    assert ts.columns == ["timestamp", "id", "name", "x", "y"]
     # determinism: same seed → same frame
-    gdt.assert_eq(datasets.timeseries(periods=4, spark=spark), ts)
+    gdt.assert_eq(datasets.timeseries(spark, end="2000-01-01 00:00:04"), ts)
 
 
 def test_dateoffset_and_accessor(spark):
