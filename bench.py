@@ -48,6 +48,9 @@ HEADLINE = [
     "asof_join_events",        # distributed as-of join
     "sim_ivf_topk",            # bucketed (IVF-style) ANN
     "join_salted_skew",        # skew-salted join
+    "q5_local_supplier_volume",   # TPC-H Q5: 6-way join + grouped agg
+    "q9_product_profit",          # TPC-H Q9: wide join + 2-key agg
+    "q18_large_volume_customer",  # TPC-H Q18: having-agg + join + top-k
 ]
 
 
