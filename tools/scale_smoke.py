@@ -44,7 +44,12 @@ TIMED = ["q1_pricing_summary", "join_inner_q3", "agg_basic_stats",
          # r4 additions
          "events_sessionize", "text_tfidf_top", "topk_per_group",
          "win_ntile_bucket", "sample_reservoir", "agg_filtered_pack",
-         "join_conditional_left"]
+         "join_conditional_left",
+         # TPC-H suite (join-heavy / subquery shapes)
+         "q2_best_supplier", "q5_local_supplier_volume", "q8_market_share",
+         "q9_product_profit", "q11_important_stock", "q13_customer_distribution",
+         "q17_small_quantity", "q18_large_volume_customer",
+         "q20_potential_promotion", "q21_waiting_supplier"]
 
 
 def build(spark, n: int, dst: str) -> None:
@@ -78,13 +83,18 @@ def build(spark, n: int, dst: str) -> None:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    args = [a for a in sys.argv[1:] if not a.startswith("--only")]
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = a.split("=", 1)[1].split(",")
+    n = int(args[0]) if args else 8
     dst = f"/tmp/scale_smoke_x{n}"
     spark = get_spark("scale-smoke")
     build(spark, n, dst)
     queries, _ = registry()
     li = spark.read.parquet(os.path.join(dst, "lineitem.parquet")).count()
-    for name in TIMED:
+    for name in (only or TIMED):
         t0 = time.perf_counter()
         queries[name](spark, dst).write.format("noop").mode("overwrite").save()
         # host load rides along: a curve measured at load ≫ ncpu is
