@@ -25,6 +25,7 @@ from pygdf_spark.core import (  # noqa: F401
     unstack,
 )
 from pygdf_spark import datasets  # noqa: F401
+from pygdf_spark import testing  # noqa: F401  (cudf.testing parity)
 from pygdf_spark.options import (  # noqa: F401
     describe_option,
     get_option,
@@ -110,6 +111,104 @@ def cut(col, bins: list, labels: list | None = None):
     return idx - 1
 
 
+def qcut(col, q, labels: list | None = None):
+    """pandas/cudf-style qcut over a veneer Series: quantile edges from
+    ONE exact-percentile aggregation on the Series' own frame, bucket
+    assigned map-side as a boundary comparison (right-closed bins, like
+    ``reshape_qcut_bins``). `q` is an int (equal-frequency bins) or an
+    explicit quantile list. Returns a Series of 0-based bin indices
+    (or `labels`). The edge agg is a broadcast of q-1 scalars — no
+    driver materialization of data rows."""
+    from pyspark.sql import functions as F
+
+    from pygdf_spark.core.series import Series as _S
+
+    if not isinstance(col, _S):
+        raise TypeError("qcut expects a pygdf_spark Series")
+    probs = (
+        [i / q for i in range(1, q)]
+        if isinstance(q, int)
+        else [float(p) for p in q if 0.0 < float(p) < 1.0]
+    )
+    sdf = col._parent._sdf
+    name = col._name
+    x = col.col.cast("double")
+    edges = sdf.agg(
+        *[F.percentile(x, p).alias(f"__q{i}") for i, p in enumerate(probs)]
+    )
+    b = sum(
+        ((x > F.col(f"__q{i}")).cast("int") for i in range(len(probs))),
+        F.lit(0),
+    )
+    expr = b
+    if labels is not None:
+        expr = F.element_at(F.array(*[F.lit(v) for v in labels]), b + 1)
+    keep = [c for c in sdf.columns if not c.startswith("__q")]
+    out = (
+        sdf.crossJoin(F.broadcast(edges))
+        .select(*[c for c in keep if c != name], expr.alias(name))
+    )
+    return from_spark(out)[name]
+
+
+def pivot_table(data: "DataFrame", values: str, index, columns: str,
+                aggfunc: str = "mean", fill_value=None) -> "DataFrame":
+    """cudf/pandas pivot_table — groupBy(index).pivot(columns).agg: one
+    shuffle on the index keys; the pivot column domain is resolved by
+    Spark (distinct scan) and becomes output columns."""
+    from pyspark.sql import functions as F
+
+    index = [index] if isinstance(index, str) else list(index)
+    agg = getattr(F, {"mean": "avg"}.get(aggfunc, aggfunc))
+    out = data._sdf.groupBy(*index).pivot(columns).agg(agg(values))
+    if fill_value is not None:
+        out = out.na.fill(fill_value)
+    return from_spark(out)
+
+
+def crosstab(data: "DataFrame", index: str, columns: str) -> "DataFrame":
+    """pandas.crosstab over distributed data: count matrix of
+    index × columns (groupBy + pivot + count — one shuffle)."""
+    from pyspark.sql import functions as F
+
+    return from_spark(
+        data._sdf.groupBy(index).pivot(columns).agg(F.count(F.lit(1))).na.fill(0)
+    )
+
+
+class option_context:
+    """cudf.option_context — set options inside a with-block, restore on
+    exit (pandas semantics)."""
+
+    def __init__(self, *args):
+        if len(args) % 2:
+            raise ValueError("option_context takes name/value pairs")
+        self._pairs = list(zip(args[::2], args[1::2]))
+        self._saved: list = []
+
+    def __enter__(self):
+        self._saved = [(n, get_option(n)) for n, _ in self._pairs]
+        for n, v in self._pairs:
+            set_option(n, v)
+        return self
+
+    def __exit__(self, *exc):
+        for n, v in self._saved:
+            set_option(n, v)
+        return False
+
+
+def from_dlpack(obj):
+    """cudf.from_dlpack (interop.hpp:40) — GPU tensor exchange has no
+    analog in a JVM engine (SURVEY.md §2.1 declares DLPack n/a); Arrow
+    is the interchange format here."""
+    raise NotImplementedError(
+        "DLPack is a GPU device-memory exchange; use Arrow instead — "
+        "spark.createDataFrame(pandas_df) in, DataFrame.to_pandas()/"
+        "mapInArrow out carry Arrow buffers end-to-end."
+    )
+
+
 def date_range(start: str, periods: int, freq: str = "1 day", spark=None) -> "DataFrame":
     """cudf.date_range (core/tools/datetimes.py region) — `periods`
     timestamps stepping `freq` from `start`, column ``ts``. Built on
@@ -145,7 +244,9 @@ __all__ = [
     "DataFrame", "Series", "concat", "from_spark", "get_dummies", "melt",
     "pivot", "get_spark", "tables", "read_csv", "read_parquet", "read_orc",
     "read_json", "read_feather", "read_hdf", "read_avro", "to_datetime",
-    "cut", "date_range", "interval_range", "NA", "from_pandas", "merge",
+    "cut", "qcut", "pivot_table", "crosstab", "option_context",
+    "from_dlpack", "testing",
+    "date_range", "interval_range", "NA", "from_pandas", "merge",
     "factorize", "to_numeric", "isclose", "merge_sorted", "DateOffset",
     "register_dataframe_accessor", "register_series_accessor",
     "register_index_accessor", "set_allocator", "validate_setup",

@@ -1119,3 +1119,66 @@ def test_loc_row_key_column_label(spark):
     # the plain 2-level row key still routes to xs
     g2 = got.loc[("y", 2)].to_pandas()
     assert len(g2) == 1
+
+
+def test_qcut_vs_pandas(spark):
+    """cudf/pandas qcut parity: 0-based quantile-bin indices. pandas
+    interpolates quartile edges linearly; the engine's F.percentile
+    does the same, so bin assignment agrees wherever the edge
+    arithmetic is exact (integer values here)."""
+    import pygdf_spark as gd
+
+    pser = pd.Series([1, 2, 3, 4, 5, 6, 7, 8, 100, 200], name="v")
+    pdf_ = pser.to_frame()
+    gser = gd.from_pandas(pdf_, spark=spark)["v"]
+    got = gd.qcut(gser, 4).to_pandas().tolist()
+    exp = pd.qcut(pser, 4, labels=False).tolist()
+    assert got == exp
+    got_lab = gd.qcut(gser, 4, labels=["q1", "q2", "q3", "q4"]).to_pandas().tolist()
+    exp_lab = pd.qcut(pser, 4, labels=["q1", "q2", "q3", "q4"]).tolist()
+    assert got_lab == exp_lab
+
+
+def test_pivot_table_crosstab_vs_pandas(spark):
+    import pygdf_spark as gd
+
+    pdf_ = pd.DataFrame({
+        "r": ["a", "a", "b", "b", "a", "b"],
+        "c": ["x", "y", "x", "y", "x", "x"],
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+    })
+    gdf_ = gd.from_pandas(pdf_, spark=spark)
+    got = gd.pivot_table(gdf_, values="v", index="r", columns="c",
+                         aggfunc="mean").to_pandas().sort_values("r").reset_index(drop=True)
+    exp = (pd.pivot_table(pdf_, values="v", index="r", columns="c", aggfunc="mean")
+           .reset_index().rename_axis(None, axis=1))
+    pdt.assert_frame_equal(got, exp, check_dtype=False)
+
+    got_ct = gd.crosstab(gdf_, "r", "c").to_pandas().sort_values("r").reset_index(drop=True)
+    exp_ct = (pd.crosstab(pdf_["r"], pdf_["c"]).reset_index()
+              .rename_axis(None, axis=1))
+    pdt.assert_frame_equal(got_ct, exp_ct, check_dtype=False)
+
+
+def test_option_context_restores():
+    import pygdf_spark as gd
+
+    before = gd.get_option("max_driver_rows")
+    with gd.option_context("max_driver_rows", 7):
+        assert gd.get_option("max_driver_rows") == 7
+    assert gd.get_option("max_driver_rows") == before
+
+
+def test_from_dlpack_guided_raise():
+    import pygdf_spark as gd
+
+    with pytest.raises(NotImplementedError, match="Arrow"):
+        gd.from_dlpack(object())
+
+
+def test_testing_namespace_exported(spark):
+    import pygdf_spark as gd
+
+    pdf_ = pd.DataFrame({"a": [1, 2]})
+    gdf_ = gd.from_pandas(pdf_, spark=spark)
+    gd.testing.assert_frame_equal(gdf_, pdf_)
