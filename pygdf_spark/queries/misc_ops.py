@@ -229,6 +229,137 @@ FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
 """
 
 
+def _rt_path(sf_dir: str, fmt: str, table: str) -> str:
+    import os
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return os.path.join(tempfile.gettempdir(), f"pygdf_{fmt}_{tag}_{table}")
+
+
+def io_csv_roundtrip(spark, sf_dir):
+    """read_csv/write_csv (csv.hpp:1124,1452) end-to-end through the
+    DISTRIBUTED csv writer (part-file directory) and schema-inferring
+    reader: supplier exported and read back, then aggregated. Integer/
+    string columns only — csv is a text dialect, so the round-trip
+    property under test is the quoting/escaping/inference contract, not
+    float formatting."""
+    from pygdf_spark.queries._util import T
+    from pygdf_spark.sources.io import read_csv, write_csv
+
+    sup = T(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    path = _rt_path(sf_dir, "csv", "supplier")
+    write_csv(sup, path)
+    back = read_csv(spark, path)
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("s_suppkey").alias("key_sum"),
+            F.min("s_name").alias("first_name"),
+            F.sum(F.length("s_name")).alias("name_chars"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+IO_CSV_SQL = """
+SELECT s_nationkey, COUNT(*) AS n, CAST(SUM(s_suppkey) AS BIGINT) AS key_sum,
+       MIN(s_name) AS first_name, CAST(SUM(LENGTH(s_name)) AS BIGINT) AS name_chars
+FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
+def io_orc_roundtrip(spark, sf_dir):
+    """read_orc/write_orc (orc.hpp:363,579) end-to-end with predicate +
+    column pruning applied ON THE ORC READ (the filter reaches stripe
+    pruning; reading all columns back for a 3-column aggregate would be
+    the wrong plan)."""
+    from pygdf_spark.queries._util import T
+    from pygdf_spark.sources.io import read_orc, write_orc
+
+    part = T(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_type"
+    )
+    path = _rt_path(sf_dir, "orc", "part")
+    write_orc(part, path)
+    back = read_orc(
+        spark, path, columns=["p_brand", "p_size", "p_partkey"],
+        filters="p_size <= 25",
+    )
+    return (
+        back.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p_size").alias("size_sum"),
+            F.sum("p_partkey").alias("key_sum"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+IO_ORC_SQL = """
+SELECT p_brand, COUNT(*) AS n, CAST(SUM(p_size) AS BIGINT) AS size_sum,
+       CAST(SUM(p_partkey) AS BIGINT) AS key_sum
+FROM part WHERE p_size <= 25 GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def io_json_roundtrip(spark, sf_dir):
+    """read_json/write_json (json.hpp:308) end-to-end: JSON-lines
+    directory written distributed, read back with schema inference
+    (alphabetical column order — the aggregate is order-insensitive)."""
+    from pygdf_spark.queries._util import T
+    from pygdf_spark.sources.io import read_json, write_json
+
+    cust = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    path = _rt_path(sf_dir, "json", "customer")
+    write_json(cust, path)
+    back = read_json(spark, path)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c_custkey").alias("key_sum"),
+            F.sum("c_nationkey").alias("nat_sum"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+IO_JSON_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+       CAST(SUM(c_nationkey) AS BIGINT) AS nat_sum
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def io_feather_roundtrip(spark, sf_dir):
+    """read_feather/write_feather (io/feather.py) end-to-end — the
+    reference's documented host-interop path (pyarrow round-trip),
+    exercised on the fixed-size region dimension."""
+    from pygdf_spark.queries._util import T
+    from pygdf_spark.sources.io import read_feather, write_feather
+
+    region = T(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    path = _rt_path(sf_dir, "feather", "region") + ".feather"
+    write_feather(region, path)
+    back = read_feather(spark, path)
+    return back.select(
+        "r_regionkey", "r_name", F.length("r_name").alias("name_len")
+    ).orderBy("r_regionkey")
+
+
+IO_FEATHER_SQL = """
+SELECT r_regionkey, r_name, CAST(LENGTH(r_name) AS INT) AS name_len
+FROM region ORDER BY r_regionkey
+"""
+
+
 def mi_xs_level(spark, sf_dir):
     """MultiIndex cross-section through the pandas-compat veneer
     (reference core/multiindex.py xs; r2-verdict task #6 surface):
@@ -273,6 +404,10 @@ QUERIES = {
     "rolling_apply_fold": rolling_apply_fold,
     "str_convert_pack": str_convert_pack,
     "io_avro_roundtrip": io_avro_roundtrip,
+    "io_csv_roundtrip": io_csv_roundtrip,
+    "io_orc_roundtrip": io_orc_roundtrip,
+    "io_json_roundtrip": io_json_roundtrip,
+    "io_feather_roundtrip": io_feather_roundtrip,
 }
 
 ORACLE = {
@@ -282,4 +417,8 @@ ORACLE = {
     "rolling_apply_fold": ROLLING_APPLY_SQL,
     "str_convert_pack": STR_CONVERT_SQL,
     "io_avro_roundtrip": IO_AVRO_SQL,
+    "io_csv_roundtrip": IO_CSV_SQL,
+    "io_orc_roundtrip": IO_ORC_SQL,
+    "io_json_roundtrip": IO_JSON_SQL,
+    "io_feather_roundtrip": IO_FEATHER_SQL,
 }

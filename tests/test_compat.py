@@ -1182,3 +1182,39 @@ def test_testing_namespace_exported(spark):
     pdf_ = pd.DataFrame({"a": [1, 2]})
     gdf_ = gd.from_pandas(pdf_, spark=spark)
     gd.testing.assert_frame_equal(gdf_, pdf_)
+
+
+def test_api_types_predicates(spark):
+    """cudf.api.types parity: predicates accept Spark DataTypes, DDL
+    strings, veneer Series, and plain pandas/numpy objects."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType, BooleanType, DecimalType, DoubleType, LongType,
+        StringType, StructField, StructType, TimestampType,
+    )
+
+    import pygdf_spark as gd
+    from pygdf_spark.api import types as t
+
+    assert t.is_numeric_dtype(LongType()) and t.is_numeric_dtype("bigint")
+    assert t.is_numeric_dtype(DecimalType(12, 2))
+    assert not t.is_numeric_dtype(StringType())
+    assert t.is_integer_dtype("int") and not t.is_integer_dtype(DoubleType())
+    assert t.is_float_dtype(DoubleType()) and not t.is_float_dtype("bigint")
+    assert t.is_string_dtype(StringType()) and not t.is_string_dtype("double")
+    assert t.is_bool_dtype(BooleanType())
+    assert t.is_datetime_dtype(TimestampType()) and t.is_datetime_dtype("date")
+    assert t.is_list_dtype(ArrayType(LongType())) and t.is_list_dtype("array<int>")
+    assert t.is_struct_dtype(StructType([StructField("a", LongType())]))
+    assert t.is_decimal_dtype("decimal(10,2)")
+    assert t.is_interval_dtype(gd.IntervalDtype("bigint"))
+    # veneer Series introspection
+    gdf_ = gd.from_pandas(pd.DataFrame({"x": [1, 2], "s": ["a", "b"]}), spark=spark)
+    assert t.is_integer_dtype(gdf_["x"]) and t.is_string_dtype(gdf_["s"])
+    # host-side pandas delegation unchanged
+    assert t.is_numeric_dtype(np.dtype("int64"))
+    assert t.is_scalar(3) and t.is_scalar(None) and not t.is_scalar([1])
+    assert t.is_list_like([1]) and t.is_dict_like({})
+    # reference import paths resolve
+    from pygdf_spark.api.extensions import register_series_accessor  # noqa: F401
+    from pygdf_spark.errors import UnSupportedGPUError  # noqa: F401
