@@ -327,6 +327,59 @@ ORDER BY metric
 """
 
 
+def reshape_pivot_table(spark, sf_dir):
+    """pivot_table (pandas/cudf module function; reshape veneer):
+    orders priority × status → summed integer cents. One shuffle on the
+    index key; the pivot domain resolves via Spark's distinct scan."""
+    import pygdf_spark as gd
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus",
+        (dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    out = gd.pivot_table(
+        gd.from_spark(o), values="cents", index="o_orderpriority",
+        columns="o_orderstatus", aggfunc="sum", fill_value=0,
+    )
+    return out.spark.orderBy("o_orderpriority")
+
+
+PIVOT_TABLE_SQL = """
+SELECT o_orderpriority,
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN cents END), 0) AS BIGINT) AS F,
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN cents END), 0) AS BIGINT) AS O,
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN cents END), 0) AS BIGINT) AS P
+FROM (SELECT o_orderpriority, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM orders)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def reshape_crosstab(spark, sf_dir):
+    """crosstab (pandas module function): count matrix of customer
+    market segment × nation bucket — groupBy+pivot+count, one shuffle."""
+    import pygdf_spark as gd
+
+    c = T(spark, sf_dir, "customer").select(
+        "c_mktsegment", (F.col("c_nationkey") % 5).alias("nat_bucket")
+    )
+    out = gd.crosstab(gd.from_spark(c), "c_mktsegment", "nat_bucket")
+    return out.spark.orderBy("c_mktsegment")
+
+
+CROSSTAB_SQL = """
+SELECT c_mktsegment,
+       CAST(COALESCE(SUM(CASE WHEN nb = 0 THEN 1 END), 0) AS BIGINT) AS "0",
+       CAST(COALESCE(SUM(CASE WHEN nb = 1 THEN 1 END), 0) AS BIGINT) AS "1",
+       CAST(COALESCE(SUM(CASE WHEN nb = 2 THEN 1 END), 0) AS BIGINT) AS "2",
+       CAST(COALESCE(SUM(CASE WHEN nb = 3 THEN 1 END), 0) AS BIGINT) AS "3",
+       CAST(COALESCE(SUM(CASE WHEN nb = 4 THEN 1 END), 0) AS BIGINT) AS "4"
+FROM (SELECT c_mktsegment, c_nationkey % 5 AS nb FROM customer)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "reshape_melt": reshape_melt,
     "reshape_pivot": reshape_pivot,
@@ -340,6 +393,8 @@ QUERIES = {
     "reshape_factorize": reshape_factorize,
     "reshape_concat_union": reshape_concat_union,
     "set_intersect_except": set_intersect_except,
+    "reshape_pivot_table": reshape_pivot_table,
+    "reshape_crosstab": reshape_crosstab,
 }
 
 ORACLE = {
@@ -355,4 +410,6 @@ ORACLE = {
     "reshape_factorize": RESHAPE_FACTORIZE_SQL,
     "reshape_concat_union": RESHAPE_CONCAT_SQL,
     "set_intersect_except": SET_INTERSECT_SQL,
+    "reshape_pivot_table": PIVOT_TABLE_SQL,
+    "reshape_crosstab": CROSSTAB_SQL,
 }
