@@ -50,9 +50,14 @@ _PRIORITY = [
     # driver-green row in CORRECTNESS_r01-r03 — including the 5 that
     # hash-failed r3 ONLY because the driver canonicalizer cannot sort
     # list cells (array outputs now stringified via array_join) — plus
-    # the 9 net-new r4 queries. 41 + 9 = 50 exactly; after this round
-    # every registry entry has had a driver row. Prior-green rows are
-    # cumulative.
+    # the 9 net-new r4 queries. 41 + 9 = 50 exactly. Prior-green rows
+    # are cumulative.
+    # r5 rotation queue (verified by the local gate, no driver row yet;
+    # audit: the `never-checked NOT in window` list from comparing
+    # registry order vs CORRECTNESS_r01-r04): the 19 TPC-H suite
+    # queries (q2..q22), io_{csv,orc,json,feather}_roundtrip,
+    # reshape_pivot_table, reshape_crosstab, text_chunk_split — 26
+    # entries, leaving ~24 r5 slots for net-new work.
     # -- r3 canon-hazard retries (fixed: arrays stringified)
     "str_convert_pack", "byte_cast_pack", "nlp_subword_tokenize",
     "sim_doc_pool", "mm_feature_stub",

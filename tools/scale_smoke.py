@@ -49,7 +49,10 @@ TIMED = ["q1_pricing_summary", "join_inner_q3", "agg_basic_stats",
          "q2_best_supplier", "q5_local_supplier_volume", "q8_market_share",
          "q9_product_profit", "q11_important_stock", "q13_customer_distribution",
          "q17_small_quantity", "q18_large_volume_customer",
-         "q20_potential_promotion", "q21_waiting_supplier"]
+         "q20_potential_promotion", "q21_waiting_supplier",
+         # r4 late additions
+         "text_chunk_split", "io_csv_roundtrip", "io_json_roundtrip",
+         "reshape_pivot_table", "reshape_crosstab"]
 
 
 def build(spark, n: int, dst: str) -> None:
