@@ -1,0 +1,72 @@
+"""Parquet/ORC/CSV scan + write throughput on a ~0.5 GiB table — the
+Spark-side counterpart of the reference's 512 MiB IO microbenchmarks
+(`cpp/benchmarks/io/parquet/parquet_reader_benchmark.cpp:28,144-190`,
+BASELINE.md rows 5-7). Measures three read shapes the reference grids
+over — all columns, alternate columns, single column — plus a full
+write, and prints bytes/s per shape.
+
+Usage: python tools/io_throughput.py [src_parquet_dir]
+       (default /tmp/scale_smoke_x32/lineitem.parquet)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pygdf_spark import get_spark
+
+
+def _dir_bytes(path: str) -> int:
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
+def _timed_scan(spark, path: str, cols=None) -> float:
+    t0 = time.perf_counter()
+    df = spark.read.parquet(path)
+    if cols:
+        df = df.select(*cols)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_smoke_x32/lineitem.parquet"
+    spark = get_spark("io-throughput")
+    size = _dir_bytes(src)
+    all_cols = spark.read.parquet(src).columns
+    shapes = {
+        "all_columns": None,
+        "alternate_columns": all_cols[::2],
+        "single_column": [all_cols[0]],
+    }
+    out = {"src": src, "compressed_bytes": size, "n_columns": len(all_cols)}
+    for name, cols in shapes.items():
+        # min-of-3, cache cleared between runs
+        best = min(_timed_scan(spark, src, cols) for _ in range(3))
+        out[name] = {"sec": round(best, 3),
+                     "mb_per_s": round(size / best / 1e6, 1)}
+    # write throughput (snappy, the reference's default compression arm)
+    dst = "/tmp/io_throughput_write.parquet"
+    df = spark.read.parquet(src)
+    t0 = time.perf_counter()
+    df.write.mode("overwrite").option("compression", "snappy").parquet(dst)
+    wsec = time.perf_counter() - t0
+    out["write_snappy"] = {"sec": round(wsec, 3),
+                           "mb_per_s": round(_dir_bytes(dst) / wsec / 1e6, 1)}
+    out["load1"] = round(os.getloadavg()[0], 1)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
