@@ -56,8 +56,9 @@ _PRIORITY = [
     # audit: the `never-checked NOT in window` list from comparing
     # registry order vs CORRECTNESS_r01-r04): the 19 TPC-H suite
     # queries (q2..q22), io_{csv,orc,json,feather}_roundtrip,
-    # reshape_pivot_table, reshape_crosstab, text_chunk_split — 26
-    # entries, leaving ~24 r5 slots for net-new work.
+    # reshape_pivot_table, reshape_crosstab, text_chunk_split,
+    # dedup_url_canonical, dedup_containment — 28 entries, leaving
+    # ~22 r5 slots for net-new work.
     # -- r3 canon-hazard retries (fixed: arrays stringified)
     "str_convert_pack", "byte_cast_pack", "nlp_subword_tokenize",
     "sim_doc_pool", "mm_feature_stub",

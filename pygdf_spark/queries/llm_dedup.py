@@ -688,6 +688,130 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def dedup_url_canonical(spark, sf_dir):
+    """URL-canonicalization dedup — the first pass of every web-corpus
+    pipeline (dedupe by canonical URL before touching content). The
+    fixture has no URL column, so a deterministic URL is synthesized
+    per document (mixed-case scheme/host, tracking query, fragment) and
+    then canonicalized the standard way: lowercase, strip scheme and
+    leading www., drop query+fragment, strip one trailing slash. Group
+    by canonical URL; keep the min doc_id. Map-side expressions + ONE
+    keyed shuffle — the exact-dedup shape, scales like
+    dedup_exact_hash."""
+    d = T(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("HTTPS://WWW."), F.col("source"), F.lit(".Example.COM/"),
+        F.col("lang"), F.lit("/p/"), (F.col("doc_id") % 40).cast("string"),
+        F.lit("/?utm_source=feed&ref=rss#section-2"),
+    )
+    canon = F.regexp_replace(F.lower(raw), r"^https?://(www\.)?", "")
+    canon = F.regexp_replace(canon, r"[?#].*$", "")
+    canon = F.regexp_replace(canon, r"/$", "")
+    return (
+        d.select(canon.alias("canonical_url"), "doc_id")
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+        .orderBy(F.col("n_dups").desc(), F.col("canonical_url"))
+        .limit(25)
+    )
+
+
+DEDUP_URL_SQL = r"""
+WITH u AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               lower('HTTPS://WWW.' || source || '.Example.COM/' || lang || '/p/'
+                     || CAST(doc_id % 40 AS VARCHAR) || '/?utm_source=feed&ref=rss#section-2'),
+               '^https?://(www\.)?', ''),
+             '[?#].*$', ''),
+           '/$', '') AS canonical_url
+  FROM documents
+)
+SELECT canonical_url, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+FROM u GROUP BY canonical_url HAVING COUNT(*) > 1
+ORDER BY n_dups DESC, canonical_url LIMIT 25
+"""
+
+
+def dedup_containment(spark, sf_dir):
+    """Asymmetric shingle-containment dedup (RefinedWeb-style: drop A
+    when |sh(A) ∩ sh(B)| / |sh(A)| is high — A is a sub-document of B,
+    which symmetric Jaccard misses when B is much longer). Candidate
+    pairs come from a deterministic ANCHOR bucket (docs sharing their
+    minimum shingle); intersections are computed ONLY for candidates
+    (cand ⋈ shingles ⋈ shingles — no all-pairs stage anywhere). The
+    asymmetry filter (n_a < n_b, ties by id) emits each containment
+    once. At 100 TB the anchor would be a banded min-hash (same shape,
+    operators/dedup.py LSH path); the lexicographic min keeps this
+    exact-oracle-able."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    sh = D.shingles(d, n=2)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    anchors = sh.groupBy("doc_id").agg(F.min("shingle").alias("anchor"))
+    cand = (
+        anchors.select(F.col("doc_id").alias("doc_a"), "anchor")
+        .join(anchors.select(F.col("doc_id").alias("doc_b"), "anchor"), "anchor")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    inter = (
+        cand.join(sh.withColumnsRenamed({"doc_id": "doc_a"}), "doc_a")
+        .join(
+            sh.withColumnsRenamed({"doc_id": "doc_b"}),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "na"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"}), "doc_b")
+        .filter((F.col("na") < F.col("nb")) | ((F.col("na") == F.col("nb")) & (F.col("doc_a") < F.col("doc_b"))))
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("inter").cast("double") / F.col("na"), 8).alias("containment"),
+            "na", "nb",
+        )
+    )
+    return out.orderBy(F.col("containment").desc(), "doc_a", "doc_b").limit(40)
+
+
+DEDUP_CONTAINMENT_SQL = r"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(generate_series(1, greatest(len(w)-1, 0)),
+                                 i -> w[i] || ' ' || w[i+1])) AS shingle
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+          FROM documents WHERE doc_id < 300)
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+anchors AS (SELECT doc_id, MIN(shingle) AS anchor FROM sh GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM anchors a JOIN anchors b ON a.anchor = b.anchor AND a.doc_id <> b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+              JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, ROUND(CAST(inter AS DOUBLE) / na.n_sh, 8) AS containment,
+       na.n_sh AS na, nb.n_sh AS nb
+FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b
+WHERE (na.n_sh < nb.n_sh OR (na.n_sh = nb.n_sh AND doc_a < doc_b))
+ORDER BY containment DESC, doc_a, doc_b LIMIT 40
+"""
+
+
 QUERIES = {
     "graph_connected_components": graph_connected_components,
     "graph_pagerank": graph_pagerank,
@@ -702,6 +826,8 @@ QUERIES = {
     "dedup_decontaminate": dedup_decontaminate,
     "dedup_decontaminate_bloom": dedup_decontaminate_bloom,
     "dedup_span_fingerprint": dedup_span_fingerprint,
+    "dedup_url_canonical": dedup_url_canonical,
+    "dedup_containment": dedup_containment,
 }
 
 ORACLE = {
@@ -718,4 +844,6 @@ ORACLE = {
     "dedup_decontaminate": DEDUP_DECONTAMINATE_SQL,
     "dedup_decontaminate_bloom": DEDUP_DECONTAMINATE_BLOOM_SQL,
     "dedup_span_fingerprint": DEDUP_SPAN_SQL,
+    "dedup_url_canonical": DEDUP_URL_SQL,
+    "dedup_containment": DEDUP_CONTAINMENT_SQL,
 }
