@@ -732,14 +732,16 @@ class Series:
 
     def scale(self):
         """scale (series.py:4430): (x − min)/(max − min) to [0, 1].
-        min/max ride an unpartitioned window — at scale prefer computing
-        them once and passing literals; this matches cuDF's one-call
-        ergonomics."""
-        from pyspark.sql import Window
-
-        w = Window.partitionBy()
-        mn, mx = F.min(self.col).over(w), F.max(self.col).over(w)
-        return (self.col - mn) / (mx - mn)
+        min/max come from ONE distributed aggregate (partial/final
+        combine; a single 2-scalar row reaches the driver, like the
+        order primitives' boundary sample) and fold in as literals —
+        never an unpartitioned window over the data. Eager like the
+        reference: the upstream plan runs once at expression build."""
+        row = self._parent._sdf.agg(
+            F.min(self.col).alias("mn"), F.max(self.col).alias("mx")
+        ).first()
+        mn, mx = row["mn"], row["mx"]
+        return (self.col - F.lit(mn)) / (F.lit(mx) - F.lit(mn))
 
     def applymap(self, func, out_type: str = "double"):
         """applymap (series.py:2260 → numba CUDA kernel): elementwise
