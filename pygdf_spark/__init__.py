@@ -25,6 +25,7 @@ from pygdf_spark.core import (  # noqa: F401
     unstack,
 )
 from pygdf_spark import datasets  # noqa: F401
+from pygdf_spark import errors  # noqa: F401  (cudf.errors parity)
 from pygdf_spark import testing  # noqa: F401  (cudf.testing parity)
 from pygdf_spark.options import (  # noqa: F401
     describe_option,
@@ -114,40 +115,64 @@ def cut(col, bins: list, labels: list | None = None):
 def qcut(col, q, labels: list | None = None):
     """pandas/cudf-style qcut over a veneer Series: quantile edges from
     ONE exact-percentile aggregation on the Series' own frame, bucket
-    assigned map-side as a boundary comparison (right-closed bins, like
-    ``reshape_qcut_bins``). `q` is an int (equal-frequency bins) or an
-    explicit quantile list. Returns a Series of 0-based bin indices
-    (or `labels`). The edge agg is a broadcast of q-1 scalars — no
-    driver materialization of data rows."""
+    assigned map-side as a boundary comparison (right-closed bins, the
+    lowest value included — pandas semantics). `q` is an int
+    (equal-frequency bins over the full range) or an explicit quantile
+    list (pandas: values OUTSIDE the outer quantiles get null, and a
+    k-entry list yields k-1 bins). Returns a Series of 0-based bin
+    indices (or `labels`). The edge agg broadcasts a handful of scalars
+    — no driver materialization of data rows."""
     from pyspark.sql import functions as F
 
     from pygdf_spark.core.series import Series as _S
 
     if not isinstance(col, _S):
         raise TypeError("qcut expects a pygdf_spark Series")
-    probs = (
-        [i / q for i in range(1, q)]
-        if isinstance(q, int)
-        else [float(p) for p in q if 0.0 < float(p) < 1.0]
-    )
     sdf = col._parent._sdf
     name = col._name
     x = col.col.cast("double")
+
+    if isinstance(q, int):
+        if q < 1:
+            raise ValueError("q must be a positive integer or a quantile list")
+        inner = [i / q for i in range(1, q)]   # interior edges only
+        outer = None                           # full range: every row valid
+    else:
+        qs = sorted(float(p) for p in q)
+        if len(qs) < 2:
+            raise ValueError("quantile list needs at least 2 entries")
+        inner = qs[1:-1]
+        outer = (qs[0], qs[-1])
+
+    # alias prefix chosen to be collision-proof against user columns
+    pfx = "__pygdf_qcut_"
+    probs = ([] if outer is None else [outer[0]]) + inner + (
+        [] if outer is None else [outer[1]]
+    )
+    if not probs:
+        # q == 1: single bin, no edges needed
+        expr = F.lit(labels[0]) if labels is not None else F.when(
+            x.isNotNull(), F.lit(0)
+        )
+        return from_spark(
+            sdf.select(*[c for c in sdf.columns if c != name], expr.alias(name))
+        )[name]
     edges = sdf.agg(
-        *[F.percentile(x, p).alias(f"__q{i}") for i, p in enumerate(probs)]
+        *[F.percentile(x, p).alias(f"{pfx}{i}") for i, p in enumerate(probs)]
     )
-    b = sum(
-        ((x > F.col(f"__q{i}")).cast("int") for i in range(len(probs))),
-        F.lit(0),
-    )
-    expr = b
+    if outer is None:
+        inner_cols = [F.col(f"{pfx}{i}") for i in range(len(probs))]
+        valid = x.isNotNull()
+    else:
+        lo, hi = F.col(f"{pfx}0"), F.col(f"{pfx}{len(probs) - 1}")
+        inner_cols = [F.col(f"{pfx}{i}") for i in range(1, len(probs) - 1)]
+        valid = (x >= lo) & (x <= hi)
+    b = sum(((x > e).cast("int") for e in inner_cols), F.lit(0))
+    expr = F.when(valid, b)
     if labels is not None:
-        expr = F.element_at(F.array(*[F.lit(v) for v in labels]), b + 1)
-    keep = [c for c in sdf.columns if not c.startswith("__q")]
-    out = (
-        sdf.crossJoin(F.broadcast(edges))
-        .select(*[c for c in keep if c != name], expr.alias(name))
-    )
+        expr = F.element_at(F.array(*[F.lit(v) for v in labels]), expr + 1)
+    keep = [c for c in sdf.columns if not c.startswith(pfx) and c != name]
+    out = sdf.crossJoin(F.broadcast(edges)).select(*keep, expr.alias(name))
     return from_spark(out)[name]
 
 
@@ -160,9 +185,13 @@ def pivot_table(data: "DataFrame", values: str, index, columns: str,
 
     index = [index] if isinstance(index, str) else list(index)
     agg = getattr(F, {"mean": "avg"}.get(aggfunc, aggfunc))
-    out = data._sdf.groupBy(*index).pivot(columns).agg(agg(values))
+    # pandas dropna=True: null index keys and null pivot labels are
+    # dropped, and fill_value fills only the VALUE cells (never keys)
+    src = data._sdf.na.drop(subset=index + [columns])
+    out = src.groupBy(*index).pivot(columns).agg(agg(values))
     if fill_value is not None:
-        out = out.na.fill(fill_value)
+        value_cols = [c for c in out.columns if c not in index]
+        out = out.na.fill(fill_value, subset=value_cols)
     return from_spark(out)
 
 
@@ -171,9 +200,9 @@ def crosstab(data: "DataFrame", index: str, columns: str) -> "DataFrame":
     index × columns (groupBy + pivot + count — one shuffle)."""
     from pyspark.sql import functions as F
 
-    return from_spark(
-        data._sdf.groupBy(index).pivot(columns).agg(F.count(F.lit(1))).na.fill(0)
-    )
+    src = data._sdf.na.drop(subset=[index, columns])  # pandas dropna=True
+    out = src.groupBy(index).pivot(columns).agg(F.count(F.lit(1)))
+    return from_spark(out.na.fill(0, subset=[c for c in out.columns if c != index]))
 
 
 class option_context:
@@ -692,6 +721,12 @@ for _n in ("Int8Index", "Int16Index", "Int32Index", "Int64Index",
            "Float32Index", "Float64Index", "CategoricalIndex",
            "DatetimeIndex", "TimedeltaIndex"):
     globals()[_n] = type(_n, (Index,), {})
+
+
+# cudf.api parity namespace — imported at the END of module init because
+# api.extensions re-exports the accessor registrars defined above (a
+# top-of-module import would hit the partially-initialized package).
+from pygdf_spark import api  # noqa: E402,F401
 
 
 class IntervalIndex(Index):

@@ -35,7 +35,8 @@ def _spark_type_name(obj) -> str | None:
     if hasattr(obj, "_parent") and hasattr(obj, "_name"):
         try:
             sdf = obj._parent._sdf
-            return sdf.schema[obj._name].dataType.simpleString().split("(")[0]
+            t = sdf.schema[obj._name].dataType.simpleString()
+            return t.split("(")[0].split("<")[0]
         except Exception:
             return None
     if isinstance(obj, str):

@@ -1218,3 +1218,57 @@ def test_api_types_predicates(spark):
     # reference import paths resolve
     from pygdf_spark.api.extensions import register_series_accessor  # noqa: F401
     from pygdf_spark.errors import UnSupportedGPUError  # noqa: F401
+
+
+def test_qcut_explicit_list_and_single_bin(spark):
+    """pandas qcut list semantics: k quantiles -> k-1 bins, values
+    outside the outer quantiles -> null; q=1 -> one all-zero bin."""
+    import pygdf_spark as gd
+
+    pser = pd.Series([1, 2, 3, 4, 5, 6, 7, 8, 9, 10], name="v")
+    gser = gd.from_pandas(pser.to_frame(), spark=spark)["v"]
+    got = gd.qcut(gser, [0.25, 0.5, 0.75]).to_pandas()
+    exp = pd.qcut(pser, [0.25, 0.5, 0.75], labels=False)
+    assert [(-1 if pd.isna(a) else int(a)) for a in got] == \
+           [(-1 if pd.isna(e) else int(e)) for e in exp]
+    ones = gd.qcut(gser, 1).to_pandas().tolist()
+    assert ones == pd.qcut(pser, 1, labels=False).tolist()
+
+
+def test_pivot_table_null_keys_dropped(spark):
+    """pandas dropna=True: null index keys and null pivot labels are
+    dropped; fill_value fills only value cells."""
+    import pygdf_spark as gd
+
+    pdf_ = pd.DataFrame({
+        "r": [1.0, None, 2.0, 2.0],
+        "c": ["x", "x", None, "y"],
+        "v": [10.0, 20.0, 30.0, 40.0],
+    })
+    gdf_ = gd.from_pandas(pdf_, spark=spark)
+    got = (gd.pivot_table(gdf_, values="v", index="r", columns="c",
+                          aggfunc="sum", fill_value=0)
+           .to_pandas().sort_values("r").reset_index(drop=True))
+    exp = (pd.pivot_table(pdf_, values="v", index="r", columns="c",
+                          aggfunc="sum", fill_value=0)
+           .reset_index().rename_axis(None, axis=1))
+    pdt.assert_frame_equal(got, exp, check_dtype=False)
+    ct = gd.crosstab(gdf_, "r", "c").to_pandas()
+    assert None not in ct.columns and "null" not in ct.columns
+    assert ct["r"].notna().all()
+
+
+def test_api_types_series_container_dtypes(spark):
+    """Series introspection resolves container types (the element-type
+    suffix must not defeat the array/struct predicates)."""
+    import pygdf_spark as gd
+    from pygdf_spark.api import types as t
+
+    pdf_ = pd.DataFrame({"a": [[1, 2], [3]]})
+    gdf_ = gd.from_pandas(pdf_, spark=spark)
+    assert t.is_list_dtype(gdf_["a"])
+    assert not t.is_integer_dtype(gdf_["a"])
+    # attribute-access parity paths
+    import pygdf_spark
+    assert hasattr(pygdf_spark, "errors") and hasattr(pygdf_spark, "api")
+    assert pygdf_spark.api.types.is_numeric_dtype("bigint")

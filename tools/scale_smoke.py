@@ -86,11 +86,15 @@ def build(spark, n: int, dst: str) -> None:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--only")]
     only = None
+    args = []
     for a in sys.argv[1:]:
         if a.startswith("--only="):
             only = a.split("=", 1)[1].split(",")
+        elif a.startswith("--"):
+            raise SystemExit(f"unknown flag {a!r}; use --only=name1,name2")
+        else:
+            args.append(a)
     n = int(args[0]) if args else 8
     dst = f"/tmp/scale_smoke_x{n}"
     spark = get_spark("scale-smoke")
