@@ -99,3 +99,22 @@ def events_ts(spark, sf_dir: str):
     """events table with ``ts`` as a real µs TimestampType. Oracle side
     uses CAST(ts AS TIMESTAMP) — DuckDB truncates ns→µs identically."""
     return normalize_ts(T(spark, sf_dir, "events"))
+
+
+def cents(col):
+    """Exact int64 cents of a scale-2 double column — THE determinism
+    idiom for money arithmetic (q1 docstring in relational.py: fixture
+    money is exact at scale 2, so round(x*100) has no ties and the row
+    pipeline stays codegen'd int64 instead of per-row BigDecimal).
+    Single source of truth; the oracle-side mirror is SQL_CENTS."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100, 0).cast("long")
+
+
+def sql_cents(col: str) -> str:
+    """DuckDB fragment mirroring ``cents`` byte-for-byte in semantics:
+    CAST(round(col * 100, 0) AS BIGINT). Both engines round scale-2
+    doubles half-away-from-zero at *100 — tie-free on this data."""
+    return f"CAST(round({col} * 100, 0) AS BIGINT)"

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from pygdf_spark.queries._util import T, dsum
+from pygdf_spark.queries._util import T, cents as _util_cents, dsum
 
 
 # --- TPC-H Q1 shape: the flagship scan→filter→agg→sort -----------------
@@ -43,8 +43,7 @@ def q1_pricing_summary(spark, sf_dir):
     int64)."""
     li = T(spark, sf_dir, "lineitem")
 
-    def cents(col):
-        return F.round(F.col(col) * 100, 0).cast("long")
+    from pygdf_spark.queries._util import cents
 
     qc, pc = cents("l_quantity"), cents("l_extendedprice")
     dc, tc = cents("l_discount"), cents("l_tax")
@@ -108,8 +107,8 @@ def q6_forecast_revenue(spark, sf_dir):
             (
                 F.sum(
                     (
-                        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-                        * F.round(F.col("l_discount") * 100, 0).cast("long")
+                        _util_cents("l_extendedprice")
+                        * _util_cents("l_discount")
                     ).cast("decimal(25,0)")
                 ).cast("double")
                 / 10000.0

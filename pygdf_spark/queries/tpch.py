@@ -25,16 +25,14 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from pygdf_spark.queries._util import T
+from pygdf_spark.queries._util import T, cents as _util_cents, sql_cents
 
 D25 = "decimal(25,0)"
 
 
 def _cents(col):
-    """Exact int64 cents of a scale-2 double column (see q1 docstring
-    in relational.py: data exact at scale 2, no rounding ties)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * 100, 0).cast("long")
+    """Exact int64 cents (single source: queries._util.cents)."""
+    return _util_cents(col)
 
 
 def _rev_u():
@@ -55,8 +53,8 @@ def _drev(alias: str):
 # HUGEINT; the final CAST(.. AS DOUBLE)/10000.0 matches Spark's
 # decimal->double cast bit-for-bit).
 _SQL_REV_U = (
-    "CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
-    " * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))"
+    f"{sql_cents('l_extendedprice')}"
+    f" * (100 - {sql_cents('l_discount')})"
 )
 
 
@@ -212,7 +210,10 @@ def q7_volume_shipping(spark, sf_dir):
     """TPC-H Q7 verbatim: bidirectional trade volume between NATION_1
     and NATION_2 by ship year. Two broadcast nation joins (aliased),
     disjunctive nation-pair filter AFTER both (Catalyst pushes the
-    per-side IN (n1,n2) prefilters into the broadcasts)."""
+    per-side IN (n1,n2) prefilters into the broadcasts). NOTE: empty at
+    sf0.001 (no cross-trade in the window at that tier) — the non-
+    vacuous oracle comparisons are the sf0.01/sf0.1/sf1 gates (4 rows
+    at sf0.01+)."""
     li = T(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1996-01-01"))
         & (F.col("l_shipdate") < _ts("1998-01-01"))
@@ -371,8 +372,8 @@ SELECT nation, o_year, CAST(SUM(amount_u) AS DOUBLE) / 10000.0 AS sum_profit
 FROM (
   SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
          {_SQL_REV_U}
-         - CAST(round(p_retailprice * 100, 0) AS BIGINT)
-           * CAST(round(l_quantity * 100, 0) AS BIGINT) AS amount_u
+         - {sql_cents('p_retailprice')}
+           * {sql_cents('l_quantity')} AS amount_u
   FROM lineitem
   JOIN part ON l_partkey = p_partkey
   JOIN supplier ON l_suppkey = s_suppkey
@@ -430,7 +431,9 @@ def q11_important_stock(spark, sf_dir):
     """TPC-H Q11 shape, adapted: no partsupp, so per-part "value" =
     sum(extendedprice*quantity) shipped by NATION_7 suppliers, kept if
     > 3x the average per-part value (the original's fixed 0.01% of
-    total empties out as part count grows — scale-free ratio instead).
+    total empties out as part count grows — a scale-free ratio keeps
+    the sf0.01+ tiers populated; sf0.001's tiny part sample still
+    yields 0 rows, so the non-vacuous comparisons are sf0.01 and up).
     The threshold compare runs on exact integers (value_u * n_parts >
     3 * total_u) — no float epsilon. The one-row total broadcasts back
     over the per-part aggregate (scalar cross join)."""
@@ -458,11 +461,11 @@ def q11_important_stock(spark, sf_dir):
     )
 
 
-Q11_SQL = """
+Q11_SQL = f"""
 WITH per AS (
   SELECT l_partkey,
-         SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-             * CAST(round(l_quantity * 100, 0) AS BIGINT)) AS value_u
+         SUM({sql_cents('l_extendedprice')}
+             * {sql_cents('l_quantity')}) AS value_u
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey
@@ -557,10 +560,14 @@ def q14_promo_revenue(spark, sf_dir):
         (F.col("l_shipdate") >= _ts("1996-09-01"))
         & (F.col("l_shipdate") < _ts("1996-10-01"))
     )
-    p = T(spark, sf_dir, "part")
+    # every part row joins (no selective filter exists for Q14), so the
+    # build side must NOT be force-broadcast — part scales with SF; a
+    # 2-column projection joins shuffle-side and AQE still converts to
+    # broadcast when the slice is actually small
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = _rev_u()
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             (
                 F.lit(100.0)
@@ -690,20 +697,20 @@ def q17_small_quantity(spark, sf_dir):
     )
 
 
-Q17_SQL = """
+Q17_SQL = f"""
 WITH li2 AS (
   SELECT l_partkey, l_quantity, l_extendedprice
   FROM lineitem JOIN part ON l_partkey = p_partkey
   WHERE p_brand = 'Brand#2'),
 stats AS (
   SELECT l_partkey AS sp,
-         SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS sum_qc,
+         SUM({sql_cents('l_quantity')}) AS sum_qc,
          COUNT(*) AS n_li
   FROM li2 GROUP BY l_partkey)
-SELECT CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+SELECT CAST(SUM({sql_cents('l_extendedprice')}) AS DOUBLE)
        / 100.0 / 7.0 AS avg_yearly
 FROM li2 JOIN stats ON l_partkey = sp
-WHERE CAST(round(l_quantity * 100, 0) AS BIGINT) * 5 * n_li < sum_qc
+WHERE {sql_cents('l_quantity')} * 5 * n_li < sum_qc
 """
 
 
@@ -738,13 +745,13 @@ def q18_large_volume_customer(spark, sf_dir):
     )
 
 
-Q18_SQL = """
+Q18_SQL = f"""
 SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
        CAST(sum_qc AS DOUBLE) / 100.0 AS sum_qty
 FROM (
-  SELECT l_orderkey, SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS sum_qc
+  SELECT l_orderkey, SUM({sql_cents('l_quantity')}) AS sum_qc
   FROM lineitem GROUP BY l_orderkey
-  HAVING SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) > 25000) big
+  HAVING SUM({sql_cents('l_quantity')}) > 25000) big
 JOIN orders ON o_orderkey = l_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY o_totalprice DESC, o_orderkey
@@ -760,7 +767,20 @@ def q19_discounted_revenue(spark, sf_dir):
     common l_partkey = p_partkey conjunct so the join stays an
     equi-join with a residual disjunction (not a BNLJ)."""
     li = T(spark, sf_dir, "lineitem")
-    p = T(spark, sf_dir, "part")
+    # part-only projection of the disjunction pre-filters the build side
+    # (a selective slice — broadcasting the UNFILTERED part would force
+    # the whole table onto every executor at scale); the residual
+    # quantity conjuncts apply post-join
+    part_pred = (
+        ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#14") & F.col("p_size").between(10, 30))
+        | ((F.col("p_brand") == "Brand#22") & F.col("p_size").between(20, 50))
+    )
+    p = (
+        T(spark, sf_dir, "part")
+        .filter(part_pred)
+        .select("p_partkey", "p_brand", "p_size")
+    )
     q = F.col("l_quantity")
     branch = (
         (
@@ -835,11 +855,11 @@ def q20_potential_promotion(spark, sf_dir):
     )
 
 
-Q20_SQL = """
+Q20_SQL = f"""
 WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
 sq AS (
   SELECT l_partkey, l_suppkey,
-         SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS sq
+         SUM({sql_cents('l_quantity')}) AS sq
   FROM lineitem JOIN red ON p_partkey = l_partkey
   GROUP BY l_partkey, l_suppkey),
 pq AS (SELECT l_partkey, SUM(sq) AS tq, COUNT(*) AS ns FROM sq GROUP BY l_partkey)
@@ -940,11 +960,11 @@ def q22_global_sales(spark, sf_dir):
     )
 
 
-Q22_SQL = """
+Q22_SQL = f"""
 WITH sel AS (
   SELECT c_custkey, c_acctbal,
          CAST(c_nationkey % 10 AS INT) AS cntrycode,
-         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_c
+         {sql_cents('c_acctbal')} AS bal_c
   FROM customer
   WHERE CAST(c_nationkey % 10 AS INT) IN (1, 3, 5, 7, 9)),
 avgpos AS (
