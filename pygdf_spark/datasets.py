@@ -85,6 +85,8 @@ _MAKE = {
     "int": _make_int,
     str: _make_string,
     "str": _make_string,
+    object: _make_string,    # reference maps object -> make_string
+    "object": _make_string,
     "category": _make_string,
 }
 
@@ -98,10 +100,16 @@ def _columns(dtypes: dict, seed: int, row: Column) -> list:
         except KeyError:
             raise TypeError(
                 f"No generator for dtype {dt!r} (column {name!r}); "
-                "valid: float, int, str, 'category'"
+                "valid: float, int, str, object, 'category'"
             ) from None
         cols.append(make(seed, name, row).alias(name))
     return cols
+
+
+#: calendar (non-fixed-duration) pandas offset aliases → months per tick;
+#: generated distributed via add_months arithmetic (month-start ticks)
+_CALENDAR_MONTHS = {"MS": 1, "ME": 1, "M": 1, "QS": 3, "QE": 3, "Q": 3,
+                    "YS": 12, "YE": 12, "Y": 12, "A": 12, "AS": 12}
 
 
 def timeseries(
@@ -110,6 +118,7 @@ def timeseries(
     end="2000-01-31",
     freq="1s",
     dtypes=None,
+    nulls_frequency=0,
     seed=None,
 ):
     """Timeseries frame with hash-random data (datasets.py:11).
@@ -117,8 +126,14 @@ def timeseries(
     One row per ``freq`` tick in ``[start, end)``; default columns
     ``{"name": "category", "id": int, "x": float, "y": float}`` plus a
     leading ``timestamp``. ``seed`` selects the deterministic hash
-    stream (None -> 0). Executes as a single distributed ``range``
-    scan — no driver-side materialization.
+    stream (None -> 0). ``nulls_frequency`` (reference signature)
+    nulls each data cell independently with that probability — the
+    mask is the same counter-based hash, so it is deterministic and
+    partition-invariant too. Fixed-duration ``freq`` strings ride one
+    distributed ``range`` scan; calendar aliases (MS/ME/QS/YS, …)
+    ride the same scan with ``add_months`` arithmetic (month-START
+    ticks — the end-of-month variants tick at starts too, documented
+    delta). No driver-side materialization either way.
     """
     import pandas as pd
 
@@ -130,18 +145,42 @@ def timeseries(
 
     start_ts = pd.Timestamp(start)
     end_ts = pd.Timestamp(end)
-    step_us = int(pd.Timedelta(freq).value // 1000)
-    if step_us <= 0:
-        raise ValueError(f"freq {freq!r} must be a positive interval")
-    total_us = int((end_ts - start_ts).value // 1000)
-    n = max(total_us // step_us + (1 if total_us % step_us else 0), 0)
-
     row = F.col("__row")
+
+    fr = str(freq)
+    alias = fr.lstrip("0123456789 ") or fr
+    if alias in _CALENDAR_MONTHS:
+        mult = int(fr[: len(fr) - len(alias)] or 1)
+        months = _CALENDAR_MONTHS[alias] * mult
+        # number of month-steps in [start, end)
+        span = (end_ts.year - start_ts.year) * 12 + (end_ts.month - start_ts.month)
+        n = max((span + months - 1) // months, 0)
+        start_day = F.lit(start_ts.strftime("%Y-%m-%d %H:%M:%S"))
+        ts = F.to_timestamp(
+            F.concat(
+                F.add_months(F.to_date(start_day), row * months).cast("string"),
+                F.lit(start_ts.strftime(" %H:%M:%S")),
+            )
+        ).alias("timestamp")
+    else:
+        step_us = int(pd.Timedelta(freq).value // 1000)
+        if step_us <= 0:
+            raise ValueError(f"freq {freq!r} must be a positive interval")
+        total_us = int((end_ts - start_ts).value // 1000)
+        n = max(total_us // step_us + (1 if total_us % step_us else 0), 0)
+        ts = F.timestamp_micros(
+            F.lit(int(start_ts.value // 1000)) + row * F.lit(step_us)
+        ).alias("timestamp")
+
     base = spark.range(n).select(F.col("id").alias("__row"))
-    ts = F.timestamp_micros(
-        F.lit(int(start_ts.value // 1000)) + row * F.lit(step_us)
-    ).alias("timestamp")
-    return from_spark(base.select(ts, *_columns(dtypes, seed, row)))
+    cols = _columns(dtypes, seed, row)
+    if nulls_frequency:
+        p = float(nulls_frequency)
+        cols = [
+            F.when(_u(seed, f"null/{n_}", row) >= p, c).alias(n_)
+            for c, n_ in zip(cols, sorted(dtypes))
+        ]
+    return from_spark(base.select(ts, *cols))
 
 
 def randomdata(spark: SparkSession, nrows=10, dtypes=None, seed=None):

@@ -42,6 +42,22 @@ _KAFKA_HELP = (
     "(--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>)"
 )
 
+
+def _is_missing_source(e: Exception) -> bool:
+    """True only for the missing-connector-jar failure class — other
+    connector errors (bad broker, bad option) must surface as-is."""
+    s = f"{type(e).__name__}: {e}"
+    return any(m in s for m in (
+        "Failed to find data source: kafka",
+        "DATA_SOURCE_NOT_FOUND",
+        "ClassNotFoundException",
+        "Failed to find the data source: kafka",
+    ))
+
+
+def _wrap_kafka_error(e: Exception) -> Exception:
+    return RuntimeError(_KAFKA_HELP) if _is_missing_source(e) else e
+
 #: the Kafka connector's raw output schema (what any provider must yield)
 RAW_SCHEMA_DDL = (
     "key binary, value binary, topic string, partition int, "
@@ -80,8 +96,9 @@ def _parse_payload(message_format: str, data: bytes):
 def _infer_payload_schema(raw: DataFrame, message_format: str):
     """Spark StructType of a binary payload, inferred from ONE message
     (driver-side, bounded: limit(1) — the same inference cudf's readers
-    do from each buffer's embedded header/footer)."""
-    first = raw.select("value").limit(1).collect()
+    do from each buffer's embedded header/footer). Tombstones (null
+    values, normal in compacted topics) are skipped."""
+    first = raw.select("value").filter(F.col("value").isNotNull()).limit(1).collect()
     if not first:
         raise ValueError(
             f"cannot infer {message_format} payload schema from an empty "
@@ -129,11 +146,18 @@ def _decode(raw: DataFrame, message_format: str, schema: str | None) -> DataFram
             payload_t = StructType.fromDDL(payload)
         else:
             payload_t = payload
+        names = [f.name for f in payload_t.fields]
+        # a payload column named partition/offset/timestamp must not be
+        # clobbered by the Kafka metadata — metadata gets suffixed
+        meta = {
+            m: (m + "_kafka" if m in names else m)
+            for m in ("partition", "offset", "timestamp")
+        }
         meta_t = StructType.fromDDL(
-            "partition int, offset bigint, timestamp timestamp"
+            f"`{meta['partition']}` int, `{meta['offset']}` bigint, "
+            f"`{meta['timestamp']}` timestamp"
         )
         out_t = StructType(payload_t.fields + meta_t.fields)
-        names = [f.name for f in payload_t.fields]
         fmt = message_format
 
         def decode(batches):
@@ -141,9 +165,14 @@ def _decode(raw: DataFrame, message_format: str, schema: str | None) -> DataFram
                 for val, part, off, ts in zip(
                     pdf["value"], pdf["partition"], pdf["offset"], pdf["timestamp"]
                 ):
+                    if val is None:  # tombstone (compacted-topic delete)
+                        continue
                     rec = _parse_payload(fmt, bytes(val))[names]
-                    rec = rec.assign(partition=part, offset=off, timestamp=ts)
-                    yield rec
+                    rec = rec.assign(**{
+                        meta["partition"]: part, meta["offset"]: off,
+                        meta["timestamp"]: ts,
+                    })
+                    yield rec[[f.name for f in out_t.fields]]
 
         return raw.select("value", "partition", "offset", "timestamp").mapInPandas(
             decode, schema=out_t
@@ -158,7 +187,12 @@ def _decode(raw: DataFrame, message_format: str, schema: str | None) -> DataFram
         parser(value, schema).alias("r"), F.col("partition"), F.col("offset"),
         F.col("timestamp"),
     )
-    return parsed.select("r.*", "partition", "offset", "timestamp")
+    payload_names = set(parsed.select("r.*").columns)
+    meta_cols = [
+        F.col(m).alias(m + "_kafka") if m in payload_names else F.col(m)
+        for m in ("partition", "offset", "timestamp")
+    ]
+    return parsed.select("r.*", *meta_cols)
 
 
 class Consumer:
@@ -183,24 +217,37 @@ class Consumer:
         self._spark = spark
         self._brokers = brokers
         self._group = group
-        self._offset_dir = offset_dir or os.path.join(
-            os.environ.get("SPARK_LOCAL_DIRS", "/tmp"), "pygdf_spark_offsets"
-        )
+        # SPARK_LOCAL_DIRS is a comma-separated list by Spark convention
+        local = os.environ.get("SPARK_LOCAL_DIRS", "/tmp").split(",")[0]
+        self._offset_dir = offset_dir or os.path.join(local, "pygdf_spark_offsets")
         self._raw_source = raw_source or self._connector_source
 
     # -- raw sources ---------------------------------------------------
-    def _connector_source(self, topic: str) -> DataFrame:
+    def _connector_source(
+        self, topic: str, partition: int | None = None,
+        start: int | None = None, end: int | None = None,
+    ) -> DataFrame:
+        """Connector read. With a partition given, binds via ``assign``
+        so an offset range names ONLY that TopicPartition (a subscribe-
+        mode offsets JSON must list every partition) and the broker
+        seeks instead of scan-and-filter."""
+        r = self._spark.read.format("kafka").option(
+            "kafka.bootstrap.servers", self._brokers
+        )
+        if partition is None:
+            r = (r.option("subscribe", topic)
+                 .option("startingOffsets", "earliest")
+                 .option("endingOffsets", "latest"))
+        else:
+            r = r.option("assign", json.dumps({topic: [partition]}))
+            so = {topic: {str(partition): start if start is not None else -2}}
+            eo = {topic: {str(partition): end if end is not None else -1}}
+            r = (r.option("startingOffsets", json.dumps(so))
+                 .option("endingOffsets", json.dumps(eo)))
         try:
-            return (
-                self._spark.read.format("kafka")
-                .option("kafka.bootstrap.servers", self._brokers)
-                .option("subscribe", topic)
-                .option("startingOffsets", "earliest")
-                .option("endingOffsets", "latest")
-                .load()
-            )
+            return r.load()
         except Exception as e:  # pragma: no cover - jar-dependent
-            raise RuntimeError(_KAFKA_HELP) from e
+            raise _wrap_kafka_error(e) from e
 
     # -- custreamz surface --------------------------------------------
     def read_gdf(
@@ -213,12 +260,18 @@ class Consumer:
         schema: str | None = None,
     ) -> DataFrame:
         """Offsets ``[start, end)`` of one topic-partition, decoded
-        (kafka.py:92). The offset trim is a pushdown-friendly filter on
-        the raw frame — with the connector it is expressed instead via
-        startingOffsets/endingOffsets so the broker does the seek."""
+        (kafka.py:92). With the connector source the range is pushed to
+        the broker (``assign`` + startingOffsets/endingOffsets, so the
+        broker seeks); with a pluggable mock source it is a filter. The
+        partition/offset filters stay on both paths as an exactness
+        guard — on the connector path they are no-ops."""
         if message_format == "json" and schema is None:
             raise ValueError("json decode needs a schema DDL string")
-        raw = self._raw_source(topic).filter(F.col("partition") == partition)
+        if self._raw_source == self._connector_source:
+            raw = self._connector_source(topic, partition, start, end)
+        else:
+            raw = self._raw_source(topic)
+        raw = raw.filter(F.col("partition") == partition)
         if start is not None:
             raw = raw.filter(F.col("offset") >= start)
         if end is not None:
@@ -227,10 +280,18 @@ class Consumer:
 
     def get_watermark_offsets(self, topic: str, partition: int = 0) -> tuple[int, int]:
         """(lo, hi) LOG watermarks of a topic-partition (kafka.py:215):
-        lowest available offset and next-offset-to-be-written."""
+        lowest available offset and next-offset-to-be-written. The batch
+        connector has no metadata-only call, so this reads the single
+        assigned partition and aggregates — bounded to one partition
+        (at ops scale prefer a Kafka AdminClient, which answers from
+        broker metadata without reading messages)."""
+        src = (
+            self._connector_source(topic, partition)
+            if self._raw_source == self._connector_source
+            else self._raw_source(topic)
+        )
         row = (
-            self._raw_source(topic)
-            .filter(F.col("partition") == partition)
+            src.filter(F.col("partition") == partition)
             .agg(F.min("offset").alias("lo"), F.max("offset").alias("hi"))
             .collect()[0]
         )
@@ -292,7 +353,11 @@ class Consumer:
                     .select("partition").distinct().collect()
                 )
                 topics[specific_topic] = sorted(int(r[0]) for r in parts)
-            except Exception:
+            except Exception as e:
+                # only the missing-jar class degrades to committed-store
+                # info; real errors (broker down, auth) must surface
+                if not _is_missing_source(e) and not isinstance(e, RuntimeError):
+                    raise
                 topics.setdefault(specific_topic, [])
         return {k: sorted(v) for k, v in topics.items()}
 
@@ -326,19 +391,29 @@ def read_gdf(
     seeks instead of scan-and-filter)."""
     if message_format == "json" and schema is None:
         raise ValueError("json decode needs a schema DDL string")
+    # assign-mode binds the read to ONE TopicPartition: the offsets JSON
+    # then names only that partition (subscribe-mode offset JSON must
+    # list every partition of the topic) and no sibling rows leak in
     r = (
         spark.read.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
+        .option("assign", json.dumps({topic: [partition]}))
+        .option("startingOffsets", json.dumps(
+            {topic: {str(partition): start if start is not None else -2}}
+        ))
+        .option("endingOffsets", json.dumps(
+            {topic: {str(partition): end if end is not None else -1}}
+        ))
     )
-    if start is not None:
-        r = r.option("startingOffsets", json.dumps({topic: {str(partition): start}}))
-    if end is not None:
-        r = r.option("endingOffsets", json.dumps({topic: {str(partition): end}}))
     try:
         raw = r.load()
     except Exception as e:  # pragma: no cover - jar-dependent
-        raise RuntimeError(_KAFKA_HELP) from e
+        raise _wrap_kafka_error(e) from e
+    raw = raw.filter(F.col("partition") == partition)
+    if start is not None:
+        raw = raw.filter(F.col("offset") >= start)
+    if end is not None:
+        raw = raw.filter(F.col("offset") < end)
     return _decode(raw, message_format, schema)
 
 
@@ -360,4 +435,4 @@ def read_stream(
             .load()
         )
     except Exception as e:  # pragma: no cover - jar-dependent
-        raise RuntimeError(_KAFKA_HELP) from e
+        raise _wrap_kafka_error(e) from e

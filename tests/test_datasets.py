@@ -98,3 +98,35 @@ def test_timeseries_scale_contract(spark):
     assert "Range" in plan
     for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan, plan
+
+
+def test_randomdata_object_dtype(spark):
+    """reference datasets make map includes object -> make_string."""
+    import pygdf_spark.datasets as ds
+
+    out = ds.randomdata(spark, nrows=4, dtypes={"label": object}).to_pandas()
+    assert out["label"].map(type).eq(str).all()
+
+
+def test_timeseries_nulls_frequency_deterministic(spark):
+    import pygdf_spark.datasets as ds
+
+    a = ds.timeseries(spark, "2000-01-01", "2000-01-02", freq="1h",
+                      nulls_frequency=0.3, seed=7).to_pandas()
+    b = ds.timeseries(spark, "2000-01-01", "2000-01-02", freq="1h",
+                      nulls_frequency=0.3, seed=7).to_pandas()
+    assert a.equals(b)
+    assert a["x"].isna().sum() > 0 and a["name"].isna().sum() > 0
+    assert a["timestamp"].notna().all()  # ticks never nulled
+
+
+def test_timeseries_calendar_freq(spark):
+    import pygdf_spark.datasets as ds
+
+    out = ds.timeseries(spark, "2000-01-15 06:30:00", "2001-01-15",
+                        freq="MS", dtypes={"x": float}).to_pandas()
+    assert len(out) == 12
+    assert str(out["timestamp"].iloc[1]) == "2000-02-15 06:30:00"
+    q = ds.timeseries(spark, "2000-01-01", "2002-01-01", freq="2QS",
+                      dtypes={"x": float}).to_pandas()
+    assert len(q) == 4

@@ -198,3 +198,55 @@ def test_consumer_list_topics_unsubscribe_close(spark, tmp_path):
     c.unsubscribe()
     assert c.committed("t1", 0) is None
     assert c.list_topics() == {"t1": [0]} or "t1" not in c.list_topics()
+
+
+def test_binary_decode_skips_tombstones(spark):
+    """Compacted-topic tombstones (value=null) must not crash the
+    binary decode or schema inference (review r4)."""
+    raw = _binary_raw_frame(spark, "parquet")
+    tomb = spark.createDataFrame(
+        [(None, None, "t", 0, 99, datetime.datetime(2024, 1, 2))],
+        K.RAW_SCHEMA_DDL,
+    )
+    c = K.Consumer(spark, raw_source=lambda topic: tomb.unionByName(raw))
+    out = c.read_gdf("t", partition=0, message_format="parquet").toPandas()
+    assert len(out) == 12  # 3 messages x 4 rows; tombstone skipped
+    assert 99 not in set(out["offset"])
+
+
+def test_decode_payload_metadata_name_collision(spark):
+    """A payload column named 'offset' must survive; Kafka metadata
+    gets the _kafka suffix (review r4)."""
+    import json as _json
+
+    rows = [
+        (None, bytearray(_json.dumps({"id": i, "offset": i * 10}).encode()),
+         "t", 0, i, datetime.datetime(2024, 1, 1, 0, 0, i))
+        for i in range(3)
+    ]
+    raw = spark.createDataFrame(rows, K.RAW_SCHEMA_DDL)
+    c = K.Consumer(spark, raw_source=lambda topic: raw)
+    out = c.read_gdf("t", partition=0, message_format="json",
+                     schema="id int, offset bigint").toPandas()
+    assert "offset_kafka" in out.columns
+    assert sorted(out["offset"].tolist()) == [0, 10, 20]   # payload wins
+    assert sorted(out["offset_kafka"].tolist()) == [0, 1, 2]
+
+
+def test_list_topics_raises_on_real_errors(spark):
+    """Only the missing-jar class degrades; real source errors surface
+    (review r4)."""
+    def boom(topic):
+        raise ValueError("broker unreachable")
+
+    c = K.Consumer(spark, raw_source=boom)
+    with pytest.raises(ValueError, match="broker unreachable"):
+        c.list_topics("t")
+
+
+def test_offset_dir_takes_first_spark_local_dir(spark, monkeypatch, tmp_path):
+    monkeypatch.setenv(
+        "SPARK_LOCAL_DIRS", f"{tmp_path}/d1,{tmp_path}/d2"
+    )
+    c = K.Consumer(spark, raw_source=lambda t: None)
+    assert c._offset_dir == f"{tmp_path}/d1/pygdf_spark_offsets"
