@@ -255,7 +255,14 @@ def _bucket_udf_col(specs, boundaries: list[tuple], ktypes) -> Column:
         elif ktypes[i] in ("float", "double"):
             b_val.append(np.array(vals, dtype=np.float64))
         else:
-            b_val.append(np.array(vals, dtype=np.int64))
+            try:
+                b_val.append(np.array(vals, dtype=np.int64))
+            except OverflowError:
+                # decimal(>18) keys are not re-encoded by _work_frame —
+                # object dtype keeps exact Python-int/Decimal compares
+                # (slower, but bucket assignment must be exact: a wrong
+                # bucket breaks global order, not just load balance)
+                b_val.append(np.array(vals, dtype=object))
         dirs.append(asc)
     steps = max(1, math.ceil(math.log2(nb + 1)))
 
@@ -272,7 +279,10 @@ def _bucket_udf_col(specs, boundaries: list[tuple], ktypes) -> Column:
         hi = np.full(m, nb, dtype=np.int64)
         for _ in range(steps):
             live = lo < hi
-            mid = (lo + hi) // 2
+            # rows already converged to the last bucket have lo==hi==nb;
+            # clamp their (dead) mid so the boundary fancy-index stays in
+            # bounds — `live` masks them out of the lo/hi updates anyway
+            mid = np.minimum((lo + hi) // 2, nb - 1)
             res = np.zeros(m, dtype=bool)
             for i in reversed(range(k)):
                 br = b_rank[i][mid]
@@ -314,10 +324,29 @@ def _boundaries(keys_df: DataFrame, specs, num_partitions: int) -> list[tuple]:
     if num_partitions <= 1:
         return []
     target = min(_SAMPLE_CAP, max(num_partitions * _PER_BUCKET, 1024))
-    # one sampling scan (no count pass): a 1% unbiased sample capped at
-    # `target`; inputs small enough that 1% under-fills get a full
-    # (cheap) collect instead — still bounded by _SAMPLE_CAP
-    rows = keys_df.sample(withReplacement=False, fraction=0.01, seed=17).limit(target).collect()
+    # one sampling scan (no count pass): a 1% sample capped PER INPUT
+    # PARTITION — `.limit(target)` would CollectLimit from a prefix of
+    # partitions, so key-clustered input (data stored in key order, the
+    # timestamp norm) would yield boundaries covering only the earliest
+    # keys and funnel the bulk into one bucket. The per-partition
+    # row_number window is parallel; the collect is bounded by
+    # cap × n_input_partitions ≈ target (± partition-fill skew).
+    sampled = keys_df.sample(withReplacement=False, fraction=0.01, seed=17)
+    n_in = max(keys_df.rdd.getNumPartitions(), 1)
+    cap = max(1, -(-target // n_in))  # ceil
+    sn = F.row_number().over(
+        Window.partitionBy(F.spark_partition_id())
+        .orderBy(F.monotonically_increasing_id())
+    )
+    rows = (
+        sampled.withColumn("__sn", sn)
+        .filter(F.col("__sn") <= cap)
+        .drop("__sn")
+        .collect()
+    )
+    if len(rows) > target:  # fill skew: thin evenly, keep spread
+        step = len(rows) / target
+        rows = [rows[int(i * step)] for i in range(target)]
     if len(rows) < max(8 * num_partitions, 64):
         rows = keys_df.limit(_SAMPLE_CAP).collect()
     if not rows:
@@ -410,6 +439,19 @@ def _work_frame(df: DataFrame, keys: list):
         m = re.fullmatch(r"decimal\((\d+),(\d+)\)", t)
         if m and int(m.group(1)) <= 18:
             retyped.append(F.expr(f"CAST({name} * {10 ** int(m.group(2))} AS BIGINT)").alias(name))
+        elif t == "timestamp_ntz":
+            # unix_micros only takes TIMESTAMP, and CAST(ntz AS
+            # TIMESTAMP) routes through the session timezone (non-
+            # monotone around DST gaps) — build the µs integer from the
+            # tz-free wall-clock parts instead
+            c = F.col(name)
+            micros = (
+                F.unix_date(c.cast("date")).cast("long") * F.lit(86_400_000_000)
+                + F.hour(c).cast("long") * F.lit(3_600_000_000)
+                + F.minute(c).cast("long") * F.lit(60_000_000)
+                + F.round(F.expr(f"date_part('SECOND', {name})") * 1_000_000, 0).cast("long")
+            )
+            retyped.append(micros.alias(name))
         elif t.startswith("timestamp"):
             # order-preserving µs integer: long compares beat timestamp
             # compares in the bucket search, and the UDF path then only
@@ -421,9 +463,7 @@ def _work_frame(df: DataFrame, keys: list):
             retyped.append(F.col(name).cast("int").alias(name))
         else:
             retyped.append(F.col(name))
-    work = df.select("*", *kcols).select(
-        *[c for c in work.columns if c not in knames], *retyped
-    )
+    work = work.select(*[c for c in work.columns if c not in knames], *retyped)
     return work, specs, knames
 
 
@@ -542,11 +582,12 @@ def prefix_scan(
     )
     if kind == "prod":
         # Spark has no product window/agg: exact array fold; null when
-        # no inputs yet (agg semantics)
+        # no inputs yet (agg semantics). The emptiness guard is a cheap
+        # running count — NOT a second O(frame) collect_list evaluation
         local = F.aggregate(
             F.collect_list(value).over(w), F.lit(1.0).cast("double"), lambda a, x: a * x
         )
-        local = F.when(F.size(F.collect_list(value).over(w)) > 0, local)
+        local = F.when(F.count(value).over(w) > 0, local)
         total = F.when(
             F.count(value) > 0,
             F.aggregate(F.collect_list(value), F.lit(1.0).cast("double"), lambda a, x: a * x),
@@ -556,7 +597,12 @@ def prefix_scan(
         local = agg(value).over(w)
         total = agg(value)
     out = _with_offsets(parted, [(total, "t", kind)])
-    expr = F.when(local.isNotNull(), combine(local, F.col("__off_t")))
+    # no isNotNull guard on `local`: _COMBINE already coalesces a null
+    # local against the earlier-bucket offset, and guarding would emit
+    # a spurious null whenever a null-INPUT row opens a non-first
+    # bucket — output would then depend on boundary placement, breaking
+    # the "boundaries affect only load balance" invariant
+    expr = combine(local, F.col("__off_t"))
     if mask is not None:
         expr = F.when(mask, expr)
     return out.withColumn(out_col, expr).drop(_PID, "__off_t", *knames)
@@ -701,11 +747,18 @@ def is_monotonic_dist(
     )
     if any(bad for _, bad, _, _ in stats):
         return False
+
+    def _k(v):
+        # mirror Spark's double total order in the driver-side chain
+        # compare: NaN sorts GREATER than every double (Python's
+        # `nan >= x` is False, which would flag a false violation)
+        return float("inf") if _is_nan(v) else v
+
     for (_, _, _, last_a), (_, _, first_b, _) in zip(stats, stats[1:]):
         if last_a is None or first_b is None:
             continue
-        if increasing and not (first_b >= last_a):
+        if increasing and not (_k(first_b) >= _k(last_a)):
             return False
-        if not increasing and not (first_b <= last_a):
+        if not increasing and not (_k(first_b) <= _k(last_a)):
             return False
     return True

@@ -505,3 +505,87 @@ def test_sample_boundaries_reuse(spark):
     p = prefix_scan(sdf, ["k", "i"], F.col("i"), "sum", "cs", boundaries=b)
     exp = (20000 - 1) * 20000 // 2
     assert p.agg(F.max("cs")).first()[0] == exp
+
+
+def test_order_udf_path_nonpow2_boundaries(spark):
+    """r4 review: the vectorized boundary search indexed out of bounds
+    whenever a row converged to the LAST bucket before the iteration
+    budget and nb+1 was not a power of two (mid==nb). 6 partitions →
+    5 boundaries trips it; legacy parser forces the UDF path."""
+    from pyspark.sql import functions as F
+
+    from pygdf_spark.operators.order import global_row_number
+
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        df = spark.range(100).select(
+            (F.col("id") % 7).cast("string").alias("k"), F.col("id")
+        )
+        out = global_row_number(df, ["k"], "rn", num_partitions=6)
+        rns = [r["rn"] for r in out.orderBy("rn").collect()]
+        assert rns == list(range(1, 101))
+    finally:
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
+
+
+def test_order_timestamp_ntz_keys(spark):
+    """r4 review: unix_micros rejects TIMESTAMP_NTZ; NTZ keys now ride
+    tz-free wall-clock arithmetic (session-timezone casts are non-
+    monotone around DST gaps)."""
+    from pyspark.sql import functions as F
+
+    from pygdf_spark.operators.order import global_row_number
+
+    ntz = spark.sql(
+        "SELECT explode(sequence(TIMESTAMP_NTZ'2024-01-01 00:00:00', "
+        "TIMESTAMP_NTZ'2024-01-01 00:01:39', INTERVAL 1 SECOND)) AS t"
+    )
+    out = global_row_number(ntz, ["t"], "rn", num_partitions=4)
+    assert [r["rn"] for r in out.orderBy("t").collect()] == list(range(1, 101))
+
+
+def test_prefix_scan_null_at_bucket_head_boundary_invariant(spark):
+    """r4 review: a null INPUT row opening a non-first bucket must not
+    null the running sum — output must be identical at every partition
+    count (the module's boundaries-are-load-balance-only invariant)."""
+    from pyspark.sql import functions as F
+
+    from pygdf_spark.operators.order import prefix_scan
+
+    rows = [(k, None if k == 5 else float(k + 1)) for k in range(8)]
+    d = spark.createDataFrame(rows, "k int, v double")
+    expected = [1.0, 3.0, 6.0, 10.0, 15.0, 15.0, 22.0, 30.0]
+    for npart in (1, 2, 3, 4):
+        got = [
+            r["cs"]
+            for r in prefix_scan(d, ["k"], F.col("v"), "sum", "cs",
+                                 num_partitions=npart).orderBy("k").collect()
+        ]
+        assert got == expected, (npart, got)
+    lead = spark.createDataFrame(
+        [(0, None), (1, 2.0), (2, 3.0), (3, None)], "k int, v double"
+    )
+    got = [
+        r["cs"]
+        for r in prefix_scan(lead, ["k"], F.col("v"), "sum", "cs",
+                             num_partitions=2).orderBy("k").collect()
+    ]
+    assert got == [None, 2.0, 5.0, 5.0]
+
+
+def test_is_monotonic_nan_tail_matches_spark_semantics(spark):
+    """r4 review: Spark orders NaN greater than every double; the
+    driver-side bucket-chain compare must mirror that (Python's
+    nan >= x is False)."""
+    from pyspark.sql import functions as F
+
+    from pygdf_spark.operators.order import is_monotonic_dist
+
+    rows = [(i, float(i)) for i in range(1, 9)] + [(9, float("nan")), (10, float("nan"))]
+    d = spark.createDataFrame(rows, "r int, v double")
+    for npart in (2, 4, 5):
+        assert is_monotonic_dist(d, "r", F.col("v"), True, num_partitions=npart)
+    # NaN first then numbers IS a violation both ways
+    rows2 = [(1, float("nan")), (2, 1.0), (3, 2.0)]
+    d2 = spark.createDataFrame(rows2, "r int, v double")
+    assert not is_monotonic_dist(d2, "r", F.col("v"), True, num_partitions=2)
