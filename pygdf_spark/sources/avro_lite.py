@@ -71,7 +71,8 @@ def _write_bytes(out: bytearray, data: bytes) -> None:
 def _field_reader(ftype):
     """A reader fn for one Avro type node (dicts carry logicalType)."""
     if isinstance(ftype, list):  # union — only ["null", T] supported
-        assert len(ftype) == 2 and "null" in ftype, f"unsupported union {ftype}"
+        if len(ftype) != 2 or "null" not in ftype:
+            raise TypeError(f"unsupported union {ftype}")
         other = ftype[0] if ftype[1] == "null" else ftype[1]
         null_idx = ftype.index("null")
         inner = _field_reader(other)
@@ -85,7 +86,12 @@ def _field_reader(ftype):
     if base == "null":
         return lambda buf: None
     if base == "boolean":
-        return lambda buf: buf.read(1) != b"\x00"
+        def read_bool(buf):
+            b = buf.read(1)
+            if not b:
+                raise EOFError("truncated boolean")
+            return b != b"\x00"
+        return read_bool
     if base in ("int", "long"):
         if logical == "date":
             import datetime
@@ -96,7 +102,11 @@ def _field_reader(ftype):
             import datetime
 
             mult = 1 if logical == "timestamp-micros" else 1_000
-            epoch = datetime.datetime(1970, 1, 1)
+            # tz-AWARE UTC: Avro timestamp-micros is an instant; a naive
+            # datetime would be reinterpreted as session-LOCAL time by
+            # the Arrow bridge, shifting every value under non-UTC
+            # sessions (and diverging from spark-avro's reading)
+            epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
             # integer microseconds: float seconds would round large epochs
             return lambda buf: epoch + datetime.timedelta(
                 microseconds=_read_long(buf) * mult
@@ -115,7 +125,8 @@ def _field_reader(ftype):
 
 def _read_header(fh):
     """(schema dict, codec, sync marker); leaves fh at the first block."""
-    assert fh.read(4) == _MAGIC, "not an Avro object container file"
+    if fh.read(4) != _MAGIC:
+        raise ValueError("not an Avro object container file (bad magic)")
     meta = {}
     while True:
         n = _read_long(fh)
@@ -136,7 +147,8 @@ def _read_header(fh):
 def _decode_stream(fh) -> tuple[dict, list[dict]]:
     """Decode one OCF stream → (schema, records)."""
     schema, codec, sync = _read_header(fh)
-    assert schema["type"] == "record", "top-level schema must be a record"
+    if schema.get("type") != "record":
+        raise ValueError("top-level Avro schema must be a record")
     readers = [(f["name"], _field_reader(f["type"])) for f in schema["fields"]]
     records = []
     while True:
@@ -154,7 +166,8 @@ def _decode_stream(fh) -> tuple[dict, list[dict]]:
         buf = io.BytesIO(block)
         for _ in range(count):
             records.append({name: rd(buf) for name, rd in readers})
-        assert fh.read(16) == sync, "sync marker mismatch"
+        if fh.read(16) != sync:
+            raise ValueError("Avro sync marker mismatch (corrupt block)")
     return schema, records
 
 
@@ -182,6 +195,9 @@ _PD_AVRO = {
     "Int8": "int", "Int16": "int", "Int32": "int", "Int64": "long",
     "UInt8": "int", "UInt16": "int", "UInt32": "long", "UInt64": "long",
     "Float32": "float", "Float64": "double", "boolean": "boolean",
+    # numpy unsigned dtypes (uint64 range-checked at write: Avro long
+    # is the widest integer the spec has)
+    "uint8": "int", "uint16": "int", "uint32": "long", "uint64": "long",
 }
 
 
@@ -235,13 +251,26 @@ def _field_writer(ftype):
             epoch = datetime.datetime(1970, 1, 1)
 
             def write_ts(out, v):
+                import datetime as _dt
+
                 dt = v.to_pydatetime() if hasattr(v, "to_pydatetime") else v
+                if dt.tzinfo is not None:
+                    # tz-aware: exact instant conversion to UTC
+                    dt = dt.astimezone(_dt.timezone.utc).replace(tzinfo=None)
                 td = dt - epoch
                 micros = (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
                 _write_long(out, micros if unit == 1_000_000 else micros // 1_000)
 
             return write_ts
-        return lambda out, v: _write_long(out, int(v))
+        def write_int(out, v):
+            i = int(v)
+            if not (-(1 << 63) <= i < (1 << 63)):
+                raise ValueError(
+                    f"integer {i} out of Avro long range (uint64 values "
+                    ">= 2**63 are not representable in the Avro spec)"
+                )
+            _write_long(out, i)
+        return write_int
     if base == "float":
         return lambda out, v: out.extend(struct.pack("<f", float(v)))
     if base == "double":
@@ -260,10 +289,12 @@ def encode_avro(pdf, codec: str = "deflate") -> bytes:
         (f["name"], _field_writer(f["type"])) for f in schema["fields"]
     ]
     body = bytearray()
-    rows = pdf.to_dict("records")
-    for row in rows:
-        for name, wr in writers:
-            v = row[name]
+    # positional iteration: schema field names are str(label), but the
+    # frame may carry non-string labels (ints, tuples) — row dicts would
+    # KeyError on the stringified name
+    n_rows = len(pdf)
+    for row in pdf.itertuples(index=False, name=None):
+        for (name, wr), v in zip(writers, row):
             wr(body, None if _is_missing(v) else v)
     data = bytes(body)
     if codec == "deflate":
@@ -279,7 +310,7 @@ def encode_avro(pdf, codec: str = "deflate") -> bytes:
     _write_long(out, 0)
     sync = b"pygdf-spark-sync"  # deterministic 16-byte marker
     out.extend(sync)
-    _write_long(out, len(rows))
+    _write_long(out, n_rows)
     _write_long(out, len(data))
     out.extend(data)
     out.extend(sync)
@@ -313,6 +344,14 @@ def _spark_type(ftype) -> str:
     return _AVRO_SPARK[base]
 
 
+def schema_to_ddl(schema: dict) -> str:
+    """Avro record schema → Spark DDL string (single source for the
+    file reader and the Kafka payload decoder)."""
+    return ", ".join(
+        f"`{f['name']}` {_spark_type(f['type'])}" for f in schema["fields"]
+    )
+
+
 def read_avro_lite(spark, filepath: str):
     """Distributed Avro read without the spark-avro jar: one header read
     driver-side for the schema, then one decode task per file via
@@ -335,14 +374,22 @@ def read_avro_lite(spark, filepath: str):
         raise FileNotFoundError(f"no avro files at {filepath}")
     with open(paths[0], "rb") as fh:
         schema, _, _ = _read_header(fh)
-    cols = [(f["name"], _spark_type(f["type"])) for f in schema["fields"]]
-    ddl = ", ".join(f"`{n}` {t}" for n, t in cols)
-    names = [n for n, _ in cols]
+    ddl = schema_to_ddl(schema)
+    names = [f["name"] for f in schema["fields"]]
 
     def decode(batches):
         for pdf in batches:
             for p in pdf["path"]:
-                _, records = read_records(p)
+                fschema, records = read_records(p)
+                fnames = [f["name"] for f in fschema["fields"]]
+                if fnames != names:
+                    # the driver took the schema from the FIRST file; a
+                    # divergent sibling must fail loudly, not yield
+                    # silently-null columns
+                    raise ValueError(
+                        f"avro schema mismatch in {p}: fields {fnames} "
+                        f"!= {names} (from the first file)"
+                    )
                 yield pd.DataFrame.from_records(records, columns=names)
 
     plist = spark.createDataFrame([(p,) for p in paths], "path string")

@@ -106,15 +106,12 @@ def _infer_payload_schema(raw: DataFrame, message_format: str):
         )
     data = bytes(first[0]["value"])
     if message_format == "avro":
-        from pygdf_spark.sources.avro_lite import _read_header, _spark_type
+        from pygdf_spark.sources.avro_lite import _read_header, schema_to_ddl
 
         import io as _io
 
         schema, _, _ = _read_header(_io.BytesIO(data))
-        ddl = ", ".join(
-            f"`{f['name']}` {_spark_type(f['type'])}" for f in schema["fields"]
-        )
-        return ddl
+        return schema_to_ddl(schema)
     from pyspark.sql.pandas.types import from_arrow_schema
 
     import pyarrow as pa

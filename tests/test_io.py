@@ -336,3 +336,50 @@ def test_avro_lite_nullable_dtypes_and_nat_string(spark, tmp_path):
     assert rows[10]["b"] is True and rows[10]["s"] == "NaT"
     assert rows[None]["f"] is None and rows[None]["b"] is None and rows[None]["s"] is None
     assert rows[-3]["f"] == 2.5 and rows[-3]["b"] is False and rows[-3]["s"] == "x"
+
+
+def test_avro_lite_review_fixes(spark):
+    """r4 review pins: instants survive (tz-aware UTC decode — naive
+    datetimes would shift under non-UTC sessions), tz-aware columns
+    encode, non-string labels, uint64 range check, corrupt-file errors."""
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from pygdf_spark.sources.avro_lite import encode_avro, read_records_buf
+
+    # tz-aware encode + instant-exact decode
+    pdf = pd.DataFrame({"t": pd.to_datetime(["2023-11-14 22:13:20"]).tz_localize("UTC")})
+    _, recs = read_records_buf(encode_avro(pdf))
+    assert recs[0]["t"] == datetime.datetime(
+        2023, 11, 14, 22, 13, 20, tzinfo=datetime.timezone.utc
+    )
+    # non-string column labels
+    _, r2 = read_records_buf(encode_avro(pd.DataFrame({0: [1, 2]})))
+    assert r2 == [{"0": 1}, {"0": 2}]
+    # numpy unsigned dtypes map to int/long; uint64 >= 2**63 rejected
+    _, r3 = read_records_buf(
+        encode_avro(pd.DataFrame({"u": np.array([2 ** 62], dtype=np.uint64)}))
+    )
+    assert r3[0]["u"] == 2 ** 62
+    with _pytest.raises(ValueError, match="Avro long range"):
+        encode_avro(pd.DataFrame({"u": np.array([2 ** 63], dtype=np.uint64)}))
+    # corrupt magic is a ValueError (not a strippable assert)
+    with _pytest.raises(ValueError, match="magic"):
+        read_records_buf(b"nope" + b"\x00" * 40)
+
+
+def test_avro_lite_multifile_schema_mismatch(spark, tmp_path):
+    """Divergent sibling files fail loudly instead of yielding
+    silently-null columns."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from pygdf_spark.sources.avro_lite import read_avro_lite, write_avro
+
+    write_avro(pd.DataFrame({"x": [1], "y": [2]}), str(tmp_path / "a.avro"))
+    write_avro(pd.DataFrame({"x": [1], "z": [3]}), str(tmp_path / "b.avro"))
+    with _pytest.raises(Exception, match="schema mismatch"):
+        read_avro_lite(spark, str(tmp_path)).collect()
