@@ -110,8 +110,24 @@ def bloom_prefilter_join(
     """
     if how not in ("left_semi", "left_anti"):
         raise ValueError(f"bloom_prefilter_join: how={how!r} not semi/anti")
+    for reserved in ("__bits", "__hit"):
+        if reserved in big.columns:
+            # a semi/anti join must preserve the left schema exactly —
+            # withColumn/drop below would silently clobber the column
+            raise ValueError(
+                f"bloom_prefilter_join: input column {reserved!r} collides "
+                "with an internal name; rename it first"
+            )
     if n_keys is None:
-        n_keys = small.select(small_key).distinct().count()
+        # sizing tolerates %-level error by construction (the filter is
+        # a PREfilter; the downstream join restores exactness) — an
+        # exact distinct+count shuffle over the filter side would cost
+        # more than the sizing is worth
+        n_keys = int(
+            small.select(
+                F.approx_count_distinct(small_key).alias("n")
+            ).first()["n"]
+        ) or 1
     m, k = bloom_params(n_keys, fpp)
     bits = bloom_build(small.select(small_key), small_key, m, k)
     probe = bloom_might_contain(F.col(key), F.col("__bits"), m, k)

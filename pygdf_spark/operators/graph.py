@@ -73,6 +73,15 @@ def connected_components(
         labels = l2
         if changed == 0:
             break
+    else:
+        # exhausted max_iter with labels still moving: returning them
+        # would silently split one component into several (downstream
+        # dedup would then KEEP duplicates) — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "propagate+compress rounds (component diameter > 2^"
+            f"{max_iter}); raise max_iter"
+        )
     return labels.select("id", F.col("label").alias("comp"))
 
 
@@ -103,7 +112,14 @@ def pagerank_micro(
     verts = e.select(F.col("a").alias("id")).union(
         e.select(F.col("b").alias("id"))
     ).distinct().localCheckpoint()
-    deg = e.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    # localCheckpoint like verts: every iteration's plan embeds deg, so
+    # an unmaterialized groupBy would re-scan+re-shuffle the edge table
+    # once per round
+    deg = (
+        e.groupBy(F.col("a").alias("id"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint()
+    )
     base = (100 - damping_pct) * 10_000  # (100-d)% of 1e6 µ
     r = verts.withColumn("r", F.lit(1_000_000).cast("long"))
     for _ in range(iters):

@@ -110,8 +110,13 @@ def update_centroids(assigned: DataFrame, d: int) -> list[tuple[int, list[float]
     chose produces NO centroid (the oracle's GROUP BY does the same)."""
     sums = [F.sum(F.element_at("vec", i + 1)).alias(f"s{i}") for i in range(d)]
     rows = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n"), *sums).collect()
+    # float(s)/float(n) mirrors the oracle's CAST(sum AS DOUBLE)/COUNT(*)
+    # — Python's int/int true division computes the correctly-rounded
+    # exact-integer quotient instead, which differs in the last ulp once
+    # a per-dim sum passes 2^53 (cluster of ~9e9 µ-unit rows)
     return sorted(
-        (int(r["cid"]), [r[f"s{i}"] / r["n"] for i in range(d)]) for r in rows
+        (int(r["cid"]), [float(r[f"s{i}"]) / float(r["n"]) for i in range(d)])
+        for r in rows
     )
 
 
@@ -128,9 +133,17 @@ def ivf_probe_topk(vecs: DataFrame, k_clusters: int = 4, iters: int = 2,
     cosine (similarity.py discipline) with rounded-8dp output."""
     from pygdf_spark.operators.similarity import _cos, dot, norm2
 
-    assigned = kmeans(vecs, k=k_clusters, iters=iters, id_col=id_col, vec_col=vec_col)
+    # train, then re-derive the assignment MAP-SIDE with the driver-held
+    # centroids so `vec` rides along in one projection — joining the
+    # (vid, cid) assignment back to the vectors would be a corpus-sized
+    # shuffle join on vid before any cell pruning, defeating the
+    # broadcast-shaped claim below
+    _, centroids = kmeans(
+        vecs, k=k_clusters, iters=iters, id_col=id_col, vec_col=vec_col,
+        return_centroids=True,
+    )
     iv = vecs.select(F.col(id_col).alias("vid"), _int_vec(vec_col).alias("vec"))
-    member = assigned.join(iv, "vid").select(
+    member = assign_clusters(iv, centroids).select(
         "vid", "cid", "vec", norm2(F.col("vec")).alias("n2")
     )
     q = member.filter(F.col("vid") == query_vid).select(
@@ -170,6 +183,11 @@ def kmeans(vecs: DataFrame, k: int = 4, iters: int = 2,
     makes the bound explicit instead of letting a huge k×d collect OOM
     the driver (same philosophy as options.max_driver_rows)."""
     dim = _dim_probe(vecs, vec_col)
+    if dim == 0:
+        raise ValueError(
+            "kmeans needs a non-empty input with non-empty vectors "
+            f"(probe of {vec_col!r} found none)"
+        )
     if k * dim > _MAX_DRIVER_CELLS:
         raise ValueError(
             f"kmeans driver state is k*d = {k}*{dim} centroid cells per "
@@ -185,14 +203,18 @@ def kmeans(vecs: DataFrame, k: int = 4, iters: int = 2,
     iv = vecs.select(
         F.col(id_col).alias("vid"), _int_vec(vec_col).alias("vec")
     ).persist()
-    d = iv.select(F.size("vec").alias("d")).first()["d"]
-    seeds = iv.orderBy("vid").limit(k).collect()
-    centroids = [(i, [float(x) for x in r["vec"]]) for i, r in enumerate(seeds)]
-    assigned = assign_clusters(iv, centroids)
-    for _ in range(iters):
-        centroids = update_centroids(assigned, d)
+    try:
+        d = dim  # already probed above — no second dimension job
+        seeds = iv.orderBy("vid").limit(k).collect()
+        centroids = [(i, [float(x) for x in r["vec"]]) for i, r in enumerate(seeds)]
         assigned = assign_clusters(iv, centroids)
-    iv.unpersist()
+        for _ in range(iters):
+            centroids = update_centroids(assigned, d)
+            assigned = assign_clusters(iv, centroids)
+    finally:
+        # release even on mid-loop failure — a leaked corpus-sized cache
+        # block would otherwise live for the session
+        iv.unpersist()
     # final assignment rebuilds from the source relation (nothing
     # cached outlives this call) with quantization FUSED into the
     # distance folds — a separate _int_vec projection here would be

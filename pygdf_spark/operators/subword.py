@@ -44,14 +44,26 @@ def demo_vocab() -> list[str]:
     return SPECIALS + words + chars + ["##" + c for c in chars]
 
 
+#: canonical WordPiece word-length cap (HF/cudf max_input_chars_per_word):
+#: longer words emit [UNK] — and without the cap the greedy suffix loop
+#: is O(L^2)-O(L^3) Python work per word, so one long base64/hash blob
+#: in a document would pin an executor core
+_MAX_WORD_CHARS = 100
+
+
 def wordpiece_encode(text: str, vocab: dict[str, int], max_len: int) -> list[int]:
     """Greedy longest-match WordPiece over lower-cased pre-split words,
-    framed [CLS] ... [SEP], truncated to max_len, padded with [PAD]=0."""
+    framed [CLS] ... [SEP], truncated to max_len, padded with [PAD]=0.
+    Words over _MAX_WORD_CHARS chars emit [UNK] (canonical WordPiece
+    max_input_chars_per_word=100)."""
     cls_id, sep_id, unk_id, pad_id = vocab["[CLS]"], vocab["[SEP]"], vocab["[UNK]"], vocab["[PAD]"]
     ids = [cls_id]
     for word in _PRE_SPLIT.findall(text.lower()):
         if len(ids) >= max_len - 1:
             break
+        if len(word) > _MAX_WORD_CHARS:
+            ids.append(unk_id)
+            continue
         piece_ids: list[int] = []
         start = 0
         while start < len(word):

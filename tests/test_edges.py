@@ -589,3 +589,41 @@ def test_is_monotonic_nan_tail_matches_spark_semantics(spark):
     rows2 = [(1, float("nan")), (2, 1.0), (3, 2.0)]
     d2 = spark.createDataFrame(rows2, "r int, v double")
     assert not is_monotonic_dist(d2, "r", F.col("v"), True, num_partitions=2)
+
+
+def test_kmeans_empty_input_clean_error(spark):
+    """r4 review: empty input raised an opaque NoneType subscript."""
+    import pytest as _pytest
+
+    from pygdf_spark.operators.kmeans import kmeans
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="non-empty"):
+        kmeans(empty, k=2, iters=1)
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """r4 review: exhausting max_iter with labels still moving must
+    fail loudly (silent wrong labels would KEEP duplicates downstream)."""
+    import pytest as _pytest
+
+    from pygdf_spark.operators.graph import connected_components
+
+    # a path graph of length 8 cannot converge in one round
+    edges = spark.createDataFrame([(i, i + 1) for i in range(8)], "a long, b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, src="a", dst="b", max_iter=1)
+    # and does converge with enough rounds
+    out = connected_components(edges, src="a", dst="b").toPandas()
+    assert out["comp"].nunique() == 1
+
+
+def test_bloom_prefilter_rejects_reserved_columns(spark):
+    import pytest as _pytest
+
+    from pygdf_spark.operators.bloom import bloom_prefilter_join
+
+    big = spark.createDataFrame([(1, True)], "k long, __hit boolean")
+    small = spark.createDataFrame([(1,)], "k long")
+    with _pytest.raises(ValueError, match="__hit"):
+        bloom_prefilter_join(big, "k", small, "k")

@@ -69,3 +69,22 @@ def test_spark_matches_python_encoder(spark, sf_dir, max_len):
         assert r["input_ids"] == expect
         assert r["attention_mask"] == [1 if i != 0 else 0 for i in expect]
         assert r["n_tokens"] == sum(1 for i in expect if i != 0)
+
+
+def test_wordpiece_long_word_emits_unk():
+    """canonical max_input_chars_per_word=100: a >100-char run emits
+    [UNK] instead of an O(L^3) greedy loop (r4 review)."""
+    import time
+
+    from pygdf_spark.operators.subword import demo_vocab, wordpiece_encode
+
+    vocab = {tok: i for i, tok in enumerate(demo_vocab())}
+    blob = "a" * 50_000
+    t0 = time.perf_counter()
+    ids = wordpiece_encode(f"the {blob} ing", vocab, 16)
+    assert time.perf_counter() - t0 < 1.0  # would be hours without the cap
+    assert ids[1] == vocab["the"]
+    assert ids[2] == vocab["[UNK]"]
+    # boundary: exactly 100 chars still tokenizes normally
+    ids100 = wordpiece_encode("a" * 100, vocab, 128)
+    assert vocab["[UNK]"] not in ids100
