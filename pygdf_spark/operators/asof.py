@@ -58,13 +58,34 @@ def asof_join(
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"asof_join: unknown direction {direction!r}")
-    from pyspark.sql.types import LongType, StructField, StructType, TimestampType
+    from pyspark.sql.types import (
+        DateType, LongType, StructField, StructType, TimestampNTZType,
+        TimestampType,
+    )
 
     lcols = left.columns
-    is_time = isinstance(left.schema[ts].dataType, TimestampType)
+    ts_type = left.schema[ts].dataType
+    is_time = isinstance(ts_type, (TimestampType, TimestampNTZType, DateType))
 
     def _t(c):
-        return F.unix_micros(c) if is_time else c
+        # µs integer for every temporal flavor so the tolerance contract
+        # (native units = µs) holds: TIMESTAMP via unix_micros; NTZ via
+        # tz-free wall-clock arithmetic (a session-timezone cast is
+        # non-monotone around DST gaps); DATE via day count
+        if isinstance(ts_type, TimestampType):
+            return F.unix_micros(c)
+        if isinstance(ts_type, TimestampNTZType):
+            return (
+                F.unix_date(c.cast("date")).cast("long") * F.lit(86_400_000_000)
+                + F.hour(c).cast("long") * F.lit(3_600_000_000)
+                + F.minute(c).cast("long") * F.lit(60_000_000)
+                + F.round(
+                    F.date_part(F.lit("SECOND"), c) * 1_000_000, 0
+                ).cast("long")
+            )
+        if isinstance(ts_type, DateType):
+            return F.unix_date(c).cast("long") * F.lit(86_400_000_000)
+        return c
 
     # The matched right row travels as ONE nullable struct: null on left
     # rows, atomically the whole row's payload on right rows — so a

@@ -35,13 +35,24 @@ def with_pack_ids(
 ) -> DataFrame:
     """Add ``shard`` and ``pack_id`` columns. ``extra_keys`` widens the
     packing domain (e.g. per-language packs)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    # stage the hash ONCE: the shard projection and the window sort key
+    # are separate physical operators, so Catalyst does not CSE the
+    # md5+conv+decimal chain across them — referencing the staged column
+    # halves the dominant per-row cost (the oracle SQL stages h the same
+    # way)
     h = md5_u64(F.col(id_col).cast("string"))
-    out = df.withColumn("shard", (h % n_shards).cast("int"))
+    out = df.withColumn("__h", h).withColumn(
+        "shard", (F.col("__h") % n_shards).cast("int")
+    )
     w = (
         Window.partitionBy(*extra_keys, "shard")
-        .orderBy(md5_u64(F.col(id_col).cast("string")), id_col)
+        .orderBy("__h", id_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return out.withColumn(
         "pack_id", ((F.sum(tok_col).over(w) - 1) / budget).cast("long")
-    )
+    ).drop("__h")

@@ -56,16 +56,35 @@ def range_join(
     ``start <= point < end`` (half-open, the standard window
     convention). Columns of both inputs pass through; name collisions
     are the caller's to alias, as with a plain join."""
-    iv = intervals.withColumn(
-        "__bucket",
-        F.explode(
-            F.sequence(
-                _epoch_bucket(F.col(start_col), bucket_width_sec),
-                # end is exclusive, but a point in end's bucket can
-                # still precede it — the residual filter trims.
-                _epoch_bucket(F.col(end_col), bucket_width_sec),
+    if bucket_width_sec < 1:
+        raise ValueError(f"bucket_width_sec must be >= 1, got {bucket_width_sec}")
+    for side, name in ((points, "points"), (intervals, "intervals")):
+        if "__bucket" in side.columns:
+            raise ValueError(
+                f"range_join: {name} already has a '__bucket' column; "
+                "rename it first (it would be silently clobbered)"
             )
-        ),
+    # clamp the per-interval bucket fan-out to the points' observed
+    # bucket range: one open-ended SCD sentinel (end = 9999-12-31) would
+    # otherwise explode to ~400k+ bucket rows per interval; buckets
+    # holding no point cannot produce matches, so the clamp is exact.
+    # The bound rides in as a broadcast 1-row aggregate — no driver
+    # collect, no extra shuffle of either side.
+    bounds = points.agg(
+        F.min(_epoch_bucket(F.col(point_col), bucket_width_sec)).alias("__blo"),
+        F.max(_epoch_bucket(F.col(point_col), bucket_width_sec)).alias("__bhi"),
+    )
+    s_b = F.greatest(_epoch_bucket(F.col(start_col), bucket_width_sec), F.col("__blo"))
+    # end is exclusive, but a point in end's bucket can still precede
+    # it — the residual filter trims.
+    e_b = F.least(_epoch_bucket(F.col(end_col), bucket_width_sec), F.col("__bhi"))
+    iv = (
+        intervals.crossJoin(F.broadcast(bounds))
+        # empty points (null bounds) → no interval can match, skip all;
+        # otherwise drop intervals entirely outside the point range
+        .filter(F.col("__blo").isNotNull() & (s_b <= e_b))
+        .withColumn("__bucket", F.explode(F.sequence(s_b, e_b)))
+        .drop("__blo", "__bhi")
     )
     pt = points.withColumn("__bucket", _epoch_bucket(F.col(point_col), bucket_width_sec))
     return (

@@ -49,6 +49,10 @@ def salted_join(
             f"salted_join: how={how!r} unsupported — the replicated right side "
             f"duplicates unmatched right rows; use one of {sorted(allowed)}"
         )
+    if n_salt < 1:
+        # pmod(x, 0) is NULL (non-ANSI) → nothing would ever equi-join:
+        # silent empty/all-null output instead of an error
+        raise ValueError(f"salted_join: n_salt must be >= 1, got {n_salt}")
     l = left.withColumn("__salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salt)))
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("__salt")
     r = right.select("*", salts)

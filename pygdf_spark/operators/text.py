@@ -37,14 +37,21 @@ LANG_MARKERS = {
     "es": ["el", "la", "los"],
     "fr": ["le", "les", "des"],
     "de": ["der", "die", "und"],
-    "zh": ["de", "shi", "bu"],
+    # pinyin particles chosen to not collide with Romance-language
+    # function words ('de' is the most frequent Spanish/French word —
+    # it mislabeled ordinary es/fr text as zh)
+    "zh": ["shi", "bu", "zhe"],
 }
 
 
 def tokens(col) -> Column:
-    """tokenize (tokenize.hpp:58): whitespace split of trimmed text."""
+    """tokenize (tokenize.hpp:58): whitespace split of trimmed text.
+    Blank/whitespace-only text yields [] (nvtext token_count('') is 0 —
+    a plain split would yield the phantom [''] and count 1)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(c), WS)
+    return F.when(
+        F.trim(c) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(c), WS))
 
 
 def token_count(col) -> Column:
@@ -121,7 +128,8 @@ def lang_id(col) -> Column:
     return F.when(best == 0, F.lit("und")).otherwise(expr)
 
 
-def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_features(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
     """Quality scoring features + composite score per document.
 
     Pure column arithmetic — identical formula is mirrored in the
@@ -131,7 +139,9 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     n_chars = F.length(c)
     n_tok = token_count(text_col)
-    n_punct = F.regexp_count(c, F.lit(r"[^\w\s]"))
+    # \p{L}\p{N}: Java and RE2 agree on Unicode categories; ASCII \w
+    # counted every accented/CJK letter as punctuation
+    n_punct = F.regexp_count(c, F.lit(r"[^\p{L}\p{N}\s]"))
     n_digit = F.regexp_count(c, F.lit(r"[0-9]"))
     n_stop = F.regexp_count(F.lower(c), F.lit(r"\b(the|a|of|and|to|is|in)\b"))
     punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1))
@@ -144,7 +154,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         + 0.2 * F.least(stop_ratio * 5.0, F.lit(1.0))
     )
     return df.select(
-        "doc_id",
+        id_col,
         n_chars.alias("n_chars"),
         n_tok.alias("n_tokens"),
         F.round(punct_ratio, 8).alias("punct_ratio"),

@@ -98,13 +98,13 @@ TEXT_QUALITY_SQL = r"""
 SELECT doc_id,
        LENGTH(text) AS n_chars,
        CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
-       ROUND(CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / greatest(LENGTH(text), 1), 8) AS punct_ratio,
+       ROUND(CAST(len(regexp_extract_all(text, '[^\p{L}\p{N}\s]')) AS DOUBLE) / greatest(LENGTH(text), 1), 8) AS punct_ratio,
        ROUND(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(LENGTH(text), 1), 8) AS digit_ratio,
        ROUND(CAST(len(regexp_extract_all(LOWER(text), '\b(the|a|of|and|to|is|in)\b')) AS DOUBLE)
              / greatest(len(string_split_regex(trim(text), '\s+')), 1), 8) AS stop_ratio,
        ROUND(
          0.3 * least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0)
-       + 0.3 * (1.0 - least(CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / greatest(LENGTH(text),1) * 10.0, 1.0))
+       + 0.3 * (1.0 - least(CAST(len(regexp_extract_all(text, '[^\p{L}\p{N}\s]')) AS DOUBLE) / greatest(LENGTH(text),1) * 10.0, 1.0))
        + 0.2 * (1.0 - least(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(LENGTH(text),1) * 10.0, 1.0))
        + 0.2 * least(CAST(len(regexp_extract_all(LOWER(text), '\b(the|a|of|and|to|is|in)\b')) AS DOUBLE)
                      / greatest(len(string_split_regex(trim(text), '\s+')), 1) * 5.0, 1.0)

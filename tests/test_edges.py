@@ -627,3 +627,82 @@ def test_bloom_prefilter_rejects_reserved_columns(spark):
     small = spark.createDataFrame([(1,)], "k long")
     with _pytest.raises(ValueError, match="__hit"):
         bloom_prefilter_join(big, "k", small, "k")
+
+
+def test_asof_temporal_flavors_with_tolerance(spark):
+    """r4 review: NTZ and DATE ts columns take the µs path so the
+    tolerance contract holds for every temporal flavor."""
+    from pyspark.sql import functions as F
+
+    from pygdf_spark.operators.asof import asof_join
+
+    ntz_l = spark.sql(
+        "SELECT 1 AS k, TIMESTAMP_NTZ'2024-01-01 00:00:10' AS ts"
+    )
+    ntz_r = spark.sql(
+        "SELECT 1 AS k, TIMESTAMP_NTZ'2024-01-01 00:00:07' AS ts, 42 AS val"
+    )
+    out = asof_join(ntz_l, ntz_r, by=["k"], ts="ts", payload=["val"],
+                    tolerance=5_000_000).collect()
+    assert out[0]["val_r"] == 42
+    tight = asof_join(ntz_l, ntz_r, by=["k"], ts="ts", payload=["val"],
+                      tolerance=2_000_000).collect()
+    assert tight[0]["val_r"] is None
+    d_l = spark.sql("SELECT 1 AS k, DATE'2024-01-10' AS ts")
+    d_r = spark.sql("SELECT 1 AS k, DATE'2024-01-08' AS ts, 7 AS val")
+    two_days = 2 * 86_400_000_000
+    assert asof_join(d_l, d_r, by=["k"], ts="ts", payload=["val"],
+                     tolerance=two_days).collect()[0]["val_r"] == 7
+    assert asof_join(d_l, d_r, by=["k"], ts="ts", payload=["val"],
+                     tolerance=two_days - 1).collect()[0]["val_r"] is None
+
+
+def test_range_join_sentinel_interval_clamped(spark):
+    """r4 review: an open-ended SCD sentinel (9999-12-31) must not fan
+    out to hundreds of thousands of bucket rows — the explode clamps to
+    the points' observed bucket range, results unchanged."""
+    from datetime import datetime
+
+    from pygdf_spark.operators.range_join import range_join
+
+    iv = spark.createDataFrame(
+        [(1, datetime(2020, 1, 1), datetime(9999, 12, 31))],
+        "iv_id long, s timestamp, e timestamp",
+    )
+    pt = spark.createDataFrame(
+        [(10, datetime(2020, 1, 5)), (11, datetime(2019, 1, 1))],
+        "p_id long, p timestamp",
+    )
+    got = {(r.iv_id, r.p_id) for r in range_join(pt, iv, "p", "s", "e", 604800).collect()}
+    assert got == {(1, 10)}
+    # and empty points short-circuits entirely
+    empty = spark.createDataFrame([], "p_id long, p timestamp")
+    assert range_join(empty, iv, "p", "s", "e", 604800).count() == 0
+
+
+def test_salted_join_and_packing_validate_params(spark):
+    import pytest as _pytest
+
+    from pygdf_spark.operators.packing import with_pack_ids
+    from pygdf_spark.operators.skew import salted_join
+
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    with _pytest.raises(ValueError, match="n_salt"):
+        salted_join(df, df, "k", "v", n_salt=0)
+    d2 = spark.createDataFrame([(1, 5)], "doc_id long, n_tok long")
+    with _pytest.raises(ValueError, match="n_shards"):
+        with_pack_ids(d2, budget=10, n_shards=0)
+
+
+def test_tokens_blank_text_counts_zero(spark):
+    """nvtext parity: token_count of blank/whitespace text is 0, not a
+    phantom [''] (r4 review)."""
+    from pyspark.sql import functions as F
+
+    from pygdf_spark.operators.text import token_count, tokens
+
+    df = spark.createDataFrame([("",), ("   ",), ("a b",)], "t string")
+    got = [r["n"] for r in df.select(token_count("t").alias("n")).collect()]
+    assert got == [0, 0, 2]
+    sizes = [r["s"] for r in df.select(F.size(tokens("t")).alias("s")).collect()]
+    assert sizes == [0, 0, 2]
