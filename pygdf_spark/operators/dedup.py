@@ -67,7 +67,8 @@ def shingle_sets(
 
 
 def minhash_signatures(
-    docs_or_sets: DataFrame, num_perms: int = 6, p: int = MERSENNE_P
+    docs_or_sets: DataFrame, num_perms: int = 6, p: int = MERSENNE_P,
+    xs_p: int | None = None,
 ) -> DataFrame:
     """(doc_id, perm, minhash) long-form signatures, computed map-side:
     per-permutation minima are `array_min` folds over the in-row shingle
@@ -82,10 +83,19 @@ def minhash_signatures(
     def perm_fn(i: int):
         return lambda v: minhash_perm(v, i, p)
 
-    xs = (
-        F.col("xs") if "xs" in sets_df.columns
-        else F.transform(F.col("sh"), lambda s: md5_mod(s, p))
-    )
+    if "xs" in sets_df.columns:
+        # precomputed base hashes carry their own modulus (shingle_sets'
+        # default) — mixing moduli would silently produce signatures in
+        # neither hash family
+        if (xs_p or MERSENNE_P) != p:
+            raise ValueError(
+                f"minhash_signatures: precomputed xs uses modulus "
+                f"{xs_p or MERSENNE_P} but p={p}; rehash the shingle sets "
+                "with the matching p"
+            )
+        xs = F.col("xs")
+    else:
+        xs = F.transform(F.col("sh"), lambda s: md5_mod(s, p))
     sig = F.array(*[
         F.array_min(F.transform(xs, perm_fn(i))) for i in range(num_perms)
     ])
@@ -179,10 +189,18 @@ def dedup_group_assignment(
     sets_df = shingle_sets(docs.repartition(par, "doc_id"), text_col, hashed=True)
     sig = minhash_signatures(sets_df, num_perms).persist()
     bmin = sig.groupBy("perm", "minhash").agg(F.min("doc_id").alias("bucket_rep"))
-    return (
+    assigned = (
         sig.join(bmin, ["perm", "minhash"])
         .groupBy("doc_id")
         .agg(F.min("bucket_rep").alias("rep"))
+    )
+    # docs too short to shingle have all-null signatures (array_min of
+    # an empty set) and vanish from the non-null-safe bucket join — they
+    # must self-represent, not disappear from the keep-list
+    return (
+        docs.select("doc_id")
+        .join(assigned, "doc_id", "left")
+        .select("doc_id", F.coalesce("rep", F.col("doc_id")).alias("rep"))
     )
 
 
@@ -204,4 +222,15 @@ def simhash16(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFr
         F.when(F.col(f"v{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         for j in range(bits)
     )
-    return votes.select("doc_id", packed.alias("simhash"))
+    hashed = votes.select("doc_id", packed.alias("simhash"))
+    # zero-token docs produce no vote rows and would vanish; they get
+    # the zero-vote fingerprint (every tie-bit set = 2^bits - 1), the
+    # same value the packing yields for an all-zero vote vector
+    return (
+        docs.select("doc_id")
+        .join(hashed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("simhash", F.lit((1 << bits) - 1)).alias("simhash"),
+        )
+    )

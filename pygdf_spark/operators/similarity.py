@@ -67,10 +67,14 @@ def _cos(dot_col: Column, norm_a: Column, norm_b: Column) -> Column:
     (d·1e-12)/√(na·1e-12 · nb·1e-12) = d/√(na·nb). Norms cast to
     double BEFORE multiplying (int64 product would overflow); every
     input double is an exactly-represented integer, so the IEEE
-    multiply/sqrt/divide sequence is deterministic across engines."""
-    return F.round(
+    multiply/sqrt/divide sequence is deterministic across engines.
+    A zero-norm vector (padding/missing embedding) scores 0.0 — the
+    raw 0/0 would be NaN, which Spark orders ABOVE every double and
+    would rank the zero vector #1 in every top-k."""
+    cos = F.round(
         dot_col.cast("double") / F.sqrt(norm_a.cast("double") * norm_b.cast("double")), 8
     )
+    return F.when((norm_a == 0) | (norm_b == 0), F.lit(0.0)).otherwise(cos)
 
 
 def with_vec(vecs: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
@@ -90,8 +94,15 @@ def norms(vecs: DataFrame) -> DataFrame:
     return with_vec(vecs).select("vid", F.col("vid_norm2").alias("norm2"))
 
 
-def cosine_pairs(vecs: DataFrame, queries: DataFrame) -> DataFrame:
-    """(q_id, v_id, cos) for every query×vector pair (excl. self).
+def cosine_pairs(vecs: DataFrame, queries: DataFrame,
+                 exclude_self: bool = True) -> DataFrame:
+    """(q_id, v_id, cos) for every query×vector pair.
+
+    ``exclude_self`` drops q_id == v_id pairs — correct when the query
+    side IS a slice of the corpus (the self-search default). Pass False
+    for an EXPLICIT query table whose id space is unrelated to the
+    corpus, or an id collision silently hides a legitimate neighbor
+    (the bucketed_topk semantics).
 
     The query side is broadcast; the dot product and both norms are
     computed inside the broadcast-nested-loop join's projection, so the
@@ -99,8 +110,9 @@ def cosine_pairs(vecs: DataFrame, queries: DataFrame) -> DataFrame:
     """
     q = with_vec(queries, id_out="q_id", vec_out="qvec")
     v = with_vec(vecs, id_out="v_id", vec_out="vvec")
+    cond = F.col("q_id") != F.col("v_id") if exclude_self else F.lit(True)
     return (
-        v.join(F.broadcast(q), F.col("q_id") != F.col("v_id"))
+        v.join(F.broadcast(q), cond)
         .select(
             "q_id",
             "v_id",
@@ -113,10 +125,12 @@ def cosine_pairs(vecs: DataFrame, queries: DataFrame) -> DataFrame:
     )
 
 
-def brute_topk(vecs: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+def brute_topk(vecs: DataFrame, queries: DataFrame, k: int = 5,
+               exclude_self: bool = True) -> DataFrame:
     """Exact top-k neighbors per query (rounded-cos ranking with vec_id
-    tiebreak → deterministic). One shuffle: the per-query rank."""
-    cos = cosine_pairs(vecs, queries)
+    tiebreak → deterministic). One shuffle: the per-query rank.
+    ``exclude_self``: see cosine_pairs."""
+    cos = cosine_pairs(vecs, queries, exclude_self=exclude_self)
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("v_id").asc())
     return (
         cos.withColumn("rank", F.row_number().over(w))

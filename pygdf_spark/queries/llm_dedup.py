@@ -138,7 +138,12 @@ WITH toks AS (
 ),
 hx AS (SELECT doc_id, CAST(md5_number_lower(tok) % {1 << bits} AS BIGINT) AS x FROM toks),
 votes AS (SELECT doc_id, {votes} FROM hx GROUP BY doc_id)
-SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM votes ORDER BY doc_id
+-- LEFT from documents: zero-token docs get the zero-vote fingerprint
+-- (every tie-bit set), mirroring operators/dedup.simhash16
+SELECT d.doc_id,
+       CAST(CASE WHEN v.doc_id IS NULL THEN {(1 << bits) - 1}
+                 ELSE {packed} END AS BIGINT) AS simhash
+FROM documents d LEFT JOIN votes v ON v.doc_id = d.doc_id ORDER BY d.doc_id
 """
 
 
@@ -213,9 +218,13 @@ sigs AS (
 ),
 bmin AS (SELECT perm, minhash, MIN(doc_id) AS bucket_rep FROM sigs GROUP BY perm, minhash),
 rep AS (
-  SELECT s.doc_id, MIN(b.bucket_rep) AS rep
-  FROM sigs s JOIN bmin b ON s.perm = b.perm AND s.minhash = b.minhash
-  GROUP BY s.doc_id
+  -- LEFT from documents + COALESCE: docs too short to shingle
+  -- self-represent (mirrors operators/dedup.dedup_group_assignment)
+  SELECT d.doc_id, COALESCE(MIN(b.bucket_rep), d.doc_id) AS rep
+  FROM documents d
+  LEFT JOIN sigs s ON s.doc_id = d.doc_id
+  LEFT JOIN bmin b ON s.perm = b.perm AND s.minhash = b.minhash
+  GROUP BY d.doc_id
 ),
 sizes AS (SELECT rep, COUNT(*) AS n_members FROM rep GROUP BY rep)
 SELECT COUNT(*) AS n_groups, CAST(SUM(n_members) AS BIGINT) AS n_docs,

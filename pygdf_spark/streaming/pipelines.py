@@ -108,14 +108,33 @@ def session_counts(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
 
 
 def dedup_first_per_key(events: DataFrame) -> DataFrame:
-    """Streaming dropDuplicates on (user_id, event_type) with a 1-hour
-    watermark bounding the dedup state. Only the key columns are
+    """Streaming dropDuplicates on (user_id, event_type): EXACT global
+    first-per-key semantics (matches a batch DISTINCT, the oracle-
+    pinnable form). State note: because the event-time column is NOT in
+    the key subset, Spark keeps one state entry per distinct key for
+    the life of the query — bounded by key-domain size, NOT by the
+    watermark. For an unbounded key domain use
+    :func:`dedup_within_watermark` instead. Only the key columns are
     emitted: WHICH duplicate row survives depends on arrival order
     (nondeterministic under parallel file listing), the key set does
     not."""
     return (
         events.withWatermark("ts", "1 hour")
         .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+
+
+def dedup_within_watermark(events: DataFrame, delay: str = "1 hour") -> DataFrame:
+    """Streaming dedup with EVICTABLE state: dropDuplicatesWithinWatermark
+    guarantees dedup of key repeats arriving within ``delay`` of each
+    other and lets the state store drop entries once the watermark
+    passes — the 100 TB/day unbounded-key-domain shape (repeats farther
+    apart than the watermark may BOTH survive; that is the documented
+    trade for bounded state)."""
+    return (
+        events.withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
 
@@ -164,18 +183,31 @@ def enrich_with_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
     enriched = buys.join(F.broadcast(d), "user_id")
     return enriched.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n_purchases"),
-        F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value"),
+        F.sum(dec("value")).alias("sum_value"),
     )
 
 
 def view_purchase_join(events: DataFrame, horizon: str = "2 hours") -> DataFrame:
     """Stream-stream interval join: each purchase joined to the same
     user's views in the preceding `horizon`. Both sides carry
-    watermarks (sized ≥ the horizon), and the join condition bounds
-    event-time distance, so the state store can evict rows once the
-    watermark passes their join horizon — the REQUIRED shape for an unbounded stream-stream
-    join (an unbounded-range join would accumulate state forever).
-    Net-new vs the reference (custreamz decodes micro-batches only)."""
+    watermarks DERIVED FROM the horizon (delay = horizon + 1 hour
+    slack, so the watermark always covers the join range — a fixed
+    delay silently dropped in-horizon matches whenever the caller
+    passed a larger horizon), and the join condition bounds event-time
+    distance, so the state store can evict rows once the watermark
+    passes their join horizon — the REQUIRED shape for an unbounded
+    stream-stream join (an unbounded-range join would accumulate state
+    forever). Net-new vs the reference (custreamz decodes micro-batches
+    only)."""
+    import re as _re
+
+    m = _re.fullmatch(r"\s*(\d+)\s*(hours?)\s*", horizon)
+    if not m:
+        raise ValueError(
+            f"horizon {horizon!r} must be whole hours (e.g. '2 hours') — "
+            "the watermark slack arithmetic derives from it"
+        )
+    delay = f"{int(m.group(1)) + 1} hours"
     views = (
         events.filter(F.col("event_type") == "view")
         .select(
@@ -183,7 +215,7 @@ def view_purchase_join(events: DataFrame, horizon: str = "2 hours") -> DataFrame
             F.col("event_id").alias("view_id"),
             F.col("ts").alias("view_ts"),
         )
-        .withWatermark("view_ts", "3 hours")
+        .withWatermark("view_ts", delay)
     )
     buys = (
         events.filter(F.col("event_type") == "purchase")
@@ -192,7 +224,7 @@ def view_purchase_join(events: DataFrame, horizon: str = "2 hours") -> DataFrame
             F.col("event_id").alias("buy_id"),
             F.col("ts").alias("buy_ts"),
         )
-        .withWatermark("buy_ts", "3 hours")
+        .withWatermark("buy_ts", delay)
     )
     cond = (
         (F.col("v_user") == F.col("b_user"))
@@ -262,4 +294,9 @@ def run_available_now_parquet(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.read.parquet(path)
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        # a zero-row stream commits no data files, so schema inference
+        # fails — return an empty frame with the stream's own schema
+        return spark.createDataFrame([], sdf.schema)

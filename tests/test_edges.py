@@ -706,3 +706,71 @@ def test_tokens_blank_text_counts_zero(spark):
     assert got == [0, 0, 2]
     sizes = [r["s"] for r in df.select(F.size(tokens("t")).alias("s")).collect()]
     assert sizes == [0, 0, 2]
+
+
+def test_dedup_group_assignment_keeps_short_docs(spark):
+    """r4 review: docs too short to shingle must self-represent, not
+    vanish from the keep-list (the curation pipeline deletes anything
+    absent from it)."""
+    from pygdf_spark.operators.dedup import dedup_group_assignment
+
+    docs = spark.createDataFrame(
+        [(1, "hi"), (2, "a b"), (3, "the quick brown fox jumps"),
+         (4, "the quick brown fox jumps")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["rep"] for r in dedup_group_assignment(docs).collect()}
+    assert got[1] == 1 and got[2] == 2        # short docs self-represent
+    assert got[3] == 3 and got[4] == 3        # true dups collapse
+
+
+def test_simhash_empty_doc_gets_tie_fingerprint(spark):
+    from pygdf_spark.operators.dedup import simhash16
+
+    docs = spark.createDataFrame([(1, ""), (2, "a b")], "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"] for r in simhash16(docs).collect()}
+    assert got[1] == (1 << 16) - 1  # zero-vote fingerprint
+    assert 0 <= got[2] < (1 << 16)
+
+
+def test_cos_zero_norm_not_nan(spark):
+    """r4 review: a zero embedding must not rank #1 via NaN ordering."""
+    from pygdf_spark.operators.similarity import brute_topk
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = brute_topk(vecs, vecs.filter("vec_id = 1"), k=2).collect()
+    ranked = [(r["v_id"], r["rank"]) for r in out]
+    assert ranked[0][0] == 2  # the real neighbor, not the zero vector
+    cos3 = {r["v_id"]: r["cos"] for r in out}.get(3)
+    assert cos3 == 0.0 or cos3 is None
+
+
+def test_brute_topk_explicit_query_id_collision(spark):
+    """exclude_self=False keeps a corpus row whose id collides with an
+    unrelated explicit query id."""
+    from pygdf_spark.operators.similarity import brute_topk
+
+    corpus = spark.createDataFrame(
+        [(5, [1.0, 0.0]), (6, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(5, [1.0, 0.05])], "vec_id long, embedding array<double>"
+    )
+    out = brute_topk(corpus, queries, k=1, exclude_self=False).collect()
+    assert out[0]["v_id"] == 5  # the colliding id IS the true neighbor
+
+
+def test_minhash_signatures_modulus_mismatch_raises(spark):
+    import pytest as _pytest
+
+    from pygdf_spark.operators.dedup import minhash_signatures, shingle_sets
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )
+    sets_df = shingle_sets(docs, hashed=True)  # default modulus
+    with _pytest.raises(ValueError, match="modulus"):
+        minhash_signatures(sets_df, p=65521)
