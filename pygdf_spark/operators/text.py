@@ -47,11 +47,15 @@ LANG_MARKERS = {
 def tokens(col) -> Column:
     """tokenize (tokenize.hpp:58): whitespace split of trimmed text.
     Blank/whitespace-only text yields [] (nvtext token_count('') is 0 —
-    a plain split would yield the phantom [''] and count 1)."""
+    a plain split would yield the phantom [''] and count 1). The trim
+    is REGEX \\s (F.trim strips only ASCII spaces, so a tab/newline
+    edge would leave phantom '' tokens that corrupt counts, simhash
+    votes, and shingle sets)."""
     c = F.col(col) if isinstance(col, str) else col
+    t = F.regexp_replace(c, r"^\s+|\s+$", "")
     return F.when(
-        F.trim(c) == "", F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(c), WS))
+        t == "", F.array().cast("array<string>")
+    ).otherwise(F.split(t, WS))
 
 
 def token_count(col) -> Column:

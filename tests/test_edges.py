@@ -774,3 +774,16 @@ def test_minhash_signatures_modulus_mismatch_raises(spark):
     sets_df = shingle_sets(docs, hashed=True)  # default modulus
     with _pytest.raises(ValueError, match="modulus"):
         minhash_signatures(sets_df, p=65521)
+
+
+def test_tokens_control_char_edges(spark):
+    """F.trim strips only ASCII spaces — tab/newline edges must not
+    yield phantom '' tokens (r4 review follow-up; regex trim)."""
+    from pygdf_spark.operators.text import token_count, tokens
+
+    df = spark.createDataFrame(
+        [("hello world\n",), ("\tx\t",), ("\t\n",)], "t string"
+    )
+    got = [(r["tk"], r["n"]) for r in df.select(
+        tokens("t").alias("tk"), token_count("t").alias("n")).collect()]
+    assert got == [(["hello", "world"], 2), (["x"], 1), ([], 0)]

@@ -262,7 +262,9 @@ def test_ngrams_parity(spark, texts, n):
     def py_ngrams(t):
         if t is None:
             return []
-        toks = _re.split(r"\s+", t.strip())
+        # nvtext parity (r4 fix): blank/whitespace-only text has ZERO
+        # tokens, not the phantom [''] a raw split would yield
+        toks = [w for w in _re.split(r"\s+", t.strip()) if w]
         return [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
 
     exp = {i: py_ngrams(t) for i, t in rows}
