@@ -129,8 +129,10 @@ def count_re(col, pat: str) -> Column:
 
 
 def match(col, pat: str) -> Column:
-    """matches_re (string.py:3849) — anchored at start."""
-    p = pat if pat.startswith("^") else "^" + pat
+    """matches_re (string.py:3849) — anchored at start. The whole
+    pattern is grouped: a bare '^' + prefix would anchor only the FIRST
+    alternative ('^cat|dog' matches 'hotdog')."""
+    p = pat if pat.startswith("^") else f"^(?:{pat})"
     return _c(col).rlike(p)
 
 
@@ -150,16 +152,31 @@ def replace_with_backrefs(col, pat: str, repl: str) -> Column:
 # --- slice / substring (substring.hpp:58) ------------------------------
 
 def slice_(col, start: int, stop: int | None = None) -> Column:
-    """str.slice (string.py:1011) — 0-based [start, stop)."""
+    """str.slice (string.py:1011) — 0-based [start, stop), negative
+    indices count from the end (Python slicing, which pandas/cuDF
+    follow; Spark substring's negative pos is end-relative but
+    1-convention-shifted, so both bounds resolve via length)."""
     c = _c(col)
-    if stop is None:
+    if start >= 0 and stop is None:
         return F.substring(c, F.lit(start + 1), F.length(c))
-    return F.substring(c, start + 1, stop - start)
+    if start >= 0 and stop is not None and stop >= 0:
+        return F.substring(c, start + 1, max(stop - start, 0))
+    ln = F.length(c)
+    s_ = F.greatest(ln + F.lit(start), F.lit(0)) if start < 0 else F.lit(start)
+    if stop is None:
+        e_ = ln
+    else:
+        e_ = F.greatest(ln + F.lit(stop), F.lit(0)) if stop < 0 else F.least(F.lit(stop), ln)
+    return F.substring(c, (s_ + 1).cast("int"), F.greatest(e_ - s_, F.lit(0)).cast("int"))
 
 
 def get(col, i: int) -> Column:
-    """str.get (string.py:2147) — single character at 0-based index."""
-    return F.substring(_c(col), i + 1, 1)
+    """str.get (string.py:2147) — single character at 0-based index;
+    negative indices count from the end (Python semantics)."""
+    c = _c(col)
+    if i >= 0:
+        return F.substring(c, i + 1, 1)
+    return F.substring(c, (F.length(c) + F.lit(i + 1)).cast("int"), 1)
 
 
 def slice_replace(col, start: int, stop: int, repl: str) -> Column:
@@ -171,21 +188,27 @@ def slice_replace(col, start: int, stop: int, repl: str) -> Column:
 # --- pad / strip (padding.hpp:64,93, strip.hpp:69) ---------------------
 
 def pad(col, width: int, side: str = "left", fillchar: str = " ") -> Column:
+    """Python/pandas/cuDF padding: strings already >= width pass through
+    UNCHANGED (Spark's lpad/rpad silently truncate to width)."""
     c = _c(col)
     if side == "left":
-        return F.lpad(c, width, fillchar)
-    if side == "right":
-        return F.rpad(c, width, fillchar)
-    # both: center (string.py:2838). Python's str.center (which pandas
-    # and cuDF follow) puts the EXTRA fill char on the left when both
-    # the margin and the width are odd: left = marg//2 + (marg & width & 1)
-    total = F.lit(width) - F.length(c)
-    left = (F.floor(total / 2) + (total % 2) * F.lit(width % 2)).cast("int")
-    return F.rpad(F.lpad(c, (F.length(c) + F.greatest(left, F.lit(0))).cast("int"), fillchar), width, fillchar)
+        padded = F.lpad(c, width, fillchar)
+    elif side == "right":
+        padded = F.rpad(c, width, fillchar)
+    else:
+        # both: center (string.py:2838). Python's str.center (which
+        # pandas and cuDF follow) puts the EXTRA fill char on the left
+        # when both the margin and the width are odd:
+        # left = marg//2 + (marg & width & 1)
+        total = F.lit(width) - F.length(c)
+        left = (F.floor(total / 2) + (total % 2) * F.lit(width % 2)).cast("int")
+        padded = F.rpad(F.lpad(c, (F.length(c) + F.greatest(left, F.lit(0))).cast("int"), fillchar), width, fillchar)
+    return F.when(F.length(c) >= width, c).otherwise(padded)
 
 
 def zfill(col, width: int) -> Column:
-    return F.lpad(_c(col), width, "0")
+    c = _c(col)
+    return F.when(F.length(c) >= width, c).otherwise(F.lpad(c, width, "0"))
 
 
 def center(col, width: int, fillchar: str = " ") -> Column:
@@ -208,11 +231,13 @@ def insert(col, start: int, repl: str) -> Column:
 
 
 def ljust(col, width: int, fillchar: str = " ") -> Column:
-    return F.rpad(_c(col), width, fillchar)
+    c = _c(col)
+    return F.when(F.length(c) >= width, c).otherwise(F.rpad(c, width, fillchar))
 
 
 def rjust(col, width: int, fillchar: str = " ") -> Column:
-    return F.lpad(_c(col), width, fillchar)
+    c = _c(col)
+    return F.when(F.length(c) >= width, c).otherwise(F.lpad(c, width, fillchar))
 
 
 def _chclass(chars: str) -> str:
@@ -228,6 +253,8 @@ def lstrip(col, to_strip: str | None = None) -> Column:
     c = _c(col)
     if to_strip is None:
         return F.ltrim(c)
+    if to_strip == "":
+        return c  # Python semantics: stripping nothing is a no-op
     return F.regexp_replace(c, f"^{_chclass(to_strip)}+", "")
 
 
@@ -235,13 +262,25 @@ def rstrip(col, to_strip: str | None = None) -> Column:
     c = _c(col)
     if to_strip is None:
         return F.rtrim(c)
+    if to_strip == "":
+        return c
     return F.regexp_replace(c, f"{_chclass(to_strip)}+$", "")
 
 
 # --- split / partition (split.hpp:52-229, partition.hpp:58,90) ---------
 
-def split(col, pat: str = r"\s+", limit: int = -1) -> Column:
-    return F.split(_c(col), pat, limit)
+def split(col, pat: str | None = None, limit: int = -1) -> Column:
+    """str.split. With no separator (pandas/cuDF whitespace mode) the
+    edges are trimmed first so leading/trailing whitespace yields no
+    phantom '' tokens; an explicit pattern keeps raw split semantics
+    (pandas str.split(' ') also keeps edge empties)."""
+    c = _c(col)
+    if pat is None:
+        t = F.regexp_replace(c, r"^\s+|\s+$", "")
+        return F.when(
+            t == "", F.array().cast("array<string>")
+        ).otherwise(F.split(t, r"\s+", limit))
+    return F.split(c, pat, limit)
 
 
 def rsplit(col, sep: str = " ", limit: int = -1) -> Column:
@@ -350,12 +389,36 @@ _STRPTIME_TO_SPARK = {
 
 def istimestamp(col, fmt: str = "%Y-%m-%d") -> Column:
     """str.istimestamp (string.py:1082 family) — does the string parse
-    under the strptime-style format; directives are rewritten to Spark's
-    pattern letters and checked with try_to_timestamp."""
-    spark_fmt = fmt
-    for k, v in _STRPTIME_TO_SPARK.items():
-        spark_fmt = spark_fmt.replace(k, v)
-    return F.try_to_timestamp(_c(col), F.lit(spark_fmt)).isNotNull()
+    under the strptime-style format. Directives rewrite to Spark's
+    pattern letters; LITERAL letters are quoted (an unquoted 'T' in an
+    ISO format is a reserved pattern letter Spark rejects at runtime);
+    an unsupported %-directive raises a clear error instead of leaking
+    a raw letter into the pattern."""
+    out = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            d = fmt[i : i + 2]
+            if d == "%%":
+                out.append("%")
+            elif d in _STRPTIME_TO_SPARK:
+                out.append(_STRPTIME_TO_SPARK[d])
+            else:
+                raise ValueError(
+                    f"istimestamp: unsupported strptime directive {d!r} "
+                    f"(supported: {sorted(_STRPTIME_TO_SPARK)})"
+                )
+            i += 2
+        elif fmt[i].isalpha():
+            j = i
+            while j < len(fmt) and fmt[j].isalpha():
+                j += 1
+            out.append("'" + fmt[i:j] + "'")  # quote literal letter runs
+            i = j
+        else:
+            out.append(fmt[i])
+            i += 1
+    return F.try_to_timestamp(_c(col), F.lit("".join(out))).isNotNull()
 
 
 # --- conversions (convert_*.hpp) ---------------------------------------
@@ -385,21 +448,34 @@ def url_decode(col) -> Column:
 
 
 def code_points(col) -> Column:
-    """string.py:3955 — array of unicode code points."""
-    return F.transform(F.split(_c(col), ""), lambda ch: F.ascii(ch))
+    """string.py:3955 — array of code points. Empty-string input yields
+    [] (split('','') is [''], whose ascii would emit a spurious 0).
+    BMP caveat: F.ascii reports UTF-16 units, so astral-plane chars
+    come back as surrogate halves."""
+    return F.transform(
+        F.filter(F.split(_c(col), ""), lambda ch: ch != ""),
+        lambda ch: F.ascii(ch),
+    )
 
 
 def translate(col, table: dict[str, str | None]) -> Column:
-    """translate.hpp:55 — char map; deletions = chars mapped to None."""
-    src = "".join(table.keys())
-    dst = "".join(v if v else "" for v in table.values())
-    if all(v is not None for v in table.values()):
-        return F.translate(_c(col), src, dst)
-    # with deletions Spark translate already drops unmatched target chars
-    keep_src = "".join(k for k, v in table.items() if v is not None)
-    keep_dst = "".join(v for v in table.values() if v is not None)
-    delete = "".join(k for k, v in table.items() if v is None)
-    return F.translate(F.translate(_c(col), delete, ""), keep_src, keep_dst)
+    """translate.hpp:55 — char map; deletions = chars mapped to None OR
+    '' (both spellings delete — a '' value concatenated into the dst
+    string would silently shift every later mapping's alignment).
+    Values must be single characters (char-to-char map, like cuDF's
+    code-point table)."""
+    for k, v in table.items():
+        if len(k) != 1 or (v not in (None, "") and len(v) != 1):
+            raise ValueError(
+                f"translate maps single characters; got {k!r} -> {v!r}"
+            )
+    keep_src = "".join(k for k, v in table.items() if v not in (None, ""))
+    keep_dst = "".join(v for v in table.values() if v not in (None, ""))
+    delete = "".join(k for k, v in table.items() if v in (None, ""))
+    base = _c(col)
+    if delete:
+        base = F.translate(base, delete, "")
+    return F.translate(base, keep_src, keep_dst) if keep_src else base
 
 
 def filter_characters(col, keep_pattern: str) -> Column:
@@ -419,8 +495,11 @@ def get_json_object(col, path: str) -> Column:
 
 
 def wrap(col, width: int) -> Column:
-    """string.py:3199 — greedy wrap at width via regex insertion."""
-    return F.regexp_replace(_c(col), rf"(.{{1,{width}}})( +|$)", "$1\n")
+    """string.py:3199 — greedy wrap at width via regex insertion; the
+    end-of-string branch's newline is stripped (pandas/cuDF wrap never
+    appends a trailing newline)."""
+    wrapped = F.regexp_replace(_c(col), rf"(.{{1,{width}}})( +|$)", "$1\n")
+    return F.regexp_replace(wrapped, r"\n$", "")
 
 
 def edit_distance(col, other) -> Column:

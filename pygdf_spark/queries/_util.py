@@ -106,9 +106,7 @@ def cents(col):
     idiom for money arithmetic (q1 docstring in relational.py: fixture
     money is exact at scale 2, so round(x*100) has no ties and the row
     pipeline stays codegen'd int64 instead of per-row BigDecimal).
-    Single source of truth; the oracle-side mirror is SQL_CENTS."""
-    from pyspark.sql import functions as F
-
+    Single source of truth; the oracle-side mirror is sql_cents."""
     c = F.col(col) if isinstance(col, str) else col
     return F.round(c * 100, 0).cast("long")
 

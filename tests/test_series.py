@@ -392,3 +392,59 @@ def test_array_ufunc_dispatch(spark):
             assert (got == want).all(), k
         else:
             assert np.allclose(got.astype(float), want.astype(float)), k
+
+
+def test_str_functions_pandas_semantics(spark):
+    """r4 review pins for the string layer: anchored-match alternation,
+    no pad truncation, negative slice/get, translate deletions via '',
+    wrap without trailing newline, whitespace-mode split, lstrip('')
+    no-op, code_points('') empty, istimestamp literal quoting."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    import pygdf_spark.functions.strings as S
+
+    df = spark.createDataFrame(
+        [("hotdog",), ("cat",), ("hello",), (" a b ",), ("",)], "t string"
+    )
+    row = df.select(
+        S.match("t", "cat|dog").alias("m"),
+        S.center("t", 3).alias("c3"),
+        S.zfill("t", 3).alias("z3"),
+        S.get("t", -1).alias("last"),
+        S.slice_("t", -3).alias("tail3"),
+        S.slice_("t", 1, -1).alias("mid"),
+        S.translate("t", {"o": "", "t": "T"}).alias("tr"),
+        S.wrap("t", 3).alias("w"),
+        S.split("t").alias("sp"),
+        S.lstrip("t", "").alias("ls"),
+        S.code_points("t").alias("cp"),
+    ).collect()
+    by = {r_["t"] if False else i: r_ for i, r_ in enumerate(row)}
+    vals = {r_["c3"]: r_ for r_ in row}
+    pser = pd.Series(["hotdog", "cat", "hello", " a b ", ""])
+    # match: anchored whole-pattern
+    assert [r_["m"] for r_ in row] == pser.str.match("cat|dog").tolist()
+    # center/zfill: no truncation
+    assert [r_["c3"] for r_ in row] == pser.str.center(3).tolist()
+    assert [r_["z3"] for r_ in row] == pser.str.zfill(3).tolist()
+    # negative get/slice
+    assert [r_["last"] for r_ in row] == ["g", "t", "o", " ", ""]
+    assert [r_["tail3"] for r_ in row] == [s[-3:] for s in pser]
+    assert [r_["mid"] for r_ in row] == [s[1:-1] for s in pser]
+    # translate: '' deletes, single-char maps
+    assert [r_["tr"] for r_ in row] == [s.translate(str.maketrans({"o": None, "t": "T"})) for s in pser]
+    # wrap: no trailing newline
+    assert all(not r_["w"].endswith("\n") for r_ in row)
+    # whitespace-mode split drops edge empties
+    assert [list(r_["sp"]) for r_ in row] == [s.split() for s in pser]
+    # lstrip('') no-op
+    assert [r_["ls"] for r_ in row] == list(pser)
+    # code_points('') == []
+    assert list(row[4]["cp"]) == []
+    # istimestamp: ISO 'T' literal parses instead of crashing
+    ts = spark.createDataFrame([("2024-01-02T03:04:05",), ("nope",)], "t string")
+    got = [r_["ok"] for r_ in ts.select(
+        S.istimestamp("t", "%Y-%m-%dT%H:%M:%S").alias("ok")).collect()]
+    assert got == [True, False]
