@@ -1629,6 +1629,20 @@ class _Loc:
             # whose LAST element names a column
             mi = self._df.columns_tuples
             scalars = not any(isinstance(k, (Column, list, slice)) for k in key)
+            if (
+                mi is not None
+                and scalars
+                and len(key) <= len(self._df._mi_key_cols())
+            ):
+                # pandas precedence (r4 advice): a key-compatible tuple
+                # is a (multi-level) ROW key first, even when its last
+                # element collides with a column label
+                types = dict(self._df._sdf.dtypes)
+                kc = self._df._mi_key_cols()[: len(key)]
+                if all(
+                    self._key_compat(v, types.get(c, "")) for v, c in zip(key, kc)
+                ):
+                    return self._df.xs(key, axis=0)
             if mi is not None and scalars and len(key) == 2:
                 labels = set(self._df.columns) | set(tuple(t) for t in mi)
                 if key[1] in labels:
@@ -1636,17 +1650,6 @@ class _Loc:
                     # the leading key level(s), then the column
                     row_key = key[0] if isinstance(key[0], tuple) else (key[0],)
                     return self._df.xs(row_key, axis=0, drop_level=False)[key[1]]
-            if (
-                mi is not None
-                and scalars
-                and len(key) <= len(self._df._mi_key_cols())
-            ):
-                types = dict(self._df._sdf.dtypes)
-                kc = self._df._mi_key_cols()[: len(key)]
-                if all(
-                    self._key_compat(v, types.get(c, "")) for v, c in zip(key, kc)
-                ):
-                    return self._df.xs(key, axis=0)
             mask, cols = key
             out = self._df[mask] if isinstance(mask, Column) else _ILoc(self._df)[mask]
             return out[[cols] if isinstance(cols, str) else list(cols)]

@@ -741,6 +741,10 @@ class Series:
             F.min(self.col).alias("mn"), F.max(self.col).alias("mx")
         ).first()
         mn, mx = row["mn"], row["mx"]
+        if mn is not None and mn == mx:
+            # constant (or single-row) column: cuDF's float division
+            # gives 0/0 = NaN; Spark non-ANSI division would yield null
+            return F.lit(float("nan")).cast("double")
         return (self.col - F.lit(mn)) / (F.lit(mx) - F.lit(mn))
 
     def applymap(self, func, out_type: str = "double"):
@@ -1204,8 +1208,15 @@ _UFUNC_BINARY = {
     "fmod": lambda a, b: a % b,
     "power": F.pow, "float_power": lambda a, b: F.pow(a.cast("double") if isinstance(a, Column) else a, b),
     "arctan2": F.atan2, "hypot": F.hypot,
-    "logaddexp": lambda a, b: F.log(F.exp(a) + F.exp(b)),
-    "logaddexp2": lambda a, b: F.log2(F.pow(F.lit(2.0), a) + F.pow(F.lit(2.0), b)),
+    # stable forms: max + log1p(exp(-|a-b|)) — naive log(exp+exp)
+    # overflows to inf above ~709 where numpy returns ~max(a,b); the
+    # a==b branch also keeps logaddexp(inf, inf) == inf (inf-inf is NaN)
+    "logaddexp": lambda a, b: F.when(a == b, a + F.log(F.lit(2.0))).otherwise(
+        F.greatest(a, b) + F.log1p(F.exp(-F.abs(a - b)))
+    ),
+    "logaddexp2": lambda a, b: F.when(a == b, a + F.lit(1.0)).otherwise(
+        F.greatest(a, b) + F.log2(F.lit(1.0) + F.pow(F.lit(2.0), -F.abs(a - b)))
+    ),
     "maximum": F.greatest, "minimum": F.least,
     "fmax": F.greatest, "fmin": F.least,
     "equal": lambda a, b: a == b, "not_equal": lambda a, b: a != b,

@@ -113,7 +113,7 @@ _CALENDAR_MONTHS = {"MS": 1, "ME": 1, "M": 1, "QS": 3, "QE": 3, "Q": 3,
 
 
 def timeseries(
-    spark: SparkSession,
+    spark: SparkSession | None = None,
     start="2000-01-01",
     end="2000-01-31",
     freq="1s",
@@ -138,7 +138,10 @@ def timeseries(
     import pandas as pd
 
     from pygdf_spark.core.dataframe import from_spark
+    from pygdf_spark.session import get_spark
 
+    if spark is None:  # reference allows session-less calls (datasets.py:11)
+        spark = get_spark()
     if dtypes is None:
         dtypes = {"name": "category", "id": int, "x": float, "y": float}
     seed = 0 if seed is None else int(seed)
@@ -183,11 +186,14 @@ def timeseries(
     return from_spark(base.select(ts, *cols))
 
 
-def randomdata(spark: SparkSession, nrows=10, dtypes=None, seed=None):
+def randomdata(spark: SparkSession | None = None, nrows=10, dtypes=None, seed=None):
     """Random frame (datasets.py:60): ``nrows`` rows of hash-random
     columns; default ``{"id": int, "x": float, "y": float}``."""
     from pygdf_spark.core.dataframe import from_spark
+    from pygdf_spark.session import get_spark
 
+    if spark is None:
+        spark = get_spark()
     if dtypes is None:
         dtypes = {"id": int, "x": float, "y": float}
     seed = 0 if seed is None else int(seed)

@@ -46,50 +46,41 @@ _MODULES = [
 # per-query cost at sf0.01. Queries dropped from the window keep their
 # prior-round driver-green rows (CORRECTNESS_r01.json: 47 green).
 _PRIORITY = [
-    # r4 window (tools/rotate_window.py): the 41 queries with no
-    # driver-green row in CORRECTNESS_r01-r03 — including the 5 that
-    # hash-failed r3 ONLY because the driver canonicalizer cannot sort
-    # list cells (array outputs now stringified via array_join) — plus
-    # the 9 net-new r4 queries. 41 + 9 = 50 exactly. Prior-green rows
-    # are cumulative.
-    # r5 rotation queue (verified by the local gate, no driver row yet;
-    # audit: the `never-checked NOT in window` list from comparing
-    # registry order vs CORRECTNESS_r01-r04): the 19 TPC-H suite
-    # queries (q2..q22), io_{csv,orc,json,feather}_roundtrip,
-    # reshape_pivot_table, reshape_crosstab, text_chunk_split,
-    # dedup_url_canonical, dedup_containment — 28 entries, leaving
-    # ~22 r5 slots for net-new work.
-    # -- r3 canon-hazard retries (fixed: arrays stringified)
-    "str_convert_pack", "byte_cast_pack", "nlp_subword_tokenize",
-    "sim_doc_pool", "mm_feature_stub",
-    # -- net-new r4 queries
-    "join_conditional_left", "win_ntile_bucket", "topk_per_group",
-    "events_sessionize", "agg_filtered_pack", "str_like_pack",
-    "sample_reservoir", "text_tfidf_top", "mi_xs_level",
-    # -- copy/reshape utilities
-    "reverse_tail", "repeat_tile_fill", "transpose_small",
-    # -- dedup remainder
-    "dedup_decontaminate_bloom", "dedup_span_fingerprint", "dedup_semantic",
-    # -- similarity / ANN remainder
-    "search_hybrid_rrf", "sim_quantize_int8", "sim_pq_adc",
-    "sim_neardup_pairs", "sim_kmeans_ivf", "sim_ivf_probe",
-    "sim_ann_recall",
-    # -- sampling / packing
-    "sample_stratified", "sample_quality_weighted", "sample_class_balance",
-    "pack_sequences", "sample_mixture",
-    # -- multimodal stubs
-    "mm_image_decode_stub", "mm_frame_sample", "mm_resize_stub",
-    "mm_audio_stub",
-    # -- composite pipeline
-    "pipeline_pretrain_prep",
-    # -- UDF variants
-    "udf_groupby_apply_arrow", "udf_apply_chunks_tokens",
-    "udf_groupby_apply_top2", "udf_map_in_arrow",
-    # -- streaming (batch-semantics + live micro-batch variants)
-    "kafka_avro_payload", "stream_sliding_window", "stream_dedup_keys",
-    "stream_late_data_cutoff", "sstream_static_join_live",
-    "sstream_session_live", "sstream_join_live", "sstream_sliding_live",
-    "sstream_dedup_live",
+    # r5 window (tools/rotate_window.py): the 28 queries with NO driver
+    # row in CORRECTNESS_r01-r04 (the 19 adapted TPC-H suite queries,
+    # the 4 IO round-trips, pivot_table/crosstab, chunk split, the 2
+    # web-dedup variants), then nlp_subword_tokenize (now carrying a
+    # fixture-backed oracle — previously the registry's only
+    # `err:no_oracle` row), then re-greens: every query whose code
+    # changed AFTER its last driver-green row (the f3dbabb string-layer
+    # semantics batch -> the 10 r2/r3-green str_* packs; the e670247
+    # tokens() regex-trim -> the r2/r3-green tokens()/ngrams()
+    # dependents). Prior-green rows are cumulative — queries rotated
+    # out keep their rows.
+    # -- never-driver-checked: adapted TPC-H suite (queries/tpch.py)
+    "q2_best_supplier", "q4_order_priority", "q5_local_supplier_volume",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q10_returned_items", "q11_important_stock", "q12_priority_class",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_cnt", "q17_small_quantity", "q18_large_volume_customer",
+    "q19_discounted_revenue", "q20_potential_promotion",
+    "q21_waiting_supplier", "q22_global_sales",
+    # -- never-driver-checked: IO round-trips + reshape + text/dedup
+    "io_csv_roundtrip", "io_orc_roundtrip", "io_json_roundtrip",
+    "io_feather_roundtrip", "reshape_pivot_table", "reshape_crosstab",
+    "text_chunk_split", "dedup_url_canonical", "dedup_containment",
+    # -- first-oracle attempt (fixture-backed WordPiece expectations)
+    "nlp_subword_tokenize",
+    # -- re-green: f3dbabb string-layer dependents (last green r2/r3)
+    "str_basic_pack", "str_regex_pack", "str_json_pack",
+    "str_rsplit_pack", "str_find_pack", "str_split_pack",
+    "str_is_pack", "str_translate_strip", "str_distance",
+    "str_url_wrap_pack",
+    # -- re-green: e670247 tokens()/ngrams() dependents (last green r2/r3)
+    "text_token_stats", "nlp_token_filter", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_ngram_jaccard", "text_ngrams_top",
+    "text_fingerprint", "text_vocab_coverage", "text_lm_frequency",
+    "nlp_char_ngrams", "text_repetition",
 ]
 
 

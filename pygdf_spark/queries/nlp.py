@@ -14,6 +14,8 @@ semantics, matching the reference's measure for y-free stems).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from pygdf_spark.operators.text import tokens
@@ -181,9 +183,12 @@ def nlp_subword_tokenize(spark, sf_dir):
     """subword_tokenize (nvtext/subword_tokenize.hpp:62, py
     core/subword_tokenizer.py): BERT-style WordPiece ids + attention
     mask over documents. Greedy longest-match is iterative, so the ids
-    come from one Arrow-batched pandas UDF (no SQL oracle — the driver
-    records the rows-only check; exact-output parity is pinned by
-    tests/test_subword.py against hand-computed WordPiece encodings)."""
+    come from one Arrow-batched pandas UDF. The SQL oracle joins a
+    precomputed expectation fixture (tools/make_subword_fixture.py — an
+    independent re-derivation of the WordPiece spec, keyed by md5(text)
+    so one fixture serves every scale factor); exact-output parity is
+    additionally pinned by tests/test_subword.py against hand-computed
+    encodings."""
     from pygdf_spark.operators.subword import subword_tokenize
 
     d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
@@ -207,7 +212,23 @@ QUERIES = {
     "nlp_edit_distance_matrix": nlp_edit_distance_matrix,
 }
 
+#: expectation fixture for the WordPiece oracle (see the query docstring)
+_SUBWORD_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "fixtures", "subword_expected.parquet",
+)
+
+NLP_SUBWORD_SQL = f"""
+SELECT d.doc_id, f.n_tokens, f.ids_head, f.mask_first
+FROM documents d
+JOIN read_parquet('{_SUBWORD_FIXTURE}') f
+  ON md5(coalesce(d.text, '')) = f.text_md5
+WHERE d.doc_id < 300
+ORDER BY d.doc_id
+"""
+
 ORACLE = {
+    "nlp_subword_tokenize": NLP_SUBWORD_SQL,
     "nlp_token_filter": NLP_TOKEN_FILTER_SQL,
     "nlp_char_ngrams": NLP_CHAR_NGRAMS_SQL,
     "nlp_porter_measure": NLP_PORTER_SQL,

@@ -351,9 +351,11 @@ class Consumer:
                 )
                 topics[specific_topic] = sorted(int(r[0]) for r in parts)
             except Exception as e:
-                # only the missing-jar class degrades to committed-store
-                # info; real errors (broker down, auth) must surface
-                if not _is_missing_source(e) and not isinstance(e, RuntimeError):
+                # only the missing-jar class (raw or already wrapped as
+                # the _KAFKA_HELP RuntimeError) degrades to
+                # committed-store info; real errors (broker down, auth)
+                # must surface even when they arrive as RuntimeError
+                if not _is_missing_source(e) and str(e) != _KAFKA_HELP:
                     raise
                 topics.setdefault(specific_topic, [])
         return {k: sorted(v) for k, v in topics.items()}

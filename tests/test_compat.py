@@ -1272,3 +1272,25 @@ def test_api_types_series_container_dtypes(spark):
     import pygdf_spark
     assert hasattr(pygdf_spark, "errors") and hasattr(pygdf_spark, "api")
     assert pygdf_spark.api.types.is_numeric_dtype("bigint")
+
+
+def test_loc_full_row_key_beats_column_collision(spark):
+    """r4 advice: on a 2-level keyed frame, df.loc[("A","x")] where the
+    second element ALSO matches a column label must follow pandas
+    precedence — full-length key-compatible tuple is a row key first."""
+    import pandas as pd
+
+    import pygdf_spark as gd
+
+    pdf = pd.DataFrame({
+        "a": ["A", "A", "B"],
+        "v": ["a", "y", "a"],   # level-1 value "a" collides with key column "a"
+        "x": [1.0, 2.0, 3.0],
+    })
+    gdf = gd.from_pandas(pdf, spark)
+    got = gdf.groupby(["a", "v"]).agg({"x": ["sum"]})
+    exp = pdf.groupby(["a", "v"]).agg({"x": ["sum"]})
+    # ("A", "a") is key-compatible AND "a" is a column label — row key wins
+    gl = got.loc[("A", "a")].to_pandas()
+    assert len(gl) == 1
+    assert gl[got._flat_name(("x", "sum"))].iloc[0] == exp.loc[("A", "a"), ("x", "sum")]

@@ -130,3 +130,17 @@ def test_timeseries_calendar_freq(spark):
     q = ds.timeseries(spark, "2000-01-01", "2002-01-01", freq="2QS",
                       dtypes={"x": float}).to_pandas()
     assert len(q) == 4
+
+
+def test_datasets_sessionless_call(spark):
+    """r4 advice: reference signature allows calling without a session
+    (datasets.timeseries(start=..., end=...)); spark defaults to
+    get_spark(). The session fixture already created the singleton, so
+    the fallback picks it up instead of building a new one."""
+    import pygdf_spark.datasets as ds
+
+    out = ds.timeseries(start="2000-01-01", end="2000-01-01 00:00:05",
+                        freq="1s", dtypes={"x": float}).to_pandas()
+    assert len(out) == 5
+    r = ds.randomdata(nrows=3, seed=1).to_pandas()
+    assert len(r) == 3 and set(r.columns) == {"id", "x", "y"}

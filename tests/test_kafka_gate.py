@@ -250,3 +250,23 @@ def test_offset_dir_takes_first_spark_local_dir(spark, monkeypatch, tmp_path):
     )
     c = K.Consumer(spark, raw_source=lambda t: None)
     assert c._offset_dir == f"{tmp_path}/d1/pygdf_spark_offsets"
+
+
+def test_list_topics_raises_on_runtime_errors(spark):
+    """r4 advice: a genuine broker/auth failure surfaced as
+    RuntimeError must raise too — only the wrapped missing-jar help
+    error degrades to committed-store-only results."""
+    def boom(topic):
+        raise RuntimeError("SASL authentication failed")
+
+    c = K.Consumer(spark, raw_source=boom)
+    with pytest.raises(RuntimeError, match="SASL"):
+        c.list_topics("t")
+
+    from pygdf_spark.streaming.kafka import _KAFKA_HELP
+
+    def missing(topic):
+        raise RuntimeError(_KAFKA_HELP)
+
+    c2 = K.Consumer(spark, raw_source=missing)
+    assert c2.list_topics("t") == {"t": []}   # wrapped help error degrades

@@ -448,3 +448,26 @@ def test_str_functions_pandas_semantics(spark):
     got = [r_["ok"] for r_ in ts.select(
         S.istimestamp("t", "%Y-%m-%dT%H:%M:%S").alias("ok")).collect()]
     assert got == [True, False]
+
+
+def test_logaddexp_stable_and_scale_constant(spark):
+    """r4 advice: logaddexp/logaddexp2 must not overflow for large
+    inputs (stable max+log1p form); Series.scale() on a constant
+    column returns NaN (cuDF 0/0 float semantics), not all-null."""
+    import numpy as np
+    import pandas as pd
+
+    import pygdf_spark as gd
+
+    pdf = pd.DataFrame({"a": [1000.0, -2000.0, 1000.0, 0.5],
+                        "b": [999.0, -2000.0, 1000.0, 0.25],
+                        "c": [7.0, 7.0, 7.0, 7.0]})
+    g = gd.from_pandas(pdf, spark)
+    out = g.assign(le=np.logaddexp(g["a"], g["b"]),
+                   le2=np.logaddexp2(g["a"], g["b"])).to_pandas()
+    assert np.allclose(out["le"], np.logaddexp(pdf["a"], pdf["b"]))
+    assert np.allclose(out["le2"], np.logaddexp2(pdf["a"], pdf["b"]))
+    assert np.isfinite(out["le"]).all() and np.isfinite(out["le2"]).all()
+
+    sc = g.assign(s=g["c"].scale()).to_pandas()["s"]
+    assert sc.isna().all()  # NaN, not null-from-division — degenerate input visible
