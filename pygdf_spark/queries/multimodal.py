@@ -1,13 +1,20 @@
 """Multimodal-column queries: opaque binary payloads with typed
 metadata, decode/feature plumbing via Arrow-batched ``mapInPandas``
-(north-star extension; the container has no image/audio codecs, so the
-decode kernel is a clearly-marked deterministic stub — the Spark-side
-schema/batching/partitioning is real).
+(north-star extension).
 
-The binary payloads are derived (``encode(text)``) since the driver
-tables carry no media; at production the same plan reads parquet
-``binary`` columns straight from the scan (no decode until after
-filter pushdown — bytes stay columnar until the Pandas UDF boundary).
+Two tiers (r5): PNG and WAV decode are REAL — pure-Python spec codecs
+(``sources/png_lite.py`` / ``sources/wav_lite.py``) parse actual
+bitstreams inside the kernels (``mm_image_decode_png``,
+``mm_image_resize_nn``, ``mm_audio_decode_wav``). The ``*_stub``
+queries remain the honest deterministic model for codec families
+genuinely absent in this container (JPEG/MP3/video) — their Spark-side
+schema/batching/partitioning is identical to the real path.
+
+The binary payloads are derived (``encode(text)`` or synthesized
+PNG/WAV bytes) since the driver tables carry no media; at production
+the same plan reads parquet ``binary`` columns straight from the scan
+(no decode until after filter pushdown — bytes stay columnar until the
+Pandas UDF boundary).
 """
 
 from __future__ import annotations
@@ -254,6 +261,162 @@ FROM documents ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# REAL decode queries (r5): pure-Python PNG/WAV codecs (sources/png_lite,
+# sources/wav_lite — the avro_lite jar-free pattern). Payload pixels /
+# samples are synthesized from a closed-form integer formula of doc_id, so
+# the DuckDB oracle can recompute every stat WITHOUT any codec: if either
+# codec direction (or the Arrow binary-column transport between the two
+# mapInPandas stages) corrupts one byte, px_sum/amp_sum mismatch. The
+# *_stub queries above remain the honest model for codecs genuinely absent
+# in this container (JPEG/MP3-class).
+# ---------------------------------------------------------------------------
+
+#: pixel(doc, y, x, c) = (7*doc + 13x + 31y + 101c) % 256 over an
+#: RGB image of W = 8 + doc%9, H = 8 + (doc//3)%7
+def _gen_png(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from pygdf_spark.sources.png_lite import encode_png
+
+    for pdf in batches:
+        bufs = []
+        for doc in pdf["doc_id"]:
+            doc = int(doc)
+            w, h = 8 + doc % 9, 8 + (doc // 3) % 7
+            x = np.arange(w)[None, :, None]
+            y = np.arange(h)[:, None, None]
+            c = np.arange(3)[None, None, :]
+            px = ((7 * doc + 13 * x + 31 * y + 101 * c) % 256).astype("uint8")
+            bufs.append(encode_png(px, "mixed"))  # every filter type in play
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "img_png": bufs})
+
+
+def _png_payloads(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 300).select("doc_id")
+    return d.mapInPandas(_gen_png, "doc_id long, img_png binary")
+
+
+def mm_image_decode_png(spark, sf_dir):
+    """REAL image decode: synthesized PNGs (mixed scanline filters)
+    decoded by the spec codec inside a second mapInPandas stage — the
+    binary column crosses Arrow between the two kernels, as parquet
+    media bytes would. Oracle recomputes all stats from the pixel
+    formula, codec-free."""
+    from pygdf_spark.operators.multimodal import image_decode
+
+    return image_decode(_png_payloads(spark, sf_dir)).orderBy("doc_id")
+
+
+MM_IMAGE_PNG_SQL = """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id // 3) % 7 AS h
+  FROM documents WHERE doc_id < 300
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         SUM((7 * d.doc_id + 13 * xx.x + 31 * yy.y + 101 * cc.c) % 256) AS s
+  FROM dims d,
+       UNNEST(generate_series(0, d.w - 1)) AS xx(x),
+       UNNEST(generate_series(0, d.h - 1)) AS yy(y),
+       UNNEST(generate_series(0, 2)) AS cc(c)
+  GROUP BY d.doc_id, d.w, d.h
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height, CAST(3 AS INT) AS channels,
+       CAST(s AS BIGINT) AS px_sum,
+       CAST(7 * doc_id % 256 AS INT) AS px_first,
+       CAST((7 * doc_id + 13 * (w - 1) + 31 * (h - 1) + 202) % 256 AS INT) AS px_last
+FROM px ORDER BY doc_id
+"""
+
+
+def mm_image_resize_nn(spark, sf_dir):
+    """REAL resize: decode → [::2, ::2] nearest-neighbor decimate →
+    re-ENCODE → re-decode → stats; both codec directions on the hot
+    path. Oracle evaluates the pixel formula at the sampled (2x, 2y)
+    coordinates."""
+    from pygdf_spark.operators.multimodal import image_resize_nn
+
+    return image_resize_nn(_png_payloads(spark, sf_dir), factor=2).orderBy("doc_id")
+
+
+MM_IMAGE_RESIZE_SQL = """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id // 3) % 7 AS h,
+         (8 + doc_id % 9 + 1) // 2 AS ow, (8 + (doc_id // 3) % 7 + 1) // 2 AS oh
+  FROM documents WHERE doc_id < 300
+),
+px AS (
+  SELECT d.doc_id, d.ow, d.oh,
+         SUM((7 * d.doc_id + 13 * (2 * xx.x) + 31 * (2 * yy.y) + 101 * cc.c) % 256) AS s
+  FROM dims d,
+       UNNEST(generate_series(0, d.ow - 1)) AS xx(x),
+       UNNEST(generate_series(0, d.oh - 1)) AS yy(y),
+       UNNEST(generate_series(0, 2)) AS cc(c)
+  GROUP BY d.doc_id, d.ow, d.oh
+)
+SELECT doc_id,
+       CAST(ow AS INT) AS width, CAST(oh AS INT) AS height, CAST(3 AS INT) AS channels,
+       CAST(s AS BIGINT) AS px_sum,
+       CAST(7 * doc_id % 256 AS INT) AS px_first,
+       CAST((7 * doc_id + 13 * (2 * (ow - 1)) + 31 * (2 * (oh - 1)) + 202) % 256 AS INT) AS px_last
+FROM px ORDER BY doc_id
+"""
+
+
+#: sample(doc, i) = ((31*doc + 7*i) % 4001) - 2000 over
+#: n = 800 + doc % 400 mono samples @ 16 kHz
+def _gen_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from pygdf_spark.sources.wav_lite import encode_wav
+
+    for pdf in batches:
+        bufs = []
+        for doc in pdf["doc_id"]:
+            doc = int(doc)
+            n = 800 + doc % 400
+            i = np.arange(n, dtype=np.int64)
+            samples = (((31 * doc + 7 * i) % 4001) - 2000).astype(np.int16)
+            bufs.append(encode_wav(samples, 16000))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "audio_wav": bufs})
+
+
+def mm_audio_decode_wav(spark, sf_dir):
+    """REAL audio decode: synthesized PCM16 WAVs parsed by the RIFF
+    codec (chunk walk, fmt validation, sample extraction). Oracle
+    recomputes amplitude stats from the sample formula."""
+    from pygdf_spark.operators.multimodal import audio_decode
+
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 300).select("doc_id")
+    payloads = d.mapInPandas(_gen_wav, "doc_id long, audio_wav binary")
+    return audio_decode(payloads).orderBy("doc_id")
+
+
+MM_AUDIO_WAV_SQL = """
+WITH spec AS (
+  SELECT doc_id, 800 + doc_id % 400 AS n
+  FROM documents WHERE doc_id < 300
+),
+amp AS (
+  SELECT s.doc_id, s.n,
+         SUM((31 * s.doc_id + 7 * ii.i) % 4001 - 2000) AS a_sum,
+         MAX((31 * s.doc_id + 7 * ii.i) % 4001 - 2000) AS a_max,
+         MIN((31 * s.doc_id + 7 * ii.i) % 4001 - 2000) AS a_min
+  FROM spec s, UNNEST(generate_series(0, s.n - 1)) AS ii(i)
+  GROUP BY s.doc_id, s.n
+)
+SELECT doc_id,
+       CAST(16000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000 // 16000 AS BIGINT) AS duration_ms,
+       CAST(a_sum AS BIGINT) AS amp_sum,
+       CAST(a_max AS INT) AS amp_max, CAST(a_min AS INT) AS amp_min
+FROM amp ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "mm_binary_meta": mm_binary_meta,
     "mm_image_decode_stub": mm_image_decode_stub,
@@ -261,6 +424,9 @@ QUERIES = {
     "mm_resize_stub": mm_resize_stub,
     "mm_feature_stub": mm_feature_stub,
     "mm_audio_stub": mm_audio_stub,
+    "mm_image_decode_png": mm_image_decode_png,
+    "mm_image_resize_nn": mm_image_resize_nn,
+    "mm_audio_decode_wav": mm_audio_decode_wav,
 }
 
 ORACLE = {
@@ -270,4 +436,7 @@ ORACLE = {
     "mm_resize_stub": MM_RESIZE_SQL,
     "mm_feature_stub": MM_FEATURE_SQL,
     "mm_audio_stub": MM_AUDIO_SQL,
+    "mm_image_decode_png": MM_IMAGE_PNG_SQL,
+    "mm_image_resize_nn": MM_IMAGE_RESIZE_SQL,
+    "mm_audio_decode_wav": MM_AUDIO_WAV_SQL,
 }

@@ -1294,3 +1294,63 @@ def test_loc_full_row_key_beats_column_collision(spark):
     gl = got.loc[("A", "a")].to_pandas()
     assert len(gl) == 1
     assert gl[got._flat_name(("x", "sum"))].iloc[0] == exp.loc[("A", "a"), ("x", "sum")]
+
+
+def test_dataframe_reindex_vs_pandas(spark):
+    """cudf tests/test_dataframe.py::test_dataframe_reindex_0-4 shapes:
+    row labels with missing/duplicate positions inject null rows in
+    label order; axis=1 conforms columns with NaN-filled new labels;
+    no-arg reindex is a copy."""
+    import numpy as np
+    import pandas as pd
+
+    import pygdf_spark as gd
+
+    pdf = pd.DataFrame({
+        "c": [0.5, 1.5, 2.5, 3.5, 4.5, 5.5],
+        "d": ["a", "b", "c", "d", "e", "f"],
+    })
+    gdf = gd.from_pandas(pdf, spark)
+
+    # no-arg: unmodified copy
+    assert gdf.reindex().to_pandas().equals(pdf)
+
+    index = [-3, 0, 3, 0, -2, 1, 3, 4, 6]
+    got = gdf.reindex(index).to_pandas()
+    exp = pdf.reindex(index).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert got["c"].fillna(-9).tolist() == exp["c"].fillna(-9).tolist()
+    assert got["d"].fillna("-").tolist() == exp["d"].fillna("-").tolist()
+
+    # labels=, axis=0 spelling
+    got2 = gdf.reindex(labels=index, axis=0).to_pandas()
+    assert got2["c"].fillna(-9).tolist() == exp["c"].fillna(-9).tolist()
+
+    # axis=1: column conform — new columns appear as NaN float64
+    cols = ["c", "b", "d", "e"]
+    gc = gdf.reindex(cols, axis=1).to_pandas()
+    pc = pdf.reindex(columns=cols)
+    assert list(gc.columns) == list(pc.columns)
+    assert gc["b"].isna().all() and gc["e"].isna().all()
+    assert gc["c"].tolist() == pc["c"].tolist()
+
+
+def test_from_records_structured_array(spark):
+    import numpy as np
+
+    import pygdf_spark as gd
+    from pygdf_spark.core.dataframe import DataFrame, from_records
+
+    rec = np.array([(1, 2.5, "x"), (2, 3.5, "y")],
+                   dtype=[("a", "i8"), ("b", "f8"), ("s", "U2")])
+    got = from_records(spark, rec).to_pandas()
+    assert list(got.columns) == ["a", "b", "s"]
+    assert got["a"].tolist() == [1, 2] and got["b"].tolist() == [2.5, 3.5]
+
+    got2 = DataFrame.from_records(spark, [(1, "u"), (2, "v")],
+                                  columns=["k", "v"]).to_pandas()
+    assert got2["k"].tolist() == [1, 2] and got2["v"].tolist() == ["u", "v"]
+
+    import pytest as _pt
+    with _pt.raises(TypeError, match="columns"):
+        from_records(spark, [(1, 2)])

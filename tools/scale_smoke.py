@@ -52,7 +52,10 @@ TIMED = ["q1_pricing_summary", "join_inner_q3", "agg_basic_stats",
          "q20_potential_promotion", "q21_waiting_supplier",
          # r4 late additions
          "text_chunk_split", "io_csv_roundtrip", "io_json_roundtrip",
-         "reshape_pivot_table", "reshape_crosstab"]
+         "reshape_pivot_table", "reshape_crosstab",
+         # r5 additions (real codecs + fixture-oracle subword)
+         "mm_image_decode_png", "mm_image_resize_nn", "mm_audio_decode_wav",
+         "nlp_subword_tokenize"]
 
 
 def build(spark, n: int, dst: str) -> None:
