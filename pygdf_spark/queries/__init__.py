@@ -26,6 +26,7 @@ _MODULES = [
     "dtypes",
     "lists_structs",
     "llm_text",
+    "io_ml",
     "nlp",
     "llm_dedup",
     "llm_similarity",
@@ -73,11 +74,14 @@ _PRIORITY = [
     "nlp_subword_tokenize",
     # -- net-new r5: REAL PNG/WAV decode (pure-Python spec codecs)
     "mm_image_decode_png", "mm_image_resize_nn", "mm_audio_decode_wav",
+    # -- net-new r5: ML-interchange IO (npy shard dirs, safetensors)
+    "io_npy_roundtrip", "io_safetensors_roundtrip",
     # -- re-green: f3dbabb string-layer dependents (last green r2/r3;
-    #    str_json_pack omitted — json methods untouched by the batch)
+    #    json/find/distance packs omitted — those methods were
+    #    untouched by the batch)
     "str_basic_pack", "str_regex_pack",
-    "str_rsplit_pack", "str_find_pack", "str_split_pack",
-    "str_is_pack", "str_translate_strip", "str_distance",
+    "str_rsplit_pack", "str_split_pack",
+    "str_is_pack", "str_translate_strip",
     "str_url_wrap_pack",
     # -- re-green: e670247 tokens()/ngrams() dependents (last green
     #    r2/r3; char_ngrams + vocab_coverage omitted — substring/
