@@ -284,6 +284,11 @@ class DtAccessor:
     def dayofyear(self) -> Column:
         return F.dayofyear(self._c)
 
+    #: cuDF/pandas spelling aliases (series.py dayofweek/day_of_year)
+    dayofweek = weekday
+    day_of_week = weekday
+    day_of_year = dayofyear
+
     @property
     def is_leap_year(self) -> Column:
         y = F.year(self._c)
@@ -322,6 +327,24 @@ class DtAccessor:
 
     def total_seconds(self) -> Column:
         return (self._c / F.lit(1_000_000)).cast("double")
+
+    @property
+    def components(self) -> Column:
+        """components (series.py:6563): the full floor-division
+        decomposition as one struct column (pandas field ranges:
+        hours 0-23, minutes/seconds 0-59, ms 0-999, µs 0-999) — cuDF
+        returns a frame of the same fields; select
+        ``col.components.*`` to flatten."""
+        c = self._c
+        return F.struct(
+            self.days.alias("days"),
+            F.pmod(F.floor(c / F.lit(3_600_000_000)), F.lit(24)).cast("long").alias("hours"),
+            F.pmod(F.floor(c / F.lit(60_000_000)), F.lit(60)).cast("long").alias("minutes"),
+            F.pmod(F.floor(c / F.lit(1_000_000)), F.lit(60)).cast("long").alias("seconds"),
+            F.floor(F.pmod(c, F.lit(1_000_000)) / F.lit(1000)).cast("long").alias("milliseconds"),
+            F.pmod(c, F.lit(1000)).cast("long").alias("microseconds"),
+            self.nanoseconds.alias("nanoseconds"),
+        )
 
 
 class Series:

@@ -74,7 +74,7 @@ def _dist2(vec_col, centroid: list[float], quantize: bool = False):
 
 
 def assign_clusters(ivecs: DataFrame, centroids: list[tuple[int, list[float]]],
-                    quantize: bool = False) -> DataFrame:
+                    quantize: bool = False, with_dist: bool = True) -> DataFrame:
     """(vid, vec, cid, dist2): nearest centroid per vector — one
     map-side projection, ties to the lower cluster index. ``centroids``
     is (cid, vector) pairs so a dropped (emptied) cluster's id simply
@@ -95,7 +95,16 @@ def assign_clusters(ivecs: DataFrame, centroids: list[tuple[int, list[float]]],
     )
     # stage the k-fold distance array once — referencing best["cid"]
     # and best["dist"] inline would evaluate all k interpreted folds
-    # twice per row (HOFs sit outside codegen CSE)
+    # twice per row (HOFs sit outside codegen CSE). NOTE Catalyst's
+    # CollapseProject can still inline the staged alias into BOTH
+    # extractions downstream (the r5 plan audit caught sim_ivf_probe
+    # paying the folds twice) — callers that don't need the distance
+    # pass with_dist=False so only ONE field is ever extracted and no
+    # duplication is possible.
+    if not with_dist:
+        return ivecs.select(
+            "vid", "vec", F.sort_array(pairs)[0]["cid"].alias("cid")
+        )
     return ivecs.select(
         "vid", "vec", F.sort_array(pairs)[0].alias("__best")
     ).select(
@@ -143,9 +152,15 @@ def ivf_probe_topk(vecs: DataFrame, k_clusters: int = 4, iters: int = 2,
         return_centroids=True,
     )
     iv = vecs.select(F.col(id_col).alias("vid"), _int_vec(vec_col).alias("vec"))
-    member = assign_clusters(iv, centroids).select(
+    # the assignment IS the IVF index: persist it once (index build) so
+    # (a) the corpus-wide k-fold distance pass runs once, not once per
+    # join branch (query side + candidate side both read `member`), and
+    # (b) the cid expression cannot be pushed below the cache boundary
+    # into a scan Filter, where Catalyst inlines the quantize/distance
+    # HOFs k times per row (the r5 plan-audit dup-HOF catch)
+    member = assign_clusters(iv, centroids, with_dist=False).select(
         "vid", "cid", "vec", norm2(F.col("vec")).alias("n2")
-    )
+    ).persist()
     q = member.filter(F.col("vid") == query_vid).select(
         F.col("vid").alias("q_id"), F.col("cid").alias("q_cid"),
         F.col("vec").alias("qvec"), F.col("n2").alias("q_n2"),

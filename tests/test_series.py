@@ -471,3 +471,29 @@ def test_logaddexp_stable_and_scale_constant(spark):
 
     sc = g.assign(s=g["c"].scale()).to_pandas()["s"]
     assert sc.isna().all()  # NaN, not null-from-division — degenerate input visible
+
+
+def test_dt_alias_and_timedelta_components(spark):
+    """cuDF parity sweep r5: dayofweek/day_of_week/day_of_year aliases,
+    and .dt.components matches pandas' floor-division decomposition
+    (incl. negative durations flooring toward -inf)."""
+    import pandas as pd
+
+    import pygdf_spark as gd
+
+    pdf = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-03-01 10:00", "2024-12-31 23:59"]),
+        "dur": [90_061_001_500, -1_000_000],
+    })
+    g = gd.from_pandas(pdf, spark)
+    out = g.assign(
+        dw=g["ts"].dt.dayofweek, dw2=g["ts"].dt.day_of_week,
+        dy=g["ts"].dt.day_of_year, comp=g["dur"].dt.components,
+    ).to_pandas()
+    assert out["dw"].tolist() == pdf.ts.dt.dayofweek.tolist()
+    assert out["dw2"].tolist() == pdf.ts.dt.dayofweek.tolist()
+    assert out["dy"].tolist() == pdf.ts.dt.dayofyear.tolist()
+    td = pd.to_timedelta(pdf["dur"], unit="us").dt.components
+    for i in range(2):
+        got = out["comp"].iloc[i]
+        assert tuple(got.values()) == tuple(td.iloc[i]), i
