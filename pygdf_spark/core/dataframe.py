@@ -185,15 +185,18 @@ class DataFrame:
         raise TypeError(f"unsupported key {key!r}")
 
     def assign(self, **kwargs) -> "DataFrame":
-        """assign (dataframe.py method list): add/replace columns."""
+        """assign (dataframe.py method list): add/replace columns.
+        Row set and _RID values are untouched, so the order-primitive
+        boundary cache rides along (sort_values→assign→cumsum chains
+        stay at one sampling per key-set)."""
         sdf = self._sdf
         for name, expr in kwargs.items():
             sdf = sdf.withColumn(name, expr)
-        return self._with(sdf)
+        return self._with_same_rids(sdf)
 
     def drop(self, columns: list[str] | str) -> "DataFrame":
         cols = [columns] if isinstance(columns, str) else list(columns)
-        return self._with(self._sdf.drop(*cols))
+        return self._with_same_rids(self._sdf.drop(*cols))
 
     def rename(self, columns: dict[str, str]) -> "DataFrame":
         return self._with(self._sdf.withColumnsRenamed(columns))

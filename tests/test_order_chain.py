@@ -90,3 +90,23 @@ def test_rekey_invalidates_rid_bounds(spark):
     assert np.allclose(
         out["v_diff"].to_numpy(), exp["v"].diff().to_numpy(), equal_nan=True
     )
+
+
+def test_assign_preserves_bounds_cache(spark, counted_boundaries):
+    import pygdf_spark as gd
+    from pyspark.sql import functions as F
+
+    pdf = _pdf(300)
+    g = gd.from_pandas(pdf, spark)
+    out = (
+        g.sort_values("v")
+        .cumsum("v")
+        .assign(w=F.col("v") * 2)
+        .diff("w")
+        .to_pandas()
+    )
+    assert len(counted_boundaries) <= 2, counted_boundaries
+    exp = pdf.sort_values("v", kind="stable").reset_index(drop=True)
+    assert np.allclose(out["v_cumsum"].to_numpy(), exp["v"].cumsum().to_numpy())
+    assert np.allclose(out["w_diff"].to_numpy(),
+                       (exp["v"] * 2).diff().to_numpy(), equal_nan=True)
