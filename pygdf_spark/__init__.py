@@ -77,6 +77,22 @@ def read_hdf(filepath, spark=None, **kwargs) -> "DataFrame":
     return from_spark(io.read_hdf(spark or get_spark(), filepath, **kwargs))
 
 
+def read_npy_dir(path, spark=None) -> "DataFrame":
+    """Sharded .npy embedding directory → (vec_id, embedding) frame
+    (net-new ML-interchange source, sources/npy_lite.py)."""
+    from pygdf_spark.sources.npy_lite import read_npy_dir as _r
+
+    return from_spark(_r(spark or get_spark(), path))
+
+
+def read_safetensors(path_glob, spark=None) -> "DataFrame":
+    """safetensors file(s) → per-tensor inventory frame (net-new
+    ML-interchange source, sources/safetensors_lite.py)."""
+    from pygdf_spark.sources.safetensors_lite import read_safetensors as _r
+
+    return from_spark(_r(spark or get_spark(), path_glob))
+
+
 def to_datetime(arg, format: str | None = None):
     """cudf.to_datetime (core/tools/datetimes.py) — Column in, Column
     out; strptime directives mapped onto Spark's pattern letters."""
@@ -272,7 +288,8 @@ def interval_range(start, end, freq=1, spark=None) -> "DataFrame":
 __all__ = [
     "DataFrame", "Series", "concat", "from_spark", "get_dummies", "melt",
     "pivot", "get_spark", "tables", "read_csv", "read_parquet", "read_orc",
-    "read_json", "read_feather", "read_hdf", "read_avro", "to_datetime",
+    "read_json", "read_feather", "read_hdf", "read_avro",
+    "read_npy_dir", "read_safetensors", "to_datetime",
     "cut", "qcut", "pivot_table", "crosstab", "option_context",
     "from_dlpack", "testing",
     "date_range", "interval_range", "NA", "from_pandas", "merge",

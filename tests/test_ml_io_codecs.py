@@ -115,3 +115,25 @@ def test_npy_shard_dir_roundtrip(spark, tmp_path):
     got = np.array([r["embedding"] for r in back], dtype=np.float32)
     exp = np.array(pdf["embedding"].tolist(), dtype=np.float32)
     assert np.array_equal(got, exp)  # float32 bits survive exactly
+
+
+def test_package_level_readers(spark, tmp_path):
+    """cudf-style module functions: gd.read_npy_dir / gd.read_safetensors."""
+    import pandas as pd
+
+    import pygdf_spark as gd
+    from pygdf_spark.sources.npy_lite import write_npy_dir
+    from pygdf_spark.sources.safetensors_lite import encode_safetensors
+
+    pdf = pd.DataFrame({"vec_id": [1, 2],
+                        "embedding": [[0.5, 1.5], [2.5, 3.5]]})
+    d = str(tmp_path / "sh")
+    write_npy_dir(spark.createDataFrame(pdf), d, "vec_id", "embedding")
+    out = gd.read_npy_dir(d, spark=spark).to_pandas()
+    assert sorted(out["vec_id"].tolist()) == [1, 2]
+
+    p = str(tmp_path / "t.safetensors")
+    with open(p, "wb") as f:
+        f.write(encode_safetensors({"w": np.arange(4, dtype=np.int64)}))
+    inv = gd.read_safetensors(p, spark=spark).to_pandas()
+    assert inv["tensor"].tolist() == ["w"] and inv["n_elems"].tolist() == [4]
