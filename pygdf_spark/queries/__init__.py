@@ -85,10 +85,14 @@ _PRIORITY = [
     "str_url_wrap_pack",
     # -- re-green: e670247 tokens()/ngrams() dependents (last green
     #    r2/r3; char_ngrams + vocab_coverage omitted — substring/
-    #    F.split based, not operators.text.tokens)
+    #    F.split based, not operators.text.tokens; ngrams_top omitted —
+    #    same ngrams() path as dedup_ngram_jaccard which stays)
     "text_token_stats", "nlp_token_filter", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_ngram_jaccard", "text_ngrams_top",
+    "dedup_simhash", "dedup_ngram_jaccard",
     "text_fingerprint", "text_lm_frequency", "text_repetition",
+    # -- re-green: r5 dup-HOF fix changed this probe's plan (persisted
+    #    index) after its r4 green row
+    "sim_ivf_probe",
 ]
 
 
