@@ -175,11 +175,19 @@ def ivf_probe_topk(vecs: DataFrame, k_clusters: int = 4, iters: int = 2,
     from pyspark.sql import Window
 
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("v_id").asc())
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
         .select("q_id", "v_id", "cos", "rank")
     )
+    # materialize the ≤topk result rows (bounded by construction), then
+    # release the index cache — without this every call leaked `member`
+    # into executor storage until someone cleared the whole cache
+    # (ADVICE r5). Library callers who want a long-lived index should
+    # use assign_clusters + persist themselves.
+    rows = out.collect()
+    member.unpersist()
+    return vecs.sparkSession.createDataFrame(rows, out.schema)
 
 
 def kmeans(vecs: DataFrame, k: int = 4, iters: int = 2,

@@ -26,8 +26,11 @@ from pygdf_spark.queries._util import T
 
 
 def _tmp(sf_dir: str, tag: str) -> str:
+    # pid discriminator (ADVICE r5): two concurrent runs on the same host
+    # + SF (e.g. adversarial gate alongside bench) must not rmtree each
+    # other's shard dirs mid-read
     sf = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    return os.path.join(tempfile.gettempdir(), f"pygdf_{tag}_{sf}")
+    return os.path.join(tempfile.gettempdir(), f"pygdf_{tag}_{sf}_{os.getpid()}")
 
 
 def _vec_milli(col: str = "embedding"):
@@ -72,39 +75,52 @@ FROM embeddings ORDER BY vec_id
 
 
 def io_safetensors_roundtrip(spark, sf_dir):
-    """embeddings → one safetensors container (embeddings f32 (N,64),
-    vec_ids i64, labels i32) → distributed inventory read (binaryFile
-    + header parse + per-tensor integer checksums). The container is a
-    bounded artifact (like a checkpoint shard): building it driver-side
-    mirrors the avro fixture pattern; the READ path is the distributed
-    contract under test."""
-    import numpy as np
-
+    """embeddings → SHARDED safetensors write (one container per
+    partition via mapInPandas — no driver collect; the r5 verdict's
+    scale fix) → distributed inventory read (binaryFile + header parse
+    + per-tensor integer checksums) → per-tensor totals. Aggregating
+    over shards makes the result shard-count-independent, so the oracle
+    reads the ORIGINAL parquet."""
     from pygdf_spark.sources.safetensors_lite import (
-        encode_safetensors,
         read_safetensors,
+        write_safetensors,
     )
 
     emb = (
         T(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding", "label")
-        .orderBy("vec_id")
-        .toPandas()
+        .select(
+            F.col("embedding"),
+            F.col("label").cast("int").alias("labels"),
+            F.col("vec_id").alias("vec_ids"),
+        )
+        .withColumnRenamed("embedding", "embeddings")
+        .coalesce(4)  # shard-size discipline, like io_npy_roundtrip
     )
-    tensors = {
-        "embeddings": np.stack([np.asarray(v, dtype=np.float32) for v in emb["embedding"]]),
-        "labels": emb["label"].to_numpy(np.int32),
-        "vec_ids": emb["vec_id"].to_numpy(np.int64),
-    }
-    path = _tmp(sf_dir, "st_emb") + ".safetensors"
-    with open(path, "wb") as f:
-        f.write(encode_safetensors(tensors, metadata={"source": "embeddings"}))
-    inv = read_safetensors(spark, path)
-    # normalize the file label (the tmp name embeds the SF tag)
-    return inv.select(
-        F.lit("tensors").alias("file"), "tensor", "dtype",
-        "n_elems", "n_dims", "sum_milli",
-    ).orderBy("tensor")
+    path = _tmp(sf_dir, "st_emb")
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    write_safetensors(
+        emb, path,
+        {"embeddings": "float32", "labels": "int32", "vec_ids": "int64"},
+    )
+    inv = read_safetensors(spark, f"{path}/shard-*.safetensors")
+    # per-tensor totals across shards (dtype/n_dims are per-shard
+    # constants); 'tensors' normalizes the tmp-path file label away
+    return (
+        inv.groupBy("tensor")
+        .agg(
+            F.min("dtype").alias("dtype"),
+            F.sum("n_elems").alias("n_elems"),
+            F.max("n_dims").alias("n_dims"),
+            F.sum("sum_milli").alias("sum_milli"),
+        )
+        .select(
+            F.lit("tensors").alias("file"), "tensor", "dtype",
+            "n_elems", "n_dims", "sum_milli",
+        )
+        .orderBy("tensor")
+    )
 
 
 IO_SAFETENSORS_SQL = """

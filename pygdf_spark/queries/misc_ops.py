@@ -208,6 +208,8 @@ def io_avro_roundtrip(spark, sf_dir):
     )
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     path = os.path.join(tempfile.gettempdir(), f"pygdf_avro_{tag}_nation.avro")
+    # bounded: nation is the fixed 25-row TPC-H dimension (schema bound,
+    # not SF-proportional) — the avro fixture under test
     write_avro(nation.toPandas(), path)
     back = read_avro(spark, path)
     return (

@@ -158,6 +158,9 @@ def kafka_avro_payload(spark, sf_dir):
     sup = (
         T(spark, sf_dir, "supplier")
         .select("s_suppkey", "s_nationkey", "s_acctbal")
+        # bounded: mock-Kafka FIXTURE BUILDER — this collect constructs
+        # the test log itself (at production the log already exists on
+        # the broker; only the decode path under test runs distributed)
         .toPandas()
     )
     rows = []

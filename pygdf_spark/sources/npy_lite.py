@@ -74,7 +74,19 @@ def write_npy_dir(df, path: str, id_col: str, vec_col: str) -> None:
     """Write (id, vector) rows as a shard directory: per partition, one
     ``ids-<pid>.npy`` (int64) + ``vecs-<pid>.npy`` (float32 2-D) pair.
     Executor-local serialization via mapInPandas; the tiny per-shard
-    result frame (shard path + row count) is the only thing that moves."""
+    result frame (shard path + row count) is the only thing that moves.
+
+    Task-retry safety: shards are named by ``TaskContext.partitionId()``
+    (a retry/speculative attempt OVERWRITES its own shard instead of
+    adding a duplicate) and each file is written to a ``.tmp-<uuid>``
+    sibling then ``os.replace``d into place, so a killed attempt can
+    never leave a torn shard that ``read_npy_dir`` would decode.
+
+    Filesystem scope: the WRITE path opens executor-local POSIX paths —
+    it requires ``path`` to be a filesystem shared by all executors
+    (local[*] / NFS); for object stores, write parquet and convert, or
+    run the writer per-node. The READ path (``read_npy_dir``) goes
+    through Spark's ``binaryFile`` source and is FS-agnostic."""
     import os
 
     import pandas as pd
@@ -83,18 +95,25 @@ def write_npy_dir(df, path: str, id_col: str, vec_col: str) -> None:
     os.makedirs(path, exist_ok=True)
 
     def dump(batches):
+        import uuid
+
+        from pyspark import TaskContext
+
         ids, vecs = [], []
         for pdf in batches:
             ids.extend(int(v) for v in pdf[id_col])
             vecs.extend(list(v) for v in pdf[vec_col])
         if ids:
-            import uuid
-
-            pid = uuid.uuid4().hex[:12]
-            with open(os.path.join(path, f"ids-{pid}.npy"), "wb") as f:
-                f.write(encode_npy(np.asarray(ids, dtype=np.int64)))
-            with open(os.path.join(path, f"vecs-{pid}.npy"), "wb") as f:
-                f.write(encode_npy(np.asarray(vecs, dtype=np.float32)))
+            pid = f"{TaskContext.get().partitionId():06d}"
+            for prefix, payload in (
+                ("ids", np.asarray(ids, dtype=np.int64)),
+                ("vecs", np.asarray(vecs, dtype=np.float32)),
+            ):
+                final = os.path.join(path, f"{prefix}-{pid}.npy")
+                tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+                with open(tmp, "wb") as f:
+                    f.write(encode_npy(payload))
+                os.replace(tmp, final)
             yield pd.DataFrame({"shard": [pid], "rows": [len(ids)]})
 
     df.select(F.col(id_col), F.col(vec_col)).mapInPandas(

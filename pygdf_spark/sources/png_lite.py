@@ -130,13 +130,84 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
         pos += 12 + length
     if meta is None:
         raise ValueError("missing IHDR")
+    if not idat:
+        raise ValueError("missing IDAT")
     w, h, ch = meta
     stride = w * ch
-    lines = zlib.decompress(bytes(idat))
+    try:
+        lines = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # documented contract: malformed input raises ValueError, so
+        # per-row kernel callers can catch/classify one exception type
+        raise ValueError(f"corrupt IDAT stream: {e}") from e
     if len(lines) != h * (stride + 1):
         raise ValueError("IDAT size mismatch")
+    return w, h, ch, _unfilter(lines, h, stride, ch).reshape(h, w, ch)
+
+
+def _unfilter(lines: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Vectorized scanline de-filter (r6: the r5 per-pixel numpy-indexing
+    loop was the decode throughput ceiling — VERDICT r5 Next #4).
+
+    - None/Up: whole-row numpy.
+    - Sub: exact closed form — per channel lane, ``rec = cumsum(row) % 256``
+      (modular addition commutes with the running sum).
+    - Average/Paeth: inherently sequential in x (each pixel needs the
+      reconstructed LEFT pixel), so no closed form exists; they run a
+      tight Python loop over plain lists (list indexing + int arithmetic,
+      ~10× faster than numpy scalar indexing) vectorized only by row.
+
+    ``_unfilter_scalar`` below keeps the original spec-literal loop as
+    the oracle cross-check (tests assert identical pixels on the golden
+    fixtures and fuzz shapes).
+    """
     out = np.zeros((h, stride), dtype=np.uint8)
-    bpp = ch
+    rowlen = stride + 1
+    view = np.frombuffer(lines, np.uint8).reshape(h, rowlen)
+    zero_row = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = int(view[y, 0])
+        row = view[y, 1:]
+        prior = out[y - 1] if y else zero_row
+        if ft == 0:
+            out[y] = row
+        elif ft == 1:
+            lanes = row.reshape(-1, bpp).astype(np.int64)
+            out[y] = (np.cumsum(lanes, axis=0) % 256).astype(np.uint8).reshape(stride)
+        elif ft == 2:
+            out[y] = row + prior  # uint8 wraparound == mod 256
+        elif ft == 3:
+            rec = [0] * stride
+            rl, pl = row.tolist(), prior.tolist()
+            for i in range(bpp):
+                rec[i] = (rl[i] + (pl[i] >> 1)) & 255
+            for i in range(bpp, stride):
+                rec[i] = (rl[i] + ((rec[i - bpp] + pl[i]) >> 1)) & 255
+            out[y] = rec
+        elif ft == 4:
+            rec = [0] * stride
+            rl, pl = row.tolist(), prior.tolist()
+            for i in range(bpp):
+                # left = ul = 0 -> Paeth predictor degenerates to prior
+                rec[i] = (rl[i] + pl[i]) & 255
+            for i in range(bpp, stride):
+                a, b, c = rec[i - bpp], pl[i], pl[i - bpp]
+                p = a + b - c
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (rl[i] + pred) & 255
+            out[y] = rec
+        else:
+            raise ValueError(f"bad filter byte {ft}")
+    return out
+
+
+def _unfilter_scalar(lines: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Spec-literal per-pixel de-filter — the ORACLE for ``_unfilter``
+    (the r1-r5 production path, retained verbatim for cross-checks)."""
+    out = np.zeros((h, stride), dtype=np.uint8)
     for y in range(h):
         ft = lines[y * (stride + 1)]
         row = np.frombuffer(
@@ -162,4 +233,4 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
         else:
             raise ValueError(f"bad filter byte {ft}")
         out[y] = rec.astype(np.uint8)
-    return w, h, ch, out.reshape(h, w, ch)
+    return out

@@ -59,15 +59,20 @@ def _canon_cell(v: Any) -> Any:
         return ("ts", datetime.datetime(v.year, v.month, v.day).isoformat())
     if isinstance(v, bool):
         return ("b", v)
+    # dtype-strict numeric tags (r6): the driver's value-hash distinguishes
+    # int64 from float64 (q12's HUGEINT→float64 oracle hash-failed in r5
+    # while the local int→float coercion reported [exact]).  Ints, floats
+    # and Decimals therefore canonicalize under DISTINCT tags so the local
+    # gate reproduces the driver's hash discipline.
     if isinstance(v, int):
-        return ("n", float(v)) if abs(v) < 2**52 else ("i", v)
+        return ("i", v)
     if isinstance(v, float):
         return ("n", v)
     try:
         import decimal
 
         if isinstance(v, decimal.Decimal):
-            return ("n", float(v))
+            return ("dec", float(v))
     except ImportError:
         pass
     return (type(v).__name__, str(v))

@@ -35,6 +35,13 @@ session._DEFAULTS.update({
 })
 
 from check_oracle import main  # noqa: E402  (same dir)
+from lint_oracle_types import lint  # noqa: E402  (same dir)
 
 if __name__ == "__main__":
+    # Static oracle-output-type lint first (r6): rejects HUGEINT/UINT/
+    # DECIMAL-binding oracle SQLs — the class that hash-fails the driver
+    # while the pre-r6 local canonicalizer reported [exact] (q12, r5).
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    if lint(sf):
+        sys.exit(1)
     main()

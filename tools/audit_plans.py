@@ -157,6 +157,32 @@ def veneer_cases(spark):
     yield "veneer_series_drop", df["b"].drop([1])._sdf
 
 
+def lint_topandas() -> int:
+    """Source lint (r6, VERDICT r5 Next #2): no full-table ``toPandas()``
+    in any registry query. Every ``.toPandas()`` occurrence under
+    ``pygdf_spark/queries/`` must carry a ``# bounded:`` annotation (same
+    line or the two lines above) stating WHY the collect is bounded —
+    unannotated collects are the io_safetensors_roundtrip driver-OOM
+    class and exit 1."""
+    import glob
+
+    qdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "..", "pygdf_spark", "queries")
+    bad = 0
+    for path in sorted(glob.glob(os.path.join(qdir, "*.py"))):
+        lines = open(path).read().splitlines()
+        for i, line in enumerate(lines):
+            if ".toPandas()" not in line:
+                continue
+            ctx = "\n".join(lines[max(0, i - 3): i + 1])
+            if "# bounded:" not in ctx:
+                bad += 1
+                rel = os.path.relpath(path, os.path.join(qdir, "..", ".."))
+                print(f"TOPANDAS {rel}:{i+1}: unannotated .toPandas() — "
+                      f"add '# bounded: <why>' or fan the write out")
+    return bad
+
+
 def main():
     names = sys.argv[1:] or bench.HEADLINE
     spark = get_spark("plan-audit")
@@ -174,6 +200,10 @@ def main():
         sys.exit(1 if bad else 0)
     if names == ["--all"]:
         names = sorted(queries)
+        bad0 = lint_topandas()
+        if bad0:
+            print(f"HAZARDS: {bad0} (unannotated toPandas in queries/)")
+            sys.exit(1)
     bad = 0
     print(f"{'query':28s} {'joins(B/S/H/N)':>14s} {'exch':>4s} {'push':>4s} {'pyA':>3s} {'pyR':>3s} {'gWin':>4s} {'dupH':>4s}")
     for name in names:
