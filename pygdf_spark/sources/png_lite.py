@@ -106,6 +106,7 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
     if data[:8] != _SIG:
         raise ValueError("not a PNG: bad signature")
     pos, idat, meta = 8, bytearray(), None
+    iend = False
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
@@ -126,12 +127,17 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
+            iend = True
             break
         pos += 12 + length
     if meta is None:
         raise ValueError("missing IHDR")
     if not idat:
         raise ValueError("missing IDAT")
+    if not iend:
+        # spec: IEND is mandatory — without this check a stream truncated
+        # at a chunk boundary before IEND would decode silently
+        raise ValueError("missing IEND")
     w, h, ch = meta
     stride = w * ch
     try:

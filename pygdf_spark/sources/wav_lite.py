@@ -65,6 +65,13 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
     if fmt is None or raw is None:
         raise ValueError("missing fmt/data chunk")
     rate, ch = fmt
+    if len(raw) % (2 * ch):
+        # a ragged data chunk means lost bytes somewhere — dropping the
+        # tail silently would be exactly the fuzz tier's target bug class
+        raise ValueError(
+            f"data chunk size {len(raw)} is not a multiple of the "
+            f"{2 * ch}-byte frame size"
+        )
     n = len(raw) // (2 * ch)
     arr = np.frombuffer(raw, dtype="<i2", count=n * ch).reshape(n, ch)
     return rate, ch, arr
