@@ -176,15 +176,36 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         return min(samples), max(samples) - min(samples)
 
+    # Re-run rule (r5 verdict Next #7): a min-of-N with spread > 50% of
+    # its min is not evidence of anything (the r5 artifact's 6.87s-spread
+    # dedup_minhash_lsh row on a 2.4s min) — re-gate on load and re-run
+    # that query's batch, up to twice; keep the global min and the
+    # quietest batch's spread, and record the re-run count as evidence.
+    def _regate() -> None:
+        threshold = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0")) + 0.5
+        t0 = time.time()
+        while os.getloadavg()[0] >= threshold and time.time() - t0 < 60:
+            time.sleep(5)
+
     times: dict[str, float] = {}
     spread: dict[str, float] = {}
+    reruns: dict[str, int] = {}
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             continue
         best, sp = _timed(fn, clear_sinks=True)
+        n_rerun = 0
+        while sp > 0.5 * best and n_rerun < 2:
+            _regate()
+            b2, s2 = _timed(fn, clear_sinks=True)
+            best = min(best, b2)
+            sp = min(sp, s2)
+            n_rerun += 1
         times[name] = round(best, 4)
         spread[name] = round(sp, 4)
+        if n_rerun:
+            reruns[name] = n_rerun
 
     veneer: dict[str, float] = {}
     for name, fn in VENEER_BENCH.items():
@@ -198,6 +219,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "spread": spread,
+        "reruns": reruns,
         "veneer": veneer,
         "veneer_total": round(sum(veneer.values()), 4),
         "sf": sf,

@@ -49,6 +49,40 @@ def _schema(names, dtype) -> ST.StructType | None:
     return ST.StructType(f)
 
 
+def _s3_read(read_fn, filepath: str):
+    """Remote-FS dispatch: native Hadoop-connector path first (the
+    production path — pushdown/split planning stay in the JVM); when the
+    scheme fails to resolve (no hadoop-aws jar, this sandbox), localize
+    via boto3 and hand the LOCAL path to the same native reader. See
+    sources/s3.py for the bounded-fallback contract."""
+    from pygdf_spark.sources.s3 import is_s3_path, s3_localize
+
+    if not is_s3_path(filepath):
+        return read_fn(filepath)
+    try:
+        return read_fn(filepath)
+    except Exception:
+        return read_fn(s3_localize(filepath))
+
+
+def _s3_write(write_fn, path: str) -> None:
+    """Same dispatch for sinks: native first; else stage the Spark write
+    to a local temp dir and upload the part objects via boto3."""
+    import tempfile
+
+    from pygdf_spark.sources.s3 import is_s3_path, s3_upload
+
+    if not is_s3_path(path):
+        write_fn(path)
+        return
+    try:
+        write_fn(path)
+    except Exception:
+        stage = tempfile.mkdtemp(prefix="pygdf_s3_out_")
+        write_fn(stage)
+        s3_upload(stage, path)
+
+
 def read_csv(
     spark: SparkSession,
     filepath: str,
@@ -84,7 +118,7 @@ def read_csv(
         r = r.option("nullValue", vals[0])  # Spark supports one sentinel
     if comment is not None:
         r = r.option("comment", comment)
-    df = r.csv(filepath)
+    df = _s3_read(r.csv, filepath)
     if usecols:
         df = df.select(*usecols)
     return df
@@ -100,7 +134,7 @@ def write_csv(df: DataFrame, path: str, sep: str = ",", header: bool = True,
     w = df.write.option("sep", sep).option("header", str(header).lower()).option("quote", quotechar)
     if doublequote:
         w = w.option("escape", quotechar)
-    w.mode(mode).csv(path)
+    _s3_write(w.mode(mode).csv, path)
 
 
 def read_parquet(
@@ -113,7 +147,7 @@ def read_parquet(
     is a SQL predicate string — expressed declaratively so Catalyst
     pushes it into the scan (row-group pruning, the Spark analog of
     io/parquet.py:213-237's pyarrow-stats pruning)."""
-    df = spark.read.parquet(filepath)
+    df = _s3_read(spark.read.parquet, filepath)
     if filters is not None:
         df = df.filter(filters)
     if columns:
@@ -128,7 +162,7 @@ def write_parquet(df: DataFrame, path: str, partition_cols: list[str] | None = N
     w = df.write.option("compression", compression).mode(mode)
     if partition_cols:
         w = w.partitionBy(*partition_cols)
-    w.parquet(path)
+    _s3_write(w.parquet, path)
 
 
 def read_orc(spark: SparkSession, filepath: str, columns: list[str] | None = None,
