@@ -47,52 +47,35 @@ _MODULES = [
 # per-query cost at sf0.01. Queries dropped from the window keep their
 # prior-round driver-green rows (CORRECTNESS_r01.json: 47 green).
 _PRIORITY = [
-    # r5 window (tools/rotate_window.py): the 28 queries with NO driver
-    # row in CORRECTNESS_r01-r04 (the 19 adapted TPC-H suite queries,
-    # the 4 IO round-trips, pivot_table/crosstab, chunk split, the 2
-    # web-dedup variants), then nlp_subword_tokenize (now carrying a
-    # fixture-backed oracle — previously the registry's only
-    # `err:no_oracle` row), then re-greens: every query whose code
-    # changed AFTER its last driver-green row (the f3dbabb string-layer
-    # semantics batch -> the 10 r2/r3-green str_* packs; the e670247
-    # tokens() regex-trim -> the r2/r3-green tokens()/ngrams()
-    # dependents). Prior-green rows are cumulative — queries rotated
-    # out keep their rows.
-    # -- never-driver-checked: adapted TPC-H suite (queries/tpch.py)
-    "q2_best_supplier", "q4_order_priority", "q5_local_supplier_volume",
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "q10_returned_items", "q11_important_stock", "q12_priority_class",
-    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_cnt", "q17_small_quantity", "q18_large_volume_customer",
-    "q19_discounted_revenue", "q20_potential_promotion",
-    "q21_waiting_supplier", "q22_global_sales",
-    # -- never-driver-checked: IO round-trips + reshape + text/dedup
-    "io_csv_roundtrip", "io_orc_roundtrip", "io_json_roundtrip",
-    "io_feather_roundtrip", "reshape_pivot_table", "reshape_crosstab",
-    "text_chunk_split", "dedup_url_canonical", "dedup_containment",
-    # -- first-oracle attempt (fixture-backed WordPiece expectations)
-    "nlp_subword_tokenize",
-    # -- net-new r5: REAL PNG/WAV decode (pure-Python spec codecs)
+    # r6 window: changed-since-green first (VERDICT r5 Next #9), then
+    # the 42 rows whose latest driver-green is OLDEST (all r1) so the
+    # cumulative ledger stays fresh. Prior-green rows are cumulative —
+    # queries rotated out keep their rows.
+    # -- changed since last green (r6 code/oracle edits):
+    #    q12: oracle SQL gained CAST(...AS BIGINT) (the r5 hash-fail fix)
+    #    io_csv: read_csv/write_csv now route through the s3 dispatch
+    #    io_npy: TaskContext shard naming + atomic rename
+    #    io_safetensors: re-pointed at the sharded mapInPandas write
+    #    sim_ivf_probe: eager topk materialization + index unpersist
+    #    mm_image_*: vectorized unfilter + IEND strictness
+    #    mm_audio: ragged-data-chunk strictness
+    "q12_priority_class", "io_csv_roundtrip", "io_npy_roundtrip",
+    "io_safetensors_roundtrip", "sim_ivf_probe",
     "mm_image_decode_png", "mm_image_resize_nn", "mm_audio_decode_wav",
-    # -- net-new r5: ML-interchange IO (npy shard dirs, safetensors)
-    "io_npy_roundtrip", "io_safetensors_roundtrip",
-    # -- re-green: f3dbabb string-layer dependents (last green r2/r3;
-    #    json/find/distance packs omitted — those methods were
-    #    untouched by the batch)
-    "str_basic_pack", "str_regex_pack",
-    "str_rsplit_pack", "str_split_pack",
-    "str_is_pack", "str_translate_strip",
-    "str_url_wrap_pack",
-    # -- re-green: e670247 tokens()/ngrams() dependents (last green
-    #    r2/r3; char_ngrams + vocab_coverage omitted — substring/
-    #    F.split based, not operators.text.tokens; ngrams_top omitted —
-    #    same ngrams() path as dedup_ngram_jaccard which stays)
-    "text_token_stats", "nlp_token_filter", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_ngram_jaccard",
-    "text_fingerprint", "text_lm_frequency", "text_repetition",
-    # -- re-green: r5 dup-HOF fix changed this probe's plan (persisted
-    #    index) after its r4 green row
-    "sim_ivf_probe",
+    # -- oldest-green rotation (every row below last greened in r1):
+    "q1_pricing_summary", "q6_forecast_revenue",
+    "join_inner_q3", "join_left_outer", "join_full_outer", "join_semi",
+    "join_anti", "join_cross", "join_conditional", "join_index_aligned",
+    "join_range_bucketed", "join_salted_skew",
+    "agg_basic_stats", "agg_quantiles", "agg_idxmax", "agg_collect_set",
+    "agg_bool_any_all", "agg_rollup", "agg_global_reduce", "agg_corr_cov",
+    "agg_moments", "agg_product", "agg_replace_values",
+    "win_group_cumsum", "win_shift_diff", "win_ffill", "win_nth_value",
+    "win_rank_methods", "win_rolling_rows", "win_rolling_time",
+    "win_rolling_var",
+    "sort_multi_nulls", "topk_orders", "dedup_keep_first",
+    "dedup_distinct", "value_counts", "filter_isin", "ast_filter_string",
+    "where_mask_clip", "fillna_coalesce", "reshape_melt", "reshape_pivot",
 ]
 
 
