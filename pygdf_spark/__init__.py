@@ -93,6 +93,24 @@ def read_safetensors(path_glob, spark=None) -> "DataFrame":
     return from_spark(_r(spark or get_spark(), path_glob))
 
 
+def write_npy_dir(df, path, id_col="vec_id", vec_col="embedding") -> None:
+    """(id, vector) frame → sharded .npy directory (one ids/vecs pair
+    per partition, executor-local; sources/npy_lite.py)."""
+    from pygdf_spark.sources.npy_lite import write_npy_dir as _w
+
+    _w(getattr(df, "_sdf", df), path, id_col, vec_col)
+
+
+def write_safetensors(df, path, tensor_cols, single_file=False) -> None:
+    """frame → sharded safetensors directory (one container per
+    partition via mapInPandas; ``single_file=True`` keeps the bounded
+    one-container mode behind options.max_driver_rows —
+    sources/safetensors_lite.py)."""
+    from pygdf_spark.sources.safetensors_lite import write_safetensors as _w
+
+    _w(getattr(df, "_sdf", df), path, tensor_cols, single_file=single_file)
+
+
 def to_datetime(arg, format: str | None = None):
     """cudf.to_datetime (core/tools/datetimes.py) — Column in, Column
     out; strptime directives mapped onto Spark's pattern letters."""
@@ -289,7 +307,8 @@ __all__ = [
     "DataFrame", "Series", "concat", "from_spark", "get_dummies", "melt",
     "pivot", "get_spark", "tables", "read_csv", "read_parquet", "read_orc",
     "read_json", "read_feather", "read_hdf", "read_avro",
-    "read_npy_dir", "read_safetensors", "to_datetime",
+    "read_npy_dir", "read_safetensors", "write_npy_dir",
+    "write_safetensors", "to_datetime",
     "cut", "qcut", "pivot_table", "crosstab", "option_context",
     "from_dlpack", "testing",
     "date_range", "interval_range", "NA", "from_pandas", "merge",

@@ -131,7 +131,8 @@ def update_centroids(assigned: DataFrame, d: int) -> list[tuple[int, list[float]
 
 def ivf_probe_topk(vecs: DataFrame, k_clusters: int = 4, iters: int = 2,
                    query_vid: int = 0, topk: int = 3,
-                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   materialize: bool = True) -> DataFrame:
     """IVF probe (nprobe=1): search ONLY the query's k-means cell.
 
     The probe plan is broadcast-shaped end to end: the 1-row query
@@ -183,8 +184,12 @@ def ivf_probe_topk(vecs: DataFrame, k_clusters: int = 4, iters: int = 2,
     # materialize the ≤topk result rows (bounded by construction), then
     # release the index cache — without this every call leaked `member`
     # into executor storage until someone cleared the whole cache
-    # (ADVICE r5). Library callers who want a long-lived index should
-    # use assign_clusters + persist themselves.
+    # (ADVICE r5). ``materialize=False`` returns the LAZY plan (leaving
+    # the persist to the caller) — plan-inspection tools need it because
+    # the eager path's LocalTableScan hides the probe plan from the
+    # dup-HOF gate that caught the r5 regression here.
+    if not materialize:
+        return out
     rows = out.collect()
     member.unpersist()
     return vecs.sparkSession.createDataFrame(rows, out.schema)

@@ -114,6 +114,11 @@ def write_safetensors(df, path: str, tensor_cols: dict[str, str],
         tensors = {}
         for col, dt in tensor_cols.items():
             s = pdf[col]
+            if s.isna().any():
+                raise ValueError(
+                    f"column {col!r} has nulls — tensors are dense; "
+                    f"fill or drop nulls before write_safetensors"
+                )
             first = next((v for v in s if v is not None), None)
             if first is not None and isinstance(first, (list, np.ndarray)):
                 tensors[col] = np.stack(
