@@ -55,7 +55,9 @@ TIMED = ["q1_pricing_summary", "join_inner_q3", "agg_basic_stats",
          "reshape_pivot_table", "reshape_crosstab",
          # r5 additions (real codecs + fixture-oracle subword)
          "mm_image_decode_png", "mm_image_resize_nn", "mm_audio_decode_wav",
-         "nlp_subword_tokenize"]
+         "nlp_subword_tokenize",
+         # r6 additions (sharded ML-interchange IO)
+         "io_npy_roundtrip", "io_safetensors_roundtrip"]
 
 
 def build(spark, n: int, dst: str) -> None:
