@@ -93,6 +93,22 @@ def read_safetensors(path_glob, spark=None) -> "DataFrame":
     return from_spark(_r(spark or get_spark(), path_glob))
 
 
+def read_warc(path_glob, spark=None) -> "DataFrame":
+    """WARC shard(s) (plain or Common-Crawl member-gzipped) → one row
+    per record (net-new web-corpus source, sources/warc_lite.py)."""
+    from pygdf_spark.sources.warc_lite import read_warc as _r
+
+    return from_spark(_r(spark or get_spark(), path_glob))
+
+
+def read_webdataset(path_glob, spark=None) -> "DataFrame":
+    """WebDataset tar shard(s) → one row per (sample key, extension)
+    member (net-new multimodal source, sources/webdataset_lite.py)."""
+    from pygdf_spark.sources.webdataset_lite import read_webdataset as _r
+
+    return from_spark(_r(spark or get_spark(), path_glob))
+
+
 def write_npy_dir(df, path, id_col="vec_id", vec_col="embedding") -> None:
     """(id, vector) frame → sharded .npy directory (one ids/vecs pair
     per partition, executor-local; sources/npy_lite.py)."""
@@ -307,8 +323,8 @@ __all__ = [
     "DataFrame", "Series", "concat", "from_spark", "get_dummies", "melt",
     "pivot", "get_spark", "tables", "read_csv", "read_parquet", "read_orc",
     "read_json", "read_feather", "read_hdf", "read_avro",
-    "read_npy_dir", "read_safetensors", "write_npy_dir",
-    "write_safetensors", "to_datetime",
+    "read_npy_dir", "read_safetensors", "read_warc", "read_webdataset",
+    "write_npy_dir", "write_safetensors", "to_datetime",
     "cut", "qcut", "pivot_table", "crosstab", "option_context",
     "from_dlpack", "testing",
     "date_range", "interval_range", "NA", "from_pandas", "merge",

@@ -62,6 +62,8 @@ _PRIORITY = [
     "q12_priority_class", "io_csv_roundtrip", "io_npy_roundtrip",
     "io_safetensors_roundtrip", "sim_ivf_probe",
     "mm_image_decode_png", "mm_image_resize_nn", "mm_audio_decode_wav",
+    # -- net-new r6: WARC (Common Crawl) + WebDataset tar-shard sources
+    "io_warc_roundtrip", "io_webdataset_roundtrip",
     # -- oldest-green rotation (every row below last greened in r1):
     "q1_pricing_summary", "q6_forecast_revenue",
     "join_inner_q3", "join_left_outer", "join_full_outer", "join_semi",
@@ -69,7 +71,7 @@ _PRIORITY = [
     "join_range_bucketed", "join_salted_skew",
     "agg_basic_stats", "agg_quantiles", "agg_idxmax", "agg_collect_set",
     "agg_bool_any_all", "agg_rollup", "agg_global_reduce", "agg_corr_cov",
-    "agg_moments", "agg_product", "agg_replace_values",
+    "agg_moments",
     "win_group_cumsum", "win_shift_diff", "win_ffill", "win_nth_value",
     "win_rank_methods", "win_rolling_rows", "win_rolling_time",
     "win_rolling_var",

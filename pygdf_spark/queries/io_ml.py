@@ -148,12 +148,96 @@ SELECT * FROM (
 """
 
 
+def io_warc_roundtrip(spark, sf_dir):
+    """documents → sharded .warc.gz write (per-record gzip members, one
+    shard per partition — the Common Crawl layout) → distributed
+    binaryFile read-back → per-record URI + payload byte length. The
+    round-trip preserves UTF-8 bytes exactly, so the oracle reads the
+    ORIGINAL parquet (strlen = UTF-8 byte count in DuckDB, matching
+    Spark's octet semantics on the decoded payload)."""
+    import shutil
+
+    from pygdf_spark.sources.warc_lite import read_warc, write_warc_dir
+
+    docs = (
+        T(spark, sf_dir, "documents")
+        .select(
+            F.concat(F.lit("https://"), F.col("source"), F.lit("/doc/"),
+                     F.col("doc_id").cast("string")).alias("uri"),
+            F.lit("2026-01-01T00:00:00Z").alias("wdate"),
+            F.col("doc_id").cast("string").alias("rid"),
+            F.col("text"),
+        )
+        .coalesce(4)  # shard-size discipline (100MB-class at production)
+    )
+    path = _tmp(sf_dir, "warc")
+    shutil.rmtree(path, ignore_errors=True)
+    write_warc_dir(docs, path, "uri", "wdate", "rid", "text")
+    back = read_warc(spark, f"{path}/part-*.warc.gz")
+    return back.select(
+        F.col("record_id").cast("long").alias("doc_id"),
+        "target_uri",
+        "payload_len",
+    ).orderBy("doc_id")
+
+
+IO_WARC_SQL = """
+SELECT doc_id,
+       'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+       CAST(strlen(text) AS BIGINT) AS payload_len
+FROM documents ORDER BY doc_id
+"""
+
+
+def io_webdataset_roundtrip(spark, sf_dir):
+    """documents → WebDataset tar shards (members ``<doc_id>.txt`` +
+    ``<doc_id>.cls``, one deterministic tar per partition) →
+    distributed read-back → pivot-by-extension to reassemble samples →
+    per-sample lang + text byte length vs the original parquet."""
+    import shutil
+
+    from pygdf_spark.sources.webdataset_lite import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    docs = (
+        T(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("string").alias("k"), "text", "lang")
+        .coalesce(4)
+    )
+    path = _tmp(sf_dir, "wds")
+    shutil.rmtree(path, ignore_errors=True)
+    write_webdataset(docs, path, "k", {"text": "txt", "lang": "cls"})
+    back = read_webdataset(spark, f"{path}/shard-*.tar")
+    per = (
+        back.groupBy("key")
+        .pivot("ext", ["txt", "cls"])  # explicit domain: no discovery job
+        .agg(F.first("data"))
+    )
+    return per.select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.decode("cls", "UTF-8").alias("lang"),
+        F.length("txt").cast("long").alias("txt_bytes"),
+    ).orderBy("doc_id")
+
+
+IO_WEBDATASET_SQL = """
+SELECT doc_id, lang, CAST(strlen(text) AS BIGINT) AS txt_bytes
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "io_npy_roundtrip": io_npy_roundtrip,
     "io_safetensors_roundtrip": io_safetensors_roundtrip,
+    "io_warc_roundtrip": io_warc_roundtrip,
+    "io_webdataset_roundtrip": io_webdataset_roundtrip,
 }
 
 ORACLE = {
     "io_npy_roundtrip": IO_NPY_SQL,
     "io_safetensors_roundtrip": IO_SAFETENSORS_SQL,
+    "io_warc_roundtrip": IO_WARC_SQL,
+    "io_webdataset_roundtrip": IO_WEBDATASET_SQL,
 }

@@ -1,0 +1,214 @@
+"""Pure-Python WARC reader/writer — the Common Crawl interchange format.
+
+Web-scale LLM corpora arrive as WARC (ISO 28500): a concatenation of
+records, each ``WARC/1.0`` + CRLF headers + blank line + payload of
+``Content-Length`` bytes + two CRLFs. Common Crawl ships them as
+per-record gzip MEMBERS concatenated into one ``.warc.gz`` (so a reader
+can seek to a member and inflate just that record; a whole-file reader
+inflates members in a loop off ``zlib.decompressobj().unused_data``).
+
+Execution contract (same as the other jar-free codecs): shards arrive
+whole through Spark's ``binaryFile`` source — one task per shard, the
+format's parallelism unit, exactly how Common Crawl is processed in
+practice (90k shards/crawl, embarrassingly parallel) — and records are
+parsed inside ``mapInPandas``. No driver involvement, no shuffle.
+
+The writer emits per-record-gzipped response records for fixtures and
+export parity; write fans out one shard per partition (npy_lite's
+TaskContext + temp/rename discipline).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+_CRLF = b"\r\n"
+
+
+def encode_warc_record(warc_type: str, target_uri: str, date: str,
+                       record_id: str, payload: bytes,
+                       content_type: str = "text/plain") -> bytes:
+    """One uncompressed WARC/1.0 record (spec layout)."""
+    headers = [
+        b"WARC/1.0",
+        b"WARC-Type: " + warc_type.encode(),
+        b"WARC-Record-ID: <urn:uuid:" + record_id.encode() + b">",
+        b"WARC-Date: " + date.encode(),
+        b"WARC-Target-URI: " + target_uri.encode(),
+        b"Content-Type: " + content_type.encode(),
+        b"Content-Length: " + str(len(payload)).encode(),
+    ]
+    return _CRLF.join(headers) + _CRLF + _CRLF + payload + _CRLF + _CRLF
+
+
+def _gzip_member(data: bytes) -> bytes:
+    co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    return co.compress(data) + co.flush()
+
+
+def encode_warc(records: list[dict], gzip_members: bool = True) -> bytes:
+    """records: [{warc_type, target_uri, date, record_id, payload}] →
+    one ``.warc`` / ``.warc.gz`` blob (per-record gzip members, the
+    Common Crawl layout)."""
+    out = bytearray()
+    for r in records:
+        rec = encode_warc_record(
+            r.get("warc_type", "response"), r["target_uri"], r["date"],
+            r["record_id"], r["payload"],
+            r.get("content_type", "text/plain"),
+        )
+        out.extend(_gzip_member(rec) if gzip_members else rec)
+    return bytes(out)
+
+
+def _gunzip_members(data: bytes) -> list[bytes]:
+    """Inflate concatenated gzip members (the CC layout) one by one."""
+    members, rest = [], data
+    while rest:
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        try:
+            members.append(d.decompress(rest))
+        except zlib.error as e:
+            raise ValueError(f"corrupt gzip member in WARC: {e}") from e
+        if not d.eof:
+            raise ValueError("truncated gzip member in WARC")
+        rest = d.unused_data
+    return members
+
+
+def decode_warc(data: bytes) -> list[dict]:
+    """WARC bytes (plain or member-gzipped) → list of record dicts
+    (warc_type, target_uri, date, record_id, content_type, payload).
+    Raises ValueError on malformed input — truncated headers, bad
+    Content-Length, short payloads — never silently drops records."""
+    if data[:2] == b"\x1f\x8b":
+        chunks = _gunzip_members(data)
+        stream = b"".join(chunks)
+    else:
+        stream = data
+    records = []
+    pos = 0
+    while pos < len(stream):
+        # tolerate inter-record CRLF padding
+        while stream[pos:pos + 2] == _CRLF:
+            pos += 2
+        if pos >= len(stream):
+            break
+        if not stream.startswith(b"WARC/", pos):
+            raise ValueError(f"expected WARC/ version line at offset {pos}")
+        hdr_end = stream.find(_CRLF + _CRLF, pos)
+        if hdr_end < 0:
+            raise ValueError("truncated WARC header block")
+        headers: dict[str, str] = {}
+        lines = stream[pos:hdr_end].split(_CRLF)
+        for line in lines[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.decode().strip().lower()] = v.decode("utf-8", "replace").strip()
+        if "content-length" not in headers:
+            raise ValueError("WARC record missing Content-Length")
+        try:
+            clen = int(headers["content-length"])
+        except ValueError as e:
+            raise ValueError("bad Content-Length in WARC record") from e
+        body_start = hdr_end + 4
+        payload = stream[body_start:body_start + clen]
+        if len(payload) != clen:
+            raise ValueError(
+                f"truncated WARC payload ({len(payload)}/{clen} bytes)")
+        rid = headers.get("warc-record-id", "")
+        if rid.startswith("<urn:uuid:") and rid.endswith(">"):
+            rid = rid[len("<urn:uuid:"):-1]
+        records.append({
+            "warc_type": headers.get("warc-type", ""),
+            "target_uri": headers.get("warc-target-uri", ""),
+            "date": headers.get("warc-date", ""),
+            "record_id": rid,
+            "content_type": headers.get("content-type", ""),
+            "payload": payload,
+        })
+        pos = body_start + clen
+    return records
+
+
+def write_warc_dir(df, path: str, uri_col: str, date_col: str,
+                   id_col: str, payload_col: str) -> None:
+    """Write rows as a shard directory of ``part-<pid>.warc.gz`` files —
+    one shard per partition via mapInPandas (executor-local
+    serialization, TaskContext shard naming, temp+rename atomicity;
+    write path needs a shared POSIX FS like the other shard writers —
+    the READ path is FS-agnostic via binaryFile)."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    os.makedirs(path, exist_ok=True)
+
+    def dump(batches):
+        import uuid
+
+        from pyspark import TaskContext
+
+        recs = []
+        for pdf in batches:
+            for uri, date, rid, payload in zip(
+                pdf[uri_col], pdf[date_col], pdf[id_col], pdf[payload_col]
+            ):
+                body = payload if isinstance(payload, (bytes, bytearray)) \
+                    else str(payload).encode("utf-8")
+                recs.append({
+                    "warc_type": "response", "target_uri": str(uri),
+                    "date": str(date), "record_id": str(rid),
+                    "payload": bytes(body),
+                })
+        if recs:
+            pid = f"{TaskContext.get().partitionId():06d}"
+            final = os.path.join(path, f"part-{pid}.warc.gz")
+            tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "wb") as f:
+                f.write(encode_warc(recs))
+            os.replace(tmp, final)
+            yield pd.DataFrame({"shard": [pid], "rows": [len(recs)]})
+
+    df.select(
+        F.col(uri_col), F.col(date_col), F.col(id_col), F.col(payload_col)
+    ).mapInPandas(dump, "shard string, rows long") \
+        .write.format("noop").mode("overwrite").save()
+
+
+def read_warc(spark, path_glob: str):
+    """Distributed WARC read: one binaryFile task per shard → one row
+    per record (shard, warc_type, target_uri, date, record_id,
+    content_type, payload binary, payload_len)."""
+    import os
+
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def scan(batches):
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                for r in decode_warc(bytes(content)):
+                    rows.append({
+                        "shard": os.path.basename(p),
+                        "warc_type": r["warc_type"],
+                        "target_uri": r["target_uri"],
+                        "date": r["date"],
+                        "record_id": r["record_id"],
+                        "content_type": r["content_type"],
+                        "payload": r["payload"],
+                        "payload_len": len(r["payload"]),
+                    })
+            yield pd.DataFrame(
+                rows, columns=["shard", "warc_type", "target_uri", "date",
+                               "record_id", "content_type", "payload",
+                               "payload_len"],
+            ).astype({"payload_len": "int64"})
+
+    return files.select("path", "content").mapInPandas(
+        scan, "shard string, warc_type string, target_uri string, "
+              "date string, record_id string, content_type string, "
+              "payload binary, payload_len long"
+    )

@@ -261,6 +261,102 @@ def test_wav_fuzz_truncation(data):
         decode_wav(blob[:cut])
 
 
+# -- warc -----------------------------------------------------------------
+
+@st.composite
+def warc_records(draw):
+    n = draw(st.integers(0, 10))
+    recs = []
+    for i in range(n):
+        payload = draw(st.binary(max_size=200))
+        recs.append({
+            "warc_type": "response",
+            "target_uri": f"https://x.example/{i}",
+            "date": "2026-01-01T00:00:00Z",
+            "record_id": f"id-{i}",
+            "payload": payload,
+        })
+    return recs
+
+
+@FUZZ
+@given(recs=warc_records(), gz=st.booleans())
+def test_warc_fuzz_roundtrip(recs, gz):
+    from pygdf_spark.sources.warc_lite import decode_warc, encode_warc
+
+    out = decode_warc(encode_warc(recs, gzip_members=gz))
+    assert len(out) == len(recs)
+    for want, got in zip(recs, out):
+        assert got["payload"] == want["payload"]
+        assert got["target_uri"] == want["target_uri"]
+        assert got["record_id"] == want["record_id"]
+
+
+@FUZZ
+@given(recs=warc_records(), gz=st.booleans(), data=st.data())
+def test_warc_fuzz_truncation(recs, gz, data):
+    from pygdf_spark.sources.warc_lite import decode_warc, encode_warc
+
+    blob = encode_warc(recs, gzip_members=gz)
+    if len(blob) < 2:
+        return
+    cut = data.draw(st.integers(1, len(blob) - 1))
+    try:
+        out = decode_warc(blob[:cut])
+    except Exception:
+        return  # loud error — the contract
+    # gzip members and CRLF-delimited records both end on exact
+    # boundaries, so a prefix that decodes cleanly may only contain
+    # FEWER WHOLE records (the stream has no trailer-count by design,
+    # like Avro OCF); it must never contain a mangled record.
+    assert len(out) < len(recs)
+    for want, got in zip(recs, out):
+        assert got["payload"] == want["payload"]
+
+
+# -- webdataset -----------------------------------------------------------
+
+@FUZZ
+@given(data=st.data())
+def test_webdataset_fuzz_roundtrip(data):
+    from pygdf_spark.sources.webdataset_lite import (
+        decode_webdataset,
+        encode_webdataset,
+    )
+
+    n = data.draw(st.integers(0, 12))
+    samples = []
+    for i in range(n):
+        ext = data.draw(st.sampled_from(["txt", "json", "png", "cls"]))
+        body = data.draw(st.binary(max_size=300))
+        samples.append((f"sample{i:04d}", ext, body))
+    out = decode_webdataset(encode_webdataset(samples))
+    assert out == samples
+    # determinism: byte-identical re-encode (zeroed mtime/uid/gid)
+    assert encode_webdataset(samples) == encode_webdataset(list(samples))
+
+
+@FUZZ
+@given(data=st.data())
+def test_webdataset_fuzz_truncation(data):
+    from pygdf_spark.sources.webdataset_lite import (
+        decode_webdataset,
+        encode_webdataset,
+    )
+
+    samples = [(f"s{i}", "txt", bytes([i]) * 50) for i in range(4)]
+    blob = encode_webdataset(samples)
+    cut = data.draw(st.integers(1, len(blob) - 1))
+    try:
+        out = decode_webdataset(blob[:cut])
+    except ValueError:
+        return  # loud error — the contract
+    # tar has a 2-block zero trailer; a prefix that still parses holds a
+    # PREFIX of whole members (cutting only trailer blocks keeps all of
+    # them) — never a mangled or reordered one
+    assert out == samples[:len(out)]
+
+
 def test_png_vector_unfilter_matches_scalar_oracle():
     """The r6 vectorized de-filter against the retained spec-literal
     scalar path, every filter type x channel count."""
