@@ -63,7 +63,8 @@ _PRIORITY = [
     "io_safetensors_roundtrip", "sim_ivf_probe",
     "mm_image_decode_png", "mm_image_resize_nn", "mm_audio_decode_wav",
     # -- net-new r6: WARC (Common Crawl) + WebDataset tar-shard sources
-    "io_warc_roundtrip", "io_webdataset_roundtrip",
+    # and the WebDataset->PNG-decode multimodal composite
+    "io_warc_roundtrip", "io_webdataset_roundtrip", "mm_webdataset_images",
     # -- oldest-green rotation (every row below last greened in r1):
     "q1_pricing_summary", "q6_forecast_revenue",
     "join_inner_q3", "join_left_outer", "join_full_outer", "join_semi",
@@ -77,7 +78,7 @@ _PRIORITY = [
     "win_rolling_var",
     "sort_multi_nulls", "topk_orders", "dedup_keep_first",
     "dedup_distinct", "value_counts", "filter_isin", "ast_filter_string",
-    "where_mask_clip", "fillna_coalesce", "reshape_melt", "reshape_pivot",
+    "fillna_coalesce", "reshape_melt", "reshape_pivot",
 ]
 
 

@@ -417,6 +417,82 @@ FROM amp ORDER BY doc_id
 """
 
 
+def mm_webdataset_images(spark, sf_dir):
+    """End-to-end multimodal pipeline over the WebDataset layout (r6):
+    synthesized PNGs + class labels → tar shards (members
+    ``<doc>.png`` + ``<doc>.cls``, one deterministic tar per
+    partition) → distributed binaryFile read → pivot-by-extension
+    sample reassembly → spec PNG decode → per-label corpus rollup.
+    Both members are verified: pixels through the decode stats, labels
+    through the grouping key. Oracle recomputes everything from the
+    pixel formula, codec- and container-free."""
+    import shutil
+
+    from pygdf_spark.operators.multimodal import image_decode
+    from pygdf_spark.queries.io_ml import _tmp
+    from pygdf_spark.sources.webdataset_lite import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    payloads = (
+        _png_payloads(spark, sf_dir)
+        .select(
+            F.col("doc_id").cast("string").alias("k"),
+            "img_png",
+            (F.col("doc_id") % 7).cast("string").alias("cls"),
+        )
+        .coalesce(4)
+    )
+    path = _tmp(sf_dir, "wds_img")
+    shutil.rmtree(path, ignore_errors=True)
+    write_webdataset(payloads, path, "k", {"img_png": "png", "cls": "cls"})
+    back = read_webdataset(spark, f"{path}/shard-*.tar")
+    per = (
+        back.groupBy("key")
+        .pivot("ext", ["png", "cls"])
+        .agg(F.first("data"))
+    )
+    imgs = per.select(F.col("key").cast("long").alias("doc_id"),
+                      F.col("png").alias("img_png"))
+    labels = per.select(F.col("key").cast("long").alias("doc_id"),
+                        F.decode("cls", "UTF-8").cast("int").alias("label"))
+    stats = image_decode(imgs)
+    # 300 label rows — broadcast; the decode side stays shuffle-free
+    joined = stats.join(F.broadcast(labels), "doc_id")
+    return (
+        joined.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_imgs"),
+            F.sum("px_sum").alias("px_sum_total"),
+            F.sum(F.col("width").cast("long") * F.col("height")).alias("px_area"),
+        )
+        .orderBy("label")
+    )
+
+
+MM_WEBDATASET_SQL = """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id // 3) % 7 AS h
+  FROM documents WHERE doc_id < 300
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         SUM((7 * d.doc_id + 13 * xx.x + 31 * yy.y + 101 * cc.c) % 256) AS s
+  FROM dims d,
+       UNNEST(generate_series(0, d.w - 1)) AS xx(x),
+       UNNEST(generate_series(0, d.h - 1)) AS yy(y),
+       UNNEST(generate_series(0, 2)) AS cc(c)
+  GROUP BY d.doc_id, d.w, d.h
+)
+SELECT CAST(doc_id % 7 AS INT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_imgs,
+       CAST(SUM(s) AS BIGINT) AS px_sum_total,
+       CAST(SUM(w * h) AS BIGINT) AS px_area
+FROM px GROUP BY 1 ORDER BY label
+"""
+
+
 QUERIES = {
     "mm_binary_meta": mm_binary_meta,
     "mm_image_decode_stub": mm_image_decode_stub,
@@ -427,9 +503,11 @@ QUERIES = {
     "mm_image_decode_png": mm_image_decode_png,
     "mm_image_resize_nn": mm_image_resize_nn,
     "mm_audio_decode_wav": mm_audio_decode_wav,
+    "mm_webdataset_images": mm_webdataset_images,
 }
 
 ORACLE = {
+    "mm_webdataset_images": MM_WEBDATASET_SQL,
     "mm_binary_meta": MM_BINARY_META_SQL,
     "mm_image_decode_stub": MM_DECODE_SQL,
     "mm_frame_sample": MM_FRAME_SQL,
