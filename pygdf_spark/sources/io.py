@@ -156,10 +156,32 @@ def read_parquet(
 
 
 def write_parquet(df: DataFrame, path: str, partition_cols: list[str] | None = None,
-                  mode: str = "overwrite", compression: str = "snappy") -> None:
+                  mode: str = "overwrite", compression: str = "snappy",
+                  cluster_by: list[str] | None = None,
+                  bloom_filter_cols: list[str] | None = None,
+                  options: dict | None = None) -> None:
     """write_parquet incl. Hive-partitioned layout (parquet.hpp:802;
-    partition_cols io/parquet.py:86-112)."""
+    partition_cols io/parquet.py:86-112).
+
+    Two scan-pruning knobs that matter at 100 TB (write-side cost, paid
+    once; read-side benefit, paid on every scan):
+
+    - ``cluster_by``: sortWithinPartitions before writing, so row-group
+      min/max statistics become TIGHT, NON-OVERLAPPING zone maps on the
+      clustered columns — range predicates then skip whole row groups
+      instead of reading them (no shuffle: ordering is per-partition).
+    - ``bloom_filter_cols``: writes parquet bloom filters for the named
+      columns (`parquet.bloom.filter.enabled#col`), so point-lookup
+      equality predicates skip row groups whose bloom excludes the key —
+      the high-cardinality-id case min/max stats can't prune.
+    """
+    if cluster_by:
+        df = df.sortWithinPartitions(*cluster_by)
     w = df.write.option("compression", compression).mode(mode)
+    for c in bloom_filter_cols or ():
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+    for k, v in (options or {}).items():
+        w = w.option(k, v)
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     _s3_write(w.parquet, path)

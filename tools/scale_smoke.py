@@ -56,8 +56,10 @@ TIMED = ["q1_pricing_summary", "join_inner_q3", "agg_basic_stats",
          # r5 additions (real codecs + fixture-oracle subword)
          "mm_image_decode_png", "mm_image_resize_nn", "mm_audio_decode_wav",
          "nlp_subword_tokenize",
-         # r6 additions (sharded ML-interchange IO)
-         "io_npy_roundtrip", "io_safetensors_roundtrip"]
+         # r6 additions (sharded ML-interchange IO + web/multimodal layouts)
+         "io_npy_roundtrip", "io_safetensors_roundtrip",
+         "io_warc_roundtrip", "io_webdataset_roundtrip",
+         "mm_webdataset_images"]
 
 
 def build(spark, n: int, dst: str) -> None:
