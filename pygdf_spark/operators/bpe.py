@@ -1,0 +1,146 @@
+"""Distributed BPE (byte-pair-encoding) merge training.
+
+The reference ecosystem CONSUMES a trained subword vocabulary
+(cudf subword_tokenize, python/cudf/cudf/core/tokenize_vocabulary.py;
+nvtext/subword_tokenize.hpp:62) — training that vocabulary is the
+upstream pipeline step a 100 TB curation stack has to run itself.
+This is the Sennrich-style formulation that actually scales:
+
+- ONE corpus-wide shuffle builds the ``(word, freq)`` relation;
+- every merge iteration after that runs on the VOCABULARY relation
+  (|V| rows, ≪ corpus at any scale — the corpus is never re-scanned);
+- the per-iteration argmax is a vocabulary-pair aggregate (partial
+  map-side combine, one tiny shuffle) and the winning pair reaches the
+  merge step as a broadcast 1-row join — there is NO driver loop over
+  rows and no collect anywhere in the lazy path.
+
+The greedy leftmost merge is an in-row ``F.aggregate`` fold (HOF —
+interpreted, but it runs over the vocab relation only). At 100 TB the
+vocab relation is millions of rows, still thousands of times smaller
+than the corpus; this shape is exactly how production BPE trainers
+distribute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def char_syms(col) -> Column:
+    """Initial symbol sequence of a word: one single-character symbol
+    per char (``substring`` transform — locale-independent, and the
+    exact mirror of the oracle's ``list_transform(generate_series...)``
+    so both engines agree on every code unit)."""
+    c = F.col(col) if isinstance(col, str) else col
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(c)),
+        lambda i: c.substr(i, F.lit(1)),
+    )
+    # sequence(1, 0) counts DOWN ([1, 0]) — guard the empty string
+    return F.when(F.length(c) > 0, chars).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def adjacent_pairs(syms_col: str) -> Column:
+    """Adjacent symbol pairs of ``syms`` as ``struct<a,b>`` —
+    ``slice``-based so single-symbol words yield an EMPTY array
+    (``F.sequence(1, 0)`` would count DOWN [1,0] and fabricate a pair,
+    so it is deliberately avoided)."""
+    return F.expr(
+        f"transform(slice({syms_col}, 2, greatest(size({syms_col}) - 1, 0)),"
+        f" (s, i) -> struct({syms_col}[i] as a, s as b))"
+    )
+
+
+def merge_pair(syms_col: str, a: Column, b: Column) -> Column:
+    """Greedy leftmost non-overlapping merge of adjacent pair (a, b)
+    into the single symbol ``a || b`` — one in-row fold, the BPE apply
+    step. ``element_at(acc, -1)`` on the empty accumulator is null in
+    non-ANSI mode, so the first symbol always appends."""
+    return F.aggregate(
+        F.col(syms_col),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (x == b) & (F.element_at(acc, -1) == a),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(a, b)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def word_freq(docs: DataFrame, tokens: Column) -> DataFrame:
+    """The one corpus-wide shuffle: ``(w, freq)`` vocabulary relation."""
+    return (
+        docs.select(F.explode(tokens).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def bpe_train(docs: DataFrame, tokens: Column, n_merges: int = 4,
+              materialize: bool = True) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges over a corpus.
+
+    Returns the merge table ``(merge_rank, left_sym, right_sym,
+    pair_weight)`` — the trained artifact a tokenizer loads. Ties on
+    pair weight break lexicographically (left asc, right asc) so the
+    result is deterministic on any partitioning.
+
+    The vocab relation is persisted once (it feeds every iteration's
+    pair count AND the merge chain — without the cache boundary the
+    corpus shuffle re-runs per branch, ~2^n_merges times). With
+    ``materialize`` the ≤``n_merges``-row result is collected and the
+    cache released (the IVF-probe leak lesson, ADVICE r5);
+    ``materialize=False`` returns the lazy plan for plan-audit tooling
+    and leaves the persist to the caller.
+    """
+    vocab = word_freq(docs, tokens).withColumn(
+        "syms", char_syms("w")
+    ).select("w", "freq", "syms")
+    cached = vocab.persist()
+
+    cur = cached
+    bests = []
+    for i in range(1, n_merges + 1):
+        pc = (
+            cur.select(F.explode(adjacent_pairs("syms")).alias("p"), "freq")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pc.orderBy(
+            F.desc("cnt"), F.asc("a"), F.asc("b")
+        ).limit(1).select(
+            F.lit(i).alias("merge_rank"),
+            F.col("a").alias("left_sym"),
+            F.col("b").alias("right_sym"),
+            F.col("cnt").alias("pair_weight"),
+        )
+        bests.append(best)
+        if i < n_merges:
+            cur = (
+                cur.crossJoin(F.broadcast(
+                    best.select(F.col("left_sym").alias(f"_ma{i}"),
+                                F.col("right_sym").alias(f"_mb{i}"))
+                ))
+                .withColumn(
+                    "syms",
+                    merge_pair("syms", F.col(f"_ma{i}"), F.col(f"_mb{i}")),
+                )
+                .select("w", "freq", "syms")
+            )
+
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    out = out.orderBy("merge_rank")
+
+    if not materialize:
+        return out
+    rows = out.collect()  # bounded: exactly n_merges rows by construction
+    cached.unpersist()
+    return docs.sparkSession.createDataFrame(rows, out.schema)

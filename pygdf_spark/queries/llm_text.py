@@ -554,7 +554,80 @@ FROM c ORDER BY doc_id, chunk_id
 """
 
 
+def text_pmi_bigrams(spark, sf_dir):
+    """PMI collocation extraction (corpus-statistics op a curation
+    pipeline runs for phrase mining / tokenizer seeding): lift =
+    P(xy)/(P(x)P(y)) = c_xy·N/(c_x·c_y) for word bigrams with support
+    ≥ 5, top 25 by lift. Ranking by lift is ranking by PMI (log is
+    monotonic) without putting a libm call in the hash path; the lift
+    itself is ONE double expression over exact int64 counts, identical
+    in both engines. Two corpus shuffles (unigram + bigram counts);
+    the unigram table is vocab-sized and broadcasts — at web scale
+    swap the two marked broadcasts for shuffle joins."""
+    d = T(spark, sf_dir, "documents")
+    uni = (
+        d.select(F.explode(X.tokens("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    big = (
+        d.select(F.explode(X.ngrams("text", 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= 5)
+        .withColumn("x", F.split("bigram", " ").getItem(0))
+        .withColumn("y", F.split("bigram", " ").getItem(1))
+    )
+    tot = uni.agg(F.sum("c_w").alias("n_tokens"))  # 1 row
+    ux = uni.select(F.col("w").alias("x"), F.col("c_w").alias("c_x"))
+    uy = uni.select(F.col("w").alias("y"), F.col("c_w").alias("c_y"))
+    scored = (
+        big.join(F.broadcast(ux), "x")   # vocab-sized
+        .join(F.broadcast(uy), "y")      # vocab-sized
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bigram", "c_xy", "c_x", "c_y",
+            (
+                F.col("c_xy").cast("double") * F.col("n_tokens")
+                / (F.col("c_x") * F.col("c_y"))
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), F.asc("bigram")).limit(25)
+
+
+TEXT_PMI_SQL = r"""
+WITH toks AS (
+  SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS w FROM documents
+),
+uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w FROM toks
+  WHERE w <> '' GROUP BY w
+),
+tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n_tokens FROM uni),
+words AS (SELECT string_split_regex(trim(text), '\s+') AS ws FROM documents),
+big AS (
+  SELECT UNNEST(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+                i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+  FROM words
+),
+bc AS (
+  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_xy FROM big
+  GROUP BY bigram HAVING COUNT(*) >= 5
+)
+SELECT b.bigram, b.c_xy, ux.c_w AS c_x, uy.c_w AS c_y,
+       CAST(b.c_xy AS DOUBLE) * t.n_tokens / (ux.c_w * uy.c_w) AS lift
+FROM bc b
+JOIN uni ux ON ux.w = string_split(b.bigram, ' ')[1]
+JOIN uni uy ON uy.w = string_split(b.bigram, ' ')[2]
+CROSS JOIN tot t
+ORDER BY lift DESC, bigram ASC LIMIT 25
+"""
+
+
 QUERIES = {
+    "text_pmi_bigrams": text_pmi_bigrams,
     "text_chunk_split": text_chunk_split,
     "text_tfidf_top": text_tfidf_top,
     "text_token_stats": text_token_stats,
@@ -570,6 +643,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "text_pmi_bigrams": TEXT_PMI_SQL,
     "text_chunk_split": TEXT_CHUNK_SQL,
     "text_tfidf_top": TEXT_TFIDF_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,

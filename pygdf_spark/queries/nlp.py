@@ -203,7 +203,73 @@ def nlp_subword_tokenize(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def nlp_bpe_train(spark, sf_dir):
+    """Distributed BPE merge training (the upstream step that produces
+    the vocabulary subword_tokenize consumes — reference
+    python/cudf/cudf/core/tokenize_vocabulary.py loads one, never
+    trains one). Sennrich formulation: ONE corpus shuffle builds the
+    (word, freq) relation; each merge iteration is a vocab-pair
+    aggregate + a broadcast 1-row argmax join + an in-row greedy fold —
+    the corpus is never re-scanned and no driver loop touches rows.
+    The DuckDB oracle re-derives every merge INDEPENDENTLY (unrolled
+    CTE iterations with its own list_reduce fold), so the hash check
+    pins the whole training loop, not just the final projection."""
+    from pygdf_spark.operators.bpe import bpe_train
+
+    d = T(spark, sf_dir, "documents")
+    return bpe_train(d, tokens("text"), n_merges=4)
+
+
+def _bpe_sql(n_merges: int = 4) -> str:
+    """Unrolled-iteration oracle (the kmeans-CTE precedent). The greedy
+    leftmost merge is a list_reduce fold over a '<s>'-prefixed symbol
+    list: the accumulator is the space-joined merged prefix, and
+    ``ends_with(acc, ' ' || a)`` tests 'last symbol == a' exactly
+    because symbols never contain spaces."""
+    parts = [r"""
+WITH w0 AS (
+  SELECT w, COUNT(*) AS freq FROM (
+    SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS w FROM documents
+  ) t WHERE w <> '' GROUP BY w
+),
+v0 AS (
+  SELECT w, freq,
+         list_transform(generate_series(1, length(w)), i -> w[i]) AS syms
+  FROM w0
+)"""]
+    for i in range(1, n_merges + 1):
+        parts.append(f""",
+p{i} AS (
+  SELECT s.syms[u.i] AS a, s.syms[u.i + 1] AS b,
+         CAST(SUM(s.freq) AS BIGINT) AS cnt
+  FROM v{i - 1} s, UNNEST(generate_series(1, len(s.syms) - 1)) AS u(i)
+  GROUP BY 1, 2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+)""")
+        if i < n_merges:
+            parts.append(f""",
+v{i} AS (
+  SELECT v.w, v.freq,
+         string_split(substring(list_reduce(
+           list_prepend('<s>', v.syms),
+           (acc, x) -> CASE WHEN x = p.b AND ends_with(acc, ' ' || p.a)
+                            THEN acc || x
+                            ELSE acc || ' ' || x END), 5), ' ') AS syms
+  FROM v{i - 1} v, p{i} p
+)""")
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, a AS left_sym, b AS right_sym,"
+        f" cnt AS pair_weight FROM p{i}"
+        for i in range(1, n_merges + 1)
+    )
+    parts.append(f"\nSELECT * FROM ({selects}) ORDER BY merge_rank")
+    return "".join(parts)
+
+
+NLP_BPE_SQL = _bpe_sql(4)
+
+
 QUERIES = {
+    "nlp_bpe_train": nlp_bpe_train,
     "nlp_token_filter": nlp_token_filter,
     "nlp_subword_tokenize": nlp_subword_tokenize,
     "nlp_char_ngrams": nlp_char_ngrams,
@@ -228,6 +294,7 @@ ORDER BY d.doc_id
 """
 
 ORACLE = {
+    "nlp_bpe_train": NLP_BPE_SQL,
     "nlp_subword_tokenize": NLP_SUBWORD_SQL,
     "nlp_token_filter": NLP_TOKEN_FILTER_SQL,
     "nlp_char_ngrams": NLP_CHAR_NGRAMS_SQL,

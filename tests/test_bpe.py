@@ -1,0 +1,116 @@
+"""BPE merge-training: semantics vs an independent in-Python trainer,
+greedy-fold edge cases, lazy-plan hygiene, and cache release (the
+IVF-probe lesson applied to the new operator up front).
+"""
+
+from __future__ import annotations
+
+import collections
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+
+def _reference_bpe(texts, n_merges):
+    """Independent scalar trainer (same tiebreak: count desc, pair asc)."""
+    freq = collections.Counter()
+    for t in texts:
+        for w in t.split():
+            if w:
+                freq[w] += 1
+    vocab = {w: list(w) for w in freq}
+    merges = []
+    for it in range(n_merges):
+        pc = collections.Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += freq[w]
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((it + 1, a, b, cnt))
+        for w, syms in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference_trainer(spark, sf_dir):
+    from pygdf_spark.operators.bpe import bpe_train
+    from pygdf_spark.operators.text import tokens
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_weight)
+        for r in bpe_train(docs, tokens("text"), n_merges=4).collect()
+    ]
+    texts = [r.text for r in docs.select("text").collect()]
+    assert got == _reference_bpe(texts, 4)
+
+
+def test_bpe_greedy_fold_leftmost_nonoverlapping(spark):
+    """'aaaa' + merge (a,a) must give [aa, aa], never [aa, a, a] or
+    [a, aa, a] — the classic greedy-overlap trap."""
+    from pygdf_spark.operators.bpe import char_syms, merge_pair
+
+    df = spark.createDataFrame(
+        [("aaaa",), ("aaa",), ("a",), ("baab",)], ["w"]
+    ).withColumn("syms", char_syms("w"))
+    out = {
+        r.w: r.m
+        for r in df.withColumn(
+            "m", merge_pair("syms", F.lit("a"), F.lit("a"))
+        ).collect()
+    }
+    assert out["aaaa"] == ["aa", "aa"]
+    assert out["aaa"] == ["aa", "a"]
+    assert out["a"] == ["a"]
+    assert out["baab"] == ["b", "aa", "b"]
+
+
+def test_bpe_merged_symbol_can_remerge(spark):
+    """After (a,b)->ab, a later (ab,c) merge must see 'ab' as one
+    symbol."""
+    from pygdf_spark.operators.bpe import char_syms, merge_pair
+
+    df = spark.createDataFrame([("abcabc",)], ["w"]).withColumn(
+        "syms", char_syms("w")
+    )
+    df = df.withColumn("syms", merge_pair("syms", F.lit("a"), F.lit("b")))
+    df = df.withColumn("syms", merge_pair("syms", F.lit("ab"), F.lit("c")))
+    assert df.collect()[0].syms == ["abc", "abc"]
+
+
+def test_bpe_lazy_plan_has_no_dup_hof(spark, sf_dir):
+    from audit_plans import dup_hof_subtrees
+
+    from pygdf_spark.operators.bpe import bpe_train
+    from pygdf_spark.operators.text import tokens
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = bpe_train(docs, tokens("text"), n_merges=3, materialize=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert dup_hof_subtrees(plan) == 0, plan
+    spark.catalog.clearCache()
+
+
+def test_bpe_eager_path_unpersists_vocab(spark, sf_dir):
+    from pygdf_spark.operators.bpe import bpe_train
+    from pygdf_spark.operators.text import tokens
+
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    res = bpe_train(docs, tokens("text"), n_merges=2)
+    assert res.count() == 2
+    after = jsc.getPersistentRDDs().size()
+    assert after <= before, f"persisted RDDs leaked: {before} -> {after}"
