@@ -27,6 +27,7 @@ _MODULES = [
     "lists_structs",
     "llm_text",
     "timeseries",
+    "ml_fit",
     "io_ml",
     "nlp",
     "llm_dedup",
@@ -78,12 +79,12 @@ _PRIORITY = [
     "win_rank_methods", "win_rolling_rows", "win_rolling_time",
     "win_rolling_var",
     "sort_multi_nulls", "topk_orders", "dedup_keep_first",
-    "dedup_distinct", "value_counts", "filter_isin",
-    # -- net-new mid-r6 (never driver-checked; displaced four r1-green
-    # rows — ast_filter_string, fillna_coalesce, reshape_melt,
-    # reshape_pivot keep their cumulative green rows):
+    "dedup_distinct", "value_counts",
+    # -- net-new mid-r6 (never driver-checked; displaced five r1-green
+    # rows — filter_isin, ast_filter_string, fillna_coalesce,
+    # reshape_melt, reshape_pivot keep their cumulative green rows):
     "nlp_bpe_train", "events_multires_rollup", "scd2_event_history",
-    "text_pmi_bigrams",
+    "text_pmi_bigrams", "ml_gram_suffstats",
 ]
 
 
