@@ -62,18 +62,19 @@ def encode_warc(records: list[dict], gzip_members: bool = True) -> bytes:
 
 
 def _gunzip_members(data: bytes) -> list[bytes]:
-    """Inflate concatenated gzip members (the CC layout) one by one."""
-    members, rest = [], data
-    while rest:
-        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        try:
-            members.append(d.decompress(rest))
-        except zlib.error as e:
-            raise ValueError(f"corrupt gzip member in WARC: {e}") from e
-        if not d.eof:
-            raise ValueError("truncated gzip member in WARC")
-        rest = d.unused_data
-    return members
+    """Inflate concatenated gzip members (the CC layout).
+
+    stdlib ``gzip.decompress`` walks multi-member streams natively and
+    LINEARLY — the naive ``decompressobj``/``unused_data`` loop copies
+    the remaining buffer once per member, which is O(members × bytes):
+    invisible on fixtures, quadratic-catastrophic on a real Common
+    Crawl shard (tens of thousands of members per ~1 GB file)."""
+    import gzip
+
+    try:
+        return [gzip.decompress(data)]
+    except (EOFError, zlib.error, gzip.BadGzipFile, OSError) as e:
+        raise ValueError(f"corrupt or truncated gzip member in WARC: {e}") from e
 
 
 def decode_warc(data: bytes) -> list[dict]:
@@ -154,6 +155,13 @@ def write_warc_dir(df, path: str, uri_col: str, date_col: str,
             for uri, date, rid, payload in zip(
                 pdf[uri_col], pdf[date_col], pdf[id_col], pdf[payload_col]
             ):
+                if payload is None or uri is None or rid is None:
+                    # loud, not b"None": a null would otherwise be
+                    # silently serialized as the 4-byte string "None"
+                    # (the write_safetensors null-cell lesson)
+                    raise ValueError(
+                        f"null value in WARC write (record_id={rid!r}, "
+                        f"uri={uri!r})")
                 body = payload if isinstance(payload, (bytes, bytearray)) \
                     else str(payload).encode("utf-8")
                 recs.append({

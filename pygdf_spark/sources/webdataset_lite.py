@@ -89,10 +89,21 @@ def write_webdataset(df, path: str, key_col: str,
 
         samples = []
         for pdf in batches:
-            for row in pdf.itertuples(index=False):
-                key = str(getattr(row, key_col))
-                for col, ext in field_cols.items():
-                    v = getattr(row, col)
+            # positional zip, not itertuples+getattr: pandas mangles
+            # non-identifier column names ("my col" → _1) under
+            # itertuples, which would getattr the wrong field
+            series = [pdf[key_col]] + [pdf[c] for c in field_cols]
+            for vals in zip(*series):
+                key = vals[0]
+                if key is None:
+                    raise ValueError("null sample key in WebDataset write")
+                key = str(key)
+                for (col, ext), v in zip(field_cols.items(), vals[1:]):
+                    if v is None:
+                        # loud, not b"None" (write_safetensors lesson)
+                        raise ValueError(
+                            f"null value in WebDataset write "
+                            f"(key={key!r}, column={col!r})")
                     data = bytes(v) if isinstance(v, (bytes, bytearray)) \
                         else str(v).encode("utf-8")
                     samples.append((key, ext, data))
