@@ -82,23 +82,15 @@ def word_freq(docs: DataFrame, tokens: Column) -> DataFrame:
     )
 
 
-def bpe_train(docs: DataFrame, tokens: Column, n_merges: int = 4,
-              materialize: bool = True) -> DataFrame:
-    """Learn the first ``n_merges`` BPE merges over a corpus.
+def _train_chain(docs: DataFrame, tokens: Column, n_merges: int):
+    """Build the lazy training graph. Returns ``(cached, final_vocab,
+    bests)``: the persisted base vocab (caller must unpersist after
+    materializing), the vocab relation with ALL ``n_merges`` merges
+    applied, and the per-iteration 1-row argmax frames.
 
-    Returns the merge table ``(merge_rank, left_sym, right_sym,
-    pair_weight)`` — the trained artifact a tokenizer loads. Ties on
-    pair weight break lexicographically (left asc, right asc) so the
-    result is deterministic on any partitioning.
-
-    The vocab relation is persisted once (it feeds every iteration's
+    The vocab relation is persisted once: it feeds every iteration's
     pair count AND the merge chain — without the cache boundary the
-    corpus shuffle re-runs per branch, ~2^n_merges times). With
-    ``materialize`` the ≤``n_merges``-row result is collected and the
-    cache released (the IVF-probe leak lesson, ADVICE r5);
-    ``materialize=False`` returns the lazy plan for plan-audit tooling
-    and leaves the persist to the caller.
-    """
+    corpus shuffle re-runs per branch, ~2^n_merges times."""
     vocab = word_freq(docs, tokens).withColumn(
         "syms", char_syms("w")
     ).select("w", "freq", "syms")
@@ -121,18 +113,36 @@ def bpe_train(docs: DataFrame, tokens: Column, n_merges: int = 4,
             F.col("cnt").alias("pair_weight"),
         )
         bests.append(best)
-        if i < n_merges:
-            cur = (
-                cur.crossJoin(F.broadcast(
-                    best.select(F.col("left_sym").alias(f"_ma{i}"),
-                                F.col("right_sym").alias(f"_mb{i}"))
-                ))
-                .withColumn(
-                    "syms",
-                    merge_pair("syms", F.col(f"_ma{i}"), F.col(f"_mb{i}")),
-                )
-                .select("w", "freq", "syms")
+        cur = (
+            cur.crossJoin(F.broadcast(
+                best.select(F.col("left_sym").alias(f"_ma{i}"),
+                            F.col("right_sym").alias(f"_mb{i}"))
+            ))
+            .withColumn(
+                "syms",
+                merge_pair("syms", F.col(f"_ma{i}"), F.col(f"_mb{i}")),
             )
+            .select("w", "freq", "syms")
+        )
+
+    return cached, cur, bests
+
+
+def bpe_train(docs: DataFrame, tokens: Column, n_merges: int = 4,
+              materialize: bool = True) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges over a corpus.
+
+    Returns the merge table ``(merge_rank, left_sym, right_sym,
+    pair_weight)`` — the trained artifact a tokenizer loads. Ties on
+    pair weight break lexicographically (left asc, right asc) so the
+    result is deterministic on any partitioning.
+
+    With ``materialize`` the ≤``n_merges``-row result is collected and
+    the vocab cache released (the IVF-probe leak lesson, ADVICE r5);
+    ``materialize=False`` returns the lazy plan for plan-audit tooling
+    and leaves the persist to the caller.
+    """
+    cached, _, bests = _train_chain(docs, tokens, n_merges)
 
     out = bests[0]
     for b in bests[1:]:
@@ -144,3 +154,14 @@ def bpe_train(docs: DataFrame, tokens: Column, n_merges: int = 4,
     rows = out.collect()  # bounded: exactly n_merges rows by construction
     cached.unpersist()
     return docs.sparkSession.createDataFrame(rows, out.schema)
+
+
+def bpe_subword_lengths(docs: DataFrame, tokens: Column,
+                        n_merges: int = 4):
+    """The APPLY side of the train→apply loop: ``(w, n_syms)`` — each
+    corpus word's subword-token count under the first ``n_merges``
+    learned merges, as one lazy graph (the merges steer the plan as
+    broadcast 1-row joins; no driver literals). Returns ``(cached,
+    lengths)``; the caller unpersists ``cached`` after materializing."""
+    cached, cur, _ = _train_chain(docs, tokens, n_merges)
+    return cached, cur.select("w", F.size("syms").alias("n_syms"))

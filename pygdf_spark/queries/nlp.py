@@ -220,12 +220,14 @@ def nlp_bpe_train(spark, sf_dir):
     return bpe_train(d, tokens("text"), n_merges=4)
 
 
-def _bpe_sql(n_merges: int = 4) -> str:
-    """Unrolled-iteration oracle (the kmeans-CTE precedent). The greedy
-    leftmost merge is a list_reduce fold over a '<s>'-prefixed symbol
-    list: the accumulator is the space-joined merged prefix, and
+def _bpe_ctes(n_merges: int = 4) -> str:
+    """Shared unrolled-iteration CTE chain (the kmeans-CTE precedent):
+    w0 → v0 → (p1, v1) → … → (p{n}, v{n}). The greedy leftmost merge is
+    a list_reduce fold over a '<s>'-prefixed symbol list: the
+    accumulator is the space-joined merged prefix, and
     ``ends_with(acc, ' ' || a)`` tests 'last symbol == a' exactly
-    because symbols never contain spaces."""
+    because symbols never contain spaces. Unreferenced tail CTEs cost
+    nothing (DuckDB only evaluates reachable ones)."""
     parts = [r"""
 WITH w0 AS (
   SELECT w, COUNT(*) AS freq FROM (
@@ -244,9 +246,7 @@ p{i} AS (
          CAST(SUM(s.freq) AS BIGINT) AS cnt
   FROM v{i - 1} s, UNNEST(generate_series(1, len(s.syms) - 1)) AS u(i)
   GROUP BY 1, 2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
-)""")
-        if i < n_merges:
-            parts.append(f""",
+),
 v{i} AS (
   SELECT v.w, v.freq,
          string_split(substring(list_reduce(
@@ -256,20 +256,71 @@ v{i} AS (
                             ELSE acc || ' ' || x END), 5), ' ') AS syms
   FROM v{i - 1} v, p{i} p
 )""")
+    return "".join(parts)
+
+
+def _bpe_sql(n_merges: int = 4) -> str:
     selects = " UNION ALL ".join(
         f"SELECT {i} AS merge_rank, a AS left_sym, b AS right_sym,"
         f" cnt AS pair_weight FROM p{i}"
         for i in range(1, n_merges + 1)
     )
-    parts.append(f"\nSELECT * FROM ({selects}) ORDER BY merge_rank")
-    return "".join(parts)
+    return (
+        _bpe_ctes(n_merges)
+        + f"\nSELECT * FROM ({selects}) ORDER BY merge_rank"
+    )
 
 
 NLP_BPE_SQL = _bpe_sql(4)
 
 
+def nlp_bpe_encode(spark, sf_dir):
+    """The APPLY half of the tokenizer loop (subword_tokenize's
+    runtime role, but with merges learned in the SAME plan): per
+    document, the subword-token count under the 4 trained merges vs
+    the whitespace word count. Distribution shape: the per-word
+    subword lengths live on the vocab relation; encoding the corpus is
+    one explode + one vocab join (broadcast here — vocab ≪ corpus;
+    shuffle join at web-scale vocab) + one per-doc sum."""
+    from pygdf_spark.operators.bpe import bpe_subword_lengths
+
+    d = T(spark, sf_dir, "documents")
+    cached, lengths = bpe_subword_lengths(d, tokens("text"), n_merges=4)
+    words = (
+        d.filter(F.col("doc_id") < 200)
+        .select("doc_id", F.explode(tokens("text")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    out = (
+        words.join(F.broadcast(lengths), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+    rows = out.collect()  # bounded: ≤200 docs by the pushed filter
+    cached.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+NLP_BPE_ENCODE_SQL = _bpe_ctes(4) + r""",
+wl AS (SELECT w, CAST(len(syms) AS INT) AS n_syms FROM v4),
+dw AS (
+  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents WHERE doc_id < 200
+)
+SELECT dw.doc_id, COUNT(*) AS n_words,
+       CAST(SUM(wl.n_syms) AS BIGINT) AS n_bpe_tokens
+FROM dw JOIN wl ON dw.w = wl.w
+GROUP BY dw.doc_id ORDER BY dw.doc_id
+"""
+
+
 QUERIES = {
     "nlp_bpe_train": nlp_bpe_train,
+    "nlp_bpe_encode": nlp_bpe_encode,
     "nlp_token_filter": nlp_token_filter,
     "nlp_subword_tokenize": nlp_subword_tokenize,
     "nlp_char_ngrams": nlp_char_ngrams,
@@ -295,6 +346,7 @@ ORDER BY d.doc_id
 
 ORACLE = {
     "nlp_bpe_train": NLP_BPE_SQL,
+    "nlp_bpe_encode": NLP_BPE_ENCODE_SQL,
     "nlp_subword_tokenize": NLP_SUBWORD_SQL,
     "nlp_token_filter": NLP_TOKEN_FILTER_SQL,
     "nlp_char_ngrams": NLP_CHAR_NGRAMS_SQL,

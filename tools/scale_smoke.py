@@ -59,7 +59,11 @@ TIMED = ["q1_pricing_summary", "join_inner_q3", "agg_basic_stats",
          # r6 additions (sharded ML-interchange IO + web/multimodal layouts)
          "io_npy_roundtrip", "io_safetensors_roundtrip",
          "io_warc_roundtrip", "io_webdataset_roundtrip",
-         "mm_webdataset_images"]
+         "mm_webdataset_images",
+         # mid-r6 additions (BPE training, timeseries maintenance,
+         # corpus stats, distributed model fit)
+         "nlp_bpe_train", "events_multires_rollup", "scd2_event_history",
+         "text_pmi_bigrams", "ml_gram_suffstats"]
 
 
 def build(spark, n: int, dst: str) -> None:
