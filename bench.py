@@ -97,6 +97,16 @@ VENEER_BENCH = {
     "veneer_groupby_agg": _veneer_groupby_agg,
 }
 
+# Mid-r6 operators, also benchmarked OUTSIDE the headline total (same
+# comparability rule); registry names, reported under "extra".
+EXTRA_BENCH = [
+    "nlp_bpe_train",          # distributed BPE merge training
+    "events_multires_rollup", # hypertable GROUPING SETS rollup
+    "text_pmi_bigrams",       # PMI collocation mining
+    "ml_gram_suffstats",      # Gram-matrix sufficient statistics
+    "io_warc_roundtrip",      # Common Crawl shard write+read
+]
+
 
 def _load_gate() -> dict:
     """Load-gated protocol (r4 verdict task #5): wall-clock on this host
@@ -212,6 +222,14 @@ def main() -> None:
         best, _sp = _timed(fn, clear_sinks=False)
         veneer[name] = round(best, 4)
 
+    extra: dict[str, float] = {}
+    for name in EXTRA_BENCH:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        best, _sp = _timed(fn, clear_sinks=True)
+        extra[name] = round(best, 4)
+
     total = round(sum(times.values()), 4)
     print(json.dumps({
         "metric": "headline_query_wall_total",
@@ -222,6 +240,8 @@ def main() -> None:
         "reruns": reruns,
         "veneer": veneer,
         "veneer_total": round(sum(veneer.values()), 4),
+        "extra": extra,
+        "extra_total": round(sum(extra.values()), 4),
         "sf": sf,
         "agg": f"min_of_{n_runs}",
         "load_gate": gate,
