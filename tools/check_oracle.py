@@ -28,9 +28,18 @@ def main():
         elif a == "--json":
             json_path = "CORRECTNESS_LOCAL.json"
     sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
-    only = args[1].split(",") if len(args) > 1 else None
+    # accept both "a,b,c" and "a b c" (the silent-single-name trap:
+    # space-separated names used to run only args[1])
+    only = (
+        {n for a in args[1:] for n in a.split(",") if n} or None
+        if len(args) > 1 else None
+    )
     spark = get_spark("oracle-check")
     queries, oracle = registry()
+    if only:
+        unknown = only - set(queries)
+        if unknown:
+            raise SystemExit(f"unknown query names: {sorted(unknown)}")
     bad = 0
     report = {}
     for name in sorted(queries):
