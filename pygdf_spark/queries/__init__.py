@@ -79,13 +79,13 @@ _PRIORITY = [
     "win_rank_methods", "win_rolling_rows", "win_rolling_time",
     "win_rolling_var",
     "sort_multi_nulls", "topk_orders", "dedup_keep_first",
-    "dedup_distinct",
-    # -- net-new mid-r6 (never driver-checked; displaced six r1-green
-    # rows — value_counts, filter_isin, ast_filter_string,
-    # fillna_coalesce, reshape_melt, reshape_pivot keep their
-    # cumulative green rows):
+    # -- net-new mid-r6 (never driver-checked; displaced seven r1-green
+    # rows — dedup_distinct, value_counts, filter_isin,
+    # ast_filter_string, fillna_coalesce, reshape_melt, reshape_pivot
+    # keep their cumulative green rows):
     "nlp_bpe_train", "nlp_bpe_encode", "events_multires_rollup",
-    "scd2_event_history", "text_pmi_bigrams", "ml_gram_suffstats",
+    "scd2_event_history", "sstream_scd2_changes_live",
+    "text_pmi_bigrams", "ml_gram_suffstats",
 ]
 
 

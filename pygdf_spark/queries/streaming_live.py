@@ -17,6 +17,7 @@ from pygdf_spark.streaming import (
     run_available_now,
     session_counts,
     sliding_counts,
+    stateful_change_capture,
     stateful_user_counts,
     tumbling_counts,
     view_purchase_join,
@@ -159,7 +160,40 @@ GROUP BY c.c_nationkey ORDER BY c.c_nationkey
 """
 
 
+def sstream_scd2_changes_live(spark, sf_dir):
+    """readStream → applyInPandasWithState CDC change-capture (emit
+    only events whose event_type differs from the key's last) → append
+    sink. The streaming half of the batch SCD-2 history build
+    (scd2_event_history): the emitted change rows are exactly that
+    query's gaps-and-islands change extraction, so the batch LAG
+    oracle checks the stateful operator exactly. The user_id predicate
+    applies BEFORE the stateful operator — state stays bounded to the
+    selected keys."""
+    ev = read_events_stream(spark, sf_dir).filter(F.col("user_id") < 100)
+    out = run_available_now(stateful_change_capture(ev), "append")
+    return out.orderBy("user_id", "t_s", "event_id")
+
+
+SSTREAM_SCD2_SQL = """
+WITH s AS (
+  SELECT user_id,
+         (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) AS t_s,
+         event_id, event_type
+  FROM events WHERE user_id < 100
+),
+chg AS (
+  SELECT *, LAG(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY t_s, event_id) AS prev
+  FROM s
+)
+SELECT user_id, t_s, event_id, event_type AS attr
+FROM chg WHERE prev IS NULL OR prev <> event_type
+ORDER BY user_id, t_s, event_id
+"""
+
+
 QUERIES = {
+    "sstream_scd2_changes_live": sstream_scd2_changes_live,
     "sstream_stateful_counts": sstream_stateful_counts,
     "sstream_static_join_live": sstream_static_join_live,
     "sstream_session_live": sstream_session_live,
@@ -170,6 +204,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sstream_scd2_changes_live": SSTREAM_SCD2_SQL,
     "sstream_stateful_counts": SSTREAM_STATEFUL_SQL,
     "sstream_static_join_live": SSTREAM_STATIC_JOIN_SQL,
     "sstream_session_live": SSTREAM_SESSION_SQL,

@@ -5,6 +5,7 @@ from pygdf_spark.streaming.pipelines import (  # noqa: F401
     run_available_now,
     session_counts,
     sliding_counts,
+    stateful_change_capture,
     stateful_user_counts,
     tumbling_counts,
     view_purchase_join,

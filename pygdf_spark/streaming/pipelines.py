@@ -168,6 +168,52 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def stateful_change_capture(events: DataFrame) -> DataFrame:
+    """Streaming CDC (change-data-capture) collapse: per key, emit only
+    the events whose attribute differs from the last one seen — the
+    STREAMING half of the batch SCD-2 history build
+    (queries/timeseries.py::scd2_event_history); feeding these change
+    rows into that interval builder incrementally maintains the
+    dimension. State is ONE tuple per key (the last attribute), so
+    state volume is |keys|, not |events|; each micro-batch sorts its
+    per-key slice by event time before comparing (rows within a batch
+    arrive unordered)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = events.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 1000000").alias("t_s"),
+        "event_id",
+        "event_type",
+    )
+
+    def update(key, pdfs, state: GroupState):
+        chunks = list(pdfs)
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values(["t_s", "event_id"])
+        last = state.get[0] if state.exists else None
+        rows = []
+        for t_s, eid, attr in zip(pdf["t_s"], pdf["event_id"],
+                                  pdf["event_type"]):
+            if attr != last:
+                rows.append((key[0], t_s, eid, attr))
+                last = attr
+        state.update((last,))
+        out = pd.DataFrame(rows, columns=["user_id", "t_s", "event_id",
+                                          "attr"])
+        yield out.astype({"user_id": "int64", "t_s": "int64",
+                          "event_id": "int64"})
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, t_s long, event_id long, attr string",
+        stateStructType="last_attr string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def enrich_with_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
     """Stream-STATIC join: every purchase event enriched map-side with
     its customer's nation via a broadcast of the static dimension — the
