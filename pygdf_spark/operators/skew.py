@@ -53,6 +53,15 @@ def salted_join(
         # pmod(x, 0) is NULL (non-ANSI) → nothing would ever equi-join:
         # silent empty/all-null output instead of an error
         raise ValueError(f"salted_join: n_salt must be >= 1, got {n_salt}")
+    for side, name in ((left, "left"), (right, "right")):
+        if "__salt" in side.columns:
+            # withColumn would silently clobber it on the left;
+            # select("*", …) would create an ambiguous duplicate on the
+            # right (the range_join '__bucket' guard, applied here)
+            raise ValueError(
+                f"salted_join: {name} already has a '__salt' column; "
+                "rename it first"
+            )
     l = left.withColumn("__salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salt)))
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("__salt")
     r = right.select("*", salts)

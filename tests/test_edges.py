@@ -689,6 +689,13 @@ def test_salted_join_and_packing_validate_params(spark):
     df = spark.createDataFrame([(1, 2)], "k long, v long")
     with _pytest.raises(ValueError, match="n_salt"):
         salted_join(df, df, "k", "v", n_salt=0)
+    # a pre-existing __salt column would be silently clobbered (left) or
+    # duplicated into ambiguity (right) — loud instead (r6 review)
+    ds = spark.createDataFrame([(1, 2, 3)], "k long, v long, __salt long")
+    with _pytest.raises(ValueError, match="__salt"):
+        salted_join(ds, df, "k", "v")
+    with _pytest.raises(ValueError, match="__salt"):
+        salted_join(df, ds, "k", "v")
     d2 = spark.createDataFrame([(1, 5)], "doc_id long, n_tok long")
     with _pytest.raises(ValueError, match="n_shards"):
         with_pack_ids(d2, budget=10, n_shards=0)
