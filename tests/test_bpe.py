@@ -114,3 +114,32 @@ def test_bpe_eager_path_unpersists_vocab(spark, sf_dir):
     assert res.count() == 2
     after = jsc.getPersistentRDDs().size()
     assert after <= before, f"persisted RDDs leaked: {before} -> {after}"
+
+
+def test_bpe_train_property_random_corpora(spark):
+    """Hypothesis sweep: bpe_train equals the scalar reference trainer
+    on random tiny corpora (tie-breaks, single-char words, repeated
+    merges over a 2-letter alphabet — the cases the fixture corpus
+    never exercises)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pygdf_spark.operators.bpe import bpe_train
+    from pygdf_spark.operators.text import tokens
+
+    word = st.text(alphabet="ab", min_size=1, max_size=5)
+    doc = st.lists(word, min_size=1, max_size=8).map(" ".join)
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(docs=st.lists(doc, min_size=1, max_size=6),
+           n=st.integers(1, 3))
+    def inner(docs, n):
+        df = spark.createDataFrame([(t,) for t in docs], ["text"])
+        got = [
+            (r.merge_rank, r.left_sym, r.right_sym, r.pair_weight)
+            for r in bpe_train(df, tokens("text"), n_merges=n).collect()
+        ]
+        assert got == _reference_bpe(docs, n)
+
+    inner()
