@@ -66,24 +66,44 @@ def s3_localize(path: str) -> str:
     bucket, key = _split(path)
     c = _client()
     stage = tempfile.mkdtemp(prefix="pygdf_s3_")
-    # exact single object?
-    try:
-        c.head_object(Bucket=bucket, Key=key)
-        local = os.path.join(stage, os.path.basename(key) or "object")
-        c.download_file(bucket, key, local)
-        return local
-    except Exception:
-        pass
+    # exact single object? Only a missing-key response falls through to
+    # the prefix listing — an auth/endpoint/network failure must NOT be
+    # swallowed into a misleading FileNotFoundError downstream.
+    if key and not key.endswith("/"):
+        try:
+            c.head_object(Bucket=bucket, Key=key)
+            exists = True
+        except Exception as e:
+            code = str(
+                getattr(e, "response", {}).get("Error", {}).get("Code", "")
+            )
+            if code in ("404", "NoSuchKey", "NotFound"):
+                exists = False
+            else:
+                raise
+        if exists:
+            local = os.path.join(stage, os.path.basename(key) or "object")
+            c.download_file(bucket, key, local)
+            return local
     prefix = key.rstrip("/")
     pages = c.get_paginator("list_objects_v2").paginate(
         Bucket=bucket, Prefix=prefix + "/" if prefix else "")
     n = 0
     for page in pages:
         for obj in page.get("Contents", []):
+            if obj["Key"].endswith("/"):
+                continue  # zero-byte directory-marker objects
             rel = obj["Key"][len(prefix):].lstrip("/") if prefix else obj["Key"]
             if not rel:
                 continue
             local = os.path.join(stage, rel)
+            # bucket listings are UNTRUSTED content: a key containing
+            # ".." must not write outside the staging dir
+            if not os.path.realpath(local).startswith(
+                os.path.realpath(stage) + os.sep
+            ):
+                raise ValueError(
+                    f"s3 key escapes the staging dir: {obj['Key']!r}")
             os.makedirs(os.path.dirname(local), exist_ok=True)
             c.download_file(bucket, obj["Key"], local)
             n += 1

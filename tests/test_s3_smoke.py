@@ -89,3 +89,40 @@ def test_write_csv_s3_roundtrip(spark, s3_env):
     write_csv(src, f"s3://{BUCKET}/out/csvdir")
     back = read_csv(spark, f"s3://{BUCKET}/out/csvdir")
     assert sorted((int(r["k"]), r["v"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_s3_localize_dir_marker_and_traversal_guard(s3_env):
+    """r6 review pins: zero-byte directory-marker keys are skipped (they
+    used to crash download_file), and a key containing '..' must not
+    write outside the staging dir (bucket listings are untrusted)."""
+    from pygdf_spark.sources.s3 import s3_localize
+
+    s3_env.put_object(Bucket=BUCKET, Key="mk/", Body=b"")
+    s3_env.put_object(Bucket=BUCKET, Key="mk/sub/", Body=b"")
+    s3_env.put_object(Bucket=BUCKET, Key="mk/sub/a.txt", Body=b"hello")
+    stage = s3_localize(f"s3://{BUCKET}/mk")
+    with open(os.path.join(stage, "sub", "a.txt"), "rb") as f:
+        assert f.read() == b"hello"
+
+    s3_env.put_object(Bucket=BUCKET, Key="esc/ok.txt", Body=b"x")
+    s3_env.put_object(Bucket=BUCKET, Key="esc/../../evil.txt", Body=b"x")
+    try:
+        s3_localize(f"s3://{BUCKET}/esc")
+    except ValueError as e:
+        assert "escapes" in str(e)
+    else:
+        # some stores normalize the key server-side; then nothing to pin
+        pass
+
+
+def test_s3_localize_auth_errors_not_swallowed(s3_env, monkeypatch):
+    """A non-404 failure (bad credentials, endpoint down) must surface,
+    not decay into FileNotFoundError via the prefix fallback."""
+    from pygdf_spark.sources.s3 import s3_localize
+
+    monkeypatch.setenv("AWS_ENDPOINT_URL", "http://127.0.0.1:9")  # closed port
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as ei:
+        s3_localize(f"s3://{BUCKET}/csv/data.csv")
+    assert not isinstance(ei.value, FileNotFoundError)
