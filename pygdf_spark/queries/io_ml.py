@@ -33,6 +33,17 @@ def _tmp(sf_dir: str, tag: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"pygdf_{tag}_{sf}_{os.getpid()}")
 
 
+def _shards(df, rows_per_shard: int = 50_000) -> int:
+    """Shard count for the write half of a round-trip: fixed-SIZE
+    shards whose COUNT grows with the data — the production layout
+    (Common Crawl: ~90k × ~1 GB shards/crawl). A fixed shard count is
+    a parallelism floor that goes superlinear at scale: the 32× curve
+    first ran io_warc_roundtrip at 191 s because coalesce(4) put 1.6M
+    per-record gzip ops on 4 of 32 cores. df.count() on a parquet scan
+    is metadata-cheap."""
+    return max(4, -(-df.count() // rows_per_shard))
+
+
 def _vec_milli(col: str = "embedding"):
     """In-row order-independent checksum: Σ floor(1000·e) as BIGINT."""
     return F.aggregate(
@@ -49,10 +60,11 @@ def io_npy_roundtrip(spark, sf_dir):
     ORIGINAL parquet."""
     from pygdf_spark.sources.npy_lite import read_npy_dir, write_npy_dir
 
-    # shard-size discipline: .npy shards should be partition-sized
-    # artifacts (100MB-class at production), not 32 micro-files of a
-    # 500-row test table — coalesce to a few shards at test SF
-    emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding").coalesce(4)
+    # shard-size discipline: fixed-SIZE shards, data-scaled COUNT
+    # (see _shards) — a few shards at test SF, parallelism grows with
+    # the table at scale
+    base = T(spark, sf_dir, "embeddings")
+    emb = base.select("vec_id", "embedding").repartition(_shards(base))
     path = _tmp(sf_dir, "npy_emb")
     import shutil
 
@@ -86,15 +98,15 @@ def io_safetensors_roundtrip(spark, sf_dir):
         write_safetensors,
     )
 
+    base = T(spark, sf_dir, "embeddings")
     emb = (
-        T(spark, sf_dir, "embeddings")
-        .select(
+        base.select(
             F.col("embedding"),
             F.col("label").cast("int").alias("labels"),
             F.col("vec_id").alias("vec_ids"),
         )
         .withColumnRenamed("embedding", "embeddings")
-        .coalesce(4)  # shard-size discipline, like io_npy_roundtrip
+        .repartition(_shards(base))  # data-scaled shard count
     )
     path = _tmp(sf_dir, "st_emb")
     import shutil
@@ -159,16 +171,18 @@ def io_warc_roundtrip(spark, sf_dir):
 
     from pygdf_spark.sources.warc_lite import read_warc, write_warc_dir
 
+    base = T(spark, sf_dir, "documents")
     docs = (
-        T(spark, sf_dir, "documents")
-        .select(
+        base.select(
             F.concat(F.lit("https://"), F.col("source"), F.lit("/doc/"),
                      F.col("doc_id").cast("string")).alias("uri"),
             F.lit("2026-01-01T00:00:00Z").alias("wdate"),
             F.col("doc_id").cast("string").alias("rid"),
             F.col("text"),
         )
-        .coalesce(4)  # shard-size discipline (100MB-class at production)
+        # fixed-size shards, data-scaled COUNT (see _shards): the write
+        # parallelism grows with the corpus instead of flooring at 4
+        .repartition(_shards(base))
     )
     path = _tmp(sf_dir, "warc")
     shutil.rmtree(path, ignore_errors=True)
@@ -201,10 +215,10 @@ def io_webdataset_roundtrip(spark, sf_dir):
         write_webdataset,
     )
 
+    base = T(spark, sf_dir, "documents")
     docs = (
-        T(spark, sf_dir, "documents")
-        .select(F.col("doc_id").cast("string").alias("k"), "text", "lang")
-        .coalesce(4)
+        base.select(F.col("doc_id").cast("string").alias("k"), "text", "lang")
+        .repartition(_shards(base))  # data-scaled shard count
     )
     path = _tmp(sf_dir, "wds")
     shutil.rmtree(path, ignore_errors=True)

@@ -62,17 +62,24 @@ def encode_warc(records: list[dict], gzip_members: bool = True) -> bytes:
 
 
 def _gunzip_members(data: bytes) -> list[bytes]:
-    """Inflate concatenated gzip members (the CC layout).
+    """Inflate concatenated gzip members (the CC layout) — LINEARLY.
 
-    stdlib ``gzip.decompress`` walks multi-member streams natively and
-    LINEARLY — the naive ``decompressobj``/``unused_data`` loop copies
-    the remaining buffer once per member, which is O(members × bytes):
-    invisible on fixtures, quadratic-catastrophic on a real Common
-    Crawl shard (tens of thousands of members per ~1 GB file)."""
+    Neither the naive ``decompressobj``/``unused_data`` loop NOR
+    ``gzip.decompress`` is linear here: both re-slice the remaining
+    buffer once per member (CPython's one-shot ``decompress`` is the
+    same unused_data loop internally), which is O(members × bytes) —
+    measured 89 s for ONE 13 MB / 50k-member shard. ``GzipFile`` over a
+    ``BytesIO`` streams across member boundaries with bounded chunk
+    reads (its ``_GzipReader`` tracks the offset; nothing is ever
+    rescanned): the same shard inflates in well under a second.
+    Truncation/corruption surface as EOFError/BadGzipFile/zlib.error →
+    ValueError per the codec contract."""
     import gzip
+    import io
 
     try:
-        return [gzip.decompress(data)]
+        with gzip.GzipFile(fileobj=io.BytesIO(data)) as f:
+            return [f.read()]
     except (EOFError, zlib.error, gzip.BadGzipFile, OSError) as e:
         raise ValueError(f"corrupt or truncated gzip member in WARC: {e}") from e
 
@@ -193,6 +200,16 @@ def read_warc(spark, path_glob: str):
     import pandas as pd
 
     files = spark.read.format("binaryFile").load(path_glob)
+    # binaryFile PACKS small files up to maxPartitionBytes per split —
+    # 32 × 8 MB shards would decode in ~2 tasks (measured: the 32×
+    # curve sat at 191 s with 3 cores busy). Re-spread one row per
+    # shard across the cluster; at production shard sizes (≥128 MB)
+    # the scan already yields one file per split and this exchange
+    # moves ~1 row per partition.
+    n_files = files.select("path").count()  # listing-only, cheap
+    if n_files > 1:
+        par = files.sparkSession.sparkContext.defaultParallelism
+        files = files.repartition(min(n_files, 2 * par), "path")
 
     def scan(batches):
         for pdf in batches:

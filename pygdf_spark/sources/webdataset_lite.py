@@ -130,6 +130,12 @@ def read_webdataset(spark, path_glob: str):
     import pandas as pd
 
     files = spark.read.format("binaryFile").load(path_glob)
+    # binaryFile packs small files into few splits (see warc_lite
+    # read_warc) — re-spread one row per shard for decode parallelism
+    n_files = files.select("path").count()  # listing-only, cheap
+    if n_files > 1:
+        par = files.sparkSession.sparkContext.defaultParallelism
+        files = files.repartition(min(n_files, 2 * par), "path")
 
     def scan(batches):
         for pdf in batches:

@@ -390,24 +390,28 @@ def test_png_vector_unfilter_matches_scalar_oracle():
 
 
 def test_warc_many_member_decode_linear():
-    """A shard with thousands of gzip members must decode correctly
-    (and in practice linearly — the decompressobj/unused_data loop this
-    replaces was O(members x bytes))."""
+    """A Common-Crawl-shaped shard (50k gzip members, ~250 B payloads)
+    must decode correctly AND linearly. Both the decompressobj/
+    unused_data loop and one-shot gzip.decompress (the SAME loop
+    internally) re-slice the remaining buffer per member — measured
+    89 s on exactly this input; the streaming GzipFile path takes
+    <1 s. The 10 s bound fails either quadratic implementation by an
+    order of magnitude while staying loose for slow CI hosts."""
     import time
 
     from pygdf_spark.sources.warc_lite import decode_warc, encode_warc
 
     recs = [
         {"target_uri": f"http://x/{i}", "date": "2024-01-01T00:00:00Z",
-         "record_id": f"id{i}", "payload": f"payload {i}".encode()}
-        for i in range(5000)
+         "record_id": f"id{i}", "payload": (f"payload {i}" * 20).encode()}
+        for i in range(50000)
     ]
     blob = encode_warc(recs, gzip_members=True)
     t0 = time.monotonic()
     out = decode_warc(blob)
     took = time.monotonic() - t0
-    assert len(out) == 5000
-    assert out[4999]["payload"] == b"payload 4999"
+    assert len(out) == 50000
+    assert out[49999]["payload"] == b"payload 49999" * 20
     assert took < 10.0, f"multi-member decode took {took:.1f}s"
 
 
