@@ -29,6 +29,7 @@ _MODULES = [
     "timeseries",
     "ml_fit",
     "io_ml",
+    "lakehouse",
     "nlp",
     "llm_dedup",
     "llm_similarity",
@@ -77,8 +78,13 @@ _PRIORITY = [
     "agg_moments",
     "win_group_cumsum", "win_shift_diff", "win_ffill", "win_nth_value",
     "win_rank_methods", "win_rolling_rows", "win_rolling_time",
-    "win_rolling_var",
-    "sort_multi_nulls", "topk_orders", "dedup_keep_first",
+    # -- net-new late-r6: deltalite transaction-log table format
+    # (displacing sort_multi_nulls / topk_orders / dedup_keep_first,
+    # which keep their cumulative r1 driver-green rows):
+    # (sstream_lake_sink_live additionally displaces win_rolling_var,
+    # r1-green) — exactly-once foreachBatch ingestion into deltalite:
+    "lake_snapshot_read", "lake_time_travel", "lake_file_skipping",
+    "sstream_lake_sink_live",
     # -- net-new mid-r6 (never driver-checked; displaced seven r1-green
     # rows — dedup_distinct, value_counts, filter_isin,
     # ast_filter_string, fillna_coalesce, reshape_melt, reshape_pivot

@@ -1,0 +1,169 @@
+"""Lakehouse (deltalite) queries: atomic commits, time travel, skipping.
+
+Each query builds a deltalite table in a pid-keyed temp dir (same
+discipline as io_ml.py), drives the TRANSACTION protocol — multi-commit
+appends, an overwrite, a compaction — and reads a snapshot back through
+``read_table``. The oracle reads the ORIGINAL parquet and re-expresses
+the snapshot algebraically (a version is just a filter over the source
+rows that were appended up to it), so every hash-compare checks that
+log replay + atomic visibility reconstruct EXACTLY the right row set.
+
+100 TB posture: data moves only through Spark's distributed parquet
+writer/reader; the transaction log is O(files) driver-side metadata —
+the same cost profile as Delta's commit protocol.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from pygdf_spark.queries._util import T, cents, sql_cents
+
+
+def _tmp(sf_dir: str, tag: str) -> str:
+    sf = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return os.path.join(tempfile.gettempdir(), f"pygdf_{tag}_{sf}_{os.getpid()}")
+
+
+def _shards(df, rows_per_shard: int = 50_000) -> int:
+    """Fixed-size shards, data-scaled count (io_ml._shards discipline)."""
+    return max(2, -(-df.count() // rows_per_shard))
+
+
+def lake_snapshot_read(spark, sf_dir):
+    """Three disjoint appends (o_orderkey mod 3) with a COMPACT between
+    the second and third — read the LATEST snapshot and aggregate.
+    Compaction is a pure metadata swap, and the three appends are
+    atomic, so the snapshot must equal the full source table."""
+    from pygdf_spark.sources import deltalite as dl
+
+    base = T(spark, sf_dir, "orders")
+    path = _tmp(sf_dir, "lake_orders")
+    shutil.rmtree(path, ignore_errors=True)
+    n = _shards(base)
+    for r in (0, 1):
+        dl.append(base.filter(F.col("o_orderkey") % 3 == r).repartition(n), path)
+    dl.compact(spark, path, num_files=max(1, n // 2))
+    dl.append(base.filter(F.col("o_orderkey") % 3 == 2).repartition(n), path)
+    snap = dl.read_table(spark, path)
+    return (
+        snap.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(cents("o_totalprice")).alias("total_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+LAKE_SNAPSHOT_SQL = f"""
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) AS total_cents
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def lake_time_travel(spark, sf_dir):
+    """Append even events (v0), append odd events (v1), then OVERWRITE
+    with only 'view' events (v2). Read versions 1 and 2 side by side:
+    time travel must reconstruct the pre-overwrite table exactly while
+    the latest snapshot sees only the overwrite's rows."""
+    from pygdf_spark.sources import deltalite as dl
+
+    base = T(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = _tmp(sf_dir, "lake_events")
+    shutil.rmtree(path, ignore_errors=True)
+    n = _shards(base)
+    dl.append(base.filter(F.col("event_id") % 2 == 0).repartition(n), path)
+    dl.append(base.filter(F.col("event_id") % 2 == 1).repartition(n), path)
+    dl.overwrite(base.filter(F.col("event_type") == "view").repartition(n), path)
+
+    def agg(df, tag):
+        return df.agg(
+            F.lit(tag).alias("snapshot"),
+            F.count("*").alias("n_events"),
+            F.sum("event_id").alias("id_sum"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+
+    v1 = agg(dl.read_table(spark, path, version=1), "v1_pre_overwrite")
+    v2 = agg(dl.read_table(spark, path, version=2), "v2_latest")
+    return v1.unionAll(v2).orderBy("snapshot")
+
+
+LAKE_TIME_TRAVEL_SQL = f"""
+SELECT * FROM (
+  SELECT 'v1_pre_overwrite' AS snapshot, COUNT(*) AS n_events,
+         CAST(SUM(event_id) AS BIGINT) AS id_sum,
+         CAST(SUM({sql_cents('value')}) AS BIGINT) AS value_cents
+  FROM events
+  UNION ALL
+  SELECT 'v2_latest', COUNT(*), CAST(SUM(event_id) AS BIGINT),
+         CAST(SUM({sql_cents('value')}) AS BIGINT)
+  FROM events WHERE event_type = 'view'
+) ORDER BY snapshot
+"""
+
+
+def lake_file_skipping(spark, sf_dir):
+    """Range-clustered write (one commit, ``cluster_by`` so per-file
+    min/max zone maps are tight and non-overlapping) → predicate read.
+    ``read_table`` prunes files whose footer stats prove exclusion
+    BEFORE Spark plans the scan and still applies the predicate as a
+    real filter — so this hash-checks that skipping never drops a
+    matching row. The skip-count itself is asserted in
+    tests/test_deltalite.py (stats pruning must actually bite)."""
+    from pygdf_spark.sources import deltalite as dl
+
+    base = T(spark, sf_dir, "lineitem")
+    path = _tmp(sf_dir, "lake_lineitem")
+    shutil.rmtree(path, ignore_errors=True)
+    dl.append(
+        base.repartition(max(4, _shards(base))),
+        path,
+        stat_cols=["l_orderkey"],
+        cluster_by=["l_orderkey"],
+    )
+    # bounded driver literal: one 1-row aggregate (the oracle mirrors it
+    # as a scalar subquery) — the predicate cut is data-derived, not a
+    # fixture constant, so it holds at every SF
+    # integer div on BOTH sides (Spark cast-of-double truncates while
+    # DuckDB CAST rounds — 'div' / '//' agree exactly)
+    bound = base.agg(F.expr("max(l_orderkey) div 2")).first()[0]
+    snap = dl.read_table(
+        spark, path, predicate=[("l_orderkey", "<=", int(bound))]
+    )
+    return snap.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(cents("l_extendedprice")).alias("price_cents"),
+        F.sum("l_orderkey").alias("key_sum"),
+    ).orderBy("l_returnflag")
+
+
+LAKE_SKIPPING_SQL = f"""
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       CAST(SUM({sql_cents('l_extendedprice')}) AS BIGINT) AS price_cents,
+       CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+FROM lineitem
+WHERE l_orderkey <= (SELECT MAX(l_orderkey) FROM lineitem) // 2
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+QUERIES = {
+    "lake_snapshot_read": lake_snapshot_read,
+    "lake_time_travel": lake_time_travel,
+    "lake_file_skipping": lake_file_skipping,
+}
+
+ORACLE = {
+    "lake_snapshot_read": LAKE_SNAPSHOT_SQL,
+    "lake_time_travel": LAKE_TIME_TRAVEL_SQL,
+    "lake_file_skipping": LAKE_SKIPPING_SQL,
+}

@@ -192,7 +192,59 @@ ORDER BY user_id, t_s, event_id
 """
 
 
+def sstream_lake_sink_live(spark, sf_dir):
+    """readStream → foreachBatch EXACTLY-ONCE sink into a deltalite
+    table (txn-stamped idempotent commits — the streaming-ingestion-
+    into-a-lakehouse shape) → snapshot read → aggregate. The stream is
+    run TWICE against a fresh checkpoint the second time, so every
+    micro-batch is genuinely REPLAYED: the txn high-water mark must
+    swallow all of the replay or the sums double — the oracle checks
+    exactly-once, not just at-least-once."""
+    import os
+    import shutil
+    import tempfile
+
+    from pygdf_spark.sources import deltalite as dl
+    from pygdf_spark.streaming import (
+        read_events_stream,
+        run_available_now_deltalite,
+    )
+
+    sf = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = os.path.join(tempfile.gettempdir(),
+                        f"pygdf_lakesink_{sf}_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    table = os.path.join(base, "tbl")
+
+    def run(tag):
+        ev = read_events_stream(spark, sf_dir)
+        buys = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "value"
+        )
+        run_available_now_deltalite(
+            buys, table, os.path.join(base, f"ckpt_{tag}"), app_id="lake_sink"
+        )
+
+    run("a")
+    run("b")  # fresh checkpoint: full replay — txn guard must dedupe
+    snap = dl.read_table(spark, table)
+    return snap.agg(
+        F.count("*").alias("n_purchases"),
+        F.sum("event_id").alias("id_sum"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("value_cents"),
+    )
+
+
+SSTREAM_LAKE_SINK_SQL = """
+SELECT COUNT(*) AS n_purchases,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events WHERE event_type = 'purchase'
+"""
+
+
 QUERIES = {
+    "sstream_lake_sink_live": sstream_lake_sink_live,
     "sstream_scd2_changes_live": sstream_scd2_changes_live,
     "sstream_stateful_counts": sstream_stateful_counts,
     "sstream_static_join_live": sstream_static_join_live,
@@ -204,6 +256,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sstream_lake_sink_live": SSTREAM_LAKE_SINK_SQL,
     "sstream_scd2_changes_live": SSTREAM_SCD2_SQL,
     "sstream_stateful_counts": SSTREAM_STATEFUL_SQL,
     "sstream_static_join_live": SSTREAM_STATIC_JOIN_SQL,

@@ -3,6 +3,7 @@ from pygdf_spark.streaming.pipelines import (  # noqa: F401
     enrich_with_dim,
     read_events_stream,
     run_available_now,
+    run_available_now_deltalite,
     session_counts,
     sliding_counts,
     stateful_change_capture,

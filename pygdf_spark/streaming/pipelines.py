@@ -346,3 +346,49 @@ def run_available_now_parquet(
         # a zero-row stream commits no data files, so schema inference
         # fails — return an empty frame with the stream's own schema
         return spark.createDataFrame([], sdf.schema)
+
+
+def run_available_now_deltalite(
+    sdf: DataFrame, table: str, checkpoint: str, app_id: str = "stream",
+    shuffle_partitions: int = 8,
+) -> int:
+    """EXACTLY-ONCE streaming sink into a deltalite table.
+
+    ``foreachBatch`` is at-least-once: a micro-batch can re-run after a
+    crash between the sink write and the checkpoint commit. Each batch
+    append here stamps a ``txn: {app, batch}`` action into its commit
+    header (the Delta idempotent-writes pattern); a replayed batch at or
+    below the table's high-water mark for this app is skipped inside
+    the COMMIT protocol itself, so duplicates cannot land even if two
+    retries race — the loser's version-file create fails and its
+    re-check sees the winner's txn. End-to-end: source offsets in the
+    Spark checkpoint + idempotent txn commits in the table log =
+    exactly-once, the production shape for streaming ingestion into a
+    lakehouse table. Returns the number of micro-batches that actually
+    committed."""
+    from pygdf_spark.sources import deltalite as dl
+
+    committed = []
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        if bdf.isEmpty():
+            return
+        before = dl.table_version(table)
+        after = dl.append(bdf, table, txn=(app_id, int(batch_id)))
+        if after > before:
+            committed.append(batch_id)
+
+    spark = sdf.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            sdf.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return len(committed)

@@ -1,0 +1,261 @@
+"""deltalite transaction-log table format: protocol-level tests.
+
+The registry queries (queries/lakehouse.py) hash-check snapshot
+RESULTS against DuckDB; this file tests the protocol itself —
+atomicity, optimistic concurrency, time travel after overwrite,
+checkpoint replay, stats-based file skipping (that it BITES and that
+it never drops rows), compaction equivalence, and vacuum semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pygdf_spark.sources import deltalite as dl
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _orders(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+
+
+def _ids(df):
+    return sorted(r[0] for r in df.select("o_orderkey").collect())
+
+
+def test_append_roundtrip_and_versions(spark, sf_dir, table):
+    src = _orders(spark, sf_dir)
+    v0 = dl.append(src.filter("o_orderkey % 2 = 0"), table)
+    v1 = dl.append(src.filter("o_orderkey % 2 = 1"), table)
+    assert (v0, v1) == (0, 1)
+    assert dl.table_version(table) == 1
+    assert _ids(dl.read_table(spark, table)) == _ids(src)
+    # version 0 sees only the first append
+    assert _ids(dl.read_table(spark, table, version=0)) == _ids(
+        src.filter("o_orderkey % 2 = 0")
+    )
+    ops = [h["operation"] for h in dl.history(table)]
+    assert ops == ["append", "append"]
+
+
+def test_overwrite_snapshot_isolation(spark, sf_dir, table):
+    src = _orders(spark, sf_dir)
+    dl.append(src, table)
+    dl.overwrite(src.filter("o_orderstatus = 'F'"), table)
+    latest = dl.read_table(spark, table)
+    assert latest.select("o_orderstatus").distinct().collect()[0][0] == "F"
+    # time travel reconstructs the pre-overwrite table exactly
+    assert _ids(dl.read_table(spark, table, version=0)) == _ids(src)
+
+
+def test_compact_is_metadata_only(spark, sf_dir, table):
+    src = _orders(spark, sf_dir)
+    dl.append(src.filter("o_orderkey % 3 = 0").repartition(4), table)
+    dl.append(src.filter("o_orderkey % 3 != 0").repartition(4), table)
+    before = len(dl.live_files(table))
+    dl.compact(spark, table, num_files=1)
+    after = len(dl.live_files(table))
+    assert before >= 8 and after == 1
+    assert _ids(dl.read_table(spark, table)) == _ids(src)
+    # pre-compact versions still read the original files
+    assert len(_ids(dl.read_table(spark, table, version=1))) == src.count()
+
+
+def test_version_collision_retries(spark, sf_dir, table):
+    """Two writers racing the same version: the loser must retry onto
+    the next version and BOTH commits survive (appends never conflict)."""
+    src = _orders(spark, sf_dir)
+    dl.append(src.filter("o_orderkey % 2 = 0"), table)
+    # simulate a concurrent writer stealing version 1 between this
+    # writer's snapshot and its publish: pre-create the version file
+    adds = dl._write_data_files(
+        src.filter("o_orderkey % 2 = 1"), table, 99, None, None
+    )
+    dl._publish(
+        table, 1, [{"commit": {"version": 1, "operation": "append",
+                               "schema": src.schema.json()}}]
+    )  # the "other" writer (empty append) takes v1
+    v = dl._commit_retry(table, "append", adds, [], src.schema.json(), 0, 10)
+    assert v == 2  # retried past the stolen version
+    assert _ids(dl.read_table(spark, table)) == _ids(src)
+
+
+def test_overwrite_conflict_raises(spark, sf_dir, table):
+    """An overwrite/compact whose remove-set went stale must raise, not
+    silently resurrect or double-remove files."""
+    src = _orders(spark, sf_dir)
+    dl.append(src, table)
+    stale_removes = [a["path"] for a in dl.live_files(table)]
+    dl.overwrite(src.filter("o_orderstatus = 'F'"), table)  # table moves
+    adds = dl._write_data_files(src.limit(5), table, 98, None, None)
+    with pytest.raises(dl.ConcurrentWriteError):
+        dl._commit_retry(
+            table, "overwrite", adds, stale_removes, src.schema.json(), 0, 10
+        )
+
+
+def test_file_skipping_bites_and_is_safe(spark, sf_dir, table):
+    src = _orders(spark, sf_dir)
+    dl.append(
+        src.repartition(8), table,
+        stat_cols=["o_orderkey"], cluster_by=["o_orderkey"],
+    )
+    bound = src.agg(F.expr("max(o_orderkey) div 4")).first()[0]
+    pred = [("o_orderkey", "<=", int(bound))]
+    selected, total = dl.plan_files(table, predicate=pred)
+    assert total >= 8
+    assert 0 < len(selected) < total, "stats pruning must actually skip files"
+    got = _ids(dl.read_table(spark, table, predicate=pred))
+    want = _ids(src.filter(F.col("o_orderkey") <= int(bound)))
+    assert got == want  # skipping never drops a matching row
+    # string-column stats skip too
+    shutil.rmtree(table)
+    dl.append(
+        src.repartition(4), table,
+        stat_cols=["o_orderstatus"], cluster_by=["o_orderstatus"],
+    )
+    sel2, tot2 = dl.plan_files(table, predicate=[("o_orderstatus", "=", "P")])
+    assert len(sel2) < tot2
+
+
+def test_skipping_missing_stats_never_skips(spark, sf_dir, table):
+    src = _orders(spark, sf_dir)
+    dl.append(src.repartition(4), table)  # no stat_cols
+    sel, tot = dl.plan_files(table, predicate=[("o_orderkey", "<=", 10)])
+    assert len(sel) == tot  # absence of stats means scan, never skip
+
+
+def test_empty_predicate_result_keeps_schema(spark, sf_dir, table):
+    src = _orders(spark, sf_dir)
+    dl.append(src.repartition(2), table, stat_cols=["o_orderkey"],
+              cluster_by=["o_orderkey"])
+    df = dl.read_table(spark, table, predicate=[("o_orderkey", "<", -1)])
+    assert df.count() == 0
+    assert df.columns == src.columns
+
+
+def test_checkpoint_replay(spark, sf_dir, table):
+    src = _orders(spark, sf_dir)
+    for r in range(6):
+        dl.append(src.filter(F.col("o_orderkey") % 6 == r), table,
+                  checkpoint_every=3)
+    ckpts = [n for n in os.listdir(os.path.join(table, "_txn_log"))
+             if n.endswith(".checkpoint.json")]
+    assert ckpts, "checkpoints must be written at the interval"
+    # replay from a checkpoint reconstructs the same live set as a
+    # full-log replay (delete pre-checkpoint commit files to prove the
+    # reader really starts from the checkpoint)
+    full = {a["path"] for a in dl.live_files(table)}
+    for v in range(3):
+        os.unlink(dl._version_path(table, v))
+    assert {a["path"] for a in dl.live_files(table)} == full
+    assert _ids(dl.read_table(spark, table)) == _ids(src)
+
+
+def test_vacuum_deletes_only_unreferenced(spark, sf_dir, table):
+    src = _orders(spark, sf_dir)
+    dl.append(src, table)
+    dl.overwrite(src.filter("o_orderstatus = 'F'"), table)
+    deleted = dl.vacuum(table, keep_versions=1)
+    assert deleted, "the overwritten files must be vacuumed"
+    # latest still reads
+    assert dl.read_table(spark, table).count() == src.filter(
+        "o_orderstatus = 'F'"
+    ).count()
+    # time travel past the horizon now fails loudly at scan time
+    with pytest.raises(Exception):
+        dl.read_table(spark, table, version=0).count()
+
+
+def test_atomic_publish_no_partial_log(spark, sf_dir, table):
+    src = _orders(spark, sf_dir)
+    dl.append(src, table)
+    log = os.path.join(table, "_txn_log")
+    assert not [n for n in os.listdir(log) if n.startswith(".tmp")]
+    # every commit record is complete, parseable JSON lines
+    for name in os.listdir(log):
+        if name.endswith(".json") and not name.endswith(".checkpoint.json"):
+            with open(os.path.join(log, name)) as f:
+                lines = [json.loads(line) for line in f]
+            assert "commit" in lines[0]
+
+
+def test_read_nonexistent_table_raises(spark):
+    with pytest.raises(FileNotFoundError):
+        dl.read_table(spark, os.path.join(tempfile.gettempdir(), "no_such_tbl"))
+
+
+def test_version_out_of_range_raises(spark, sf_dir, table):
+    dl.append(_orders(spark, sf_dir), table)
+    with pytest.raises(ValueError):
+        dl.read_table(spark, table, version=5)
+
+
+def test_txn_idempotent_append(spark, sf_dir, table):
+    """The same (app, batch) appended twice lands exactly once — the
+    foreachBatch retry/restart class."""
+    src = _orders(spark, sf_dir)
+    half = src.filter("o_orderkey % 2 = 0")
+    v1 = dl.append(half, table, txn=("appA", 0))
+    v2 = dl.append(half, table, txn=("appA", 0))  # replay: must no-op
+    assert v1 == v2 == dl.table_version(table)
+    assert dl.read_table(spark, table).count() == half.count()
+    assert dl.last_txn_batch(table, "appA") == 0
+    assert dl.last_txn_batch(table, "appB") == -1
+    # a LOWER batch id replays too (restart from an older checkpoint)
+    dl.append(half, table, txn=("appA", 1))
+    dl.append(half, table, txn=("appA", 0))
+    assert dl.read_table(spark, table).count() == 2 * half.count()
+
+
+def test_txn_race_inside_commit(spark, sf_dir, table):
+    """Two retries of the SAME micro-batch racing the commit protocol:
+    the loser's re-check inside _commit_retry must see the winner's txn
+    and drop its own adds."""
+    src = _orders(spark, sf_dir)
+    half = src.filter("o_orderkey % 2 = 1")
+    adds = dl._write_data_files(half, table, 0, None, None)
+    # winner commits first (simulating the race interleaving)
+    dl.append(half, table, txn=("appX", 7))
+    v = dl._commit_retry(
+        table, "append", adds, [], half.schema.json(), -1, 10,
+        txn=("appX", 7),
+    )
+    assert v == dl.table_version(table)
+    assert dl.read_table(spark, table).count() == half.count()
+
+
+def test_stream_sink_exactly_once(spark, sf_dir, table, tmp_path):
+    """Full pipeline: availableNow stream → foreachBatch deltalite sink,
+    then a COMPLETE REPLAY against a fresh checkpoint — row counts must
+    not move (exactly-once end-to-end)."""
+    from pygdf_spark.streaming import (
+        read_events_stream,
+        run_available_now_deltalite,
+    )
+
+    def run(tag):
+        ev = read_events_stream(spark, sf_dir)
+        buys = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "value"
+        )
+        return run_available_now_deltalite(
+            buys, table, str(tmp_path / f"ckpt_{tag}"), app_id="t_once"
+        )
+
+    n_first = run("a")
+    assert n_first >= 1
+    count1 = dl.read_table(spark, table).count()
+    n_replay = run("b")  # fresh checkpoint: every batch replays
+    assert n_replay == 0, "replayed batches must all be deduped"
+    assert dl.read_table(spark, table).count() == count1
