@@ -132,3 +132,47 @@ def audio_decode(df: DataFrame, bytes_col: str = "audio_wav") -> DataFrame:
             })
 
     return df.mapInPandas(kernel, AUDIO_META_SCHEMA)
+
+
+#: per-sampled-frame stats for animated formats (one row per frame kept)
+FRAME_META_SCHEMA = (
+    "doc_id long, frame int, width int, height int, "
+    "px_sum long, px_first int, px_last int, delay_cs int"
+)
+
+
+def gif_frame_sample(
+    df: DataFrame, bytes_col: str = "img_gif", stride: int = 2
+) -> DataFrame:
+    """REAL video-style frame sampling: decode an animated-GIF binary
+    column (sources/gif_lite.py — LZW, compositing, disposal) and keep
+    every ``stride``-th composited frame with integer pixel stats — the
+    frame-extraction stage of a multimodal training pipeline, on real
+    bitstreams. One Arrow crossing, one output row per KEPT frame
+    (mapInPandas may change cardinality — no explode needed).
+    Malformed payloads raise (fail-loud)."""
+    from pygdf_spark.sources.gif_lite import decode_gif
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc, buf in zip(pdf["doc_id"], pdf[bytes_col]):
+                out = decode_gif(bytes(buf))
+                for i in range(0, len(out["frames"]), stride):
+                    px = out["frames"][i]
+                    r = _img_stats(int(doc), px)
+                    del r["channels"]
+                    r["frame"] = i
+                    r["delay_cs"] = int(out["delays_cs"][i])
+                    rows.append(r)
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame", "width", "height",
+                         "px_sum", "px_first", "px_last", "delay_cs"],
+            ).astype({
+                "doc_id": "int64", "frame": "int32", "width": "int32",
+                "height": "int32", "px_sum": "int64", "px_first": "int32",
+                "px_last": "int32", "delay_cs": "int32",
+            })
+
+    return df.mapInPandas(kernel, FRAME_META_SCHEMA)

@@ -74,21 +74,26 @@ _PRIORITY = [
     "join_anti", "join_cross", "join_conditional", "join_index_aligned",
     "join_range_bucketed", "join_salted_skew",
     "agg_basic_stats", "agg_quantiles", "agg_idxmax", "agg_collect_set",
-    "agg_bool_any_all", "agg_rollup", "agg_global_reduce", "agg_corr_cov",
+    "agg_rollup", "agg_global_reduce", "agg_corr_cov",
     "agg_moments",
-    "win_group_cumsum", "win_shift_diff", "win_ffill", "win_nth_value",
-    "win_rank_methods", "win_rolling_rows", "win_rolling_time",
+    "win_group_cumsum", "win_shift_diff",
+    "win_rolling_rows", "win_rolling_time",
     # -- net-new late-r6: deltalite transaction-log table format
     # (displacing sort_multi_nulls / topk_orders / dedup_keep_first,
     # which keep their cumulative r1 driver-green rows):
     # (sstream_lake_sink_live additionally displaces win_rolling_var,
     # r1-green) — exactly-once foreachBatch ingestion into deltalite:
+    # (lake_merge_upsert additionally displaces agg_bool_any_all, r1-green)
     "lake_snapshot_read", "lake_time_travel", "lake_file_skipping",
-    "sstream_lake_sink_live",
+    "lake_merge_upsert", "sstream_lake_sink_live",
     # -- net-new mid-r6 (never driver-checked; displaced seven r1-green
     # rows — dedup_distinct, value_counts, filter_isin,
     # ast_filter_string, fillna_coalesce, reshape_melt, reshape_pivot
     # keep their cumulative green rows):
+    # -- net-new late-r6 #2: GIF frame sampling + training-loop
+    # sampling ops (displacing win_ffill / win_nth_value /
+    # win_rank_methods, all r1-green):
+    "mm_gif_frames", "sample_epoch_shuffle", "sample_domain_cap",
     "nlp_bpe_train", "nlp_bpe_encode", "events_multires_rollup",
     "scd2_event_history", "sstream_scd2_changes_live",
     "text_pmi_bigrams", "ml_gram_suffstats",

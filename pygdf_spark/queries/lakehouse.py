@@ -156,13 +156,74 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def lake_merge_upsert(spark, sf_dir):
+    """MERGE INTO (CDC upsert): build a range-clustered orders table,
+    then merge a source of (a) UPDATES — a contiguous low-key band gets
+    its price doubled — and (b) INSERTS — brand-new keys past the max.
+    The two-pass merge (stats prune → input_file_name touch join)
+    rewrites only the files holding matched keys; the oracle
+    reconstructs the post-merge table algebraically, so the hash checks
+    update-wins semantics, insert placement, and that untouched rows
+    rode through the commit byte-identical."""
+    from pygdf_spark.sources import deltalite as dl
+
+    base = T(spark, sf_dir, "orders")
+    path = _tmp(sf_dir, "lake_merge")
+    shutil.rmtree(path, ignore_errors=True)
+    dl.append(
+        base.repartition(max(4, _shards(base))), path,
+        stat_cols=["o_orderkey"], cluster_by=["o_orderkey"],
+    )
+    mx = base.agg(F.max("o_orderkey")).first()[0]  # bounded 1-row agg
+    band = int(mx) // 5
+    updates = base.filter(F.col("o_orderkey") <= band).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    inserts = (
+        base.filter(F.col("o_orderkey") % 50 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(int(mx) + 1))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+    )
+    dl.merge_into(
+        spark, path, updates.unionByName(inserts), on="o_orderkey",
+        stat_cols=["o_orderkey"],
+    )
+    snap = dl.read_table(spark, path)
+    return snap.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(cents("o_totalprice")).alias("price_cents"),
+        F.sum("o_orderkey").alias("key_sum"),
+    ).orderBy("o_orderstatus")
+
+
+LAKE_MERGE_SQL = f"""
+WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+fin AS (
+  SELECT o_orderstatus, o_orderkey,
+         CASE WHEN o_orderkey <= (SELECT m FROM mx) // 5
+              THEN o_totalprice * 2 ELSE o_totalprice END AS p
+  FROM orders
+  UNION ALL
+  SELECT o_orderstatus, o_orderkey + (SELECT m FROM mx) + 1,
+         o_totalprice + 1000
+  FROM orders WHERE o_orderkey % 50 = 0
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM({sql_cents('p')}) AS BIGINT) AS price_cents,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
+    "lake_merge_upsert": lake_merge_upsert,
     "lake_snapshot_read": lake_snapshot_read,
     "lake_time_travel": lake_time_travel,
     "lake_file_skipping": lake_file_skipping,
 }
 
 ORACLE = {
+    "lake_merge_upsert": LAKE_MERGE_SQL,
     "lake_snapshot_read": LAKE_SNAPSHOT_SQL,
     "lake_time_travel": LAKE_TIME_TRAVEL_SQL,
     "lake_file_skipping": LAKE_SKIPPING_SQL,

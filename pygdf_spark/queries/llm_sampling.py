@@ -263,7 +263,103 @@ FROM (
 """
 
 
+def sample_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-EPOCH global shuffle — the data-loader stage
+    that re-orders the corpus differently every training epoch without
+    any RNG state: permutation key = md5(epoch || ':' || doc_id), shard
+    = key mod N, within-shard position = rank of key. Everything is
+    map-side arithmetic except ONE keyed window per epoch (the same
+    shuffle the physical repartition would do), and the layout is
+    reproducible bit-for-bit across runs, retries, and engines.
+
+    Output pins the FULL permutation, compressed: per (epoch, shard),
+    the doc count plus a position-weighted doc_id fold — any
+    transposition of two docs changes the fold, so the oracle hash
+    checks order, not just membership. At 100 TB the same expressions
+    feed ``repartition(N_shards, shard)`` + ``sortWithinPartitions``
+    and the writer emits one shard file per task."""
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(2).select(F.col("id").alias("epoch"))
+    keyed = d.crossJoin(epochs).select(
+        "epoch",
+        "doc_id",
+        md5_u64(
+            F.concat(F.col("epoch").cast("string"), F.lit(":"),
+                     F.col("doc_id").cast("string"))
+        ).alias("pkey"),
+    )
+    keyed = keyed.withColumn("shard", (F.col("pkey") % 8).cast("int"))
+    w = Window.partitionBy("epoch", "shard").orderBy("pkey", "doc_id")
+    pos = keyed.withColumn("pos", F.row_number().over(w))
+    return (
+        pos.groupBy("epoch", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("pos").cast("long") * F.col("doc_id")).alias("ord_fold"),
+        )
+        .orderBy("epoch", "shard")
+    )
+
+
+_EH = "md5_number_lower(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))"
+
+SAMPLE_EPOCH_SHUFFLE_SQL = f"""
+WITH keyed AS (
+  SELECT epoch, doc_id, {_EH} AS pkey, CAST({_EH} % 8 AS INT) AS shard
+  FROM documents, (SELECT UNNEST([0, 1]) AS epoch)
+), pos AS (
+  SELECT epoch, shard, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY epoch, shard
+                            ORDER BY pkey, doc_id) AS pos
+  FROM keyed
+)
+SELECT epoch, shard, COUNT(*) AS n_docs,
+       CAST(SUM(pos * doc_id) AS BIGINT) AS ord_fold
+FROM pos GROUP BY epoch, shard ORDER BY epoch, shard
+"""
+
+
+def sample_domain_cap(spark, sf_dir):
+    """Per-domain quota enforcement (the C4/RefinedWeb anti-spam stage:
+    no single source may dominate the corpus): keep at most K docs per
+    source, preferring the LONGEST (quality proxy), doc_id tiebreak.
+    One keyed window (partitioned by source — never global), map-side
+    everything else. Output: per-source totals vs kept + kept-char sum
+    so the hash pins exactly WHICH docs survived the cap."""
+    d = T(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    ranked = d.select("source", "doc_id", "n_chars",
+                      F.row_number().over(w).alias("rk"))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("rk") <= 50, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("rk") <= 50, F.col("n_chars")).otherwise(0)).alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+SAMPLE_DOMAIN_CAP_SQL = """
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN rk <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rk <= 50 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+FROM ranked GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
+    "sample_epoch_shuffle": sample_epoch_shuffle,
+    "sample_domain_cap": sample_domain_cap,
     "sample_reservoir": sample_reservoir,
     "sample_stratified": sample_stratified,
     "sample_quality_weighted": sample_quality_weighted,
@@ -273,6 +369,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sample_epoch_shuffle": SAMPLE_EPOCH_SHUFFLE_SQL,
+    "sample_domain_cap": SAMPLE_DOMAIN_CAP_SQL,
     "sample_reservoir": SAMPLE_RESERVOIR_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "sample_quality_weighted": SAMPLE_QUALITY_SQL,

@@ -493,7 +493,84 @@ FROM px GROUP BY 1 ORDER BY label
 """
 
 
+#: animated-GIF spec: w=6+doc%7, h=5+(doc//2)%5, n_frames=3+doc%4,
+#: 16-color palette R=(17j+doc)%256 G=(29j+2doc)%256 B=(43j+5doc)%256,
+#: index(f,x,y)=(doc+3f+5x+7y)%16, delay(f)=(doc+f)%7 centiseconds
+def _gen_gif(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from pygdf_spark.sources.gif_lite import encode_gif
+
+    for pdf in batches:
+        bufs = []
+        for doc in pdf["doc_id"]:
+            doc = int(doc)
+            w, h = 6 + doc % 7, 5 + (doc // 2) % 5
+            nf = 3 + doc % 4
+            j = np.arange(16)
+            pal = np.stack(
+                [(17 * j + doc) % 256, (29 * j + 2 * doc) % 256,
+                 (43 * j + 5 * doc) % 256], axis=1
+            ).astype("uint8")
+            x = np.arange(w)[None, :]
+            y = np.arange(h)[:, None]
+            frames = [
+                ((doc + 3 * f + 5 * x + 7 * y) % 16).astype("uint8")
+                for f in range(nf)
+            ]
+            delays = [(doc + f) % 7 for f in range(nf)]
+            bufs.append(encode_gif(frames, pal, delays_cs=delays))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "img_gif": bufs})
+
+
+def mm_gif_frames(spark, sf_dir):
+    """REAL animated-image frame sampling: synthesized multi-frame GIFs
+    (16-color palette, per-frame delays) decoded by the spec LZW codec
+    inside mapInPandas, keeping every 2nd composited frame — the
+    video→frames stage of a multimodal pipeline on real bitstreams.
+    Oracle recomputes every sampled frame's pixel stats from the
+    palette/index formulas, codec-free."""
+    from pygdf_spark.operators.multimodal import gif_frame_sample
+
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 300).select("doc_id")
+    payloads = d.mapInPandas(_gen_gif, "doc_id long, img_gif binary")
+    return gif_frame_sample(payloads, stride=2).orderBy("doc_id", "frame")
+
+
+MM_GIF_FRAMES_SQL = """
+WITH spec AS (
+  SELECT doc_id, 6 + doc_id % 7 AS w, 5 + (doc_id // 2) % 5 AS h,
+         3 + doc_id % 4 AS nf
+  FROM documents WHERE doc_id < 300
+),
+fr AS (
+  SELECT s.doc_id, s.w, s.h, ff.f
+  FROM spec s, UNNEST(generate_series(0, s.nf - 1)) AS ff(f)
+  WHERE ff.f % 2 = 0
+),
+px AS (
+  SELECT fr.doc_id, fr.f, fr.w, fr.h,
+         SUM((17 * ((fr.doc_id + 3 * fr.f + 5 * xx.x + 7 * yy.y) % 16) + fr.doc_id) % 256
+           + (29 * ((fr.doc_id + 3 * fr.f + 5 * xx.x + 7 * yy.y) % 16) + 2 * fr.doc_id) % 256
+           + (43 * ((fr.doc_id + 3 * fr.f + 5 * xx.x + 7 * yy.y) % 16) + 5 * fr.doc_id) % 256) AS s
+  FROM fr,
+       UNNEST(generate_series(0, fr.w - 1)) AS xx(x),
+       UNNEST(generate_series(0, fr.h - 1)) AS yy(y)
+  GROUP BY fr.doc_id, fr.f, fr.w, fr.h
+)
+SELECT doc_id, CAST(f AS INT) AS frame,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(s AS BIGINT) AS px_sum,
+       CAST((17 * ((doc_id + 3 * f) % 16) + doc_id) % 256 AS INT) AS px_first,
+       CAST((43 * ((doc_id + 3 * f + 5 * (w - 1) + 7 * (h - 1)) % 16) + 5 * doc_id) % 256 AS INT) AS px_last,
+       CAST((doc_id + f) % 7 AS INT) AS delay_cs
+FROM px ORDER BY doc_id, frame
+"""
+
+
+
 QUERIES = {
+    "mm_gif_frames": mm_gif_frames,
     "mm_binary_meta": mm_binary_meta,
     "mm_image_decode_stub": mm_image_decode_stub,
     "mm_frame_sample": mm_frame_sample,
@@ -507,6 +584,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "mm_gif_frames": MM_GIF_FRAMES_SQL,
     "mm_webdataset_images": MM_WEBDATASET_SQL,
     "mm_binary_meta": MM_BINARY_META_SQL,
     "mm_image_decode_stub": MM_DECODE_SQL,

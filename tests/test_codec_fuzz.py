@@ -1,8 +1,9 @@
 """Per-format codec fuzz tier (r6, VERDICT r5 Next #6).
 
 Randomized shape × dtype × null-fraction × truncation/corruption matrices
-over the five pure-Python codecs (avro_lite, npy_lite, safetensors_lite,
-png_lite, wav_lite) — the analog of the reference's
+over the pure-Python codecs (avro_lite, npy_lite, safetensors_lite,
+png_lite, wav_lite, warc_lite, webdataset_lite, gif_lite) — the analog
+of the reference's
 ``python/cudf/cudf/_fuzz_testing/fuzzer.py:17-50`` per-format fuzzers.
 
 Contract under test, per the verdict's phrasing: **exact round-trip or
@@ -463,3 +464,77 @@ def test_webdataset_write_nonidentifier_column(spark, tmp_path):
     }
     assert rows[("k1", "a")] == b"alpha"
     assert rows[("k1", "b")] == b"beta"
+
+
+# -- gif_lite (late r6: LZW + compositing) --------------------------------
+
+_gif_case = st.tuples(
+    st.integers(1, 40),        # width
+    st.integers(1, 30),        # height
+    st.integers(1, 4),         # frames
+    st.sampled_from([2, 4, 16, 64, 256]),  # palette size
+    st.integers(0, 2**31 - 1),  # seed
+)
+
+
+@FUZZ
+@given(_gif_case)
+def test_gif_fuzz_roundtrip(case):
+    from pygdf_spark.sources.gif_lite import decode_gif, encode_gif
+
+    w, h, nf, npal, seed = case
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (npal, 3)).astype(np.uint8)
+    frames = [rng.integers(0, npal, (h, w)).astype(np.uint8)
+              for _ in range(nf)]
+    delays = [int(rng.integers(0, 600)) for _ in range(nf)]
+    out = decode_gif(encode_gif(frames, pal, delays_cs=delays))
+    assert out["width"] == w and out["height"] == h
+    assert len(out["frames"]) == nf
+    assert out["delays_cs"] == delays
+    for f, got in zip(frames, out["frames"]):
+        assert np.array_equal(got, pal[f])
+
+
+@FUZZ
+@given(_gif_case, st.data())
+def test_gif_fuzz_truncation(case, data):
+    """Every strict prefix raises — GIF requires an explicit trailer,
+    so silent short decodes are impossible by construction."""
+    from pygdf_spark.sources.gif_lite import decode_gif, encode_gif
+
+    w, h, nf, npal, seed = case
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (npal, 3)).astype(np.uint8)
+    frames = [rng.integers(0, npal, (h, w)).astype(np.uint8)
+              for _ in range(nf)]
+    buf = encode_gif(frames, pal)
+    cut = data.draw(st.integers(0, len(buf) - 1))
+    with pytest.raises(ValueError):
+        decode_gif(buf[:cut])
+
+
+@FUZZ
+@given(_gif_case, st.data())
+def test_gif_fuzz_byte_flip_loud_or_wrong_pixels_only(case, data):
+    """GIF has no CRC, so a flipped byte may legally change pixels —
+    but it must NEVER crash with a non-ValueError or hang: decode
+    either raises ValueError or returns frames of the declared
+    geometry."""
+    from pygdf_spark.sources.gif_lite import decode_gif, encode_gif
+
+    w, h, nf, npal, seed = case
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (npal, 3)).astype(np.uint8)
+    frames = [rng.integers(0, npal, (h, w)).astype(np.uint8)
+              for _ in range(nf)]
+    buf = bytearray(encode_gif(frames, pal))
+    pos = data.draw(st.integers(6, len(buf) - 1))
+    bit = data.draw(st.integers(0, 7))
+    buf[pos] ^= 1 << bit
+    try:
+        out = decode_gif(bytes(buf))
+    except ValueError:
+        return
+    for f in out["frames"]:
+        assert f.shape == (out["height"], out["width"], 3)

@@ -259,3 +259,71 @@ def test_stream_sink_exactly_once(spark, sf_dir, table, tmp_path):
     n_replay = run("b")  # fresh checkpoint: every batch replays
     assert n_replay == 0, "replayed batches must all be deduped"
     assert dl.read_table(spark, table).count() == count1
+
+
+def test_merge_upsert_semantics(spark, sf_dir, table):
+    src_tbl = _orders(spark, sf_dir)
+    dl.append(src_tbl.repartition(8), table,
+              stat_cols=["o_orderkey"], cluster_by=["o_orderkey"])
+    mx = src_tbl.agg(F.max("o_orderkey")).first()[0]
+    updates = src_tbl.filter("o_orderkey % 100 = 0").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 10
+    )
+    inserts = src_tbl.limit(3).withColumn(
+        "o_orderkey", F.col("o_orderkey") + mx + 1
+    )
+    res = dl.merge_into(
+        spark, table, updates.unionByName(inserts), on="o_orderkey",
+        stat_cols=["o_orderkey"],
+    )
+    out = dl.read_table(spark, table)
+    assert out.count() == src_tbl.count() + 3
+    # update wins: every %100 key carries the 10x price
+    got = dict(
+        out.filter("o_orderkey % 100 = 0 AND o_orderkey <= " + str(mx))
+        .select("o_orderkey", "o_totalprice").collect()
+    )
+    want = dict(updates.select("o_orderkey", "o_totalprice").collect())
+    assert got == want
+    # pre-merge snapshot is untouched (snapshot isolation across merge)
+    assert dl.read_table(spark, table, version=0).count() == src_tbl.count()
+    assert res["files_total"] >= 8
+
+
+def test_merge_rewrites_only_touched_files(spark, sf_dir, table):
+    """A narrow key band + inserts must rewrite ONLY the band's files —
+    the two-pass prune is the merge's whole 100 TB story."""
+    src_tbl = _orders(spark, sf_dir)
+    dl.append(src_tbl.repartition(8), table,
+              stat_cols=["o_orderkey"], cluster_by=["o_orderkey"])
+    mx = src_tbl.agg(F.max("o_orderkey")).first()[0]
+    narrow = src_tbl.filter(F.col("o_orderkey") < mx // 8).withColumn(
+        "o_totalprice", F.lit(1.0)
+    )
+    ins = src_tbl.limit(1).withColumn(
+        "o_orderkey", F.col("o_orderkey") + mx + 1
+    )
+    res = dl.merge_into(
+        spark, table, narrow.unionByName(ins), on="o_orderkey",
+        stat_cols=["o_orderkey"],
+    )
+    assert 0 < res["files_rewritten"] < res["files_total"], res
+    out = dl.read_table(spark, table)
+    assert out.count() == src_tbl.count() + 1
+    assert out.filter(F.col("o_orderkey") < mx // 8).agg(
+        F.max("o_totalprice")
+    ).first()[0] == 1.0
+
+
+def test_merge_pure_insert_touches_nothing(spark, sf_dir, table):
+    src_tbl = _orders(spark, sf_dir)
+    dl.append(src_tbl.repartition(4), table,
+              stat_cols=["o_orderkey"], cluster_by=["o_orderkey"])
+    mx = src_tbl.agg(F.max("o_orderkey")).first()[0]
+    ins = src_tbl.limit(5).withColumn(
+        "o_orderkey", F.col("o_orderkey") + mx + 1
+    )
+    res = dl.merge_into(spark, table, ins, on="o_orderkey",
+                        stat_cols=["o_orderkey"])
+    assert res["files_rewritten"] == 0
+    assert dl.read_table(spark, table).count() == src_tbl.count() + 5
