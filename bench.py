@@ -105,6 +105,11 @@ EXTRA_BENCH = [
     "text_pmi_bigrams",       # PMI collocation mining
     "ml_gram_suffstats",      # Gram-matrix sufficient statistics
     "io_warc_roundtrip",      # Common Crawl shard write+read
+    # late-r6 operators (same outside-headline rule):
+    "lake_merge_upsert",      # deltalite MERGE INTO (CDC upsert)
+    "lake_file_skipping",     # stats-pruned snapshot scan
+    "mm_gif_frames",          # animated-GIF LZW decode + frame sample
+    "sample_epoch_shuffle",   # deterministic per-epoch permutation
 ]
 
 

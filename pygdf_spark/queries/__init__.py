@@ -63,6 +63,7 @@ _PRIORITY = [
     #    mm_image_*: vectorized unfilter + IEND strictness
     #    mm_audio: ragged-data-chunk strictness
     "q12_priority_class", "io_csv_roundtrip", "io_npy_roundtrip",
+    "io_npz_roundtrip",  # late-r6 zip-of-npy (displaces agg_collect_set)
     "io_safetensors_roundtrip", "sim_ivf_probe",
     "mm_image_decode_png", "mm_image_resize_nn", "mm_audio_decode_wav",
     # -- net-new r6: WARC (Common Crawl) + WebDataset tar-shard sources
@@ -73,7 +74,7 @@ _PRIORITY = [
     "join_inner_q3", "join_left_outer", "join_full_outer", "join_semi",
     "join_anti", "join_cross", "join_conditional", "join_index_aligned",
     "join_range_bucketed", "join_salted_skew",
-    "agg_basic_stats", "agg_quantiles", "agg_idxmax", "agg_collect_set",
+    "agg_basic_stats", "agg_quantiles", "agg_idxmax",
     "agg_rollup", "agg_global_reduce", "agg_corr_cov",
     "agg_moments",
     "win_group_cumsum", "win_shift_diff",

@@ -160,6 +160,28 @@ SELECT * FROM (
 """
 
 
+def io_npz_roundtrip(spark, sf_dir):
+    """embeddings → sharded .npz write (one zip-of-npy container per
+    partition, ids+vecs members) → distributed read-back → per-row dim
+    + checksum. Bit-exact float32 round-trip, so the oracle reads the
+    ORIGINAL parquet — the npy oracle applies verbatim."""
+    from pygdf_spark.sources.npy_lite import read_npz_dir, write_npz_dir
+
+    base = T(spark, sf_dir, "embeddings")
+    emb = base.select("vec_id", "embedding").repartition(_shards(base))
+    path = _tmp(sf_dir, "npz_emb")
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    write_npz_dir(emb, path, "vec_id", "embedding")
+    back = read_npz_dir(spark, path)
+    return back.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        _vec_milli().alias("vec_milli"),
+    ).orderBy("vec_id")
+
+
 def io_warc_roundtrip(spark, sf_dir):
     """documents → sharded .warc.gz write (per-record gzip members, one
     shard per partition — the Common Crawl layout) → distributed
@@ -244,6 +266,7 @@ FROM documents ORDER BY doc_id
 
 QUERIES = {
     "io_npy_roundtrip": io_npy_roundtrip,
+    "io_npz_roundtrip": io_npz_roundtrip,
     "io_safetensors_roundtrip": io_safetensors_roundtrip,
     "io_warc_roundtrip": io_warc_roundtrip,
     "io_webdataset_roundtrip": io_webdataset_roundtrip,
@@ -251,6 +274,7 @@ QUERIES = {
 
 ORACLE = {
     "io_npy_roundtrip": IO_NPY_SQL,
+    "io_npz_roundtrip": IO_NPY_SQL,
     "io_safetensors_roundtrip": IO_SAFETENSORS_SQL,
     "io_warc_roundtrip": IO_WARC_SQL,
     "io_webdataset_roundtrip": IO_WEBDATASET_SQL,

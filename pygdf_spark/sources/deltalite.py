@@ -589,8 +589,23 @@ def merge_into(
 
     base = table_version(table)
     live = live_files(table)
-    row = source.agg(F.min(on), F.max(on)).collect()[0]  # one 1-row job
+    # one 1-row job: key range + the null-key guard (a null merge key
+    # can never match, so it would be re-INSERTED on every CDC apply —
+    # silently non-idempotent; Delta rejects it too)
+    row = source.agg(
+        F.min(on), F.max(on), F.count("*"),
+        F.sum(F.col(on).isNull().cast("long")),
+    ).collect()[0]
     lo, hi = _json_safe(row[0]), _json_safe(row[1])
+    if (row[3] or 0) > 0:
+        raise ValueError(
+            f"merge_into: {row[3]} source rows have a NULL merge key "
+            f"{on!r} — null keys never match and would duplicate on "
+            "every apply; filter or key them first"
+        )
+    if row[2] == 0:  # empty source: nothing to do, no empty-file commit
+        return {"version": base, "files_rewritten": 0,
+                "files_total": len(live)}
 
     def is_candidate(add: dict) -> bool:
         s = (add.get("stats") or {}).get(on)

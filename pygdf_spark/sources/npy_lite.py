@@ -157,3 +157,79 @@ def read_npy_dir(spark, path: str):
                 })
 
     return paired.mapInPandas(load, "vec_id long, embedding array<float>")
+
+
+# ----------------------------------------------------------------- npz
+
+
+def write_npz_dir(df, path: str, id_col: str, vec_col: str) -> None:
+    """Sharded ``.npz`` sink: one zip container per partition holding
+    the standard numpy archive members (``ids.npy`` + ``vecs.npy``).
+    Same commit discipline as write_npy_dir: TaskContext-named shards
+    (retries overwrite, never duplicate) written temp-then-rename.
+    ZIP_STORED — the float payload is incompressible and STORED keeps
+    the member byte ranges seekable for partial readers."""
+    import io
+    import os
+    import uuid
+    import zipfile
+
+    import pandas as pd
+    from pyspark import TaskContext
+
+    os.makedirs(path, exist_ok=True)
+
+    def dump(batches):
+        pid = TaskContext.get().partitionId()
+        ids, vecs = [], []
+        for pdf in batches:
+            if len(pdf):
+                ids.append(np.asarray(pdf[id_col], np.int64))
+                vecs.append(
+                    np.stack([np.asarray(v, np.float32) for v in pdf[vec_col]])
+                )
+        if ids:
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+                z.writestr("ids.npy", encode_npy(np.concatenate(ids)))
+                z.writestr("vecs.npy", encode_npy(np.vstack(vecs)))
+            tmp = os.path.join(path, f".tmp-{uuid.uuid4().hex[:8]}")
+            with open(tmp, "wb") as f:
+                f.write(buf.getvalue())
+            os.replace(tmp, os.path.join(path, f"part-{pid:05d}.npz"))
+        yield pd.DataFrame({"n": [len(ids)]})
+
+    df.mapInPandas(dump, "n long").collect()  # bounded: 1 row/partition
+
+
+def read_npz_dir(spark, path: str):
+    """Read ``.npz`` shards back to (vec_id, embedding) rows — whole
+    zip containers distribute through binaryFile (one task per shard),
+    members decode with the same npy codec. Malformed zips or
+    mismatched member lengths raise (fail-loud)."""
+    import io
+    import zipfile
+
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(f"{path}/part-*.npz")
+
+    def load(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                try:
+                    z = zipfile.ZipFile(io.BytesIO(bytes(content)))
+                    ids = decode_npy(z.read("ids.npy"))
+                    vecs = decode_npy(z.read("vecs.npy"))
+                except (zipfile.BadZipFile, KeyError) as e:
+                    raise ValueError(f"npz: malformed shard: {e}") from e
+                if len(ids) != len(vecs):
+                    raise ValueError("npz: ids/vecs length mismatch")
+                yield pd.DataFrame({
+                    "vec_id": ids.astype("int64"),
+                    "embedding": [row.tolist() for row in vecs],
+                })
+
+    return files.select("content").mapInPandas(
+        load, "vec_id long, embedding array<float>"
+    )

@@ -327,3 +327,18 @@ def test_merge_pure_insert_touches_nothing(spark, sf_dir, table):
                         stat_cols=["o_orderkey"])
     assert res["files_rewritten"] == 0
     assert dl.read_table(spark, table).count() == src_tbl.count() + 5
+
+
+def test_merge_null_key_is_loud_and_empty_source_noop(spark, sf_dir, table):
+    src_tbl = _orders(spark, sf_dir)
+    dl.append(src_tbl.repartition(2), table, stat_cols=["o_orderkey"])
+    nulled = src_tbl.limit(4).withColumn(
+        "o_orderkey", F.when(F.col("o_orderkey") % 2 == 0, None)
+        .otherwise(F.col("o_orderkey"))
+    )
+    with pytest.raises(ValueError, match="NULL merge key"):
+        dl.merge_into(spark, table, nulled, on="o_orderkey")
+    v = dl.table_version(table)
+    res = dl.merge_into(spark, table, src_tbl.limit(0), on="o_orderkey")
+    assert res["version"] == v and res["files_rewritten"] == 0
+    assert dl.table_version(table) == v  # no empty commit

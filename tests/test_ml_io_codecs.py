@@ -137,3 +137,47 @@ def test_package_level_readers(spark, tmp_path):
         f.write(encode_safetensors({"w": np.arange(4, dtype=np.int64)}))
     inv = gd.read_safetensors(p, spark=spark).to_pandas()
     assert inv["tensor"].tolist() == ["w"] and inv["n_elems"].tolist() == [4]
+
+
+def test_npz_roundtrip_and_malformed(spark, sf_dir, tmp_path):
+    """Sharded .npz write→read preserves float32 bits; malformed zips
+    and mismatched members raise ValueError (fail-loud)."""
+    import os
+    import zipfile
+
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pygdf_spark.sources.npy_lite import (
+        encode_npy,
+        read_npz_dir,
+        write_npz_dir,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    src = emb.select("vec_id", "embedding").repartition(3)
+    path = str(tmp_path / "npz")
+    write_npz_dir(src, path, "vec_id", "embedding")
+    shards = [n for n in os.listdir(path) if n.endswith(".npz")]
+    assert len(shards) >= 1 and not [n for n in os.listdir(path)
+                                     if n.startswith(".tmp")]
+    back = read_npz_dir(spark, path)
+    a = {r["vec_id"]: r["embedding"] for r in src.collect()}
+    b = {r["vec_id"]: r["embedding"] for r in back.collect()}
+    assert a == b  # float32 bit-exact both ways
+    # malformed member set → loud
+    bad = str(tmp_path / "bad")
+    os.makedirs(bad)
+    with zipfile.ZipFile(os.path.join(bad, "part-00000.npz"), "w") as z:
+        z.writestr("ids.npy", encode_npy(np.arange(3, dtype=np.int64)))
+        z.writestr("vecs.npy", encode_npy(np.zeros((2, 4), np.float32)))
+    with pytest.raises(Exception, match="length mismatch"):
+        read_npz_dir(spark, bad).collect()
+    # not a zip at all → loud
+    worse = str(tmp_path / "worse")
+    os.makedirs(worse)
+    with open(os.path.join(worse, "part-00000.npz"), "wb") as f:
+        f.write(b"not a zip")
+    with pytest.raises(Exception, match="malformed shard"):
+        read_npz_dir(spark, worse).collect()
