@@ -215,7 +215,58 @@ FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def lake_zorder_skip(spark, sf_dir):
+    """Z-ORDER clustering (OPTIMIZE ZORDER analog): one append writes
+    orders Morton-interleaved on (o_custkey, o_orderkey), then TWO
+    predicate reads — one per dimension — each pruned by the same
+    per-file footer stats. Z-ordering is the only layout where BOTH
+    single-column predicates skip files (a 1-D sort makes the other
+    column's per-file ranges full-width); the per-dimension skip counts
+    are asserted in tests/test_deltalite.py. The oracle reconstructs
+    both filtered aggregates from the source, so the hash checks that
+    multi-dimensional clustering never loses a row."""
+    from pygdf_spark.sources import deltalite as dl
+
+    base = T(spark, sf_dir, "orders")
+    path = _tmp(sf_dir, "lake_zorder")
+    shutil.rmtree(path, ignore_errors=True)
+    dl.append_zorder(
+        base.repartition(max(4, _shards(base))), path,
+        ["o_custkey", "o_orderkey"],
+    )
+    outs = []
+    for dim in ("o_custkey", "o_orderkey"):
+        bound = base.agg(F.expr(f"max({dim}) div 4")).first()[0]
+        snap = dl.read_table(spark, path, predicate=[(dim, "<=", int(bound))])
+        outs.append(
+            snap.agg(
+                F.lit(dim).alias("dim"),
+                F.count("*").alias("n_orders"),
+                F.sum("o_orderkey").alias("key_sum"),
+                F.sum(cents("o_totalprice")).alias("price_cents"),
+            )
+        )
+    return outs[0].unionAll(outs[1]).orderBy("dim")
+
+
+LAKE_ZORDER_SQL = f"""
+SELECT * FROM (
+  SELECT 'o_custkey' AS dim, COUNT(*) AS n_orders,
+         CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+         CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) AS price_cents
+  FROM orders
+  WHERE o_custkey <= (SELECT MAX(o_custkey) FROM orders) // 4
+  UNION ALL
+  SELECT 'o_orderkey', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+         CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT)
+  FROM orders
+  WHERE o_orderkey <= (SELECT MAX(o_orderkey) FROM orders) // 4
+) ORDER BY dim
+"""
+
+
 QUERIES = {
+    "lake_zorder_skip": lake_zorder_skip,
     "lake_merge_upsert": lake_merge_upsert,
     "lake_snapshot_read": lake_snapshot_read,
     "lake_time_travel": lake_time_travel,
@@ -223,6 +274,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "lake_zorder_skip": LAKE_ZORDER_SQL,
     "lake_merge_upsert": LAKE_MERGE_SQL,
     "lake_snapshot_read": LAKE_SNAPSHOT_SQL,
     "lake_time_travel": LAKE_TIME_TRAVEL_SQL,

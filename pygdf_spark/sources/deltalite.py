@@ -658,3 +658,83 @@ def merge_into(
         "files_rewritten": len(touched_rel),
         "files_total": len(live),
     }
+
+
+# ----------------------------------------------------------------- z-order
+
+
+def zorder_expr(df: DataFrame, cols: list[str], bits: int = 16):
+    """Morton (Z-curve) interleave of ``cols`` as a Spark Column — the
+    multi-dimensional clustering key behind Delta/Iceberg's
+    OPTIMIZE ZORDER. Each column is min-max normalized to ``bits`` bits
+    with ONE bounded 1-row aggregate (the same driver-literal class as
+    the skipping bound), then the bit planes are interleaved with pure
+    JVM shift/or expressions (whole-stage codegen, no UDF).
+
+    Sorting by the interleaved key makes every output file cover a
+    small HYPER-RECTANGLE of the key space instead of a slab of one
+    column — so footer min/max stats become tight on EVERY z-ordered
+    column at once and single-column predicates on any of them prune
+    files. Min-max normalization is skew-sensitive (documented; the
+    rank-based variant plugs the boundary machinery of
+    operators/order.py into the same interleave).
+    """
+    from pyspark.sql import functions as F
+
+    if not 1 <= len(cols) <= 4:
+        raise ValueError("zorder_expr: 1-4 columns")
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c), F.max(c)]
+    row = df.agg(*aggs).collect()[0]  # one 1-row job
+    parts = []
+    for i, c in enumerate(cols):
+        lo, hi = row[2 * i], row[2 * i + 1]
+        if lo is None or hi is None or hi == lo:
+            norm = F.lit(0).cast("long")
+        else:
+            span = float(hi - lo)
+            norm = F.least(
+                F.lit((1 << bits) - 1),
+                ((F.col(c).cast("double") - float(lo))
+                 * ((1 << bits) - 1) / span).cast("long"),
+            )
+        # nulls sort first: map to 0
+        parts.append(F.coalesce(norm, F.lit(0).cast("long")))
+    n = len(cols)
+    one = F.lit(1).cast("long")
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, p in enumerate(parts):
+            # Column.&/| are LOGICAL in PySpark — bitwise needs the
+            # explicit bitwiseAND/bitwiseOR methods
+            plane = F.shiftright(p, b).bitwiseAND(one)
+            z = z.bitwiseOR(F.shiftleft(plane, b * n + i).cast("long"))
+    return z
+
+
+def append_zorder(
+    df: DataFrame, table: str, zorder_by: list[str], bits: int = 16,
+    num_files: int | None = None, checkpoint_every: int = 10,
+) -> int:
+    """Append with Z-curve clustering: rows are range-partitioned and
+    sorted by the interleaved key, then written with footer stats on
+    every z-ordered column — multi-dimensional file skipping."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    z = zorder_expr(df, zorder_by, bits)
+    n = num_files or df.rdd.getNumPartitions()
+    clustered = (
+        df.withColumn("__z", z)
+        .repartitionByRange(n, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    base = table_version(table)
+    # cluster_by=None here: the layout is already z-clustered; stats
+    # are harvested on the z-ordered columns
+    adds = _write_data_files(clustered, table, base + 1, zorder_by, None)
+    return _commit_retry(
+        table, "append-zorder", adds, [], df.schema.json(), base,
+        checkpoint_every,
+    )

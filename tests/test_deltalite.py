@@ -342,3 +342,41 @@ def test_merge_null_key_is_loud_and_empty_source_noop(spark, sf_dir, table):
     res = dl.merge_into(spark, table, src_tbl.limit(0), on="o_orderkey")
     assert res["version"] == v and res["files_rewritten"] == 0
     assert dl.table_version(table) == v  # no empty commit
+
+
+def test_zorder_skips_on_every_dimension(spark, sf_dir, table):
+    """The whole point of z-order: BOTH single-column predicates prune
+    files. A 1-D sort can only prune on its own column."""
+    src = _orders(spark, sf_dir)
+    dl.append_zorder(src.repartition(8), table,
+                     ["o_custkey", "o_orderkey"], num_files=8)
+    for col in ("o_custkey", "o_orderkey"):
+        mx = src.agg(F.max(col)).first()[0]
+        pred = [(col, "<=", int(mx) // 6)]
+        sel, tot = dl.plan_files(table, predicate=pred)
+        assert 0 < len(sel) < tot, (col, len(sel), tot)
+        got = dl.read_table(spark, table, predicate=pred).count()
+        assert got == src.filter(F.col(col) <= int(mx) // 6).count()
+    # contrast: a 1-D cluster on o_orderkey cannot prune o_custkey
+    import shutil as _sh
+    _sh.rmtree(table)
+    dl.append(src.repartition(8), table,
+              stat_cols=["o_custkey", "o_orderkey"],
+              cluster_by=["o_orderkey"])
+    mx = src.agg(F.max("o_custkey")).first()[0]
+    sel, tot = dl.plan_files(
+        table, predicate=[("o_custkey", "<=", int(mx) // 6)]
+    )
+    assert len(sel) == tot  # full-width ranges: nothing skippable
+
+
+def test_zorder_constant_and_null_columns(spark, sf_dir, table):
+    """Constant and null-bearing z-columns degrade gracefully (plane
+    collapses to 0) instead of dividing by zero."""
+    src = _orders(spark, sf_dir).withColumn("const", F.lit(7)).withColumn(
+        "maybe", F.when(F.col("o_orderkey") % 3 == 0, None)
+        .otherwise(F.col("o_orderkey"))
+    )
+    dl.append_zorder(src.repartition(4), table, ["const", "maybe"],
+                     num_files=4)
+    assert dl.read_table(spark, table).count() == src.count()

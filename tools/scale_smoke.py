@@ -63,7 +63,12 @@ TIMED = ["q1_pricing_summary", "join_inner_q3", "agg_basic_stats",
          # mid-r6 additions (BPE training, timeseries maintenance,
          # corpus stats, distributed model fit)
          "nlp_bpe_train", "events_multires_rollup", "scd2_event_history",
-         "text_pmi_bigrams", "ml_gram_suffstats"]
+         "text_pmi_bigrams", "ml_gram_suffstats",
+         # late-r6 additions (lakehouse txn protocol, GIF frame sampling,
+         # training-loop sampling, zip-of-npy shards)
+         "lake_snapshot_read", "lake_time_travel", "lake_file_skipping",
+         "lake_merge_upsert", "mm_gif_frames", "sample_epoch_shuffle",
+         "sample_domain_cap", "io_npz_roundtrip"]
 
 
 def build(spark, n: int, dst: str) -> None:
