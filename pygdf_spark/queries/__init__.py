@@ -77,7 +77,7 @@ _PRIORITY = [
     "agg_basic_stats", "agg_quantiles", "agg_idxmax",
     "agg_rollup", "agg_global_reduce", "agg_corr_cov",
     "agg_moments",
-    "win_group_cumsum", "win_shift_diff", "win_rolling_rows",
+    "win_group_cumsum", "win_shift_diff",
     # -- net-new late-r6: deltalite transaction-log table format
     # (displacing sort_multi_nulls / topk_orders / dedup_keep_first,
     # which keep their cumulative r1 driver-green rows):
@@ -85,8 +85,10 @@ _PRIORITY = [
     # r1-green) — exactly-once foreachBatch ingestion into deltalite:
     # (lake_merge_upsert additionally displaces agg_bool_any_all, and
     # lake_zorder_skip displaces win_rolling_time — both r1-green)
+    # (lake_change_feed displaces win_rolling_rows, r1-green)
     "lake_snapshot_read", "lake_time_travel", "lake_file_skipping",
-    "lake_merge_upsert", "lake_zorder_skip", "sstream_lake_sink_live",
+    "lake_merge_upsert", "lake_zorder_skip", "lake_change_feed",
+    "sstream_lake_sink_live",
     # -- net-new mid-r6 (never driver-checked; displaced seven r1-green
     # rows — dedup_distinct, value_counts, filter_isin,
     # ast_filter_string, fillna_coalesce, reshape_melt, reshape_pivot

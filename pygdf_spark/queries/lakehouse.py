@@ -265,7 +265,69 @@ SELECT * FROM (
 """
 
 
+def lake_change_feed(spark, sf_dir):
+    """Change Data Feed: append events (v0), MERGE a CDC batch (v1 —
+    a value bump for every 7th key + brand-new keys past the max), then
+    read the row-level changes (v0, v1] with key-based diffing. Rows
+    that merely moved files during the merge rewrite must produce NO
+    change rows — the oracle reconstructs exactly the insert /
+    update_preimage / update_postimage sets, so a single phantom
+    "change" from a rewritten-but-unchanged row breaks the hash."""
+    from pygdf_spark.sources import deltalite as dl
+
+    base = T(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = _tmp(sf_dir, "lake_cdf")
+    shutil.rmtree(path, ignore_errors=True)
+    dl.append(
+        base.repartition(max(4, _shards(base))), path,
+        stat_cols=["event_id"], cluster_by=["event_id"],
+    )
+    mx = int(base.agg(F.max("event_id")).first()[0])
+    updates = base.filter(F.col("event_id") % 7 == 0).withColumn(
+        "value", F.col("value") + 1
+    )
+    inserts = (
+        base.filter(F.col("event_id") % 100 == 0)
+        .withColumn("event_id", F.col("event_id") + F.lit(mx + 1))
+        .withColumn("value", F.col("value") + 5)
+    )
+    dl.merge_into(spark, path, updates.unionByName(inserts),
+                  on="event_id", stat_cols=["event_id"])
+    changes = dl.table_changes(spark, path, 0, 1, key="event_id")
+    return (
+        changes.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("event_id").alias("id_sum"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+        .orderBy("change_type")
+    )
+
+
+LAKE_CDF_SQL = f"""
+WITH mx AS (SELECT MAX(event_id) AS m FROM events)
+SELECT * FROM (
+  SELECT 'insert' AS change_type, COUNT(*) AS n,
+         CAST(SUM(event_id + (SELECT m FROM mx) + 1) AS BIGINT) AS id_sum,
+         CAST(SUM({sql_cents('(value + 5)')}) AS BIGINT) AS value_cents
+  FROM events WHERE event_id % 100 = 0
+  UNION ALL
+  SELECT 'update_preimage', COUNT(*), CAST(SUM(event_id) AS BIGINT),
+         CAST(SUM({sql_cents('value')}) AS BIGINT)
+  FROM events WHERE event_id % 7 = 0
+  UNION ALL
+  SELECT 'update_postimage', COUNT(*), CAST(SUM(event_id) AS BIGINT),
+         CAST(SUM({sql_cents('(value + 1)')}) AS BIGINT)
+  FROM events WHERE event_id % 7 = 0
+) ORDER BY change_type
+"""
+
+
 QUERIES = {
+    "lake_change_feed": lake_change_feed,
     "lake_zorder_skip": lake_zorder_skip,
     "lake_merge_upsert": lake_merge_upsert,
     "lake_snapshot_read": lake_snapshot_read,
@@ -274,6 +336,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "lake_change_feed": LAKE_CDF_SQL,
     "lake_zorder_skip": LAKE_ZORDER_SQL,
     "lake_merge_upsert": LAKE_MERGE_SQL,
     "lake_snapshot_read": LAKE_SNAPSHOT_SQL,

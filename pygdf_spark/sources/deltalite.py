@@ -738,3 +738,109 @@ def append_zorder(
         table, "append-zorder", adds, [], df.schema.json(), base,
         checkpoint_every,
     )
+
+
+# ------------------------------------------------------------- change feed
+
+
+def table_changes(
+    spark: SparkSession, table: str, from_version: int, to_version: int,
+    key: str | None = None,
+) -> DataFrame:
+    """Change Data Feed: row-level changes between two versions —
+    what an INCREMENTAL downstream consumer (index refresh, training-set
+    delta, replication) reads instead of re-scanning the table.
+
+    Changes are DERIVED from the log: each commit's add/remove file sets
+    are compared at the row level, so no extra change files are written
+    on the hot path (the Delta CDF trade-off flipped toward cheap
+    writes). Per commit in ``(from_version, to_version]``:
+
+    - append commits: every added row → ``insert``
+    - compact commits: no logical change (pure metadata swap) → nothing
+    - overwrite/merge commits with ``key``: keys only in the removed
+      files → ``delete``; only in added → ``insert``; in both with ANY
+      payload difference → ``update_preimage``/``update_postimage``
+      (the unchanged majority produces no change rows — rows that
+      merely moved files are not changes)
+    - overwrite/merge without ``key``: coarse ``delete``+``insert`` of
+      the two file sets (no identity to diff on — documented)
+
+    Output: table columns + ``_change_type`` + ``_commit_version``.
+    Needs the removed files still on disk (pre-vacuum horizon) — a
+    vacuumed range raises at scan, never returns a partial feed.
+    """
+    from pyspark.sql import functions as F
+
+    latest = table_version(table)
+    if not -1 <= from_version <= to_version <= latest:
+        raise ValueError(
+            f"change range [{from_version}, {to_version}] outside [-1, {latest}]"
+        )
+
+    def _read(paths: list[str]) -> DataFrame | None:
+        return spark.read.parquet(*paths) if paths else None
+
+    feeds = []
+    for v in range(from_version + 1, to_version + 1):
+        p = _version_path(table, v)
+        if not os.path.exists(p):
+            raise ValueError(f"version {v} vacuumed from the log: {table}")
+        actions = _read_actions(p)
+        op = next(a["commit"]["operation"] for a in actions if "commit" in a)
+        adds = [os.path.join(table, a["add"]["path"])
+                for a in actions if "add" in a]
+        removes = [os.path.join(table, a["remove"]["path"])
+                   for a in actions if "remove" in a]
+        if op == "compact":
+            continue
+        new = _read(adds)
+        old = _read(removes)
+
+        def tag(df: DataFrame, typ: str) -> DataFrame:
+            return df.withColumn("_change_type", F.lit(typ)).withColumn(
+                "_commit_version", F.lit(v).cast("long")
+            )
+
+        if old is None:
+            if new is not None:
+                feeds.append(tag(new, "insert"))
+            continue
+        if key is None:
+            feeds.append(tag(old, "delete"))
+            if new is not None:
+                feeds.append(tag(new, "insert"))
+            continue
+        cols = [c for c in old.columns]
+        payload = [c for c in cols if c != key]
+        n = new if new is not None else old.limit(0)
+        feeds.append(tag(n.join(old.select(key), on=key, how="left_anti"),
+                         "insert"))
+        feeds.append(tag(old.join(n.select(key), on=key, how="left_anti"),
+                         "delete"))
+        # matched keys: emit pre/post ONLY where any payload field moved
+        # (null-safe struct compare — a 5→NULL change must still emit)
+        o = old.select(key, F.struct(*payload).alias("__pre"))
+        m = n.select(key, *payload).join(o, on=key, how="inner").filter(
+            ~F.struct(*payload).eqNullSafe(F.col("__pre"))
+        )
+        pre = m.select(key, *[F.col(f"__pre.{c}").alias(c) for c in payload])
+        feeds.append(tag(pre.select(*cols), "update_preimage"))
+        feeds.append(tag(m.select(*cols), "update_postimage"))
+    if not feeds:
+        snap = _snapshot(table, to_version if to_version >= 0 else 0)
+        schema = snap["schema"]
+        if not schema:
+            raise FileNotFoundError(f"empty table with no schema: {table}")
+        from pyspark.sql import types as ST
+
+        empty = spark.createDataFrame(
+            [], schema=ST.StructType.fromJson(json.loads(schema))
+        )
+        return empty.withColumn("_change_type", F.lit("")).withColumn(
+            "_commit_version", F.lit(0).cast("long")
+        ).limit(0)
+    out = feeds[0]
+    for f in feeds[1:]:
+        out = out.unionByName(f)
+    return out

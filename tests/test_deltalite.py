@@ -380,3 +380,63 @@ def test_zorder_constant_and_null_columns(spark, sf_dir, table):
     dl.append_zorder(src.repartition(4), table, ["const", "maybe"],
                      num_files=4)
     assert dl.read_table(spark, table).count() == src.count()
+
+
+def test_change_feed_full_matrix(spark, sf_dir, table):
+    """CDC across append → merge → compact → overwrite: inserts,
+    updates (pre/post), compact silence, and coarse delete+insert."""
+    src = _orders(spark, sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    dl.append(src.repartition(4), table,
+              stat_cols=["o_orderkey"], cluster_by=["o_orderkey"])  # v0
+    mx = src.agg(F.max("o_orderkey")).first()[0]
+    upd = src.filter("o_orderkey % 9 = 0").withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1
+    )
+    ins = src.limit(2).withColumn("o_orderkey", F.col("o_orderkey") + mx + 1)
+    dl.merge_into(spark, table, upd.unionByName(ins), on="o_orderkey",
+                  stat_cols=["o_orderkey"])                          # v1
+    dl.compact(spark, table, num_files=1)                            # v2
+    # v0→v1: exact insert/update sets, no phantoms from moved rows
+    ch = dl.table_changes(spark, table, 0, 1, key="o_orderkey")
+    counts = dict(
+        ch.groupBy("_change_type").count().collect()
+    )
+    n_upd = upd.count()
+    assert counts == {"insert": 2, "update_preimage": n_upd,
+                      "update_postimage": n_upd}
+    # v1→v2 (compact only): zero change rows
+    assert dl.table_changes(spark, table, 1, 2, key="o_orderkey").count() == 0
+    # overwrite with key: deletes for vanished keys
+    dl.overwrite(src.filter("o_orderkey % 2 = 0"), table)            # v3
+    ch2 = dl.table_changes(spark, table, 2, 3, key="o_orderkey")
+    c2 = dict(ch2.groupBy("_change_type").count().collect())
+    assert c2.get("delete", 0) > 0
+    # every live odd key vanished; surviving evens unchanged → no updates
+    # (except the merge-updated evens whose price moved vs v2? no —
+    # overwrite source is the ORIGINAL src evens, so %18 keys regress)
+    # keep the assertion structural: deletes == odd-key count + phantom-free
+    odd = src.filter("o_orderkey % 2 = 1").count()
+    assert c2["delete"] >= odd
+    # coarse mode (no key): file-set granularity delete+insert
+    coarse = dl.table_changes(spark, table, 2, 3)
+    assert set(r[0] for r in coarse.select("_change_type").distinct()
+               .collect()) == {"delete", "insert"}
+
+
+def test_change_feed_vacuumed_range_raises(spark, sf_dir, table):
+    src = _orders(spark, sf_dir)
+    dl.append(src, table)
+    dl.overwrite(src.limit(10), table)
+    dl.vacuum(table, keep_versions=1)
+    with pytest.raises(Exception):
+        dl.table_changes(spark, table, 0, 1, key="o_orderkey").count()
+
+
+def test_change_feed_bad_range_raises(spark, sf_dir, table):
+    dl.append(_orders(spark, sf_dir), table)
+    with pytest.raises(ValueError):
+        dl.table_changes(spark, table, 1, 0)
+    with pytest.raises(ValueError):
+        dl.table_changes(spark, table, 0, 9)
