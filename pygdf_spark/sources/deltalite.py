@@ -544,7 +544,11 @@ def read_table(
             [], schema=ST.StructType.fromJson(json.loads(schema))
         )
     else:
-        df = spark.read.parquet(*paths)
+        # mergeSchema: files written before an ADDITIVE column change
+        # surface nulls for the new columns — the standard lakehouse
+        # schema-evolution contract (the widened schema rides the
+        # commit header of the append that introduced it)
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
     if predicate:
         df = df.filter(_predicate_to_expr(predicate))
     if columns:

@@ -148,6 +148,14 @@ def _lzw_encode(min_code_size: int, indices: np.ndarray) -> bytes:
         seq = bytes([b])
     if seq:
         emit(table[seq], width)
+    # tail sync: the decoder performs ONE MORE table add (for the final
+    # emitted code) before it reads EOI, so if that add lands exactly on
+    # a 2^width boundary the decoder reads EOI one bit wider — emit it
+    # at the decoder's width. (Found by the hypothesis fuzz tier: 12
+    # pixels whose 10th add hit table size 16 desynced EOI at 4 vs 5
+    # bits; encoder next_code equals the decoder's table size here.)
+    if next_code == (1 << width) and width < _MAX_CODE_WIDTH:
+        width += 1
     emit(eoi, width)
     if accbits:
         out.append(acc & 0xFF)

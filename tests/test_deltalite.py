@@ -440,3 +440,18 @@ def test_change_feed_bad_range_raises(spark, sf_dir, table):
         dl.table_changes(spark, table, 1, 0)
     with pytest.raises(ValueError):
         dl.table_changes(spark, table, 0, 9)
+
+
+def test_schema_evolution_additive_column(spark, sf_dir, table):
+    """Appends may widen the schema: old files read back with nulls in
+    the new column; the snapshot schema is the union."""
+    src = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    dl.append(src.repartition(2), table)
+    widened = src.withColumn("region_tag", F.lit("eu"))
+    dl.append(widened.repartition(2), table)
+    out = dl.read_table(spark, table)
+    assert set(out.columns) == {"o_orderkey", "o_totalprice", "region_tag"}
+    n = src.count()
+    assert out.count() == 2 * n
+    assert out.filter(F.col("region_tag").isNull()).count() == n
+    assert out.filter(F.col("region_tag") == "eu").count() == n

@@ -228,3 +228,27 @@ def test_twelve_bit_reset_roundtrip():
     f = rng.integers(0, 256, (120, 160)).astype(np.uint8)
     out = decode_gif(encode_gif([f], pal))
     assert np.array_equal(out["frames"][0], pal[f])
+
+
+def test_eoi_width_boundary_regression():
+    """Fuzz-found: when the decoder's FINAL add lands exactly on a
+    2^width boundary, EOI is read one bit wider than a naive encoder
+    writes it. Pin the exact failing case (12 pixels, 4-color palette,
+    10th add == table size 16) plus a sweep of lengths around every
+    boundary."""
+    import numpy as np
+
+    from pygdf_spark.sources.gif_lite import decode_gif, encode_gif
+
+    rng = np.random.default_rng(1)
+    pal = rng.integers(0, 256, (4, 3)).astype(np.uint8)
+    f = rng.integers(0, 4, (12, 1)).astype(np.uint8)
+    out = decode_gif(encode_gif([f], pal))
+    assert np.array_equal(out["frames"][0], pal[f])
+    # sweep: incompressible strides of every length 1..80 cross the
+    # 8/16/32/64-entry boundaries at every possible tail position
+    pal2 = np.arange(12, dtype=np.uint8).reshape(4, 3)
+    for n in range(1, 81):
+        fr = (np.arange(n, dtype=np.uint8) * 3 % 4).reshape(n, 1)
+        got = decode_gif(encode_gif([fr], pal2))
+        assert np.array_equal(got["frames"][0], pal2[fr]), n
