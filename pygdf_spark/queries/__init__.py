@@ -75,8 +75,7 @@ _PRIORITY = [
     "join_anti", "join_cross", "join_conditional", "join_index_aligned",
     "join_range_bucketed", "join_salted_skew",
     "agg_basic_stats", "agg_quantiles", "agg_idxmax",
-    "agg_rollup", "agg_global_reduce", "agg_corr_cov",
-    "agg_moments",
+    "agg_rollup", "agg_global_reduce", "agg_moments",
     "win_group_cumsum", "win_shift_diff",
     # -- net-new late-r6: deltalite transaction-log table format
     # (displacing sort_multi_nulls / topk_orders / dedup_keep_first,
@@ -88,6 +87,7 @@ _PRIORITY = [
     # (lake_change_feed displaces win_rolling_rows, r1-green)
     "lake_snapshot_read", "lake_time_travel", "lake_file_skipping",
     "lake_merge_upsert", "lake_zorder_skip", "lake_change_feed",
+    "lake_incremental_matview",  # displaces agg_corr_cov (r1-green)
     "sstream_lake_sink_live",
     # -- net-new mid-r6 (never driver-checked; displaced seven r1-green
     # rows — dedup_distinct, value_counts, filter_isin,

@@ -326,7 +326,65 @@ SELECT * FROM (
 """
 
 
+def lake_incremental_matview(spark, sf_dir):
+    """Incrementally-maintained materialized aggregate (continuous-
+    aggregate shape): per-user COUNT/SUM view over an events lake
+    table, created at v0, then refreshed by CONSUMING THE CHANGE FEED
+    after an append (new events) and a CDC merge (value bumps) — the
+    refresh applies signed per-group deltas via merge_into and records
+    the consumed source version as a txn action (resumable and
+    idempotent). The oracle recomputes the aggregate from scratch, so
+    the hash proves incremental == full recompute exactly."""
+    from pygdf_spark.operators.matview import (
+        create_agg_view,
+        read_agg_view,
+        refresh_agg_view,
+    )
+    from pygdf_spark.sources import deltalite as dl
+
+    base = T(spark, sf_dir, "events").select(
+        "event_id", "user_id", cents("value").alias("value_cents")
+    )
+    root = _tmp(sf_dir, "lake_mv")
+    shutil.rmtree(root, ignore_errors=True)
+    src, view = os.path.join(root, "src"), os.path.join(root, "view")
+    n = _shards(base)
+    dl.append(base.repartition(n), src, stat_cols=["event_id"],
+              cluster_by=["event_id"])                       # src v0
+    create_agg_view(spark, src, view, "user_id", "value_cents")
+    mx = int(base.agg(F.max("event_id")).first()[0])
+    appended = base.withColumn(
+        "event_id", F.col("event_id") + F.lit(mx + 1)
+    ).withColumn("value_cents", F.col("value_cents") + 300)
+    dl.append(appended.repartition(n), src, stat_cols=["event_id"],
+              cluster_by=["event_id"])                       # src v1
+    updates = base.filter(F.col("event_id") % 11 == 0).withColumn(
+        "value_cents", F.col("value_cents") + 200
+    )
+    dl.merge_into(spark, src, updates, on="event_id",
+                  stat_cols=["event_id"])                    # src v2
+    refresh_agg_view(spark, src, view, "user_id", "value_cents",
+                     key="event_id")
+    return read_agg_view(spark, view).orderBy("user_id")
+
+
+LAKE_MATVIEW_SQL = f"""
+WITH fin AS (
+  SELECT user_id,
+         CASE WHEN event_id % 11 = 0
+              THEN {sql_cents('value')} + 200
+              ELSE {sql_cents('value')} END AS vc
+  FROM events
+  UNION ALL
+  SELECT user_id, {sql_cents('value')} + 300 FROM events
+)
+SELECT user_id, COUNT(*) AS n_rows, CAST(SUM(vc) AS BIGINT) AS sum_val
+FROM fin GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "lake_incremental_matview": lake_incremental_matview,
     "lake_change_feed": lake_change_feed,
     "lake_zorder_skip": lake_zorder_skip,
     "lake_merge_upsert": lake_merge_upsert,
@@ -336,6 +394,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "lake_incremental_matview": LAKE_MATVIEW_SQL,
     "lake_change_feed": LAKE_CDF_SQL,
     "lake_zorder_skip": LAKE_ZORDER_SQL,
     "lake_merge_upsert": LAKE_MERGE_SQL,

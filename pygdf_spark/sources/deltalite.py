@@ -562,6 +562,7 @@ def read_table(
 def merge_into(
     spark: SparkSession, table: str, source: DataFrame, on: str,
     stat_cols: list[str] | None = None, checkpoint_every: int = 10,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """MERGE INTO (upsert): rows of ``source`` whose ``on`` key matches
     an existing row REPLACE it; unmatched source rows are INSERTED —
@@ -593,6 +594,9 @@ def merge_into(
 
     base = table_version(table)
     live = live_files(table)
+    if txn is not None and last_txn_batch(table, txn[0]) >= txn[1]:
+        return {"version": base, "files_rewritten": 0,
+                "files_total": len(live)}  # replayed txn: no-op
     # one 1-row job: key range + the null-key guard (a null merge key
     # can never match, so it would be re-INSERTED on every CDC apply —
     # silently non-idempotent; Delta rejects it too)
@@ -655,7 +659,7 @@ def merge_into(
     )
     version = _commit_retry(
         table, "merge", adds, touched_rel,
-        rewritten.schema.json(), base, checkpoint_every,
+        rewritten.schema.json(), base, checkpoint_every, txn=txn,
     )
     return {
         "version": version,

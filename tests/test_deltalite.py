@@ -455,3 +455,76 @@ def test_schema_evolution_additive_column(spark, sf_dir, table):
     assert out.count() == 2 * n
     assert out.filter(F.col("region_tag").isNull()).count() == n
     assert out.filter(F.col("region_tag") == "eu").count() == n
+
+
+def test_matview_incremental_equals_recompute(spark, sf_dir, tmp_path):
+    from pygdf_spark.operators.matview import (
+        create_agg_view, read_agg_view, refresh_agg_view,
+    )
+
+    src_df = _orders(spark, sf_dir).select(
+        "o_orderkey", "o_custkey",
+        (F.round(F.col("o_totalprice") * 100, 0)).cast("long").alias("cents"),
+    )
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    dl.append(src_df.repartition(4), src, stat_cols=["o_orderkey"],
+              cluster_by=["o_orderkey"])
+    create_agg_view(spark, src, view, "o_custkey", "cents")
+    mx = src_df.agg(F.max("o_orderkey")).first()[0]
+    dl.append(src_df.limit(50).withColumn(
+        "o_orderkey", F.col("o_orderkey") + mx + 1
+    ).repartition(2), src, stat_cols=["o_orderkey"])
+    upd = src_df.filter("o_orderkey % 13 = 0").withColumn(
+        "cents", F.col("cents") + 5
+    )
+    dl.merge_into(spark, src, upd, on="o_orderkey", stat_cols=["o_orderkey"])
+    r = refresh_agg_view(spark, src, view, "o_custkey", "cents",
+                         key="o_orderkey")
+    assert r["groups_touched"] > 0
+    got = {t[0]: (t[1], t[2]) for t in
+           read_agg_view(spark, view).collect()}
+    want = {t[0]: (t[1], t[2]) for t in
+            dl.read_table(spark, src).groupBy("o_custkey").agg(
+                F.count("*").alias("n"), F.sum("cents").alias("s")
+            ).collect()}
+    assert got == want  # incremental == full recompute, every group
+    # idempotent: a second refresh at the same source version no-ops
+    r2 = refresh_agg_view(spark, src, view, "o_custkey", "cents",
+                          key="o_orderkey")
+    assert r2["groups_touched"] == 0
+    assert {t[0]: (t[1], t[2]) for t in
+            read_agg_view(spark, view).collect()} == want
+
+
+def test_matview_tombstones_groups_reaching_zero(spark, sf_dir, tmp_path):
+    from pygdf_spark.operators.matview import (
+        create_agg_view, read_agg_view, refresh_agg_view,
+    )
+
+    src_df = _orders(spark, sf_dir).select(
+        "o_orderkey", "o_custkey",
+        F.lit(1).cast("long").alias("one"),
+    )
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    dl.append(src_df, src)
+    create_agg_view(spark, src, view, "o_custkey", "one")
+    keep_key = src_df.agg(F.min("o_custkey")).first()[0]
+    dl.overwrite(src_df.filter(F.col("o_custkey") == keep_key), src)
+    refresh_agg_view(spark, src, view, "o_custkey", "one",
+                     key="o_orderkey")
+    out = read_agg_view(spark, view)
+    assert out.count() == 1  # every other group tombstoned to n_rows=0
+    assert out.first()[0] == keep_key
+    # the tombstones are retained in the raw table (audit trail)
+    raw = dl.read_table(spark, view)
+    assert raw.filter("n_rows = 0").count() > 0
+
+
+def test_matview_refresh_requires_create(spark, sf_dir, tmp_path):
+    from pygdf_spark.operators.matview import refresh_agg_view
+
+    src = str(tmp_path / "src")
+    dl.append(_orders(spark, sf_dir), src)
+    with pytest.raises(ValueError, match="not a materialized view"):
+        refresh_agg_view(spark, src, str(tmp_path / "nope"),
+                         "o_custkey", "o_orderkey", key="o_orderkey")
