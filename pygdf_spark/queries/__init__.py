@@ -75,7 +75,7 @@ _PRIORITY = [
     "join_anti", "join_cross", "join_conditional", "join_index_aligned",
     "join_range_bucketed", "join_salted_skew",
     "agg_basic_stats", "agg_quantiles", "agg_idxmax",
-    "agg_rollup", "agg_global_reduce", "agg_moments",
+    "agg_rollup", "agg_global_reduce",
     "win_group_cumsum", "win_shift_diff",
     # -- net-new late-r6: deltalite transaction-log table format
     # (displacing sort_multi_nulls / topk_orders / dedup_keep_first,
@@ -97,6 +97,7 @@ _PRIORITY = [
     # sampling ops (displacing win_ffill / win_nth_value /
     # win_rank_methods, all r1-green):
     "mm_gif_frames", "sample_epoch_shuffle", "sample_domain_cap",
+    "sample_temperature",  # displaces agg_moments (r1-green)
     "nlp_bpe_train", "nlp_bpe_encode", "events_multires_rollup",
     "scd2_event_history", "sstream_scd2_changes_live",
     "text_pmi_bigrams", "ml_gram_suffstats",

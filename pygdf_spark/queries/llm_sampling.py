@@ -357,7 +357,84 @@ FROM ranked GROUP BY source ORDER BY source
 """
 
 
+def sample_temperature(spark, sf_dir):
+    """Temperature-scaled mixture sampling (the mT5/multilingual-corpus
+    rebalancing stage): output proportions follow n_s^alpha (alpha=0.5)
+    instead of raw source sizes, so small sources are up-weighted.
+    Per-row keep = hash-Bernoulli at q_s = min(1, T*sqrt(n_s)/(S*n_s))
+    with T = N/5 and S = sum of sqrt(n_t).
+
+    Cross-engine float determinism (the reason this query can be
+    hash-checked at all): sqrt is IEEE-exact in both engines, and S is
+    computed as an ORDERED fold over the per-source sqrt list (sorted
+    collect_list here, list_reduce over list(... ORDER BY) in DuckDB)
+    — never a SUM(double) whose accumulation order differs. The q_s
+    expression is written with identical operation order on both
+    sides, so every keep decision compares identical doubles."""
+    d = T(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("source", "n"))),
+            F.lit(0.0),
+            lambda acc, x: acc + F.sqrt(x["n"].cast("double")),
+        ).alias("sq_sum"),
+        F.sum("n").alias("grand_n"),
+    )
+    q = counts.crossJoin(F.broadcast(totals)).select(
+        "source", "n",
+        F.least(
+            F.lit(1.0),
+            (F.col("grand_n").cast("double") / 5
+             * F.sqrt(F.col("n").cast("double")))
+            / (F.col("sq_sum") * F.col("n").cast("double")),
+        ).alias("qs"),
+    )
+    keep = (
+        md5_u64(F.col("doc_id").cast("string")) % 1_000_000_000
+    ).cast("double") < F.col("qs") * 1e9
+    return (
+        d.join(F.broadcast(q), "source")
+        .select("source", "n_chars", keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_chars")).otherwise(0))
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+SAMPLE_TEMPERATURE_SQL = f"""
+WITH c AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source
+),
+s AS (
+  SELECT list_reduce(list(sqrt(CAST(n AS DOUBLE)) ORDER BY source),
+                     (a, b) -> a + b) AS sq_sum,
+         CAST(SUM(n) AS BIGINT) AS grand_n
+  FROM c
+),
+q AS (
+  SELECT source,
+         LEAST(1.0, (CAST(grand_n AS DOUBLE) / 5 * sqrt(CAST(n AS DOUBLE)))
+                    / (sq_sum * CAST(n AS DOUBLE))) AS qs
+  FROM c, s
+)
+SELECT d.source, COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN CAST({_H} % 1000000000 AS DOUBLE) < qs * 1e9
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN CAST({_H} % 1000000000 AS DOUBLE) < qs * 1e9
+                THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+FROM documents d JOIN q USING (source)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
 QUERIES = {
+    "sample_temperature": sample_temperature,
     "sample_epoch_shuffle": sample_epoch_shuffle,
     "sample_domain_cap": sample_domain_cap,
     "sample_reservoir": sample_reservoir,
@@ -369,6 +446,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sample_temperature": SAMPLE_TEMPERATURE_SQL,
     "sample_epoch_shuffle": SAMPLE_EPOCH_SHUFFLE_SQL,
     "sample_domain_cap": SAMPLE_DOMAIN_CAP_SQL,
     "sample_reservoir": SAMPLE_RESERVOIR_SQL,
