@@ -72,7 +72,7 @@ _PRIORITY = [
     # -- oldest-green rotation (every row below last greened in r1):
     "q1_pricing_summary", "q6_forecast_revenue",
     "join_inner_q3", "join_left_outer", "join_full_outer", "join_semi",
-    "join_anti", "join_cross", "join_conditional", "join_index_aligned",
+    "join_anti", "join_conditional", "join_index_aligned",
     "join_range_bucketed", "join_salted_skew",
     "agg_basic_stats", "agg_quantiles", "agg_idxmax",
     "agg_rollup", "agg_global_reduce",
@@ -98,6 +98,7 @@ _PRIORITY = [
     # win_rank_methods, all r1-green):
     "mm_gif_frames", "sample_epoch_shuffle", "sample_domain_cap",
     "sample_temperature",  # displaces agg_moments (r1-green)
+    "nlp_unigram_segment",  # displaces join_cross (r1-green)
     "nlp_bpe_train", "nlp_bpe_encode", "events_multires_rollup",
     "scd2_event_history", "sstream_scd2_changes_live",
     "text_pmi_bigrams", "ml_gram_suffstats",

@@ -318,7 +318,89 @@ GROUP BY dw.doc_id ORDER BY dw.doc_id
 """
 
 
+def nlp_unigram_segment(spark, sf_dir):
+    """Unigram-LM (SentencePiece-style) Viterbi segmentation — the
+    tokenizer family's third member (WordPiece apply, BPE train/encode,
+    unigram segment). Pieces scored by INTEGER log2-quantized counts
+    (length(bin(cnt))-1 — exact in both engines) so the Viterbi
+    maximizes an integer sum with a (fewer-pieces, lex-smallest-path)
+    total-order tie-break; the DuckDB oracle ENUMERATES every
+    segmentation of every word via a recursive CTE and picks the same
+    winner, so the hash pins the whole decode, not a sample of it."""
+    from pygdf_spark.operators.bpe import word_freq
+    from pygdf_spark.operators.unigram import (
+        piece_usage,
+        segment_words,
+        unigram_vocab,
+    )
+    from pygdf_spark.operators.text import tokens
+
+    d = T(spark, sf_dir, "documents")
+    words = word_freq(d, tokens("text"))
+    vocab = unigram_vocab(words, max_piece_len=4, top_k=60)
+    seg = segment_words(words, vocab)
+    return (
+        piece_usage(seg)
+        .orderBy(F.desc("n_uses"), F.asc("piece"))
+        .limit(40)
+        .select("piece", "n_uses")
+    )
+
+
+NLP_UNIGRAM_SQL = r"""
+WITH RECURSIVE w0 AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS w FROM documents
+  ) t WHERE w <> '' GROUP BY w
+),
+cand AS (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT substr(w, ii.i, ll.l) AS piece, freq
+    FROM w0,
+         UNNEST(generate_series(1, length(w))) AS ii(i),
+         UNNEST(generate_series(1, 4)) AS ll(l)
+    WHERE ii.i + ll.l - 1 <= length(w)
+  ) GROUP BY piece
+),
+topk AS (SELECT piece, cnt FROM cand ORDER BY cnt DESC, piece ASC LIMIT 60),
+vocab AS (
+  SELECT piece, MAX(cnt) AS cnt FROM (
+    SELECT * FROM topk
+    UNION ALL
+    SELECT piece, cnt FROM cand WHERE length(piece) = 1
+  ) GROUP BY piece
+),
+vw AS (SELECT piece, CAST(length(bin(cnt)) - 1 AS INT) AS wgt FROM vocab),
+seg AS (
+  SELECT w, freq, 0 AS pos, CAST([] AS VARCHAR[]) AS path, 0 AS sc FROM w0
+  UNION ALL
+  SELECT s.w, s.freq, s.pos + length(v.piece),
+         list_append(s.path, v.piece), s.sc + v.wgt
+  FROM seg s JOIN vw v
+    ON v.piece = substr(s.w, s.pos + 1, length(v.piece))
+  WHERE s.pos < length(s.w)
+),
+best AS (
+  SELECT w, freq, path FROM (
+    SELECT w, freq, path,
+           ROW_NUMBER() OVER (PARTITION BY w
+                              ORDER BY sc DESC, len(path) ASC, path ASC) rn
+    FROM seg WHERE pos = length(w)
+  ) WHERE rn = 1
+),
+usage AS (
+  SELECT u.piece AS piece, CAST(SUM(freq) AS BIGINT) AS n_uses
+  FROM best, UNNEST(path) AS u(piece)
+  GROUP BY u.piece
+)
+SELECT piece, n_uses FROM usage ORDER BY n_uses DESC, piece ASC LIMIT 40
+"""
+
+
+
 QUERIES = {
+    "nlp_unigram_segment": nlp_unigram_segment,
     "nlp_bpe_train": nlp_bpe_train,
     "nlp_bpe_encode": nlp_bpe_encode,
     "nlp_token_filter": nlp_token_filter,
@@ -345,6 +427,7 @@ ORDER BY d.doc_id
 """
 
 ORACLE = {
+    "nlp_unigram_segment": NLP_UNIGRAM_SQL,
     "nlp_bpe_train": NLP_BPE_SQL,
     "nlp_bpe_encode": NLP_BPE_ENCODE_SQL,
     "nlp_subword_tokenize": NLP_SUBWORD_SQL,

@@ -143,3 +143,50 @@ def test_bpe_train_property_random_corpora(spark):
         assert got == _reference_bpe(docs, n)
 
     inner()
+
+
+def test_unigram_viterbi_tie_breaks():
+    """The DP's total order: higher score, then FEWER pieces, then
+    lexicographically smallest path — pinned on hand-built vocabs."""
+    from pygdf_spark.operators.unigram import _viterbi
+
+    # 'abab': piece 'abab' (wgt 3) beats ab+ab (2+2=4)? no — 4 > 3, so
+    # the two-piece path wins on SCORE first
+    assert _viterbi("abab", {"a": 1, "b": 1, "ab": 2, "abab": 3}) == \
+        ["ab", "ab"]
+    # equal score: 'abab'(4) vs ab+ab (2+2): fewer pieces wins
+    assert _viterbi("abab", {"a": 1, "b": 1, "ab": 2, "abab": 4}) == \
+        ["abab"]
+    # equal score AND length: lexicographically smallest path wins
+    # 'aa': paths a+a (1+1) vs 'aa'(2): same score, 'aa' fewer pieces
+    assert _viterbi("aa", {"a": 1, "aa": 2}) == ["aa"]
+    # forced char fallback
+    assert _viterbi("xyz", {"x": 1, "y": 1, "z": 1}) == ["x", "y", "z"]
+    # lex tie: word 'ab', vocab {'a':1,'b':2,'ab':3} → 'ab' (3) ==
+    # a+b (3) on score; fewer pieces → ['ab']
+    assert _viterbi("ab", {"a": 1, "b": 2, "ab": 3}) == ["ab"]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unsegmentable"):
+        _viterbi("aq", {"a": 1})
+
+
+def test_unigram_segment_distributed_matches_scalar(spark, sf_dir):
+    """The mapInPandas kernel agrees with the scalar DP on the real
+    word relation, and every word reassembles from its pieces."""
+    from pygdf_spark.operators.bpe import word_freq
+    from pygdf_spark.operators.text import tokens
+    from pygdf_spark.operators.unigram import (
+        _viterbi, segment_words, unigram_vocab,
+    )
+    import os
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    words = word_freq(d, tokens("text"))
+    vocab = unigram_vocab(words)
+    wgt = {r["piece"]: int(r["wgt"]) for r in vocab.collect()}
+    seg = {r["w"]: r["pieces"]
+           for r in segment_words(words, vocab).collect()}
+    for w, pieces in seg.items():
+        assert "".join(pieces) == w
+        assert pieces == _viterbi(w, wgt)
