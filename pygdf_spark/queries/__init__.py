@@ -71,7 +71,7 @@ _PRIORITY = [
     "io_warc_roundtrip", "io_webdataset_roundtrip", "mm_webdataset_images",
     # -- oldest-green rotation (every row below last greened in r1):
     "q1_pricing_summary", "q6_forecast_revenue",
-    "join_inner_q3", "join_left_outer", "join_full_outer", "join_semi",
+    "join_inner_q3", "join_semi",
     "join_anti", "join_conditional", "join_index_aligned",
     "join_range_bucketed", "join_salted_skew",
     "agg_basic_stats", "agg_quantiles", "agg_idxmax",
@@ -85,6 +85,9 @@ _PRIORITY = [
     # (lake_merge_upsert additionally displaces agg_bool_any_all, and
     # lake_zorder_skip displaces win_rolling_time — both r1-green)
     # (lake_change_feed displaces win_rolling_rows, r1-green)
+    # (lake_delete_dv / lake_restore displace join_left_outer /
+    # join_full_outer, both r1-green with cumulative rows)
+    "lake_delete_dv", "lake_restore",
     "lake_snapshot_read", "lake_time_travel", "lake_file_skipping",
     "lake_merge_upsert", "lake_zorder_skip", "lake_change_feed",
     "lake_incremental_matview",  # displaces agg_corr_cov (r1-green)

@@ -383,7 +383,105 @@ FROM fin GROUP BY user_id ORDER BY user_id
 """
 
 
+def lake_delete_dv(spark, sf_dir):
+    """Merge-on-read DELETE via deletion vectors: a range-clustered
+    orders table takes TWO overlapping dv deletes (no data file is
+    rewritten — each commit writes only an O(matches) position sidecar
+    and re-publishes the touched add actions), then the snapshot is
+    read back merge-on-read (scan + anti-join of the deleted
+    positions). The oracle applies both predicates algebraically, so
+    the hash proves the DV read path loses exactly the deleted rows —
+    no resurrection, no over-delete — across consolidated overlapping
+    vectors."""
+    from pygdf_spark.sources import deltalite as dl
+
+    base = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _tmp(sf_dir, "lake_dv")
+    shutil.rmtree(path, ignore_errors=True)
+    dl.append(
+        base.repartition(max(4, _shards(base))), path,
+        stat_cols=["o_orderkey"], cluster_by=["o_orderkey"],
+    )
+    dl.delete_where(spark, path, [("o_orderstatus", "=", "F")])      # v1
+    dl.delete_where(spark, path, "o_orderkey % 10 = 3")              # v2
+    snap = dl.read_table(spark, path)
+    return (
+        snap.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.sum(cents("o_totalprice")).alias("total_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+LAKE_DELETE_DV_SQL = f"""
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) AS total_cents
+FROM orders
+WHERE o_orderstatus <> 'F' AND o_orderkey % 10 <> 3
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def lake_restore(spark, sf_dir):
+    """RESTORE TABLE TO VERSION AS OF: append (v0), dv-delete the 'O'
+    orders (v1), destructive OVERWRITE down to only 'P' orders (v2),
+    then RESTORE to v1 (v3) — a new versioned commit that re-pins v1's
+    file set INCLUDING its deletion vector. The result reads v2 and v3
+    side by side: the overwrite must still be visible at its own
+    version while the restored head equals the pre-overwrite snapshot
+    exactly (DV re-attached, not resurrected)."""
+    from pygdf_spark.sources import deltalite as dl
+
+    base = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _tmp(sf_dir, "lake_restore")
+    shutil.rmtree(path, ignore_errors=True)
+    n = _shards(base)
+    dl.append(base.repartition(n), path,
+              stat_cols=["o_orderkey"], cluster_by=["o_orderkey"])   # v0
+    dl.delete_where(spark, path, [("o_orderstatus", "=", "O")])      # v1
+    dl.overwrite(
+        base.filter(F.col("o_orderstatus") == "P").repartition(n), path
+    )                                                                # v2
+    dl.restore(path, 1)                                              # v3
+
+    def agg(df, tag):
+        return df.agg(
+            F.lit(tag).alias("snapshot"),
+            F.count("*").alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.sum(cents("o_totalprice")).alias("total_cents"),
+        )
+
+    v2 = agg(dl.read_table(spark, path, version=2), "v2_overwrite")
+    v3 = agg(dl.read_table(spark, path), "v3_restored")
+    return v2.unionAll(v3).orderBy("snapshot")
+
+
+LAKE_RESTORE_SQL = f"""
+SELECT * FROM (
+  SELECT 'v2_overwrite' AS snapshot, COUNT(*) AS n_orders,
+         CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+         CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) AS total_cents
+  FROM orders WHERE o_orderstatus = 'P'
+  UNION ALL
+  SELECT 'v3_restored', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+         CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT)
+  FROM orders WHERE o_orderstatus <> 'O'
+) ORDER BY snapshot
+"""
+
+
 QUERIES = {
+    "lake_delete_dv": lake_delete_dv,
+    "lake_restore": lake_restore,
     "lake_incremental_matview": lake_incremental_matview,
     "lake_change_feed": lake_change_feed,
     "lake_zorder_skip": lake_zorder_skip,
@@ -394,6 +492,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "lake_delete_dv": LAKE_DELETE_DV_SQL,
+    "lake_restore": LAKE_RESTORE_SQL,
     "lake_incremental_matview": LAKE_MATVIEW_SQL,
     "lake_change_feed": LAKE_CDF_SQL,
     "lake_zorder_skip": LAKE_ZORDER_SQL,

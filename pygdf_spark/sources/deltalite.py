@@ -61,6 +61,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 _LOG_DIR = "_txn_log"
+_DV_DIR = "dv"
 _VERSION_WIDTH = 20
 
 
@@ -328,16 +329,26 @@ def _predicate_to_expr(predicate: list[tuple]) -> str:
     return " AND ".join(parts)
 
 
-def plan_files(
+def plan_adds(
     table: str, version: int | None = None, predicate: list[tuple] | None = None
-) -> tuple[list[str], int]:
-    """(selected file paths, total live count) after stats pruning —
-    the scan-planning half of ``read_table``, exposed so tests and
-    tooling can assert how many files a predicate actually skips."""
+) -> tuple[list[dict], int]:
+    """(selected add actions, total live count) after stats pruning —
+    the scan-planning half of ``read_table``. Actions (not bare paths)
+    so DV-aware readers can see attached deletion vectors."""
     adds = live_files(table, version)
     total = len(adds)
     if predicate:
         adds = [a for a in adds if _file_may_match(a, predicate)]
+    return adds, total
+
+
+def plan_files(
+    table: str, version: int | None = None, predicate: list[tuple] | None = None
+) -> tuple[list[str], int]:
+    """(selected file paths, total live count) after stats pruning —
+    exposed so tests and tooling can assert how many files a predicate
+    actually skips."""
+    adds, total = plan_adds(table, version, predicate)
     return [os.path.join(table, a["path"]) for a in adds], total
 
 
@@ -398,10 +409,15 @@ def _commit_retry(
     table: str, operation: str, adds: list[dict], removes: list[str],
     schema: str, base_version: int, checkpoint_every: int,
     txn: tuple[str, int] | None = None,
+    require_live: list[str] | None = None,
 ) -> int:
     """Publish adds/removes, retrying version collisions. Appends
     (no removes) are always safe to replay at a later version; a
     remove-bearing commit re-validates its remove set is still live.
+    ``require_live`` paths are validated exactly like removes but emit
+    no remove action — a deletion-vector commit re-ADDS a live file's
+    action with an attached DV, and must not resurrect a file a
+    concurrent compact/overwrite removed underneath it.
     A ``txn=(app_id, batch_id)`` commit is idempotent: if a commit with
     the same txn already landed (a concurrent retry of the same
     micro-batch won the race), this one is dropped and the winner's
@@ -410,14 +426,15 @@ def _commit_retry(
     while True:
         if txn is not None and last_txn_batch(table, txn[0]) >= txn[1]:
             return table_version(table)  # duplicate micro-batch replay
-        if removes:
+        validate = set(removes) | set(require_live or [])
+        if validate:
             live = (
                 set(_snapshot(table, version - 1)["adds"]) if version else set()
             )
-            if not set(removes) <= live:
+            if not validate <= live:
                 raise ConcurrentWriteError(
-                    f"{operation} on {table}: files to remove are no longer "
-                    f"live (table moved past version {base_version})"
+                    f"{operation} on {table}: files to remove/replace are no "
+                    f"longer live (table moved past version {base_version})"
                 )
         header = {"version": version, "operation": operation, "schema": schema}
         if txn is not None:
@@ -479,7 +496,9 @@ def compact(
     base = table_version(table)
     current = live_files(table)
     removes = [a["path"] for a in current]
-    df = spark.read.parquet(*[os.path.join(table, p) for p in removes])
+    # DV-aware: compacting a table with outstanding deletion vectors
+    # must materialize the deletes, never resurrect the deleted rows
+    df = _read_adds(spark, table, current)
     if cluster_by:
         df = df.repartitionByRange(num_files, *cluster_by)
     else:
@@ -500,25 +519,108 @@ def vacuum(table: str, keep_versions: int = 1) -> list[str]:
     if latest < 0:
         return []
     keep = set()
+    keep_dv = set()
     for v in range(max(0, latest - keep_versions + 1), latest + 1):
-        keep.update(_snapshot(table, v)["adds"])
+        snap_adds = _snapshot(table, v)["adds"]
+        keep.update(snap_adds)
+        keep_dv.update(d["path"] for d in _dv_entries(snap_adds.values()))
     deleted = []
     data_root = os.path.join(table, "data")
-    if not os.path.isdir(data_root):
-        return []
-    for sub in sorted(os.listdir(data_root)):
-        subdir = os.path.join(data_root, sub)
-        for name in sorted(os.listdir(subdir)):
-            rel = os.path.join("data", sub, name)
-            if name.endswith(".parquet") and rel not in keep:
-                os.unlink(os.path.join(subdir, name))
+    if os.path.isdir(data_root):
+        for sub in sorted(os.listdir(data_root)):
+            subdir = os.path.join(data_root, sub)
+            for name in sorted(os.listdir(subdir)):
+                rel = os.path.join("data", sub, name)
+                if name.endswith(".parquet") and rel not in keep:
+                    os.unlink(os.path.join(subdir, name))
+                    deleted.append(rel)
+            if not os.listdir(subdir):
+                shutil.rmtree(subdir)
+    # DV sidecars: a sidecar DIRECTORY is referenced as a unit by add
+    # actions; drop the ones no kept version references
+    dv_root = os.path.join(table, _DV_DIR)
+    if os.path.isdir(dv_root):
+        for sub in sorted(os.listdir(dv_root)):
+            rel = os.path.join(_DV_DIR, sub)
+            if rel not in keep_dv:
+                shutil.rmtree(os.path.join(dv_root, sub))
                 deleted.append(rel)
-        if not os.listdir(subdir):
-            shutil.rmtree(subdir)
     return deleted
 
 
 # ------------------------------------------------------------------ read
+
+
+# a file URI → the log's table-relative add path ("data/<commit>/<part>")
+_REL_FILE_RE = r"data/[^/]+/[^/]+$"
+
+# below this many total deleted positions the DV anti-join broadcasts
+# (positions are 2 small columns; 4M rows ≈ tens of MB)
+_DV_BROADCAST_MAX = 4_000_000
+
+
+def _dv_entries(adds: list[dict]) -> list[dict]:
+    return [d for a in adds for d in (a.get("dv") or [])]
+
+
+def _read_dv_positions(spark: SparkSession, table: str, adds: list[dict]):
+    """The (file, pos) deleted-position set referenced by ``adds``'
+    deletion vectors, or None. Sidecars are deduped (a consolidated
+    sidecar can be shared by many files in one delete commit); extra
+    rows for files outside this read are harmless — the anti-join is
+    keyed by the relative file path."""
+    sidecars = sorted({d["path"] for d in _dv_entries(adds)})
+    if not sidecars:
+        return None
+    return spark.read.parquet(*[os.path.join(table, p) for p in sidecars])
+
+
+def _read_adds(
+    spark: SparkSession, table: str, adds: list[dict],
+    lineage: bool = False,
+) -> DataFrame | None:
+    """DV-aware read of a set of add actions: files without deletion
+    vectors scan plain; files with DVs scan with ``_metadata.row_index``
+    lineage and anti-join their deleted positions out (broadcast when
+    the total deleted count is small, shuffle anti-join otherwise).
+    ``lineage=True`` keeps ``__dl_file`` (the log-relative path) on the
+    output — used by merge's touch detection."""
+    from pyspark.sql import functions as F
+
+    if not adds:
+        return None
+    plain = [a for a in adds if not a.get("dv")]
+    dvd = [a for a in adds if a.get("dv")]
+    reader = spark.read.option("mergeSchema", "true")
+
+    def with_file(df):
+        return df.withColumn(
+            "__dl_file",
+            F.regexp_extract(F.col("_metadata.file_path"), _REL_FILE_RE, 0),
+        )
+
+    parts = []
+    if plain:
+        df = reader.parquet(*[os.path.join(table, a["path"]) for a in plain])
+        parts.append(with_file(df) if lineage else df)
+    if dvd:
+        df = with_file(
+            reader.parquet(*[os.path.join(table, a["path"]) for a in dvd])
+        ).withColumn("__dl_pos", F.col("_metadata.row_index"))
+        dv = _read_dv_positions(spark, table, dvd).select(
+            F.col("file").alias("__dl_file"), F.col("pos").alias("__dl_pos")
+        )
+        if sum(d.get("count", 0) for d in _dv_entries(dvd)) <= _DV_BROADCAST_MAX:
+            dv = F.broadcast(dv)
+        df = df.join(dv, on=["__dl_file", "__dl_pos"], how="left_anti")
+        df = df.drop("__dl_pos") if lineage else df.drop(
+            "__dl_file", "__dl_pos"
+        )
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
 
 
 def read_table(
@@ -530,10 +632,13 @@ def read_table(
     exclusion are pruned from the scan, and the SAME predicate is
     applied as a Spark filter (skipping is an optimization, never a
     correctness dependency). ``columns`` projects early so the pruned
-    scan also column-prunes."""
+    scan also column-prunes. Files carrying deletion vectors
+    (``delete_where(mode="dv")``) are read merge-on-read: their deleted
+    positions anti-join out of the scan."""
     v = _resolve_version(table, version)
-    paths, _total = plan_files(table, v, predicate)
-    if not paths:
+    adds, _total = plan_adds(table, v, predicate)
+    df = _read_adds(spark, table, adds)
+    if df is None:
         from pyspark.sql import types as ST
 
         snap = _snapshot(table, v)
@@ -543,17 +648,190 @@ def read_table(
         df = spark.createDataFrame(
             [], schema=ST.StructType.fromJson(json.loads(schema))
         )
-    else:
-        # mergeSchema: files written before an ADDITIVE column change
-        # surface nulls for the new columns — the standard lakehouse
-        # schema-evolution contract (the widened schema rides the
-        # commit header of the append that introduced it)
-        df = spark.read.option("mergeSchema", "true").parquet(*paths)
     if predicate:
         df = df.filter(_predicate_to_expr(predicate))
     if columns:
         df = df.select(*columns)
     return df
+
+
+# -------------------------------------------------- DELETE / restore
+
+
+def delete_where(
+    spark: SparkSession, table: str, predicate,
+    mode: str = "dv", stat_cols: list[str] | None = None,
+    checkpoint_every: int = 10,
+) -> dict:
+    """DELETE FROM ``table`` WHERE ``predicate`` — the two physical
+    strategies of the public Delta protocol:
+
+    - ``mode="dv"`` (merge-on-read, deletion vectors): no data file is
+      rewritten. One distributed scan of the stats-surviving candidate
+      files harvests the matching rows' ``(file, row_index)`` positions
+      into a parquet SIDECAR; the commit re-publishes each touched
+      file's ``add`` action with the DV attached (consolidated — a
+      file's action always references exactly one sidecar holding ALL
+      its deleted positions). Readers anti-join the positions out.
+      O(matches) write cost regardless of file sizes — the shape that
+      makes a 0.001% delete on a 100 TB table cheap.
+    - ``mode="rewrite"`` (copy-on-write): touch detection finds the
+      candidate files that actually CONTAIN a match, and only those are
+      rewritten without the matching rows (the classic DELETE).
+
+    ``predicate`` is either the ``(col, op, literal)`` conjunction list
+    (file-level stats pruning applies — a delete outside every file's
+    min/max range touches nothing) or a raw Spark SQL boolean string
+    (no pruning). Rows where the predicate is NULL are KEPT (SQL DELETE
+    semantics). Returns {"version", "rows_deleted", "files_touched",
+    "files_total"}.
+    """
+    from pyspark.sql import functions as F
+
+    if mode not in ("dv", "rewrite"):
+        raise ValueError(f"delete_where mode must be 'dv'|'rewrite': {mode}")
+    base = table_version(table)
+    if base < 0:
+        raise FileNotFoundError(f"no such table: {table}")
+    live = live_files(table)
+    tuples = predicate if isinstance(predicate, list) else None
+    expr = _predicate_to_expr(tuples) if tuples else predicate
+    cands = [a for a in live if _file_may_match(a, tuples)] if tuples else list(live)
+    noop = {"version": base, "rows_deleted": 0, "files_touched": 0,
+            "files_total": len(live)}
+    if not cands:
+        return noop
+    schema = _snapshot(table, base)["schema"]
+
+    if mode == "rewrite":
+        # touch detection: bounded collect — one row per candidate file
+        scan = _read_adds(spark, table, cands, lineage=True)
+        per_file = {
+            r["__dl_file"]: r["n"]
+            for r in scan.filter(F.expr(expr))
+            .groupBy("__dl_file").agg(F.count("*").alias("n")).collect()
+        }
+        if not per_file:
+            return noop
+        touched = [a for a in cands if a["path"] in per_file]
+        survivors = _read_adds(spark, table, touched).filter(
+            ~F.coalesce(F.expr(expr), F.lit(False))
+        )
+        adds = _write_data_files(survivors, table, base + 1, stat_cols, None)
+        version = _commit_retry(
+            table, "delete", adds, [a["path"] for a in touched], schema,
+            base, checkpoint_every,
+        )
+        return {"version": version, "rows_deleted": sum(per_file.values()),
+                "files_touched": len(touched), "files_total": len(live)}
+
+    # ---- mode == "dv": harvest matching positions, consolidate, commit
+    raw = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(table, a["path"]) for a in cands]
+    )
+    new_pos = raw.filter(F.expr(expr)).select(
+        F.regexp_extract(F.col("_metadata.file_path"), _REL_FILE_RE, 0)
+        .alias("file"),
+        F.col("_metadata.row_index").alias("pos"),
+    )
+    old_dv = _read_dv_positions(spark, table, cands)
+    old_count = sum(d.get("count", 0) for d in _dv_entries(cands))
+    if old_dv is not None:
+        # consolidate: a shared sidecar may also hold positions of
+        # files OUTSIDE this delete's candidate set — restrict to the
+        # candidates so those files keep their (still-live) sidecars
+        cand_df = spark.createDataFrame(
+            [(a["path"],) for a in cands], "file string"
+        )
+        old_pos = old_dv.join(F.broadcast(cand_df), "file", "inner")
+        all_pos = new_pos.unionByName(old_pos).distinct()
+    else:
+        all_pos = new_pos
+    token = uuid.uuid4().hex[:8]
+    rel_dv = os.path.join(_DV_DIR, f"{base + 1:05d}-{token}")
+    out_dir = os.path.join(table, rel_dv)
+    all_pos.write.mode("overwrite").parquet(out_dir)
+    counts = {
+        r["file"]: r["n"]
+        for r in spark.read.parquet(out_dir)
+        .groupBy("file").agg(F.count("*").alias("n")).collect()
+    }
+    if not counts:
+        shutil.rmtree(out_dir, ignore_errors=True)  # nothing matched
+        return noop
+    new_adds = []
+    for a in cands:
+        n = counts.get(a["path"], 0)
+        if n > 0:
+            na = {k: v for k, v in a.items() if k != "dv"}
+            na["dv"] = [{"path": rel_dv, "count": int(n)}]
+            new_adds.append(na)
+    version = _commit_retry(
+        table, "delete_dv", new_adds, [], schema, base, checkpoint_every,
+        require_live=[a["path"] for a in new_adds],
+    )
+    return {
+        "version": version,
+        "rows_deleted": int(sum(counts.values())) - old_count,
+        "files_touched": len(new_adds),
+        "files_total": len(live),
+    }
+
+
+def purge_dv(
+    spark: SparkSession, table: str, stat_cols: list[str] | None = None,
+    cluster_by: list[str] | None = None, checkpoint_every: int = 10,
+) -> dict:
+    """REORG PURGE: materialize outstanding deletion vectors by
+    rewriting only the DV-carrying files without their deleted rows —
+    one atomic remove+add commit, logical content unchanged (CDF emits
+    nothing for it, like compact). Old versions still read the old
+    files + sidecars until vacuum."""
+    base = table_version(table)
+    live = live_files(table)
+    dvd = [a for a in live if a.get("dv")]
+    if not dvd:
+        return {"version": base, "files_purged": 0}
+    df = _read_adds(spark, table, dvd)
+    adds = _write_data_files(df, table, base + 1, stat_cols, cluster_by)
+    version = _commit_retry(
+        table, "purge", adds, [a["path"] for a in dvd], df.schema.json(),
+        base, checkpoint_every,
+    )
+    return {"version": version, "files_purged": len(dvd)}
+
+
+def restore(table: str, to_version: int, checkpoint_every: int = 10) -> int:
+    """RESTORE TABLE TO VERSION AS OF — a NEW commit whose live set
+    equals the target version's, so the rollback is itself versioned,
+    atomic, and CDF-visible (downstream consumers see the un-done rows
+    as row-level changes instead of silently diverging). Raises
+    FileNotFoundError if the target's data files or DV sidecars were
+    vacuumed (the documented Delta behavior class)."""
+    base = table_version(table)
+    if not 0 <= to_version <= base:
+        raise ValueError(f"restore target {to_version} outside [0, {base}]")
+    target = _snapshot(table, to_version)
+    cur = _snapshot(table, base)["adds"]
+    missing = [
+        p for p in target["adds"]
+        if not os.path.exists(os.path.join(table, p))
+    ] + [
+        d["path"] for a in target["adds"].values()
+        for d in (a.get("dv") or [])
+        if not os.path.exists(os.path.join(table, d["path"]))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"restore {table} to v{to_version}: {len(missing)} referenced "
+            f"files vacuumed (e.g. {missing[0]})"
+        )
+    adds = [a for p, a in sorted(target["adds"].items()) if cur.get(p) != a]
+    removes = sorted(p for p in cur if p not in target["adds"])
+    return _commit_retry(
+        table, "restore", adds, removes, target["schema"], base,
+        checkpoint_every,
+    )
 
 
 # ------------------------------------------------------------------- merge
@@ -575,7 +853,8 @@ def merge_into(
        ``on``-range from the commit log cannot intersect the source's
        key range drop out immediately.
     2. **Touch detection** (one distributed semi-join): the surviving
-       candidates are scanned with ``input_file_name()`` and
+       candidates are scanned with file lineage (DV-aware — a key whose
+       only row is deletion-vectored away does not touch its file) and
        inner-joined to the (broadcast) source keys — only files that
        CONTAIN a matched key are rewritten; every other file rides
        through the commit untouched as pure metadata. A CDC feed
@@ -622,31 +901,29 @@ def merge_into(
         return not (s["max"] < lo or s["min"] > hi)
 
     candidates = [a for a in live if is_candidate(a)]
-    cand_paths = [os.path.join(table, a["path"]) for a in candidates]
     src_keys = source.select(on).distinct()
 
-    touched_paths: list[str] = []
-    if cand_paths:
+    touched_rel: list[str] = []
+    if candidates:
         # one semi-join pass: which candidate files hold a matched key?
-        # (bounded collect: distinct FILE NAMES, O(files) metadata)
-        touched_paths = [
+        # (bounded collect: distinct FILE NAMES, O(files) metadata).
+        # DV-aware lineage scan: a key whose only occurrence is already
+        # deleted by a DV must NOT mark its file touched.
+        touched_rel = sorted(
             r[0]
-            for r in spark.read.parquet(*cand_paths)
-            .select(F.input_file_name().alias("__f"), F.col(on))
+            for r in _read_adds(spark, table, candidates, lineage=True)
+            .select(F.col("__dl_file"), F.col(on))
             .join(F.broadcast(src_keys), on=on, how="inner")
-            .select("__f")
+            .select("__dl_file")
             .distinct()
             .collect()
-        ]
-    # normalize to the log's relative paths (input_file_name is a URI)
-    touched_rel = [
-        a["path"] for a in candidates
-        if any(t.endswith(a["path"]) for t in touched_paths)
-    ]
-    touched_abs = [os.path.join(table, p) for p in touched_rel]
+        )
+    touched_set = set(touched_rel)
 
-    if touched_abs:
-        existing = spark.read.parquet(*touched_abs)
+    if touched_rel:
+        existing = _read_adds(
+            spark, table, [a for a in candidates if a["path"] in touched_set]
+        )
         # rewrite = unmatched existing rows + ALL source rows (update
         # semantics: the source row wins; insert: key absent anywhere)
         survivors = existing.join(src_keys, on=on, how="left_anti")
@@ -765,14 +1042,19 @@ def table_changes(
     writes). Per commit in ``(from_version, to_version]``:
 
     - append commits: every added row → ``insert``
-    - compact commits: no logical change (pure metadata swap) → nothing
-    - overwrite/merge commits with ``key``: keys only in the removed
-      files → ``delete``; only in added → ``insert``; in both with ANY
-      payload difference → ``update_preimage``/``update_postimage``
-      (the unchanged majority produces no change rows — rows that
-      merely moved files are not changes)
-    - overwrite/merge without ``key``: coarse ``delete``+``insert`` of
-      the two file sets (no identity to diff on — documented)
+    - compact/purge commits: no logical change (pure metadata swap /
+      DV materialization) → nothing
+    - overwrite/merge/delete/restore commits with ``key``: keys only in
+      the removed-or-replaced files' pre-images → ``delete``; only in
+      added → ``insert``; in both with ANY payload difference →
+      ``update_preimage``/``update_postimage`` (the unchanged majority
+      produces no change rows — rows that merely moved files are not
+      changes). A ``delete_dv`` commit replaces a live file's action
+      with a fatter deletion vector, so its newly-deleted rows surface
+      as ``delete`` and a restore that un-deletes them as ``insert`` —
+      both sides of the diff read DV-aware.
+    - the same commits without ``key``: coarse ``delete``+``insert`` of
+      the two row sets (no identity to diff on — documented)
 
     Output: table columns + ``_change_type`` + ``_commit_version``.
     Needs the removed files still on disk (pre-vacuum horizon) — a
@@ -786,9 +1068,6 @@ def table_changes(
             f"change range [{from_version}, {to_version}] outside [-1, {latest}]"
         )
 
-    def _read(paths: list[str]) -> DataFrame | None:
-        return spark.read.parquet(*paths) if paths else None
-
     feeds = []
     for v in range(from_version + 1, to_version + 1):
         p = _version_path(table, v)
@@ -796,14 +1075,18 @@ def table_changes(
             raise ValueError(f"version {v} vacuumed from the log: {table}")
         actions = _read_actions(p)
         op = next(a["commit"]["operation"] for a in actions if "commit" in a)
-        adds = [os.path.join(table, a["add"]["path"])
-                for a in actions if "add" in a]
-        removes = [os.path.join(table, a["remove"]["path"])
-                   for a in actions if "remove" in a]
-        if op == "compact":
+        if op in ("compact", "purge"):
             continue
-        new = _read(adds)
-        old = _read(removes)
+        pre = _snapshot(table, v - 1)["adds"] if v > 0 else {}
+        add_acts = [a["add"] for a in actions if "add" in a]
+        rem_paths = [a["remove"]["path"] for a in actions if "remove" in a]
+        # a re-ADD of a live path (delete_dv attaching a vector, restore
+        # re-pinning an older action) REPLACES it — the pre-image rows
+        # belong on the old side of the diff
+        replaced = [a["path"] for a in add_acts if a["path"] in pre]
+        old_acts = [pre[q] for q in rem_paths + replaced if q in pre]
+        new = _read_adds(spark, table, add_acts)
+        old = _read_adds(spark, table, old_acts)
 
         def tag(df: DataFrame, typ: str) -> DataFrame:
             return df.withColumn("_change_type", F.lit(typ)).withColumn(

@@ -528,3 +528,197 @@ def test_matview_refresh_requires_create(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="not a materialized view"):
         refresh_agg_view(spark, src, str(tmp_path / "nope"),
                          "o_custkey", "o_orderkey", key="o_orderkey")
+
+
+# --------------------------------------------- deletion vectors / restore
+
+
+def _dv_table(spark, sf_dir, table, parts=4):
+    src = _orders(spark, sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    dl.append(src.repartition(parts), table, stat_cols=["o_orderkey"],
+              cluster_by=["o_orderkey"])
+    return src
+
+
+def test_delete_dv_equals_rewrite(spark, sf_dir, table, tmp_path):
+    """Same predicate, both physical strategies, identical logical
+    result — and the DV path must not rewrite a single data file."""
+    other = str(tmp_path / "tbl2")
+    src = _dv_table(spark, sf_dir, table)
+    _dv_table(spark, sf_dir, other)
+    files_before = {a["path"] for a in dl.live_files(table)}
+    r_dv = dl.delete_where(spark, table, [("o_orderstatus", "=", "F")])
+    r_rw = dl.delete_where(spark, other, [("o_orderstatus", "=", "F")],
+                           mode="rewrite")
+    assert r_dv["rows_deleted"] == r_rw["rows_deleted"] > 0
+    assert {a["path"] for a in dl.live_files(table)} == files_before
+    a = _ids(dl.read_table(spark, table))
+    b = _ids(dl.read_table(spark, other))
+    expect = _ids(src.filter("o_orderstatus <> 'F'"))
+    assert a == b == expect
+    # time travel: the pre-delete snapshot is untouched
+    assert dl.read_table(spark, table, version=0).count() == src.count()
+
+
+def test_delete_dv_stacking_consolidates(spark, sf_dir, table):
+    """Two OVERLAPPING dv deletes: each touched file's action holds
+    exactly one sidecar whose count is the union of its positions."""
+    src = _dv_table(spark, sf_dir, table)
+    lo = int(src.agg(F.expr("percentile(o_orderkey, 0.3)")).first()[0])
+    hi = int(src.agg(F.expr("percentile(o_orderkey, 0.6)")).first()[0])
+    dl.delete_where(spark, table, [("o_orderkey", "<", lo)])
+    r2 = dl.delete_where(spark, table, [("o_orderkey", "<", hi)])
+    expect = src.filter(F.col("o_orderkey") >= hi)
+    assert dl.read_table(spark, table).count() == expect.count()
+    total_dv = 0
+    for a in dl.live_files(table):
+        if a.get("dv"):
+            assert len(a["dv"]) == 1, "stacked DVs must consolidate"
+            total_dv += a["dv"][0]["count"]
+    assert total_dv == src.count() - expect.count()
+    assert r2["rows_deleted"] == src.filter(
+        (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+    ).count()
+
+
+def test_delete_null_predicate_keeps_rows(spark, sf_dir, table):
+    """SQL DELETE semantics: predicate NULL -> row KEPT, both modes."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30), (4, None)], "k int, v int"
+    )
+    dl.append(df, table)
+    dl.delete_where(spark, table, "v > 15")  # NULL > 15 is NULL -> keep
+    kept = sorted(r[0] for r in dl.read_table(spark, table).select("k").collect())
+    assert kept == [1, 2, 4]
+    other = str(table) + "_rw"
+    dl.append(df, other)
+    dl.delete_where(spark, other, "v > 15", mode="rewrite")
+    kept2 = sorted(r[0] for r in dl.read_table(spark, other).select("k").collect())
+    assert kept2 == [1, 2, 4]
+
+
+def test_delete_dv_stats_prune_noop(spark, sf_dir, table):
+    """A delete whose range misses every file's [min,max] commits
+    NOTHING (no new version, no sidecar)."""
+    _dv_table(spark, sf_dir, table)
+    v = dl.table_version(table)
+    r = dl.delete_where(spark, table, [("o_orderkey", "<", -1)])
+    assert r["rows_deleted"] == 0 and r["files_touched"] == 0
+    assert dl.table_version(table) == v
+    r2 = dl.delete_where(spark, table, [("o_orderstatus", "=", "Z")])
+    assert r2["rows_deleted"] == 0 and dl.table_version(table) == v
+
+
+def test_delete_dv_compact_materializes(spark, sf_dir, table):
+    """Compacting a DV-carrying table must apply the vectors, never
+    resurrect deleted rows; the compacted actions carry no dv."""
+    src = _dv_table(spark, sf_dir, table)
+    dl.delete_where(spark, table, [("o_orderstatus", "=", "O")])
+    expect = _ids(src.filter("o_orderstatus <> 'O'"))
+    dl.compact(spark, table, num_files=2)
+    assert not any(a.get("dv") for a in dl.live_files(table))
+    assert _ids(dl.read_table(spark, table)) == expect
+
+
+def test_merge_after_dv_delete_reinserts(spark, sf_dir, table):
+    """A key whose only row was DV-deleted is ABSENT: merging it back
+    must INSERT it (DV-aware touch detection), not silently skip it."""
+    src = _dv_table(spark, sf_dir, table)
+    key = int(src.agg(F.min("o_orderkey")).first()[0])
+    dl.delete_where(spark, table, [("o_orderkey", "=", key)])
+    assert dl.read_table(
+        spark, table, predicate=[("o_orderkey", "=", key)]
+    ).count() == 0
+    row = src.filter(F.col("o_orderkey") == key).withColumn(
+        "o_totalprice", F.lit(123.45)
+    )
+    res = dl.merge_into(spark, table, row, on="o_orderkey",
+                        stat_cols=["o_orderkey"])
+    got = dl.read_table(spark, table, predicate=[("o_orderkey", "=", key)])
+    assert got.count() == 1
+    assert abs(got.first()["o_totalprice"] - 123.45) < 1e-9
+    assert res["files_rewritten"] == 0, (
+        "the key's only row was deleted -> no file contains it -> "
+        "pure insert, zero rewrites"
+    )
+
+
+def test_purge_then_vacuum_cleans_sidecars(spark, sf_dir, table):
+    src = _dv_table(spark, sf_dir, table)
+    dl.delete_where(spark, table, [("o_orderstatus", "=", "F")])
+    expect = _ids(src.filter("o_orderstatus <> 'F'"))
+    dl.purge_dv(spark, table, stat_cols=["o_orderkey"])
+    assert not any(a.get("dv") for a in dl.live_files(table))
+    deleted = dl.vacuum(table, keep_versions=1)
+    assert any(p.startswith("dv/") for p in deleted), (
+        "the orphaned sidecar dir must be vacuumed"
+    )
+    assert _ids(dl.read_table(spark, table)) == expect
+
+
+def test_vacuum_keeps_live_sidecars(spark, sf_dir, table):
+    src = _dv_table(spark, sf_dir, table)
+    dl.delete_where(spark, table, [("o_orderstatus", "=", "F")])
+    dl.vacuum(table, keep_versions=1)
+    # the sidecar is still referenced by the live version: must survive
+    expect = _ids(src.filter("o_orderstatus <> 'F'"))
+    assert _ids(dl.read_table(spark, table)) == expect
+
+
+def test_restore_roundtrip_and_vacuum_horizon(spark, sf_dir, table):
+    src = _dv_table(spark, sf_dir, table)
+    dl.delete_where(spark, table, [("o_orderstatus", "=", "F")])   # v1
+    dl.overwrite(src.filter("o_orderstatus = 'P'"), table)         # v2
+    v = dl.restore(table, 1)                                       # v3
+    assert v == 3
+    assert _ids(dl.read_table(spark, table)) == _ids(
+        src.filter("o_orderstatus <> 'F'")
+    )
+    # the restore is CDF-visible as row-level changes
+    ch = dl.table_changes(spark, table, 2, 3, key="o_orderkey")
+    ins = ch.filter("_change_type = 'insert'").count()
+    assert ins == src.filter("o_orderstatus NOT IN ('F','P')").count()
+    # restore target out of range / vacuumed raises loudly
+    with pytest.raises(ValueError):
+        dl.restore(table, 99)
+    dl.overwrite(src.limit(10), table)                             # v4
+    dl.vacuum(table, keep_versions=1)
+    with pytest.raises(FileNotFoundError):
+        dl.restore(table, 0)
+
+
+def test_delete_dv_concurrent_compact_conflict(spark, sf_dir, table):
+    """A delete_dv whose re-add set went stale (compact removed the
+    files underneath) must raise, not resurrect the old files."""
+    _dv_table(spark, sf_dir, table)
+    stale = [dict(a, dv=[{"path": "dv/fake", "count": 1}])
+             for a in dl.live_files(table)]
+    dl.compact(spark, table, num_files=1)  # table moves; files replaced
+    with pytest.raises(dl.ConcurrentWriteError):
+        dl._commit_retry(
+            table, "delete_dv", stale, [], "{}", 0, 10,
+            require_live=[a["path"] for a in stale],
+        )
+
+
+def test_change_feed_delete_dv_rows(spark, sf_dir, table):
+    """CDF across a dv delete: exactly the newly-deleted rows, as
+    'delete' — a second overlapping delete emits only the increment."""
+    src = _dv_table(spark, sf_dir, table)
+    lo = int(src.agg(F.expr("percentile(o_orderkey, 0.2)")).first()[0])
+    hi = int(src.agg(F.expr("percentile(o_orderkey, 0.4)")).first()[0])
+    dl.delete_where(spark, table, [("o_orderkey", "<", lo)])   # v1
+    dl.delete_where(spark, table, [("o_orderkey", "<", hi)])   # v2
+    ch = dl.table_changes(spark, table, 0, 2, key="o_orderkey")
+    by_v = {
+        (r["_commit_version"], r["_change_type"]): r["n"]
+        for r in ch.groupBy("_commit_version", "_change_type")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    n1 = src.filter(F.col("o_orderkey") < lo).count()
+    n2 = src.filter(
+        (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+    ).count()
+    assert by_v == {(1, "delete"): n1, (2, "delete"): n2}
