@@ -234,3 +234,87 @@ def simhash16(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFr
             F.coalesce("simhash", F.lit((1 << bits) - 1)).alias("simhash"),
         )
     )
+
+
+def substring_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 6, carry: list[str] | None = None,
+) -> DataFrame:
+    """Exact substring deduplication with SPAN REMOVAL (the Lee et al.
+    2022 "Deduplicating Training Data Makes Language Models Better"
+    semantic, re-expressed relationally): every k-token span that
+    occurs more than once in the corpus keeps its GLOBAL FIRST
+    occurrence (min (doc, position)) and every other occurrence's
+    window is cut out of its document; the surviving tokens are
+    rejoined into cleaned text.
+
+    Spark-first plan — the suffix-array pass of the paper becomes one
+    keyed shuffle on span identity:
+
+    1. map-side: tokenize, emit (span, doc, pos) for every position
+       (``posexplode`` over the in-row n-gram array — no UDF);
+    2. one groupBy(span): first-occurrence ord = min(doc·10⁶ + pos),
+       duplicated spans only (count ≥ 2);
+    3. one equi-join back span→occurrences marks loser positions;
+    4. per-doc mask: collect_set of marked starts (bounded by doc
+       length), expanded in-row to covered positions, and a HOF filter
+       drops covered tokens — no second shuffle over token rows.
+
+    At 100 TB the span STRING key would be its 64-bit hash (same plan,
+    ~10× smaller shuffle); the string key is kept here because the
+    DuckDB oracle mirrors it byte-for-byte.
+
+    Returns one row per input document: ``id_col``, any ``carry``
+    columns, ``n_tokens`` (pre), ``n_removed``, ``clean_text``.
+    """
+    carry = carry or []
+    toks = docs.select(
+        id_col, *carry, tokens(text_col).alias("__w")
+    )
+    # k-gram per start position, built from the token array directly
+    # (slice/zip_with — the ngrams() fast shape, without re-tokenizing)
+    m = F.greatest(F.size("__w") - (k - 1), F.lit(0))
+    gexpr = F.slice("__w", 1, m)
+    for jj in range(1, k):
+        gexpr = F.zip_with(
+            gexpr, F.slice("__w", jj + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    grams = toks.select(
+        id_col, F.posexplode(gexpr).alias("pos", "g")
+    ).withColumn("ord", F.col(id_col) * 1_000_000 + F.col("pos"))
+    winners = (
+        grams.groupBy("g")
+        .agg(F.min("ord").alias("first_ord"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("g", "first_ord")
+    )
+    marks = (
+        grams.join(winners, "g")
+        .filter(F.col("ord") != F.col("first_ord"))
+        .select(id_col, "pos")
+    )
+    masks = marks.groupBy(id_col).agg(
+        F.collect_set("pos").alias("__starts")
+    )
+    j = toks.join(masks, id_col, "left").withColumn(
+        "__cov",
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.coalesce("__starts", F.array().cast("array<int>")),
+                    lambda s: F.sequence(s, s + (k - 1)),
+                )
+            )
+        ),
+    )
+    cleaned = F.filter(
+        "__w", lambda x, i: ~F.array_contains(F.col("__cov"), i)
+    )
+    return j.select(
+        id_col,
+        *carry,
+        F.size("__w").alias("n_tokens"),
+        (F.size("__w") - F.size(cleaned)).alias("n_removed"),
+        F.concat_ws(" ", cleaned).alias("clean_text"),
+    )

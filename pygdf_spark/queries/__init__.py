@@ -70,7 +70,9 @@ _PRIORITY = [
     # and the WebDataset->PNG-decode multimodal composite
     "io_warc_roundtrip", "io_webdataset_roundtrip", "mm_webdataset_images",
     # -- oldest-green rotation (every row below last greened in r1):
-    "q1_pricing_summary", "q6_forecast_revenue",
+    # (dedup_substring_remove displaces q6_forecast_revenue, r1-green)
+    "dedup_substring_remove",
+    "q1_pricing_summary",
     "join_inner_q3", "join_semi",
     "join_anti", "join_conditional", "join_index_aligned",
     "join_range_bucketed", "join_salted_skew",

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from pygdf_spark.functions.hashing import MERSENNE_P, minhash_perm_sql
+from pygdf_spark.functions.hashing import MERSENNE_P, md5_mod, minhash_perm_sql
 from pygdf_spark.operators import dedup as D
 from pygdf_spark.operators.text import ngrams
 from pygdf_spark.queries._util import T
@@ -821,7 +821,80 @@ ORDER BY containment DESC, doc_a, doc_b LIMIT 40
 """
 
 
+def dedup_substring_remove(spark, sf_dir):
+    """Exact substring dedup with SPAN REMOVAL (Lee et al. 2022):
+    every 6-token span occurring ≥2× in the corpus keeps only its
+    global first occurrence — all other occurrences' windows are cut
+    out and the text reconstructed from the surviving tokens
+    (operators/dedup.py::substring_dedup — one keyed shuffle on span
+    identity, per-doc masks applied in-row). The result aggregates per
+    source and fingerprints every cleaned text cross-engine
+    (md5_number_lower % p), so a single token kept or cut wrongly in
+    ANY document breaks the hash."""
+    from pygdf_spark.operators.dedup import substring_dedup
+
+    d = T(spark, sf_dir, "documents")
+    cleaned = substring_dedup(d, "doc_id", "text", k=6, carry=["source"])
+    fp = md5_mod("clean_text")
+    return (
+        cleaned.groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("n_removed") > 0, 1).otherwise(0)).alias(
+                "docs_affected"
+            ),
+            F.sum("n_removed").alias("tokens_removed"),
+            F.sum(fp).alias("clean_fp"),
+        )
+        .orderBy("source")
+    )
+
+
+DEDUP_SUBSTRING_SQL = r"""
+WITH words AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\s+') END AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos, doc_id * 1000000 + (i - 1) AS ord,
+         w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5] AS g
+  FROM words, LATERAL UNNEST(generate_series(1, greatest(len(w) - 5, 0))) AS t(i)
+),
+winners AS (
+  SELECT g, MIN(ord) AS first_ord FROM grams GROUP BY g HAVING COUNT(*) >= 2
+),
+masks AS (
+  SELECT gr.doc_id, LIST(DISTINCT gr.pos) AS starts
+  FROM grams gr JOIN winners wn ON gr.g = wn.g
+  WHERE gr.ord <> wn.first_ord
+  GROUP BY gr.doc_id
+),
+cleaned AS (
+  SELECT wo.doc_id, wo.source, len(wo.w) AS n_tokens,
+         CASE WHEN m.starts IS NULL THEN wo.w
+              ELSE list_filter(wo.w, (x, i) -> NOT list_contains(
+                     list_distinct(flatten(list_transform(
+                       m.starts, s -> generate_series(s, s + 5)))),
+                     i - 1))
+         END AS cw
+  FROM words wo LEFT JOIN masks m ON wo.doc_id = m.doc_id
+)
+SELECT source,
+       CAST(SUM(CASE WHEN n_tokens - len(cw) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_affected,
+       CAST(SUM(n_tokens - len(cw)) AS BIGINT) AS tokens_removed,
+       -- COALESCE: DuckDB array_to_string([]) is NULL, Spark concat_ws
+       -- of an empty array is '' — a fully-deleted doc must fingerprint
+       -- as '' in both engines, not silently drop out of the SUM
+       CAST(SUM(md5_number_lower(COALESCE(array_to_string(cw, ' '), ''))
+         % 2147483647) AS BIGINT) AS clean_fp
+FROM cleaned GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
+    "dedup_substring_remove": dedup_substring_remove,
     "graph_connected_components": graph_connected_components,
     "graph_pagerank": graph_pagerank,
     "pipeline_neardup_prune": pipeline_neardup_prune,
@@ -840,6 +913,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "dedup_substring_remove": DEDUP_SUBSTRING_SQL,
     "graph_connected_components": GRAPH_CC_SQL,
     "graph_pagerank": _pagerank_sql(),
     "pipeline_neardup_prune": _neardup_prune_sql(),

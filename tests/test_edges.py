@@ -794,3 +794,42 @@ def test_tokens_control_char_edges(spark):
     got = [(r["tk"], r["n"]) for r in df.select(
         tokens("t").alias("tk"), token_count("t").alias("n")).collect()]
     assert got == [(["hello", "world"], 2), (["x"], 1), ([], 0)]
+
+
+def test_substring_dedup_semantics(spark):
+    """Lee-et-al span removal: global first occurrence survives, every
+    later occurrence's k-window is cut; overlapping duplicate windows
+    union; full-duplicate docs clean to ''; short docs pass through."""
+    from pygdf_spark.operators.dedup import substring_dedup
+
+    docs = spark.createDataFrame(
+        [
+            # doc 0: the canonical copy (first by (doc, pos) order)
+            (0, "a b c d e f tail0 unique0"),
+            # doc 1: exact copy of the span 'a b c d e f' + own tail
+            (1, "a b c d e f tail1 unique1"),
+            # doc 2: the span twice -> second occurrence also cut
+            (2, "a b c d e f x a b c d e f"),
+            # doc 3: full duplicate of doc 0 -> cleans to ''
+            (3, "a b c d e f tail0 unique0"),
+            # doc 4: shorter than k -> untouched
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in substring_dedup(docs, "doc_id", "text", k=6).collect()
+    }
+    assert out[0]["clean_text"] == "a b c d e f tail0 unique0"
+    assert out[0]["n_removed"] == 0
+    assert out[1]["clean_text"] == "tail1 unique1"
+    assert out[1]["n_removed"] == 6
+    assert out[2]["clean_text"] == "x"
+    assert out[2]["n_removed"] == 12
+    # doc 3 duplicates doc 0 INCLUDING the tail: 'tail0 unique0' rides
+    # inside the duplicated 6-gram windows ending at the doc tail
+    assert out[3]["clean_text"] == ""
+    assert out[3]["n_removed"] == 8
+    assert out[4]["clean_text"] == "tiny doc"
+    assert out[4]["n_removed"] == 0
