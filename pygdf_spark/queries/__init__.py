@@ -74,7 +74,7 @@ _PRIORITY = [
     "dedup_substring_remove",
     "q1_pricing_summary",
     "join_inner_q3", "join_semi",
-    "join_anti", "join_conditional", "join_index_aligned",
+    "join_anti",
     "join_range_bucketed", "join_salted_skew",
     "agg_basic_stats", "agg_quantiles", "agg_idxmax",
     "agg_rollup", "agg_global_reduce",
@@ -107,6 +107,9 @@ _PRIORITY = [
     "nlp_bpe_train", "nlp_bpe_encode", "events_multires_rollup",
     "scd2_event_history", "sstream_scd2_changes_live",
     "text_pmi_bigrams", "ml_gram_suffstats",
+    # (logreg family displaces join_conditional / join_index_aligned,
+    # both r1-green with cumulative rows)
+    "ml_logreg_grad0", "ml_quality_score_apply",
 ]
 
 

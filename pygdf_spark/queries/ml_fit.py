@@ -87,10 +87,134 @@ def _gram_sql() -> str:
 ML_GRAM_SQL = _gram_sql()
 
 
+def ml_logreg_grad0(spark, sf_dir):
+    """First gradient step of the distributed logistic-regression
+    quality classifier (operators/linear_model.py) on hashed
+    unigram+bigram features (fastText-style, d=64 buckets): at w=0
+    every predicted probability is EXACTLY 0.5, so the per-bucket
+    gradient is pure integer arithmetic — 2·grad_j = Σ cnt·(2y−1) with
+    y = [lang='en']. This pins the featurization (hash buckets, bigram
+    construction, counts) and the gradient PLAN (broadcast-weight join
+    → doc margin → bucket aggregate) bit-exactly cross-engine; the
+    float iteration loop on top is pinned in tests/test_ml_fit.py
+    against a scalar reference."""
+    from pygdf_spark.operators.linear_model import hashed_ngram_features
+
+    d = T(spark, sf_dir, "documents")
+    feats = hashed_ngram_features(d, d=64)
+    labels = d.select(
+        F.col("doc_id").alias("doc"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    return (
+        feats.join(labels, "doc")
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.col("cnt") * (2 * F.col("y") - 1)).alias("grad2"),
+            F.sum("cnt").alias("mass"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ML_LOGREG_GRAD0_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\s+') END AS w
+  FROM documents
+),
+terms AS (
+  SELECT doc_id, y, UNNEST(list_concat(
+           w,
+           list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                          i -> w[i] || ' ' || w[i+1]))) AS term
+  FROM toks
+),
+feats AS (
+  SELECT doc_id, y, CAST(md5_number_lower(term) % 64 AS INT) AS bucket,
+         COUNT(*) AS cnt
+  FROM terms GROUP BY ALL
+)
+SELECT bucket, CAST(SUM(cnt * (2*y - 1)) AS BIGINT) AS grad2,
+       CAST(SUM(cnt) AS BIGINT) AS mass, COUNT(*) AS n_pairs
+FROM feats GROUP BY bucket ORDER BY bucket
+"""
+
+
+def ml_quality_score_apply(spark, sf_dir):
+    """APPLY path of the hashed-ngram linear quality filter: score
+    every document against a fixed integer weight table (weight(j) =
+    (j·2654435761) mod 1997 − 998 — an arithmetic fixture both engines
+    derive identically; a trained model drops into the same plan) and
+    report per-source keep rates. Fully map-side except two bounded
+    keyed shuffles (feature groupBy, doc sum); the weight table rides
+    as an expression, so scoring 100 TB is a scan."""
+    from pygdf_spark.operators.linear_model import hashed_ngram_features
+
+    d = T(spark, sf_dir, "documents")
+    feats = hashed_ngram_features(d, d=4096)
+    wexpr = (F.col("bucket").cast("long") * 2654435761) % 1997 - 998
+    scores = (
+        feats.groupBy("doc")
+        .agg(F.sum(F.col("cnt") * wexpr).alias("score"))
+    )
+    return (
+        d.select(F.col("doc_id").alias("doc"), "source")
+        .join(scores, "doc", "left")
+        .select("source", F.coalesce("score", F.lit(0)).alias("score"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("score") > 0).cast("long")).alias("n_keep"),
+            F.sum("score").alias("score_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+ML_QUALITY_APPLY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\s+') END AS w
+  FROM documents
+),
+terms AS (
+  SELECT doc_id, UNNEST(list_concat(
+           w,
+           list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                          i -> w[i] || ' ' || w[i+1]))) AS term
+  FROM toks
+),
+feats AS (
+  SELECT doc_id, CAST(md5_number_lower(term) % 4096 AS BIGINT) AS bucket,
+         COUNT(*) AS cnt
+  FROM terms GROUP BY ALL
+),
+scores AS (
+  SELECT doc_id,
+         SUM(cnt * ((bucket * 2654435761) % 1997 - 998)) AS score
+  FROM feats GROUP BY doc_id
+)
+SELECT d.source AS source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN COALESCE(s.score, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_keep,
+       CAST(SUM(COALESCE(s.score, 0)) AS BIGINT) AS score_sum
+FROM documents d LEFT JOIN scores s ON d.doc_id = s.doc_id
+GROUP BY d.source ORDER BY d.source
+"""
+
+
 QUERIES = {
     "ml_gram_suffstats": ml_gram_suffstats,
+    "ml_logreg_grad0": ml_logreg_grad0,
+    "ml_quality_score_apply": ml_quality_score_apply,
 }
 
 ORACLE = {
     "ml_gram_suffstats": ML_GRAM_SQL,
+    "ml_logreg_grad0": ML_LOGREG_GRAD0_SQL,
+    "ml_quality_score_apply": ML_QUALITY_APPLY_SQL,
 }
