@@ -110,6 +110,10 @@ EXTRA_BENCH = [
     "lake_file_skipping",     # stats-pruned snapshot scan
     "mm_gif_frames",          # animated-GIF LZW decode + frame sample
     "sample_epoch_shuffle",   # deterministic per-epoch permutation
+    # this-session operators (same outside-headline rule):
+    "lake_delete_dv",         # deletion-vector DELETE + merge-on-read scan
+    "dedup_substring_remove", # exact substring dedup with span removal
+    "ml_quality_score_apply", # hashed-ngram linear quality scoring
 ]
 
 

@@ -308,13 +308,18 @@ def substring_dedup(
             )
         ),
     )
+    # stage the filter HOF behind an alias: interpreted HOF subtrees are
+    # not CSE'd, so inlining it into both size() and concat_ws() would
+    # run the mask filter twice per row (CollapseProject keeps the
+    # two-step shape because the alias is referenced more than once)
     cleaned = F.filter(
         "__w", lambda x, i: ~F.array_contains(F.col("__cov"), i)
     )
-    return j.select(
+    staged = j.select(id_col, *carry, "__w", cleaned.alias("__c"))
+    return staged.select(
         id_col,
         *carry,
         F.size("__w").alias("n_tokens"),
-        (F.size("__w") - F.size(cleaned)).alias("n_removed"),
-        F.concat_ws(" ", cleaned).alias("clean_text"),
+        (F.size("__w") - F.size("__c")).alias("n_removed"),
+        F.concat_ws(" ", "__c").alias("clean_text"),
     )

@@ -73,8 +73,10 @@ _PRIORITY = [
     # (dedup_substring_remove displaces q6_forecast_revenue, r1-green)
     "dedup_substring_remove",
     "q1_pricing_summary",
-    "join_inner_q3", "join_semi",
-    "join_anti",
+    # (triangle/heavy-hitter queries displace join_semi / join_anti,
+    # both r1-green with cumulative rows)
+    "graph_triangle_count", "text_heavy_hitters",
+    "join_inner_q3",
     "join_range_bucketed", "join_salted_skew",
     "agg_basic_stats", "agg_quantiles", "agg_idxmax",
     "agg_rollup", "agg_global_reduce",

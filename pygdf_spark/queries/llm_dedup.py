@@ -893,8 +893,60 @@ FROM cleaned GROUP BY source ORDER BY source
 """
 
 
+def graph_triangle_count(spark, sf_dir):
+    """Exact distributed triangle count (operators/graph.py — the
+    degree-orientation "forward" algorithm; out-degrees bounded O(√m)
+    so the wedge join cannot blow up on hub nodes) over the part
+    co-purchase graph: parts appearing in the same order are linked.
+    The oracle closes wedges with the simpler id-orientation — a
+    different orientation finding the SAME unique triangle set, so
+    count and Σ(a+b+c) checksum must agree exactly."""
+    from pygdf_spark.operators.graph import triangle_count
+
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 3000)
+    l1 = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a"))
+    l2 = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("b"))
+    edges = (
+        l1.join(l2, "o")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return triangle_count(edges)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+
+
+GRAPH_TRIANGLE_SQL = """
+WITH e AS (
+  SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_orderkey < 3000 AND l1.l_partkey < l2.l_partkey
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT
+  (SELECT COUNT(*) FROM (SELECT u AS x FROM e UNION SELECT v FROM e))
+    AS n_nodes,
+  (SELECT COUNT(*) FROM e) AS n_edges,
+  COUNT(*) AS n_triangles,
+  CAST(COALESCE(SUM(a + b + c), 0) AS BIGINT) AS tri_checksum
+FROM tri
+"""
+
+
 QUERIES = {
     "dedup_substring_remove": dedup_substring_remove,
+    "graph_triangle_count": graph_triangle_count,
     "graph_connected_components": graph_connected_components,
     "graph_pagerank": graph_pagerank,
     "pipeline_neardup_prune": pipeline_neardup_prune,
@@ -914,6 +966,7 @@ QUERIES = {
 
 ORACLE = {
     "dedup_substring_remove": DEDUP_SUBSTRING_SQL,
+    "graph_triangle_count": GRAPH_TRIANGLE_SQL,
     "graph_connected_components": GRAPH_CC_SQL,
     "graph_pagerank": _pagerank_sql(),
     "pipeline_neardup_prune": _neardup_prune_sql(),

@@ -626,7 +626,33 @@ ORDER BY lift DESC, bigram ASC LIMIT 25
 """
 
 
+def text_heavy_hitters(spark, sf_dir):
+    """EXACT top-20 corpus tokens through the Misra-Gries sketch-prune
+    + exact-verify path (operators/sketch.py): per-partition ≤512-slot
+    summaries (Arrow-batched), bounded candidate broadcast, exact
+    counts for candidates only, certification that 512 slots suffice
+    for this k. The oracle is the naive full-domain GROUP BY — the
+    whole point is that the sketch path must return the IDENTICAL
+    top-k while shuffling O(slots·P) instead of the token domain."""
+    from pygdf_spark.operators.sketch import heavy_hitters_topk
+
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(F.explode(X.tokens("text")).alias("token"))
+    return heavy_hitters_topk(toks, "token", k=20, slots=512)
+
+
+TEXT_HEAVY_HITTERS_SQL = r"""
+WITH toks AS (
+  SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT token, COUNT(*) AS n FROM toks
+GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+"""
+
+
 QUERIES = {
+    "text_heavy_hitters": text_heavy_hitters,
     "text_pmi_bigrams": text_pmi_bigrams,
     "text_chunk_split": text_chunk_split,
     "text_tfidf_top": text_tfidf_top,
@@ -643,6 +669,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "text_heavy_hitters": TEXT_HEAVY_HITTERS_SQL,
     "text_pmi_bigrams": TEXT_PMI_SQL,
     "text_chunk_split": TEXT_CHUNK_SQL,
     "text_tfidf_top": TEXT_TFIDF_SQL,

@@ -833,3 +833,42 @@ def test_substring_dedup_semantics(spark):
     assert out[3]["n_removed"] == 8
     assert out[4]["clean_text"] == "tiny doc"
     assert out[4]["n_removed"] == 0
+
+
+def test_triangle_count_hand_graph(spark):
+    """K4 (4 triangles) + a 5-spoke star (0) + a bridge, with noisy
+    input: duplicated, reversed edges and a self-loop."""
+    from pygdf_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    star = [(100, 100 + i) for i in range(1, 6)]
+    noise = [(1, 0), (2, 1), (7, 7), (3, 100)]  # dup-reversed, self-loop, bridge
+    edges = spark.createDataFrame(k4 + star + noise, "a long, b long")
+    row = triangle_count(edges).collect()[0]
+    assert row["n_triangles"] == 4
+    # K4 triangles: {0,1,2},{0,1,3},{0,2,3},{1,2,3} -> sum = 3+4+5+6
+    assert row["tri_checksum"] == 18
+    assert row["n_edges"] == len(k4) + len(star) + 1  # bridge only
+    assert row["n_nodes"] == 4 + 6
+
+
+def test_heavy_hitters_exact_and_certified(spark):
+    """Sketch-pruned top-k == naive top-k on a zipf-ish stream; an
+    undersized sketch refuses loudly instead of returning a maybe."""
+    import pytest
+
+    from pygdf_spark.operators.sketch import heavy_hitters_topk
+
+    rows = []
+    for j in range(1, 40):          # item_j appears 1000//j times
+        rows += [(f"item_{j:02d}",)] * (1000 // j)
+    rows += [(f"rare_{i}",) for i in range(400)]  # long noise tail
+    df = spark.createDataFrame(rows, "token string").repartition(16)
+    got = [(r["token"], r["n"]) for r in
+           heavy_hitters_topk(df, "token", k=5, slots=64).collect()]
+    import collections
+    naive = collections.Counter(t for (t,) in rows)
+    expect = sorted(naive.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got == expect
+    with pytest.raises(ValueError, match="cannot certify"):
+        heavy_hitters_topk(df, "token", k=40, slots=4)
