@@ -280,9 +280,11 @@ def substring_dedup(
             gexpr, F.slice("__w", jj + 1, m),
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
+    # global-order key: doc·2³² + pos — positions are safe to 4.3B
+    # tokens per doc, doc ids to 2³¹ (int64 headroom at both ends)
     grams = toks.select(
         id_col, F.posexplode(gexpr).alias("pos", "g")
-    ).withColumn("ord", F.col(id_col) * 1_000_000 + F.col("pos"))
+    ).withColumn("ord", F.col(id_col) * 4_294_967_296 + F.col("pos"))
     winners = (
         grams.groupBy("g")
         .agg(F.min("ord").alias("first_ord"), F.count(F.lit(1)).alias("n"))

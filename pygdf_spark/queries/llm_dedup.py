@@ -857,7 +857,7 @@ WITH words AS (
   FROM documents
 ),
 grams AS (
-  SELECT doc_id, i - 1 AS pos, doc_id * 1000000 + (i - 1) AS ord,
+  SELECT doc_id, i - 1 AS pos, doc_id * 4294967296 + (i - 1) AS ord,
          w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5] AS g
   FROM words, LATERAL UNNEST(generate_series(1, greatest(len(w) - 5, 0))) AS t(i)
 ),

@@ -409,33 +409,50 @@ def _commit_retry(
     table: str, operation: str, adds: list[dict], removes: list[str],
     schema: str, base_version: int, checkpoint_every: int,
     txn: tuple[str, int] | None = None,
-    require_live: list[str] | None = None,
+    require_unchanged: dict | None = None,
+    expect_head: int | None = None,
 ) -> int:
     """Publish adds/removes, retrying version collisions. Appends
     (no removes) are always safe to replay at a later version; a
     remove-bearing commit re-validates its remove set is still live.
-    ``require_live`` paths are validated exactly like removes but emit
-    no remove action — a deletion-vector commit re-ADDS a live file's
-    action with an attached DV, and must not resurrect a file a
-    concurrent compact/overwrite removed underneath it.
+    ``require_unchanged`` maps path → the add action this commit's
+    replacement was DERIVED from: a deletion-vector commit re-ADDS a
+    live file's action with a fatter DV, and must neither resurrect a
+    file a concurrent compact/overwrite removed NOR clobber a
+    concurrent DV that consolidated from the same base (two racing
+    deletes would silently lose one another's positions — the classic
+    lost-update; the loser must raise and re-derive instead).
     A ``txn=(app_id, batch_id)`` commit is idempotent: if a commit with
     the same txn already landed (a concurrent retry of the same
     micro-batch won the race), this one is dropped and the winner's
     version returned."""
     version = table_version(table) + 1
     while True:
+        if expect_head is not None and version - 1 != expect_head:
+            # a whole-table-state commit (restore) is only meaningful
+            # against the exact head it was computed from
+            raise ConcurrentWriteError(
+                f"{operation} on {table}: head moved {expect_head} -> "
+                f"{version - 1}; recompute against the current snapshot"
+            )
         if txn is not None and last_txn_batch(table, txn[0]) >= txn[1]:
             return table_version(table)  # duplicate micro-batch replay
-        validate = set(removes) | set(require_live or [])
-        if validate:
-            live = (
-                set(_snapshot(table, version - 1)["adds"]) if version else set()
+        if removes or require_unchanged:
+            adds_now = (
+                _snapshot(table, version - 1)["adds"] if version else {}
             )
-            if not validate <= live:
+            if not set(removes) <= set(adds_now):
                 raise ConcurrentWriteError(
-                    f"{operation} on {table}: files to remove/replace are no "
+                    f"{operation} on {table}: files to remove are no "
                     f"longer live (table moved past version {base_version})"
                 )
+            for path, expected in (require_unchanged or {}).items():
+                if adds_now.get(path) != expected:
+                    raise ConcurrentWriteError(
+                        f"{operation} on {table}: {path} changed or was "
+                        f"removed since version {base_version} — re-derive "
+                        "against the current snapshot"
+                    )
         header = {"version": version, "operation": operation, "schema": schema}
         if txn is not None:
             header["txn"] = {"app": txn[0], "batch": int(txn[1])}
@@ -768,7 +785,10 @@ def delete_where(
             new_adds.append(na)
     version = _commit_retry(
         table, "delete_dv", new_adds, [], schema, base, checkpoint_every,
-        require_live=[a["path"] for a in new_adds],
+        require_unchanged={
+            a["path"]: next(c for c in cands if c["path"] == a["path"])
+            for a in new_adds
+        },
     )
     return {
         "version": version,
@@ -830,7 +850,7 @@ def restore(table: str, to_version: int, checkpoint_every: int = 10) -> int:
     removes = sorted(p for p in cur if p not in target["adds"])
     return _commit_retry(
         table, "restore", adds, removes, target["schema"], base,
-        checkpoint_every,
+        checkpoint_every, expect_head=base,
     )
 
 

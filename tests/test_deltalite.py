@@ -693,14 +693,63 @@ def test_delete_dv_concurrent_compact_conflict(spark, sf_dir, table):
     """A delete_dv whose re-add set went stale (compact removed the
     files underneath) must raise, not resurrect the old files."""
     _dv_table(spark, sf_dir, table)
+    base = dl.live_files(table)
     stale = [dict(a, dv=[{"path": "dv/fake", "count": 1}])
-             for a in dl.live_files(table)]
+             for a in base]
     dl.compact(spark, table, num_files=1)  # table moves; files replaced
     with pytest.raises(dl.ConcurrentWriteError):
         dl._commit_retry(
             table, "delete_dv", stale, [], "{}", 0, 10,
-            require_live=[a["path"] for a in stale],
+            require_unchanged={a["path"]: b for a, b in zip(stale, base)},
         )
+
+
+def test_delete_dv_racing_deletes_no_lost_update(spark, sf_dir, table):
+    """Two DV deletes derived from the SAME base snapshot: the second
+    to commit must raise (lost-update guard) — committing it would
+    silently resurrect the first delete's rows."""
+    _dv_table(spark, sf_dir, table)
+    base = dl.live_files(table)
+    first = dl.delete_where(spark, table, [("o_orderstatus", "=", "F")])
+    assert first["rows_deleted"] > 0
+    # simulate the loser: a second delete that consolidated from the
+    # PRE-first-state base actions
+    stale = [dict(a, dv=[{"path": "dv/stale", "count": 1}]) for a in base
+             if a["path"] in {x["path"] for x in dl.live_files(table)
+                              if x.get("dv")}]
+    with pytest.raises(dl.ConcurrentWriteError, match="changed"):
+        dl._commit_retry(
+            table, "delete_dv", stale, [], "{}", 0, 10,
+            require_unchanged={a["path"]: {k: v for k, v in a.items()
+                                           if k != "dv"}
+                               for a in stale},
+        )
+    # sequential re-derive works and keeps BOTH deletes
+    second = dl.delete_where(spark, table, "o_orderkey % 10 = 3")
+    src = _orders(spark, sf_dir)
+    expect = src.filter(
+        (F.col("o_orderstatus") != "F") & (F.col("o_orderkey") % 10 != 3)
+    ).count()
+    assert dl.read_table(spark, table).count() == expect
+    assert second["rows_deleted"] > 0
+
+
+def test_restore_concurrent_append_conflict(spark, sf_dir, table):
+    """RESTORE computed against a stale head must raise — a concurrent
+    append's rows silently surviving the rollback would corrupt the
+    restored snapshot's meaning."""
+    src = _dv_table(spark, sf_dir, table)
+    dl.overwrite(src.limit(50), table)      # v1
+    # restore derived at head v1, but an append lands first
+    target = 0
+    base = dl.table_version(table)
+    dl.append(src.limit(7), table)          # head moves to v2
+    with pytest.raises(dl.ConcurrentWriteError, match="head moved"):
+        dl._commit_retry(
+            table, "restore", [], [], "{}", base, 10, expect_head=base,
+        )
+    v = dl.restore(table, target)           # fresh derive succeeds
+    assert dl.read_table(spark, table, version=v).count() == src.count()
 
 
 def test_change_feed_delete_dv_rows(spark, sf_dir, table):
