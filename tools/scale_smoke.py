@@ -68,7 +68,12 @@ TIMED = ["q1_pricing_summary", "join_inner_q3", "agg_basic_stats",
          # training-loop sampling, zip-of-npy shards)
          "lake_snapshot_read", "lake_time_travel", "lake_file_skipping",
          "lake_merge_upsert", "mm_gif_frames", "sample_epoch_shuffle",
-         "sample_domain_cap", "io_npz_roundtrip"]
+         "sample_domain_cap", "io_npz_roundtrip",
+         # this-session additions (DV delete, substring dedup, logreg,
+         # triangles, heavy hitters, restore)
+         "lake_delete_dv", "lake_restore", "dedup_substring_remove",
+         "ml_logreg_grad0", "ml_quality_score_apply",
+         "graph_triangle_count", "text_heavy_hitters"]
 
 
 def build(spark, n: int, dst: str) -> None:
