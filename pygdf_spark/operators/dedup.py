@@ -325,3 +325,31 @@ def substring_dedup(
         (F.size("__w") - F.size("__c")).alias("n_removed"),
         F.concat_ws(" ", "__c").alias("clean_text"),
     )
+
+
+def fuzzy_join(
+    left: DataFrame, right: DataFrame, on: str, block,
+    max_dist: int = 2, suffixes: tuple = ("_l", "_r"),
+) -> DataFrame:
+    """Approximate string join (entity resolution / near-dup titles):
+    candidate pairs come from EQUALITY on a blocking key expression
+    (a Column function of the string — suffix, phonetic code, length
+    band, q-gram bucket...), then exact Levenshtein verifies
+    ``dist <= max_dist``. The blocking key turns the O(n·m) all-pairs
+    edit-distance into one equi-join whose cost is Σ|bucket_l|·|bucket_r|
+    — the standard record-linkage shape; correctness of RECALL depends
+    on the key being invariant under the expected corruption (callers
+    pick it; the join itself never misses a pair the key co-buckets).
+
+    Returns left/right columns suffixed plus ``dist``."""
+    lcols = [F.col(c).alias(c + suffixes[0]) for c in left.columns]
+    rcols = [F.col(c).alias(c + suffixes[1]) for c in right.columns]
+    lb = left.select(*lcols, block(F.col(on)).alias("__bk"))
+    rb = right.select(*rcols, block(F.col(on)).alias("__bk"))
+    ln, rn = on + suffixes[0], on + suffixes[1]
+    return (
+        lb.join(rb, "__bk")
+        .withColumn("dist", F.levenshtein(F.col(ln), F.col(rn)))
+        .filter(F.col("dist") <= max_dist)
+        .drop("__bk")
+    )

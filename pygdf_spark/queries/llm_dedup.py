@@ -944,8 +944,62 @@ FROM tri
 """
 
 
+def dedup_fuzzy_block(spark, sf_dir):
+    """Fuzzy (approximate-string) join via blocking — the entity-
+    resolution primitive (operators/dedup.py::fuzzy_join): every 7th
+    customer name is deterministically corrupted (5th character
+    deleted), then matched back against the full roster. Candidates
+    come from equality on the last-4-chars blocking key (invariant
+    under the corruption), verified with exact Levenshtein ≤ 1 — the
+    all-pairs edit-distance matrix never materializes. Aggregated by
+    distance with a key-sum checksum, so a single spurious or missed
+    pair breaks the hash."""
+    from pygdf_spark.operators.dedup import fuzzy_join
+
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    probes = c.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("p_key"),
+        F.concat(
+            F.substring("c_name", 1, 4), F.expr("substring(c_name, 6)")
+        ).alias("p_name"),
+    )
+    matched = fuzzy_join(
+        probes.withColumnRenamed("p_name", "name"),
+        c.withColumnRenamed("c_name", "name"),
+        on="name",
+        block=lambda s: F.substring(s, -4, 4),
+        max_dist=1,
+    )
+    return (
+        matched.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("p_key_l") + F.col("c_custkey_r")).alias("key_sum"),
+        )
+        .orderBy("dist")
+    )
+
+
+DEDUP_FUZZY_SQL = """
+WITH probes AS (
+  SELECT c_custkey AS p_key,
+         substring(c_name, 1, 4) || substring(c_name, 6) AS p_name
+  FROM customer WHERE c_custkey % 7 = 0
+),
+cand AS (
+  SELECT p.p_key, c.c_custkey, levenshtein(p.p_name, c.c_name) AS dist
+  FROM probes p JOIN customer c
+    ON right(p.p_name, 4) = right(c.c_name, 4)
+)
+SELECT dist, COUNT(*) AS n_pairs,
+       CAST(SUM(p_key + c_custkey) AS BIGINT) AS key_sum
+FROM cand WHERE dist <= 1 GROUP BY dist ORDER BY dist
+"""
+
+
 QUERIES = {
     "dedup_substring_remove": dedup_substring_remove,
+    "dedup_fuzzy_block": dedup_fuzzy_block,
     "graph_triangle_count": graph_triangle_count,
     "graph_connected_components": graph_connected_components,
     "graph_pagerank": graph_pagerank,
@@ -966,6 +1020,7 @@ QUERIES = {
 
 ORACLE = {
     "dedup_substring_remove": DEDUP_SUBSTRING_SQL,
+    "dedup_fuzzy_block": DEDUP_FUZZY_SQL,
     "graph_triangle_count": GRAPH_TRIANGLE_SQL,
     "graph_connected_components": GRAPH_CC_SQL,
     "graph_pagerank": _pagerank_sql(),

@@ -433,7 +433,40 @@ GROUP BY d.source ORDER BY d.source
 """
 
 
+def sample_kfold_split(spark, sf_dir):
+    """Deterministic k-fold assignment (k=5) for cross-validation /
+    held-out splits: fold = key-hash mod k — reproducible across runs,
+    engines, and partitionings, with GROUP-AWARE integrity: all docs of
+    one source land in the SAME fold (split leakage guard — the sin of
+    random row-wise splits on grouped data). Map-side only; the output
+    proves fold balance and group integrity per fold."""
+    d = T(spark, sf_dir, "documents")
+    fold = (md5_u64(F.concat(F.lit("fold:"), F.col("source"))) % 5).cast("int")
+    return (
+        d.select(fold.alias("fold"), "source", "doc_id", "n_chars")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum("n_chars").alias("chars_sum"),
+        )
+        .orderBy("fold")
+    )
+
+
+SAMPLE_KFOLD_SQL = """
+SELECT CAST(md5_number_lower('fold:' || source) % 5 AS INT) AS fold,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+FROM documents GROUP BY fold ORDER BY fold
+"""
+
+
 QUERIES = {
+    "sample_kfold_split": sample_kfold_split,
     "sample_temperature": sample_temperature,
     "sample_epoch_shuffle": sample_epoch_shuffle,
     "sample_domain_cap": sample_domain_cap,
@@ -446,6 +479,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sample_kfold_split": SAMPLE_KFOLD_SQL,
     "sample_temperature": SAMPLE_TEMPERATURE_SQL,
     "sample_epoch_shuffle": SAMPLE_EPOCH_SHUFFLE_SQL,
     "sample_domain_cap": SAMPLE_DOMAIN_CAP_SQL,

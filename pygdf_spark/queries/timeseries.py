@@ -156,12 +156,130 @@ ORDER BY user_id, version
 """
 
 
+def events_gapfill_interp(spark, sf_dir):
+    """Hypertable gap filling (the TimescaleDB time_bucket_gapfill +
+    locf + interpolate trio): per-user HOURLY buckets, the missing
+    buckets GENERATED in-row (sequence over each user's [min,max]
+    bucket range — grid size is calendar×users bounded, never
+    data-bounded), then LOCF carry-forward and exact integer LINEAR
+    interpolation between the surrounding observed buckets:
+    interp·Δ = prev·(next_b−b) + next·(b−prev_b), all int64, div with
+    identical truncation semantics in both engines. Per-user keyed
+    windows only — no global window, no driver loop."""
+    e = events_ts(spark, sf_dir)
+    sec = F.expr("unix_micros(ts) div 1000000")
+    obs = (
+        e.select(
+            "user_id",
+            (sec.cast("long") - sec.cast("long") % 3600).alias("b"),
+            cents("value").alias("v_c"),
+        )
+        .groupBy("user_id", "b")
+        .agg(F.sum("v_c").alias("v"), F.count(F.lit(1)).alias("n"))
+    )
+    grid = (
+        obs.groupBy("user_id")
+        .agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("b"),
+        )
+    )
+    j = grid.join(obs, ["user_id", "b"], "left")
+    w_prev = (
+        Window.partitionBy("user_id").orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id").orderBy("b")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_b = F.when(F.col("v").isNotNull(), F.col("b"))
+    f = j.select(
+        "user_id", "b", "v", "n",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_b, ignorenulls=True).over(w_prev).alias("pb"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_b, ignorenulls=True).over(w_next).alias("nb"),
+    )
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        F.when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.expr("(pv * (nb - b) + nv * (b - pb)) div (nb - pb)"),
+        ).otherwise(F.coalesce("pv", "nv"))
+    )
+    filled = f.select(
+        "user_id",
+        F.col("v").isNull().cast("long").alias("missing"),
+        F.coalesce("v", "pv", "nv").alias("locf"),
+        interp.alias("interp"),
+    )
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("missing").alias("n_filled"),
+            F.sum("locf").alias("locf_sum"),
+            F.sum("interp").alias("interp_sum"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_GAPFILL_SQL = """
+WITH obs AS (
+  SELECT user_id,
+         s - s % 3600 AS b, SUM(v_c) AS v, COUNT(*) AS n
+  FROM (
+    SELECT user_id,
+           (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) AS s,
+           CAST(round(value * 100, 0) AS BIGINT) AS v_c
+    FROM events
+  ) GROUP BY user_id, b
+),
+grid AS (
+  SELECT user_id, UNNEST(generate_series(MIN(b), MAX(b), 3600)) AS b
+  FROM obs GROUP BY user_id
+),
+j AS (
+  SELECT g.user_id AS user_id, g.b AS b, o.v AS v
+  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b
+),
+f AS (
+  SELECT user_id, b, v,
+    LAST_VALUE(v IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY b
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    LAST_VALUE(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY b
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+    FIRST_VALUE(v IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY b
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY b
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+  FROM j
+)
+SELECT user_id, COUNT(*) AS n_buckets,
+       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+       CAST(SUM(COALESCE(v, pv, nv)) AS BIGINT) AS locf_sum,
+       CAST(SUM(CASE WHEN v IS NOT NULL THEN v
+                     WHEN pv IS NOT NULL AND nv IS NOT NULL
+                       THEN (pv * (nb - b) + nv * (b - pb)) // (nb - pb)
+                     ELSE COALESCE(pv, nv) END) AS BIGINT) AS interp_sum
+FROM f GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "events_gapfill_interp": events_gapfill_interp,
     "events_multires_rollup": events_multires_rollup,
     "scd2_event_history": scd2_event_history,
 }
 
 ORACLE = {
+    "events_gapfill_interp": EVENTS_GAPFILL_SQL,
     "events_multires_rollup": EVENTS_MULTIRES_SQL,
     "scd2_event_history": SCD2_EVENT_HISTORY_SQL,
 }

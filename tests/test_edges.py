@@ -872,3 +872,30 @@ def test_heavy_hitters_exact_and_certified(spark):
     assert got == expect
     with pytest.raises(ValueError, match="cannot certify"):
         heavy_hitters_topk(df, "token", k=40, slots=4)
+
+
+def test_fuzzy_join_blocking_and_verify(spark):
+    """Pairs co-bucketed by the blocking key and within max_dist are
+    found; beyond-threshold and cross-bucket pairs are not."""
+    from pygdf_spark.operators.dedup import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "widget-9001"), (2, "gadget-9002"), (3, "doohickey-77")],
+        "id long, name string",
+    )
+    right = spark.createDataFrame(
+        [(10, "wldget-9001"),   # dist 1, same suffix bucket
+         (20, "gadget-9002"),   # dist 0
+         (30, "gxxxet-9002"),   # dist 3 -> rejected by verify
+         (40, "doohickey-99")], # different suffix bucket -> never paired
+        "id long, name string",
+    )
+    got = sorted(
+        (r["id_l"], r["id_r"], r["dist"])
+        for r in fuzzy_join(
+            left, right, on="name",
+            block=lambda s: F.substring(s, -4, 4),
+            max_dist=2,
+        ).collect()
+    )
+    assert got == [(1, 10, 1), (2, 20, 0)]
