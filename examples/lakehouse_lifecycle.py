@@ -1,0 +1,92 @@
+"""End-to-end lakehouse lifecycle on deltalite: the maintenance loop a
+100 TB training-corpus table lives through.
+
+Run: python examples/lakehouse_lifecycle.py [sf_dir]
+
+  ingest (atomic appends) → CDC upsert (MERGE INTO) → incremental
+  materialized view refresh → GDPR-style DELETE via deletion vectors
+  (no file rewrites) → Change Data Feed audit → REORG PURGE →
+  OPTIMIZE compaction → oops-ROLLBACK (RESTORE) → VACUUM.
+
+Every step is one atomic, versioned commit; every read is a snapshot.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from pygdf_spark import get_spark
+from pygdf_spark.sources import deltalite as dl
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("lakehouse-demo")
+    table = os.path.join(tempfile.gettempdir(), f"lake_demo_{os.getpid()}")
+    shutil.rmtree(table, ignore_errors=True)
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    # 1. ingest: two atomic appends, range-clustered for file skipping
+    dl.append(events.filter("event_id % 2 = 0").repartition(4), table,
+              stat_cols=["event_id"], cluster_by=["event_id"])
+    dl.append(events.filter("event_id % 2 = 1").repartition(4), table,
+              stat_cols=["event_id"], cluster_by=["event_id"])
+    print(f"v{dl.table_version(table)}: ingested",
+          dl.read_table(spark, table).count(), "rows")
+
+    # 2. CDC upsert: every 11th event gets a value bump (MERGE INTO
+    #    rewrites ONLY the files containing a matched key)
+    updates = events.filter("event_id % 11 = 0").withColumn(
+        "value", F.col("value") + 1
+    )
+    res = dl.merge_into(spark, table, updates, on="event_id",
+                        stat_cols=["event_id"])
+    print(f"v{res['version']}: merged — rewrote {res['files_rewritten']} of "
+          f"{res['files_total']} files")
+
+    # 3. DELETE one user's rows via deletion vectors: no data file is
+    #    rewritten — an O(matches) position sidecar + metadata commit
+    victim = events.agg(F.min("user_id")).first()[0]
+    r = dl.delete_where(spark, table, [("user_id", "=", victim)])
+    print(f"v{r['version']}: dv-deleted {r['rows_deleted']} rows across "
+          f"{r['files_touched']} files (0 rewrites)")
+
+    # 4. audit what changed, row-level, straight from the log
+    feed = dl.table_changes(spark, table, r["version"] - 1, r["version"],
+                            key="event_id")
+    print("   change feed:", feed.groupBy("_change_type").count().collect())
+
+    # 5. REORG PURGE materializes the vectors; OPTIMIZE compacts
+    dl.purge_dv(spark, table, stat_cols=["event_id"])
+    dl.compact(spark, table, num_files=2, stat_cols=["event_id"])
+    print(f"v{dl.table_version(table)}: purged + compacted,",
+          dl.read_table(spark, table).count(), "rows live")
+
+    # 6. someone fat-fingers an overwrite... RESTORE rolls it back as a
+    #    new versioned commit (the mistake stays in history)
+    dl.overwrite(events.limit(10), table)
+    oops = dl.table_version(table)
+    dl.restore(table, oops - 1)
+    print(f"v{dl.table_version(table)}: restored from the v{oops} oops —",
+          dl.read_table(spark, table).count(), "rows back")
+
+    # 7. reclaim space beyond the time-travel horizon
+    deleted = dl.vacuum(table, keep_versions=3)
+    print("vacuumed", len(deleted), "unreferenced files; history:",
+          [h["operation"] for h in dl.history(table)])
+
+    shutil.rmtree(table, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
