@@ -243,7 +243,70 @@ FROM events WHERE event_type = 'purchase'
 """
 
 
+def sstream_lake_source_live(spark, sf_dir):
+    """deltalite as a REGISTERED STREAMING SOURCE (PySpark 4 Python
+    DataSource API, streaming/lake_source.py): three append commits —
+    with a COMPACT in between that the source must skip as pure
+    metadata, never re-emit — are tailed by a real
+    ``spark.readStream.format("deltalite")`` query (version offsets in
+    Spark's own offset log, one input partition per committed file,
+    Arrow record batches executor-side) into a memory sink. The oracle
+    aggregates the three appended row sets directly: a duplicated
+    (re-emitted compact) or dropped file breaks count AND sums."""
+    import os
+    import shutil
+    import tempfile
+
+    from pygdf_spark.queries._util import events_ts
+    from pygdf_spark.sources import deltalite as dl
+    from pygdf_spark.streaming.lake_source import register
+
+    sf = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = os.path.join(tempfile.gettempdir(),
+                        f"pygdf_lakesrc_{sf}_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    table = os.path.join(base, "tbl")
+
+    ev = events_ts(spark, sf_dir).select(
+        "event_id", "user_id", "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_c"),
+    )
+    dl.append(ev.filter(F.col("event_id") % 3 == 0).repartition(2), table)
+    dl.append(ev.filter(F.col("event_id") % 3 == 1).repartition(2), table)
+    dl.compact(spark, table, num_files=1)   # metadata only: must NOT re-emit
+    dl.append(ev.filter(F.col("event_id") % 3 == 2).repartition(2), table)
+
+    register(spark)
+    name = f"lake_src_{os.getpid()}"
+    q = (
+        spark.readStream.format("deltalite").option("path", table).load()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").alias("id_sum"),
+            F.sum("v_c").alias("value_cents"),
+        )
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("event_type")
+
+
+SSTREAM_LAKE_SOURCE_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "sstream_lake_source_live": sstream_lake_source_live,
     "sstream_lake_sink_live": sstream_lake_sink_live,
     "sstream_scd2_changes_live": sstream_scd2_changes_live,
     "sstream_stateful_counts": sstream_stateful_counts,
@@ -256,6 +319,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sstream_lake_source_live": SSTREAM_LAKE_SOURCE_SQL,
     "sstream_lake_sink_live": SSTREAM_LAKE_SINK_SQL,
     "sstream_scd2_changes_live": SSTREAM_SCD2_SQL,
     "sstream_stateful_counts": SSTREAM_STATEFUL_SQL,

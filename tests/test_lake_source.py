@@ -1,0 +1,107 @@
+"""deltalite Python DataSource (batch + streaming) protocol tests:
+format registration, DV-applied batch parity, version time travel,
+exactly-once incremental tailing across checkpointed restarts, and the
+non-append safety contract."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pygdf_spark.sources import deltalite as dl
+from pygdf_spark.streaming.lake_source import register
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _mk(spark, table, lo, hi, tag=0):
+    df = spark.range(lo, hi).withColumn("v", F.col("id") * 2 + tag)
+    return dl.append(df.repartition(2), table, stat_cols=["id"])
+
+
+def test_batch_format_matches_read_table(spark, table):
+    _mk(spark, table, 0, 500)
+    _mk(spark, table, 500, 900)
+    dl.delete_where(spark, table, [("id", "<", 100)])
+    register(spark)
+    via_fmt = spark.read.format("deltalite").option("path", table).load()
+    via_api = dl.read_table(spark, table)
+    assert sorted(r["id"] for r in via_fmt.collect()) == sorted(
+        r["id"] for r in via_api.collect()
+    )
+    v0 = (
+        spark.read.format("deltalite").option("path", table)
+        .option("version", 0).load()
+    )
+    assert v0.count() == 500
+
+
+def test_stream_incremental_exactly_once(spark, table, tmp_path):
+    """Checkpointed restarts must deliver each committed version
+    exactly once: run → append more → re-run with the SAME checkpoint
+    → the sink grows by exactly the new rows."""
+    register(spark)
+    _mk(spark, table, 0, 300)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("deltalite").option("path", table).load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(out).count() == 300
+    _mk(spark, table, 300, 450)
+    dl.compact(spark, table, num_files=1)  # metadata only: no re-emit
+    _mk(spark, table, 450, 500)
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 500  # NOT 800: versions 0-1 never re-emitted
+    assert sorted(r["id"] for r in got.select("id").collect()) == list(range(500))
+
+
+def test_stream_non_append_commit_raises_without_skip(spark, table, tmp_path):
+    register(spark)
+    _mk(spark, table, 0, 100)
+    dl.delete_where(spark, table, [("id", "<", 10)])  # change commit
+    q = (
+        spark.readStream.format("deltalite").option("path", table).load()
+        .writeStream.format("memory").queryName("lake_src_fail")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="non-append|skipChangeCommits"):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise Exception(str(q.exception()))
+
+
+def test_stream_skip_change_commits(spark, table, tmp_path):
+    register(spark)
+    _mk(spark, table, 0, 100)
+    dl.delete_where(spark, table, [("id", "<", 10)])
+    _mk(spark, table, 100, 150)
+    q = (
+        spark.readStream.format("deltalite").option("path", table)
+        .option("skipChangeCommits", "true").load()
+        .writeStream.format("memory").queryName("lake_src_skip")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # appends only: the dv delete is skipped (documented contract)
+    assert spark.table("lake_src_skip").count() == 150
