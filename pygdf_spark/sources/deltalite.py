@@ -165,6 +165,7 @@ def _snapshot(table: str, version: int) -> dict:
     interval, not the table's age."""
     adds: dict[str, dict] = {}
     schema = None
+    constraints: dict[str, str] = {}
     start = 0
     ckpt = _latest_checkpoint_at_or_before(table, version)
     if ckpt is not None:
@@ -172,6 +173,7 @@ def _snapshot(table: str, version: int) -> dict:
             snap = json.load(f)
         adds = {a["path"]: a for a in snap["adds"]}
         schema = snap.get("schema")
+        constraints = dict(snap.get("constraints") or {})
         start = ckpt + 1
     for v in range(start, version + 1):
         p = _version_path(table, v)
@@ -184,7 +186,14 @@ def _snapshot(table: str, version: int) -> dict:
                 adds[action["add"]["path"]] = action["add"]
             elif "remove" in action:
                 adds.pop(action["remove"]["path"], None)
-    return {"adds": adds, "schema": schema, "version": version}
+            elif "constraint" in action:
+                constraints[action["constraint"]["name"]] = (
+                    action["constraint"]["expr"]
+                )
+            elif "drop_constraint" in action:
+                constraints.pop(action["drop_constraint"]["name"], None)
+    return {"adds": adds, "schema": schema, "version": version,
+            "constraints": constraints}
 
 
 def live_files(table: str, version: int | None = None) -> list[dict]:
@@ -398,6 +407,7 @@ def _maybe_checkpoint(table: str, version: int, every: int) -> None:
                 {
                     "version": version,
                     "schema": snap["schema"],
+                    "constraints": snap["constraints"],
                     "adds": sorted(snap["adds"].values(), key=lambda a: a["path"]),
                 },
                 f,
@@ -480,6 +490,7 @@ def append(
     if txn is not None and last_txn_batch(table, txn[0]) >= txn[1]:
         return table_version(table)  # replayed micro-batch: no-op
     adds = _write_data_files(df, table, base + 1, stat_cols, cluster_by)
+    _validate_constraints(df.sparkSession, table, adds)
     return _commit_retry(
         table, "append", adds, [], df.schema.json(), base,
         checkpoint_every, txn=txn,
@@ -496,6 +507,7 @@ def overwrite(
     base = table_version(table)
     removes = [a["path"] for a in live_files(table)] if base >= 0 else []
     adds = _write_data_files(df, table, base + 1, stat_cols, cluster_by)
+    _validate_constraints(df.sparkSession, table, adds)
     return _commit_retry(
         table, "overwrite", adds, removes, df.schema.json(), base,
         checkpoint_every,
@@ -854,6 +866,109 @@ def restore(table: str, to_version: int, checkpoint_every: int = 10) -> int:
     )
 
 
+# -------------------------------------------------------- constraints
+
+
+def table_constraints(table: str) -> dict:
+    """{name: check-expr} currently active on the table."""
+    v = table_version(table)
+    return {} if v < 0 else dict(_snapshot(table, v)["constraints"])
+
+
+def add_check_constraint(
+    spark: SparkSession, table: str, name: str, expr: str,
+    checkpoint_every: int = 10,
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT CHECK(expr): validates the EXISTING
+    rows first (one DV-aware scan — a constraint that the current data
+    already violates must never land), then publishes a metadata-only
+    commit. SQL CHECK semantics: a row violates only when the
+    expression evaluates to FALSE — NULL passes."""
+    from pyspark.sql import functions as F
+
+    base = table_version(table)
+    if base < 0:
+        raise FileNotFoundError(f"no such table: {table}")
+    n_bad = read_table(spark, table).filter(F.expr(expr) == False).count()  # noqa: E712
+    if n_bad:
+        raise ValueError(
+            f"add_check_constraint {name!r}: {n_bad} existing rows violate "
+            f"CHECK ({expr}) — constraint not added"
+        )
+    schema = _snapshot(table, base)["schema"]
+    while True:
+        version = table_version(table) + 1
+        actions = [
+            {"commit": {"version": version, "operation": "set_constraint",
+                        "schema": schema}},
+            {"constraint": {"name": name, "expr": expr}},
+        ]
+        try:
+            _publish(table, version, actions)
+            break
+        except FileExistsError:
+            continue
+    _maybe_checkpoint(table, version, checkpoint_every)
+    return version
+
+
+def drop_check_constraint(
+    table: str, name: str, checkpoint_every: int = 10
+) -> int:
+    """ALTER TABLE DROP CONSTRAINT (missing name raises)."""
+    if name not in table_constraints(table):
+        raise KeyError(f"no such constraint on {table}: {name}")
+    schema = _snapshot(table, table_version(table))["schema"]
+    while True:
+        version = table_version(table) + 1
+        actions = [
+            {"commit": {"version": version, "operation": "drop_constraint",
+                        "schema": schema}},
+            {"drop_constraint": {"name": name}},
+        ]
+        try:
+            _publish(table, version, actions)
+            break
+        except FileExistsError:
+            continue
+    _maybe_checkpoint(table, version, checkpoint_every)
+    return version
+
+
+def _validate_constraints(
+    spark: SparkSession, table: str, adds: list[dict]
+) -> None:
+    """Enforce the table's CHECK constraints on freshly-written data
+    files BEFORE their commit publishes: one columnar scan of just the
+    new files (cheaper than re-running the producing plan), ALL
+    constraints in a single aggregate. On violation the written files
+    are removed and the commit never happens — atomic refusal."""
+    cons = table_constraints(table)
+    if not cons or not adds:
+        return
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(*[os.path.join(table, a["path"]) for a in adds])
+    names = list(cons)
+    row = df.agg(*[
+        F.sum(
+            F.when(F.expr(cons[n]) == False, 1).otherwise(0)  # noqa: E712
+        ).alias(f"c{i}")
+        for i, n in enumerate(names)
+    ]).first()
+    bad = {
+        n: int(row[f"c{i}"] or 0)
+        for i, n in enumerate(names) if (row[f"c{i}"] or 0) > 0
+    }
+    if bad:
+        for d in {os.path.dirname(a["path"]) for a in adds}:
+            shutil.rmtree(os.path.join(table, d), ignore_errors=True)
+        raise ValueError(
+            f"CHECK constraint violated by incoming rows: {bad} — "
+            "commit aborted, staged files removed"
+        )
+
+
 # ------------------------------------------------------------------- merge
 
 
@@ -954,6 +1069,7 @@ def merge_into(
         rewritten, table, base + 1, stat_cols,
         cluster_by=[on] if stat_cols else None,
     )
+    _validate_constraints(spark, table, adds)
     version = _commit_retry(
         table, "merge", adds, touched_rel,
         rewritten.schema.json(), base, checkpoint_every, txn=txn,
@@ -1039,6 +1155,7 @@ def append_zorder(
     # cluster_by=None here: the layout is already z-clustered; stats
     # are harvested on the z-ordered columns
     adds = _write_data_files(clustered, table, base + 1, zorder_by, None)
+    _validate_constraints(df.sparkSession, table, adds)
     return _commit_retry(
         table, "append-zorder", adds, [], df.schema.json(), base,
         checkpoint_every,

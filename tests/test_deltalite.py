@@ -771,3 +771,53 @@ def test_change_feed_delete_dv_rows(spark, sf_dir, table):
         (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
     ).count()
     assert by_v == {(1, "delete"): n1, (2, "delete"): n2}
+
+
+# ------------------------------------------------------ CHECK constraints
+
+
+def test_check_constraint_blocks_bad_append_atomically(spark, sf_dir, table):
+    src = _orders(spark, sf_dir)
+    dl.append(src.filter("o_totalprice > 0"), table)
+    dl.add_check_constraint(spark, table, "price_pos", "o_totalprice > 0")
+    assert dl.table_constraints(table) == {"price_pos": "o_totalprice > 0"}
+    v = dl.table_version(table)
+    bad = src.limit(20).withColumn("o_totalprice", F.lit(-1.0))
+    with pytest.raises(ValueError, match="price_pos"):
+        dl.append(bad, table)
+    # atomic refusal: no new version, no orphan data visible
+    assert dl.table_version(table) == v
+    assert dl.read_table(spark, table).filter("o_totalprice <= 0").count() == 0
+    # a clean append still lands; merge enforcement too
+    dl.append(src.limit(5), table)
+    with pytest.raises(ValueError, match="price_pos"):
+        dl.merge_into(spark, table, bad, on="o_orderkey")
+
+
+def test_check_constraint_null_passes_and_add_validates_existing(
+    spark, sf_dir, table
+):
+    df = spark.createDataFrame([(1, 10), (2, None)], "k int, v int")
+    dl.append(df, table)
+    # NULL passes CHECK (SQL semantics) -> constraint addition succeeds
+    dl.add_check_constraint(spark, table, "v_pos", "v > 0")
+    # an existing violation blocks ADDing a constraint
+    with pytest.raises(ValueError, match="existing rows violate"):
+        dl.add_check_constraint(spark, table, "k_big", "k > 5")
+    dl.drop_check_constraint(table, "v_pos")
+    assert dl.table_constraints(table) == {}
+    with pytest.raises(KeyError):
+        dl.drop_check_constraint(table, "nope")
+
+
+def test_check_constraint_survives_checkpoint(spark, sf_dir, table):
+    df = spark.createDataFrame([(1, 10)], "k int, v int")
+    dl.append(df, table, checkpoint_every=1)
+    dl.add_check_constraint(spark, table, "v_pos", "v > 0",
+                            checkpoint_every=1)
+    for i in range(3):  # push checkpoints PAST the constraint commit
+        dl.append(spark.createDataFrame([(i + 2, 5)], "k int, v int"),
+                  table, checkpoint_every=1)
+    assert dl.table_constraints(table) == {"v_pos": "v > 0"}
+    with pytest.raises(ValueError, match="v_pos"):
+        dl.append(spark.createDataFrame([(9, -1)], "k int, v int"), table)
