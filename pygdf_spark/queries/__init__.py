@@ -76,11 +76,14 @@ _PRIORITY = [
     # (triangle/heavy-hitter queries displace join_semi / join_anti,
     # both r1-green with cumulative rows)
     "graph_triangle_count", "text_heavy_hitters",
-    "join_inner_q3",
+    # (fuzzy/gapfill/kfold/lake-source displace join_inner_q3,
+    # q1_pricing_summary, agg_basic_stats, win_group_cumsum — all
+    # r1-green with cumulative rows)
+    "dedup_fuzzy_block", "events_gapfill_interp", "sample_kfold_split",
+    "sstream_lake_source_live",
     "join_range_bucketed", "join_salted_skew",
-    "agg_basic_stats", "agg_quantiles", "agg_idxmax",
+    "agg_quantiles", "agg_idxmax",
     "agg_rollup", "agg_global_reduce",
-    "win_group_cumsum", "win_shift_diff",
     # -- net-new late-r6: deltalite transaction-log table format
     # (displacing sort_multi_nulls / topk_orders / dedup_keep_first,
     # which keep their cumulative r1 driver-green rows):

@@ -479,3 +479,50 @@ def test_bloom_prefilter_join_fuzz(spark, big_keys, small_keys, how):
         for r in bloom_prefilter_join(big, "k", small, "k", how, n_keys=1).collect()
     }
     assert got_sat == exact
+
+
+def _substring_dedup_ref(docs, k):
+    """Scalar reference of operators/dedup.substring_dedup: global
+    first occurrence by (doc, pos); every other occurrence's k-window
+    removed; text rebuilt from surviving tokens."""
+    toks = {d: t.split() for d, t in docs}
+    first = {}
+    for d, t in sorted(docs):
+        w = toks[d]
+        for i in range(max(len(w) - k + 1, 0)):
+            g = " ".join(w[i:i + k])
+            first.setdefault(g, []).append((d, i))
+    cut = {d: set() for d, _ in docs}
+    for g, occs in first.items():
+        if len(occs) >= 2:
+            for d, i in occs[1:]:  # occs sorted by (doc, pos) already
+                cut[d].update(range(i, i + k))
+    out = {}
+    for d, _ in docs:
+        w = toks[d]
+        kept = [x for i, x in enumerate(w) if i not in cut[d]]
+        out[d] = (" ".join(kept), len(w), len(w) - len(kept))
+    return out
+
+
+DOC_TEXT = st.lists(
+    st.sampled_from(list("abcd")), min_size=0, max_size=14
+).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(DOC_TEXT, min_size=1, max_size=8))
+def test_substring_dedup_matches_scalar_reference(spark, texts):
+    """Random tiny-alphabet corpora maximize span collisions (within-
+    doc repeats, overlapping windows, full-dup docs) — the engine must
+    agree with the scalar reference on every document."""
+    from pygdf_spark.operators.dedup import substring_dedup
+
+    k = 3
+    docs = list(enumerate(texts))
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in substring_dedup(sdf, "doc_id", "text", k=k).collect()
+    }
+    assert got == _substring_dedup_ref(docs, k)
