@@ -36,7 +36,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -183,7 +185,115 @@ class DeltaliteDataSource(DataSource):
         ).lower() == "true"
         return DeltaliteStreamReader(self._table(), skip)
 
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        app_id = self.options.get(
+            "appid",
+            self.options.get("checkpointlocation", "deltalite-stream-sink"),
+        )
+        stat_cols = [
+            c for c in str(self.options.get("statcols", "")).split(",") if c
+        ]
+        return DeltaliteStreamWriter(
+            self._table(), schema, app_id, stat_cols
+        )
+
 
 def register(spark) -> None:
     """Idempotently register the 'deltalite' format on a session."""
     spark.dataSource.register(DeltaliteDataSource)
+
+
+# ------------------------------------------------------- streaming SINK
+
+
+class _ShardMsg(WriterCommitMessage):
+    def __init__(self, rel_path: str | None, rows: int):
+        self.rel_path = rel_path
+        self.rows = rows
+
+
+class DeltaliteStreamWriter(DataSourceStreamWriter):
+    """``writeStream.format("deltalite")``: each partition stages one
+    parquet shard executor-side (pyarrow, schema-pinned); the driver
+    publishes ONE txn-stamped deltalite commit per micro-batch. The
+    txn app-id defaults to the query's checkpointLocation, so a
+    REPLAYED micro-batch (sink failure after commit, Spark retry) is
+    swallowed by the transaction high-water mark — exactly-once, the
+    same guarantee the foreachBatch helper gives, now as a native
+    format. Aborted batches unlink their staged shards; crashed-task
+    orphans are unreferenced files that vacuum() reclaims."""
+
+    def __init__(self, table: str, schema: StructType, app_id: str,
+                 stat_cols: list[str]):
+        self.table = table
+        self.schema = schema
+        self.app_id = app_id
+        self.stat_cols = stat_cols
+        self.stage = f"stream-{os.getpid()}-{__import__('uuid').uuid4().hex[:8]}"
+
+    def write(self, iterator) -> "_ShardMsg":
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        rows = list(iterator)
+        if not rows:
+            return _ShardMsg(None, 0)
+        arrow_schema = to_arrow_schema(self.schema)
+        cols = [f.name for f in self.schema.fields]
+        data = {c: [r[i] for r in rows] for i, c in enumerate(cols)}
+        t = pa.Table.from_pydict(data, schema=arrow_schema)
+        rel = os.path.join(
+            "data", self.stage, f"part-{_uuid.uuid4().hex}.parquet"
+        )
+        full = os.path.join(self.table, rel)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        tmp = full + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, full)  # atomic: no torn shard is ever referenced
+        return _ShardMsg(rel, len(rows))
+
+    def commit(self, messages, batchId: int) -> None:
+        from pyspark.sql import SparkSession
+
+        from pygdf_spark.sources import deltalite as dl
+
+        adds = []
+        for m in messages:
+            if m is None or m.rel_path is None:
+                continue
+            full = os.path.join(self.table, m.rel_path)
+            add = {"path": m.rel_path, "bytes": os.path.getsize(full)}
+            if self.stat_cols:
+                add["stats"] = dl._file_stats(full, self.stat_cols)
+            adds.append(add)
+        if not adds:
+            return  # empty batch: nothing to publish
+        if dl.table_version(self.table) >= 0 and dl.table_constraints(
+            self.table
+        ):
+            # commit() runs driver-side but in the micro-batch thread,
+            # where getActiveSession() is None — getOrCreate returns
+            # the running session. Constraints must not be bypassable
+            # just because rows arrived through the streaming sink.
+            spark = (
+                SparkSession.getActiveSession()
+                or SparkSession.builder.getOrCreate()
+            )
+            dl._validate_constraints(spark, self.table, adds)
+        base = dl.table_version(self.table)
+        schema_json = json.dumps(json.loads(self.schema.json()))
+        dl._commit_retry(
+            self.table, "append", adds, [], schema_json, base,
+            checkpoint_every=10, txn=(self.app_id, int(batchId)),
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and m.rel_path:
+                try:
+                    os.unlink(os.path.join(self.table, m.rel_path))
+                except OSError:
+                    pass

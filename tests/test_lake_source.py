@@ -105,3 +105,53 @@ def test_stream_skip_change_commits(spark, table, tmp_path):
     q.awaitTermination(120)
     # appends only: the dv delete is skipped (documented contract)
     assert spark.table("lake_src_skip").count() == 150
+
+
+def test_stream_sink_native_exactly_once_replay(spark, table, tmp_path):
+    """writeStream.format('deltalite'): a FULL replay (fresh
+    checkpoint, same appId) must be swallowed entirely by the txn
+    high-water mark — counts identical, no doubled batch."""
+    register(spark)
+    feed = str(tmp_path / "feed")
+    spark.range(0, 400).withColumn("v", F.col("id") * 3).write.json(feed)
+
+    def drain(ckpt):
+        q = (
+            spark.readStream.schema("id long, v long").json(feed)
+            .writeStream.format("deltalite")
+            .option("path", table).option("appId", "sink-eo-test")
+            .option("statCols", "id")
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    drain("ck_a")
+    assert dl.read_table(spark, table).count() == 400
+    drain("ck_b")  # fresh checkpoint: every micro-batch replays
+    assert dl.read_table(spark, table).count() == 400, (
+        "replayed micro-batch must be deduped by the txn mark"
+    )
+    assert dl.live_files(table)[0].get("stats") is not None
+
+
+def test_stream_sink_enforces_check_constraints(spark, table, tmp_path):
+    """A CHECK constraint blocks bad rows arriving through the native
+    streaming sink — the violating micro-batch fails, nothing commits."""
+    register(spark)
+    dl.append(spark.createDataFrame([(1, 10)], "id long, v long"), table)
+    dl.add_check_constraint(spark, table, "v_pos", "v > 0")
+    feed = str(tmp_path / "feed2")
+    spark.createDataFrame([(2, -5)], "id long, v long").write.json(feed)
+    q = (
+        spark.readStream.schema("id long, v long").json(feed)
+        .writeStream.format("deltalite")
+        .option("path", table)
+        .option("checkpointLocation", str(tmp_path / "ck_c"))
+        .trigger(availableNow=True).start()
+    )
+    with pytest.raises(Exception, match="v_pos|CHECK"):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise Exception(str(q.exception()))
+    assert dl.read_table(spark, table).count() == 1  # nothing landed
