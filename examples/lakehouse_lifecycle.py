@@ -85,6 +85,14 @@ def main() -> None:
     print("vacuumed", len(deleted), "unreferenced files; history:",
           [h["operation"] for h in dl.history(table)])
 
+    # 8. the table is also a registered Spark format: tail it as a
+    #    stream (exactly-once version offsets) or snapshot-read it
+    from pygdf_spark.streaming.lake_source import register
+
+    register(spark)
+    snap = spark.read.format("deltalite").option("path", table).load()
+    print("via format('deltalite'):", snap.count(), "rows")
+
     shutil.rmtree(table, ignore_errors=True)
 
 

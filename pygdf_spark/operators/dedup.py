@@ -238,7 +238,7 @@ def simhash16(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFr
 
 def substring_dedup(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    k: int = 6, carry: list[str] | None = None,
+    k: int = 6, carry: list[str] | None = None, hashed: bool = False,
 ) -> DataFrame:
     """Exact substring deduplication with SPAN REMOVAL (the Lee et al.
     2022 "Deduplicating Training Data Makes Language Models Better"
@@ -260,9 +260,14 @@ def substring_dedup(
        length), expanded in-row to covered positions, and a HOF filter
        drops covered tokens — no second shuffle over token rows.
 
-    At 100 TB the span STRING key would be its 64-bit hash (same plan,
-    ~10× smaller shuffle); the string key is kept here because the
-    DuckDB oracle mirrors it byte-for-byte.
+    ``hashed=True`` is the 100 TB path: the span key becomes its
+    xxhash64 (same plan, a fixed-8-byte shuffle key instead of the
+    k-token string — ~10× narrower for k=6 prose). A 64-bit collision
+    spuriously merges two distinct spans (deleting a non-duplicate
+    window); at 10^10 spans the expected collision count is ~0.003 —
+    the standard accepted trade (pytest pins hashed == exact on the
+    fixtures). The string key stays the default because the DuckDB
+    oracle mirrors it byte-for-byte.
 
     Returns one row per input document: ``id_col``, any ``carry``
     columns, ``n_tokens`` (pre), ``n_removed``, ``clean_text``.
@@ -285,6 +290,10 @@ def substring_dedup(
     grams = toks.select(
         id_col, F.posexplode(gexpr).alias("pos", "g")
     ).withColumn("ord", F.col(id_col) * 4_294_967_296 + F.col("pos"))
+    if hashed:
+        grams = grams.select(
+            id_col, "pos", "ord", F.xxhash64("g").alias("g")
+        )
     winners = (
         grams.groupBy("g")
         .agg(F.min("ord").alias("first_ord"), F.count(F.lit(1)).alias("n"))

@@ -899,3 +899,15 @@ def test_fuzzy_join_blocking_and_verify(spark):
         ).collect()
     )
     assert got == [(1, 10, 1), (2, 20, 0)]
+
+
+def test_substring_dedup_hashed_equals_exact(spark, sf_dir):
+    """The xxhash64 span-key scale path produces the identical result
+    to the string-key path on the documents fixture."""
+    from pygdf_spark.operators.dedup import substring_dedup
+    from pygdf_spark.queries._util import T
+
+    d = T(spark, sf_dir, "documents")
+    a = substring_dedup(d, "doc_id", "text", k=6).orderBy("doc_id")
+    b = substring_dedup(d, "doc_id", "text", k=6, hashed=True).orderBy("doc_id")
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]

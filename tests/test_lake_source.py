@@ -155,3 +155,26 @@ def test_stream_sink_enforces_check_constraints(spark, table, tmp_path):
         if q.exception() is not None:
             raise Exception(str(q.exception()))
     assert dl.read_table(spark, table).count() == 1  # nothing landed
+
+
+def test_stream_range_with_only_metadata_commits(spark, table, tmp_path):
+    """A trigger range containing ONLY compact commits plans zero
+    input partitions and completes cleanly (no re-emit, no crash)."""
+    register(spark)
+    _mk(spark, table, 0, 200)
+    ckpt = str(tmp_path / "ck_meta")
+    out = str(tmp_path / "out_meta")
+
+    def drain():
+        q = (
+            spark.readStream.format("deltalite").option("path", table).load()
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    dl.compact(spark, table, num_files=1)  # the ONLY new commit
+    drain()
+    assert spark.read.parquet(out).count() == 200  # nothing re-emitted
