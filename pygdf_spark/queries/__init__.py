@@ -83,7 +83,8 @@ _PRIORITY = [
     "sstream_lake_source_live",
     "join_range_bucketed", "join_salted_skew",
     "agg_quantiles", "agg_idxmax",
-    "agg_rollup", "agg_global_reduce",
+    "lake_bloom_skip",  # displaces agg_rollup (r1-green)
+    "agg_global_reduce",
     # -- net-new late-r6: deltalite transaction-log table format
     # (displacing sort_multi_nulls / topk_orders / dedup_keep_first,
     # which keep their cumulative r1 driver-green rows):

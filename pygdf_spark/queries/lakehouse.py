@@ -479,7 +479,63 @@ SELECT * FROM (
 """
 
 
+def lake_bloom_skip(spark, sf_dir):
+    """Per-file BLOOM INDEX point lookups: orders keyed by an
+    UNCLUSTERED high-cardinality surrogate (md5 of the orderkey) are
+    written across shards with ``bloom_cols`` — min/max zone maps are
+    useless on random hex (every file's range overlaps every literal),
+    but the bitset probe prunes non-holding files at PLAN time. Twelve
+    deterministic point lookups run as individually-pruned snapshot
+    reads and union; the oracle recomputes the same row set
+    relationally, so a bloom false-NEGATIVE (dropped match) breaks the
+    hash — false positives only cost scan."""
+    import hashlib
+
+    from pygdf_spark.sources import deltalite as dl
+
+    base = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice",
+        F.md5(F.col("o_orderkey").cast("string")).alias("uk"),
+    )
+    path = _tmp(sf_dir, "lake_bloom")
+    shutil.rmtree(path, ignore_errors=True)
+    dl.append(base.repartition(max(8, _shards(base))), path,
+              bloom_cols=["uk"])
+    keys = [
+        r[0] for r in base.filter(F.col("o_orderkey") % 83 == 0)
+        .orderBy("o_orderkey").limit(12).select("o_orderkey").collect()
+    ]
+    parts = [
+        dl.read_table(
+            spark, path,
+            predicate=[("uk", "=", hashlib.md5(str(k).encode()).hexdigest())],
+        )
+        for k in keys
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.sum(cents("o_totalprice")).alias("price_cents"),
+    )
+
+
+LAKE_BLOOM_SQL = f"""
+WITH k AS (
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 83 = 0
+  ORDER BY o_orderkey LIMIT 12
+)
+SELECT COUNT(*) AS n_hits,
+       CAST(SUM(o.o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM({sql_cents('o.o_totalprice')}) AS BIGINT) AS price_cents
+FROM orders o JOIN k ON o.o_orderkey = k.o_orderkey
+"""
+
+
 QUERIES = {
+    "lake_bloom_skip": lake_bloom_skip,
     "lake_delete_dv": lake_delete_dv,
     "lake_restore": lake_restore,
     "lake_incremental_matview": lake_incremental_matview,
@@ -492,6 +548,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "lake_bloom_skip": LAKE_BLOOM_SQL,
     "lake_delete_dv": LAKE_DELETE_DV_SQL,
     "lake_restore": LAKE_RESTORE_SQL,
     "lake_incremental_matview": LAKE_MATVIEW_SQL,

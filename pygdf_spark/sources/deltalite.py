@@ -277,6 +277,72 @@ def _file_stats(path: str, stat_cols: list[str]) -> dict:
     return out
 
 
+# ------------------------------------------------- per-file bloom index
+
+_BLOOM_MAX_KEYS = 50_000  # above this, skip the index (log-size hygiene)
+
+
+def _bloom_hashes(value, m: int, k: int) -> list[int]:
+    """k bit positions for a value: md5 double hashing, value
+    normalized via str(_json_safe(v)) so the write side and the
+    predicate-literal probe side agree byte-for-byte."""
+    import hashlib
+
+    h = hashlib.md5(str(_json_safe(value)).encode("utf-8")).digest()
+    h1 = int.from_bytes(h[:8], "little")
+    h2 = int.from_bytes(h[8:], "little") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _file_bloom(path: str, cols: list[str], fpp: float) -> dict:
+    """Per-column bloom bitsets over a written file's DISTINCT values —
+    one columnar read of just ``cols`` (the write-time cost of a
+    point-lookup index min/max stats cannot give on unclustered
+    high-cardinality columns). Stored base64 in the add action;
+    columns with > _BLOOM_MAX_KEYS distinct values get no entry
+    (absence means 'cannot skip', never 'skip'). Production note: at
+    thousands of files per commit the bitsets belong in a sidecar like
+    the DVs; inline keeps the demo log self-contained."""
+    import base64
+    import math
+
+    import pyarrow.parquet as pq
+
+    avail = set(pq.ParquetFile(path).schema_arrow.names)
+    out: dict[str, dict] = {}
+    for col in cols:
+        if col not in avail:
+            continue
+        values = [
+            v for v in pq.read_table(path, columns=[col])
+            .column(col).unique().to_pylist() if v is not None
+        ]
+        n = len(values)
+        if n == 0 or n > _BLOOM_MAX_KEYS:
+            continue
+        m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+        k = max(1, round(m / n * math.log(2)))
+        bits = bytearray((m + 7) // 8)
+        for v in values:
+            for pos in _bloom_hashes(v, m, k):
+                bits[pos >> 3] |= 1 << (pos & 7)
+        out[col] = {
+            "m": m, "k": k,
+            "bits": base64.b64encode(bytes(bits)).decode("ascii"),
+        }
+    return out
+
+
+def _bloom_may_contain(bloom: dict, value) -> bool:
+    import base64
+
+    bits = base64.b64decode(bloom["bits"])
+    return all(
+        bits[pos >> 3] & (1 << (pos & 7))
+        for pos in _bloom_hashes(value, bloom["m"], bloom["k"])
+    )
+
+
 # ------------------------------------------------------------ predicates
 
 _OPS = ("<", "<=", ">", ">=", "=", "==", "!=")
@@ -286,7 +352,13 @@ def _file_may_match(add: dict, predicate: list[tuple]) -> bool:
     """Conservative skip test: False only when the file's [min,max]
     PROVES no row can satisfy EVERY conjunct. Missing stats → True."""
     stats = add.get("stats") or {}
+    blooms = add.get("bloom") or {}
     for col, op, val in predicate:
+        # bloom probe first: an equality literal absent from the
+        # file's bitset PROVES exclusion (FPs scan, FNs impossible)
+        if op in ("=", "==") and col in blooms and val is not None:
+            if not _bloom_may_contain(blooms[col], val):
+                return False
         s = stats.get(col)
         if s is None:
             continue
@@ -366,11 +438,14 @@ def plan_files(
 
 def _write_data_files(
     df: DataFrame, table: str, version_hint: int, stat_cols: list[str] | None,
-    cluster_by: list[str] | None,
+    cluster_by: list[str] | None, bloom_cols: list[str] | None = None,
+    bloom_fpp: float = 0.01,
 ) -> list[dict]:
     """Write the data files for one commit into a commit-unique subdir
     (no filename collisions across commits, ever) and return their
-    ``add`` actions with footer-harvested stats."""
+    ``add`` actions with footer-harvested stats (and, for
+    ``bloom_cols``, per-file bloom bitsets for point-lookup skipping
+    on columns whose min/max ranges overlap across files)."""
     token = uuid.uuid4().hex[:8]
     rel_dir = os.path.join("data", f"{version_hint:05d}-{token}")
     out_dir = os.path.join(table, rel_dir)
@@ -394,6 +469,10 @@ def _write_data_files(
         }
         if stat_cols:
             add["stats"] = _file_stats(full, stat_cols)
+        if bloom_cols:
+            bloom = _file_bloom(full, bloom_cols, bloom_fpp)
+            if bloom:
+                add["bloom"] = bloom
         adds.append(add)
     return adds
 
@@ -482,14 +561,18 @@ def append(
     df: DataFrame, table: str, stat_cols: list[str] | None = None,
     cluster_by: list[str] | None = None, checkpoint_every: int = 10,
     txn: tuple[str, int] | None = None,
+    bloom_cols: list[str] | None = None, bloom_fpp: float = 0.01,
 ) -> int:
     """Atomically append ``df`` as a new version; returns the version.
     ``txn=(app_id, batch_id)`` makes the append idempotent for
-    streaming foreachBatch replays (see ``last_txn_batch``)."""
+    streaming foreachBatch replays (see ``last_txn_batch``).
+    ``bloom_cols`` attaches per-file bloom indexes for equality-literal
+    file skipping on unclustered high-cardinality columns."""
     base = table_version(table)
     if txn is not None and last_txn_batch(table, txn[0]) >= txn[1]:
         return table_version(table)  # replayed micro-batch: no-op
-    adds = _write_data_files(df, table, base + 1, stat_cols, cluster_by)
+    adds = _write_data_files(df, table, base + 1, stat_cols, cluster_by,
+                             bloom_cols, bloom_fpp)
     _validate_constraints(df.sparkSession, table, adds)
     return _commit_retry(
         table, "append", adds, [], df.schema.json(), base,

@@ -821,3 +821,37 @@ def test_check_constraint_survives_checkpoint(spark, sf_dir, table):
     assert dl.table_constraints(table) == {"v_pos": "v > 0"}
     with pytest.raises(ValueError, match="v_pos"):
         dl.append(spark.createDataFrame([(9, -1)], "k int, v int"), table)
+
+
+# ------------------------------------------------------ bloom file index
+
+
+def test_bloom_index_point_lookup_skips(spark, sf_dir, table):
+    """Point lookups on an unclustered high-cardinality key: min/max
+    stats cannot prune (random hex overlaps every range) but the bloom
+    index prunes most files — and never the file holding the key."""
+    src = _orders(spark, sf_dir).select(
+        "o_orderkey", F.md5(F.col("o_orderkey").cast("string")).alias("uk")
+    )
+    dl.append(src.repartition(8), table, stat_cols=["uk"],
+              bloom_cols=["uk"])
+    keys = [r["uk"] for r in src.limit(10).collect()]
+    total = len(dl.live_files(table))
+    assert total >= 8
+    for uk in keys:
+        sel, tot = dl.plan_files(table, predicate=[("uk", "=", uk)])
+        assert len(sel) < tot, "bloom must prune files for a point key"
+        got = dl.read_table(spark, table, predicate=[("uk", "=", uk)])
+        assert got.count() == 1, "bloom must never drop the real match"
+    # a key that exists nowhere prunes (almost) everything
+    sel, tot = dl.plan_files(table, predicate=[("uk", "=", "no-such-key")])
+    assert len(sel) <= max(1, tot // 2)
+
+
+def test_bloom_index_absent_column_never_skips(spark, sf_dir, table):
+    src = _orders(spark, sf_dir)
+    dl.append(src.repartition(4), table, bloom_cols=["o_clerk_missing"])
+    sel, tot = dl.plan_files(
+        table, predicate=[("o_clerk_missing", "=", "x")]
+    )
+    assert len(sel) == tot  # no index -> cannot skip
