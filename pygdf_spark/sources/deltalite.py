@@ -282,13 +282,31 @@ def _file_stats(path: str, stat_cols: list[str]) -> dict:
 _BLOOM_MAX_KEYS = 50_000  # above this, skip the index (log-size hygiene)
 
 
+def _bloom_key(value) -> str:
+    """Canonical hash key: write-side column values and probe-side
+    predicate literals must collide for SQL-equal values. Integral
+    floats fold onto ints (``col = 1`` matches 1.0 in the engine, so
+    the bloom must too — a "1" vs "1.0" split would be a silent FALSE
+    NEGATIVE that prunes a matching file); bools are tagged apart from
+    ints; everything else rides its _json_safe string form."""
+    v = _json_safe(value)
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, float) and v.is_integer():
+        return f"i:{int(v)}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, float):
+        return f"f:{v!r}"
+    return f"s:{v}"
+
+
 def _bloom_hashes(value, m: int, k: int) -> list[int]:
-    """k bit positions for a value: md5 double hashing, value
-    normalized via str(_json_safe(v)) so the write side and the
-    predicate-literal probe side agree byte-for-byte."""
+    """k bit positions for a value: md5 double hashing over the
+    canonical key."""
     import hashlib
 
-    h = hashlib.md5(str(_json_safe(value)).encode("utf-8")).digest()
+    h = hashlib.md5(_bloom_key(value).encode("utf-8")).digest()
     h1 = int.from_bytes(h[:8], "little")
     h2 = int.from_bytes(h[8:], "little") | 1
     return [(h1 + i * h2) % m for i in range(k)]
@@ -1044,8 +1062,18 @@ def _validate_constraints(
         for i, n in enumerate(names) if (row[f"c{i}"] or 0) > 0
     }
     if bad:
+        # unlink exactly THIS commit's staged files — never the parent
+        # directory (the streaming sink stages many batches' shards in
+        # one dir; an rmtree here would destroy already-committed data)
+        for a in adds:
+            try:
+                os.unlink(os.path.join(table, a["path"]))
+            except OSError:
+                pass
         for d in {os.path.dirname(a["path"]) for a in adds}:
-            shutil.rmtree(os.path.join(table, d), ignore_errors=True)
+            full = os.path.join(table, d)
+            if os.path.isdir(full) and not os.listdir(full):
+                os.rmdir(full)
         raise ValueError(
             f"CHECK constraint violated by incoming rows: {bad} — "
             "commit aborted, staged files removed"

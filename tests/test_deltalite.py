@@ -855,3 +855,21 @@ def test_bloom_index_absent_column_never_skips(spark, sf_dir, table):
         table, predicate=[("o_clerk_missing", "=", "x")]
     )
     assert len(sel) == tot  # no index -> cannot skip
+
+
+def test_bloom_index_numeric_literal_kinds(spark, sf_dir, table):
+    """An int literal probing a float bloom column (and vice versa)
+    must never false-negative: col = 1 matches 1.0 in the engine, so
+    the bloom key folds integral floats onto ints."""
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.5), (3, 3.0)], "k long, fv double"
+    )
+    dl.append(df.repartition(3), table, bloom_cols=["fv", "k"])
+    # int literal vs double column
+    got = dl.read_table(spark, table, predicate=[("fv", "=", 1)])
+    assert got.count() == 1
+    # float literal vs long column
+    got2 = dl.read_table(spark, table, predicate=[("k", "=", 2.0)])
+    assert got2.count() == 1
+    # non-integral literal on the long column: no match, prune is fine
+    assert dl.read_table(spark, table, predicate=[("fv", "=", 2.5)]).count() == 1

@@ -178,3 +178,40 @@ def test_stream_range_with_only_metadata_commits(spark, table, tmp_path):
     dl.compact(spark, table, num_files=1)  # the ONLY new commit
     drain()
     assert spark.read.parquet(out).count() == 200  # nothing re-emitted
+
+
+def test_sink_constraint_violation_preserves_committed_shards(
+    spark, table, tmp_path
+):
+    """REGRESSION (adversarial review catch): all of a query's batches
+    stage shards in one dir — a violating batch's cleanup must unlink
+    only ITS files, never rmtree the shared dir holding committed
+    shards from earlier batches."""
+    register(spark)
+    feed = str(tmp_path / "feedr")
+    good = os.path.join(feed, "a")
+    spark.createDataFrame([(1, 5), (2, 6)], "id long, v long").write.json(good)
+    ckpt = str(tmp_path / "ckr")
+
+    def drain():
+        q = (
+            spark.readStream.schema("id long, v long").json(feed + "/*")
+            .writeStream.format("deltalite").option("path", table)
+            .option("appId", "shared-stage-test")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return q
+
+    drain()  # batch 0 commits two good rows
+    dl.add_check_constraint(spark, table, "v_pos", "v > 0")
+    spark.createDataFrame([(3, -1)], "id long, v long").write.json(
+        os.path.join(feed, "b")
+    )
+    try:
+        drain()  # batch 1 violates
+    except Exception:
+        pass
+    # the committed batch-0 rows MUST still read back
+    assert sorted(r["id"] for r in dl.read_table(spark, table).collect()) == [1, 2]
