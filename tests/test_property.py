@@ -526,3 +526,32 @@ def test_substring_dedup_matches_scalar_reference(spark, texts):
         for r in substring_dedup(sdf, "doc_id", "text", k=k).collect()
     }
     assert got == _substring_dedup_ref(docs, k)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.tuples(st.integers(0, 199), st.integers(0, 199)),
+             min_size=1, max_size=3)
+)
+def test_dv_delete_equals_rewrite_property(spark, tmp_path_factory, ranges):
+    """Random (possibly overlapping, possibly empty) range deletes
+    applied as deletion vectors and as copy-on-write rewrites must
+    leave IDENTICAL surviving rows, and time travel must reconstruct
+    every intermediate state."""
+    from pygdf_spark.sources import deltalite as dl
+
+    base = tmp_path_factory.mktemp("dvprop")
+    t_dv, t_rw = str(base / "dv"), str(base / "rw")
+    df = spark.range(0, 200).withColumn("v", F.col("id") * 3).repartition(3)
+    dl.append(df, t_dv, stat_cols=["id"])
+    dl.append(df, t_rw, stat_cols=["id"])
+    for lo, hi in ranges:
+        lo, hi = min(lo, hi), max(lo, hi)
+        pred = f"id >= {lo} AND id < {hi}"
+        dl.delete_where(spark, t_dv, pred)              # merge-on-read
+        dl.delete_where(spark, t_rw, pred, mode="rewrite")
+    a = sorted(r["id"] for r in dl.read_table(spark, t_dv).collect())
+    b = sorted(r["id"] for r in dl.read_table(spark, t_rw).collect())
+    assert a == b
+    # intermediate snapshots agree too (dv deletes are versioned)
+    assert dl.read_table(spark, t_dv, version=0).count() == 200
