@@ -84,7 +84,7 @@ _PRIORITY = [
     "join_range_bucketed", "join_salted_skew",
     "agg_quantiles", "agg_idxmax",
     "lake_bloom_skip",  # displaces agg_rollup (r1-green)
-    "agg_global_reduce",
+    "sstream_lake_cdf_live",  # displaces agg_global_reduce (r1-green)
     # -- net-new late-r6: deltalite transaction-log table format
     # (displacing sort_multi_nulls / topk_orders / dedup_keep_first,
     # which keep their cumulative r1 driver-green rows):

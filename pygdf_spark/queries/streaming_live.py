@@ -305,7 +305,80 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def sstream_lake_cdf_live(spark, sf_dir):
+    """STREAMING Change Data Feed (readChangeFeed=true on the
+    registered deltalite source): an append then an overlapping pair
+    of deletion-vector deletes are consumed as row-level changes —
+    inserts for the ingest, exactly the INCREMENTAL delete set per dv
+    commit (the overlap must not double-emit), computed per-file on
+    executors from the position deltas. The oracle reconstructs the
+    same change sets relationally."""
+    import os
+    import shutil
+    import tempfile
+
+    from pygdf_spark.queries._util import events_ts
+    from pygdf_spark.sources import deltalite as dl
+    from pygdf_spark.streaming.lake_source import register
+
+    sf = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = os.path.join(tempfile.gettempdir(),
+                        f"pygdf_lakecdf_{sf}_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    table = os.path.join(base, "tbl")
+
+    ev = events_ts(spark, sf_dir).select(
+        "event_id", "user_id", "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_c"),
+    )
+    dl.append(ev.repartition(4), table)                       # v0
+    dl.delete_where(spark, table, "event_type = 'view'")      # v1
+    dl.delete_where(
+        spark, table, "event_type = 'view' OR event_id % 5 = 0"
+    )                                                         # v2 (increment)
+
+    register(spark)
+    name = f"lake_cdf_{os.getpid()}"
+    q = (
+        spark.readStream.format("deltalite").option("path", table)
+        .option("readChangeFeed", "true").load()
+        .groupBy("_commit_version", "_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").alias("id_sum"),
+            F.sum("v_c").alias("value_cents"),
+        )
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("_commit_version", "_change_type")
+
+
+SSTREAM_LAKE_CDF_SQL = """
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS _commit_version, 'insert' AS _change_type,
+         COUNT(*) AS n_rows, CAST(SUM(event_id) AS BIGINT) AS id_sum,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM events
+  UNION ALL
+  SELECT 1, 'delete', COUNT(*), CAST(SUM(event_id) AS BIGINT),
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+  FROM events WHERE event_type = 'view'
+  UNION ALL
+  SELECT 2, 'delete', COUNT(*), CAST(SUM(event_id) AS BIGINT),
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+  FROM events WHERE event_type <> 'view' AND event_id % 5 = 0
+) ORDER BY _commit_version, _change_type
+"""
+
+
 QUERIES = {
+    "sstream_lake_cdf_live": sstream_lake_cdf_live,
     "sstream_lake_source_live": sstream_lake_source_live,
     "sstream_lake_sink_live": sstream_lake_sink_live,
     "sstream_scd2_changes_live": sstream_scd2_changes_live,
@@ -319,6 +392,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sstream_lake_cdf_live": SSTREAM_LAKE_CDF_SQL,
     "sstream_lake_source_live": SSTREAM_LAKE_SOURCE_SQL,
     "sstream_lake_sink_live": SSTREAM_LAKE_SINK_SQL,
     "sstream_scd2_changes_live": SSTREAM_SCD2_SQL,

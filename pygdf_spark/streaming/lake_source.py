@@ -161,7 +161,14 @@ class DeltaliteDataSource(DataSource):
             raise ValueError("deltalite: .option('path', <table dir>) required")
         return path
 
+    def _cdf(self) -> bool:
+        return str(
+            self.options.get("readchangefeed", "false")
+        ).lower() == "true"
+
     def schema(self) -> StructType:
+        from pyspark.sql.types import LongType, StringType, StructField
+
         from pygdf_spark.sources import deltalite as dl
 
         table = self._table()
@@ -171,7 +178,14 @@ class DeltaliteDataSource(DataSource):
         schema_json = dl._snapshot(table, v)["schema"]
         if not schema_json:
             raise FileNotFoundError(f"empty table with no schema: {table}")
-        return StructType.fromJson(json.loads(schema_json))
+        st = StructType.fromJson(json.loads(schema_json))
+        if self._cdf():
+            st = StructType(
+                st.fields
+                + [StructField("_change_type", StringType()),
+                   StructField("_commit_version", LongType())]
+            )
+        return st
 
     def reader(self, schema: StructType) -> DeltaliteBatchReader:
         v = self.options.get("version")
@@ -179,7 +193,9 @@ class DeltaliteDataSource(DataSource):
             self._table(), int(v) if v is not None else None
         )
 
-    def streamReader(self, schema: StructType) -> DeltaliteStreamReader:
+    def streamReader(self, schema: StructType):
+        if self._cdf():
+            return DeltaliteChangeFeedReader(self._table())
         skip = str(
             self.options.get("skipchangecommits", "false")
         ).lower() == "true"
@@ -297,3 +313,160 @@ class DeltaliteStreamWriter(DataSourceStreamWriter):
                     os.unlink(os.path.join(self.table, m.rel_path))
                 except OSError:
                     pass
+
+
+# ---------------------------------------------- streaming CHANGE FEED
+
+
+class _ChangePart(InputPartition):
+    def __init__(self, kind: str, path: str, version: int,
+                 rel: str = "", dv_old: tuple = (), dv_new: tuple = ()):
+        self.kind = kind          # insert | delete | dv_delete
+        self.path = path
+        self.version = version
+        self.rel = rel            # log-relative path (dv position key)
+        self.dv_old = tuple(dv_old)
+        self.dv_new = tuple(dv_new)
+
+
+def _dv_positions_for(rel: str, dv_paths: tuple) -> set:
+    import pyarrow.parquet as pq
+
+    out: set = set()
+    for dv in dv_paths:
+        t = pq.read_table(dv, columns=["file", "pos"])
+        files = t.column("file").to_pylist()
+        poss = t.column("pos").to_pylist()
+        out.update(p for f, p in zip(files, poss) if f == rel)
+    return out
+
+
+class DeltaliteChangeFeedReader(DataSourceStreamReader):
+    """``readStream.format("deltalite").option("readChangeFeed",
+    "true")``: row-level changes per commit, computed PER FILE on the
+    executors (no cross-file joins, so every partition is independent):
+
+    - append commits → added rows tagged ``insert``;
+    - delete_dv commits → rows at the NEW-minus-OLD deleted positions
+      of each re-pointed file tagged ``delete`` (pyarrow position take);
+    - compact/purge → nothing (pure metadata);
+    - overwrite/merge/delete/restore → COARSE file-set diff: removed/
+      replaced files' pre-images (DV-applied) tagged ``delete``, added
+      files tagged ``insert`` — the per-file-computable contract; the
+      batch ``table_changes(key=...)`` API is the precise keyed diff.
+
+    Output schema: table columns + ``_change_type`` +
+    ``_commit_version``."""
+
+    def __init__(self, table: str):
+        self.table = table
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        from pygdf_spark.sources import deltalite as dl
+
+        return {"version": dl.table_version(self.table)}
+
+    def partitions(self, start: dict, end: dict):
+        from pygdf_spark.sources import deltalite as dl
+
+        parts: list[_ChangePart] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            p = dl._version_path(self.table, v)
+            if not os.path.exists(p):
+                raise ValueError(
+                    f"deltalite cdf stream: version {v} vacuumed"
+                )
+            actions = dl._read_actions(p)
+            op = next(
+                a["commit"]["operation"] for a in actions if "commit" in a
+            )
+            if op in ("compact", "purge", "set_constraint",
+                      "drop_constraint"):
+                continue
+            pre = dl._snapshot(self.table, v - 1)["adds"] if v > 0 else {}
+            add_acts = [a["add"] for a in actions if "add" in a]
+            rem_paths = [a["remove"]["path"] for a in actions
+                         if "remove" in a]
+            for a in add_acts:
+                full = os.path.join(self.table, a["path"])
+                old = pre.get(a["path"])
+                if old is None:
+                    # brand-new file: every (DV-surviving) row inserts
+                    parts.append(_ChangePart(
+                        "insert", full, v, a["path"],
+                        dv_new=tuple(
+                            os.path.join(self.table, d["path"])
+                            for d in (a.get("dv") or [])
+                        ),
+                    ))
+                else:
+                    # replaced action (delete_dv / restore re-pin):
+                    # emit the position DELTA as deletes (or
+                    # un-deletes as inserts when a restore shrinks DVs)
+                    parts.append(_ChangePart(
+                        "dv_delete", full, v, a["path"],
+                        dv_old=tuple(
+                            os.path.join(self.table, d["path"])
+                            for d in (old.get("dv") or [])
+                        ),
+                        dv_new=tuple(
+                            os.path.join(self.table, d["path"])
+                            for d in (a.get("dv") or [])
+                        ),
+                    ))
+            for rp in rem_paths:
+                old = pre.get(rp)
+                if old is None:
+                    continue
+                parts.append(_ChangePart(
+                    "delete", os.path.join(self.table, rp), v, rp,
+                    dv_old=tuple(
+                        os.path.join(self.table, d["path"])
+                        for d in (old.get("dv") or [])
+                    ),
+                ))
+        return parts
+
+    def read(self, partition: _ChangePart):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(partition.path)
+
+        def tagged(tbl, change):
+            n = tbl.num_rows
+            tbl = tbl.append_column(
+                "_change_type", pa.array([change] * n, pa.string())
+            )
+            return tbl.append_column(
+                "_commit_version",
+                pa.array([partition.version] * n, pa.int64()),
+            )
+
+        if partition.kind == "insert":
+            drop = _dv_positions_for(partition.rel, partition.dv_new)
+            if drop:
+                t = t.take([i for i in range(t.num_rows) if i not in drop])
+            yield from tagged(t, "insert").to_batches()
+        elif partition.kind == "delete":
+            drop = _dv_positions_for(partition.rel, partition.dv_old)
+            if drop:
+                t = t.take([i for i in range(t.num_rows) if i not in drop])
+            yield from tagged(t, "delete").to_batches()
+        else:  # dv_delete: position delta between old and new vectors
+            old = _dv_positions_for(partition.rel, partition.dv_old)
+            new = _dv_positions_for(partition.rel, partition.dv_new)
+            newly_deleted = sorted(new - old)
+            undeleted = sorted(old - new)
+            if newly_deleted:
+                yield from tagged(
+                    t.take(newly_deleted), "delete"
+                ).to_batches()
+            if undeleted:
+                yield from tagged(t.take(undeleted), "insert").to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass

@@ -215,3 +215,39 @@ def test_sink_constraint_violation_preserves_committed_shards(
         pass
     # the committed batch-0 rows MUST still read back
     assert sorted(r["id"] for r in dl.read_table(spark, table).collect()) == [1, 2]
+
+
+def test_stream_change_feed_incremental_deletes(spark, table, tmp_path):
+    """CDF stream: overlapping DV deletes emit only their increments;
+    compact emits nothing; a restore's un-deletes come back as inserts."""
+    register(spark)
+    df = spark.range(0, 300).withColumn("v", F.col("id") * 2).repartition(2)
+    dl.append(df, table)                                   # v0
+    dl.delete_where(spark, table, [("id", "<", 50)])       # v1
+    dl.delete_where(spark, table, [("id", "<", 80)])       # v2 (+30)
+    dl.compact(spark, table, num_files=1)                  # v3 (nothing)
+    dl.restore(table, 1)                                   # v4: un-delete 30
+    q = (
+        spark.readStream.format("deltalite").option("path", table)
+        .option("readChangeFeed", "true").load()
+        .groupBy("_commit_version", "_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory").queryName("cdf_t")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["_commit_version"], r["_change_type"]): r["n"]
+        for r in spark.table("cdf_t").collect()
+    }
+    # v4 restore: back to v1's file set — the compacted file (300-50
+    # rows) leaves (coarse delete), v1's original files + dv return
+    # (coarse insert of their DV-surviving 250 rows)
+    assert got[(0, "insert")] == 300
+    assert got[(1, "delete")] == 50
+    assert got[(2, "delete")] == 30
+    assert (3, "delete") not in got and (3, "insert") not in got
+    assert got[(4, "delete")] == 220   # compacted file's pre-image leaves
+    assert got[(4, "insert")] == 250   # v1 snapshot returns (coarse diff)
