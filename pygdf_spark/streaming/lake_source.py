@@ -70,12 +70,14 @@ def _read_arrow_with_dv(path: str, dv_paths: tuple):
 
 
 class DeltaliteStreamReader(DataSourceStreamReader):
-    def __init__(self, table: str, skip_change_commits: bool):
+    def __init__(self, table: str, skip_change_commits: bool,
+                 starting_version: int = 0):
         self.table = table
         self.skip_change_commits = skip_change_commits
+        self.starting_version = starting_version
 
     def initialOffset(self) -> dict:
-        return {"version": -1}
+        return {"version": self.starting_version - 1}
 
     def latestOffset(self) -> dict:
         from pygdf_spark.sources import deltalite as dl
@@ -199,7 +201,8 @@ class DeltaliteDataSource(DataSource):
         skip = str(
             self.options.get("skipchangecommits", "false")
         ).lower() == "true"
-        return DeltaliteStreamReader(self._table(), skip)
+        start = int(self.options.get("startingversion", 0))
+        return DeltaliteStreamReader(self._table(), skip, start)
 
     def streamWriter(self, schema: StructType, overwrite: bool):
         app_id = self.options.get(

@@ -251,3 +251,21 @@ def test_stream_change_feed_incremental_deletes(spark, table, tmp_path):
     assert (3, "delete") not in got and (3, "insert") not in got
     assert got[(4, "delete")] == 220   # compacted file's pre-image leaves
     assert got[(4, "insert")] == 250   # v1 snapshot returns (coarse diff)
+
+
+def test_stream_starting_version(spark, table, tmp_path):
+    """startingVersion skips history: only commits >= N feed the
+    stream (the catch-up-from-checkpoint onboarding path)."""
+    register(spark)
+    _mk(spark, table, 0, 100)    # v0 (skipped)
+    _mk(spark, table, 100, 160)  # v1
+    q = (
+        spark.readStream.format("deltalite").option("path", table)
+        .option("startingVersion", "1").load()
+        .writeStream.format("memory").queryName("lake_sv")
+        .option("checkpointLocation", str(tmp_path / "ck_sv"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    ids = sorted(r["id"] for r in spark.table("lake_sv").collect())
+    assert ids == list(range(100, 160))

@@ -555,3 +555,41 @@ def test_dv_delete_equals_rewrite_property(spark, tmp_path_factory, ranges):
     assert a == b
     # intermediate snapshots agree too (dv deletes are versioned)
     assert dl.read_table(spark, t_dv, version=0).count() == 200
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(-10**12, 10**12),
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+            st.text(min_size=0, max_size=12),
+            st.booleans(),
+        ),
+        min_size=1, max_size=40, unique_by=lambda v: (type(v).__name__, v),
+    )
+)
+def test_bloom_never_false_negative_property(values):
+    """Every inserted value must probe present — across ints, floats
+    (incl. integral floats folding onto ints), strings, and bools."""
+    import math
+
+    from pygdf_spark.sources.deltalite import _bloom_hashes, _bloom_may_contain
+
+    n = len(values)
+    m = max(64, int(-n * math.log(0.01) / (math.log(2) ** 2)))
+    k = max(1, round(m / n * math.log(2)))
+    bits = bytearray((m + 7) // 8)
+    for v in values:
+        for pos in _bloom_hashes(v, m, k):
+            bits[pos >> 3] |= 1 << (pos & 7)
+    import base64
+    bloom = {"m": m, "k": k,
+             "bits": base64.b64encode(bytes(bits)).decode()}
+    for v in values:
+        assert _bloom_may_contain(bloom, v), v
+        # SQL equality cousins must also hit (int 5 == 5.0)
+        if isinstance(v, int) and not isinstance(v, bool) and abs(v) < 2**52:
+            assert _bloom_may_contain(bloom, float(v))
+        if isinstance(v, float) and v.is_integer() and abs(v) < 2**52:
+            assert _bloom_may_contain(bloom, int(v))
