@@ -640,6 +640,36 @@ def compact(
     )
 
 
+def compact_small_files(
+    spark: SparkSession, table: str, target_bytes: int = 128 << 20,
+    stat_cols: list[str] | None = None, checkpoint_every: int = 10,
+) -> dict:
+    """Size-tiered OPTIMIZE (the Delta bin-packing semantic): rewrite
+    ONLY files smaller than ``target_bytes`` — the streaming-ingestion
+    small-file problem's fix — into ~target-sized files; well-sized
+    files ride through untouched as pure metadata, so the rewrite cost
+    is proportional to the small-file fraction, not the table. A lone
+    undersized file (or a DV-free singleton) is left alone: rewriting
+    one file into one file is pure churn. DV-carrying small files
+    materialize their deletes on the way through."""
+    base = table_version(table)
+    live = live_files(table)
+    small = [a for a in live if a.get("bytes", 0) < target_bytes]
+    if len(small) < 2:
+        return {"version": base, "files_compacted": 0,
+                "files_total": len(live)}
+    total = sum(a.get("bytes", 0) for a in small)
+    n_out = max(1, -(-total // target_bytes))  # ceil
+    df = _read_adds(spark, table, small).coalesce(n_out)
+    adds = _write_data_files(df, table, base + 1, stat_cols, None)
+    version = _commit_retry(
+        table, "compact", adds, [a["path"] for a in small],
+        df.schema.json(), base, checkpoint_every,
+    )
+    return {"version": version, "files_compacted": len(small),
+            "files_total": len(live)}
+
+
 def vacuum(table: str, keep_versions: int = 1) -> list[str]:
     """Delete data files not referenced by any of the newest
     ``keep_versions`` versions; returns the deleted relative paths.

@@ -873,3 +873,31 @@ def test_bloom_index_numeric_literal_kinds(spark, sf_dir, table):
     assert got2.count() == 1
     # non-integral literal on the long column: no match, prune is fine
     assert dl.read_table(spark, table, predicate=[("fv", "=", 2.5)]).count() == 1
+
+
+def test_compact_small_files_only_touches_small(spark, sf_dir, table):
+    """Size-tiered OPTIMIZE: one big file + many streaming crumbs —
+    only the crumbs rewrite; the big file's add action is untouched;
+    the logical row set is unchanged and DVs on crumbs materialize."""
+    src = _orders(spark, sf_dir)
+    dl.append(src, table)                       # v0: one big file
+    big_paths = {a["path"] for a in dl.live_files(table)}
+    for i in range(4):                          # 4 tiny appends (crumbs)
+        dl.append(src.limit(10).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(9_000_000 + i * 100)
+        ), table)
+    key = 9_000_000 + int(src.agg(F.min("o_orderkey")).first()[0])
+    dl.delete_where(spark, table, [("o_orderkey", "=", key)])  # dv a crumb
+    before = dl.read_table(spark, table)
+    n_before = before.count()
+    big_bytes = max(a["bytes"] for a in dl.live_files(table))
+    res = dl.compact_small_files(spark, table, target_bytes=big_bytes)
+    assert res["files_compacted"] >= 4
+    after_paths = {a["path"] for a in dl.live_files(table)}
+    assert big_paths <= after_paths, "the big file must ride through"
+    assert not any(a.get("dv") for a in dl.live_files(table))
+    assert dl.read_table(spark, table).count() == n_before
+    # a single small file is left alone (no churn commit)
+    v = dl.table_version(table)
+    res2 = dl.compact_small_files(spark, table, target_bytes=1)
+    assert res2["files_compacted"] == 0 and dl.table_version(table) == v
