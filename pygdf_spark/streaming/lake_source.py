@@ -98,8 +98,11 @@ class DeltaliteStreamReader(DataSourceStreamReader):
             op = next(
                 a["commit"]["operation"] for a in actions if "commit" in a
             )
-            if op in ("compact", "purge"):
-                continue  # pure metadata swap: no new logical rows
+            data_bearing = any("add" in a or "remove" in a for a in actions)
+            if op in ("compact", "purge") or not data_bearing:
+                # pure metadata: compaction, DV purge, constraint
+                # set/drop — no new logical rows, never an error
+                continue
             if op != "append":
                 if self.skip_change_commits:
                     continue

@@ -269,3 +269,27 @@ def test_stream_starting_version(spark, table, tmp_path):
     q.awaitTermination(120)
     ids = sorted(r["id"] for r in spark.table("lake_sv").collect())
     assert ids == list(range(100, 160))
+
+
+def test_stream_constraint_commit_does_not_break_tail(spark, table, tmp_path):
+    """ALTER-ADD-CONSTRAINT mid-stream is metadata-only: the tailing
+    query must skip it, not raise as a 'change commit'."""
+    register(spark)
+    _mk(spark, table, 0, 50)
+    ckpt = str(tmp_path / "ck_cc")
+    out = str(tmp_path / "out_cc")
+
+    def drain():
+        q = (
+            spark.readStream.format("deltalite").option("path", table).load()
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    dl.add_check_constraint(spark, table, "v_pos", "v >= 0")
+    _mk(spark, table, 50, 80)
+    drain()
+    assert spark.read.parquet(out).count() == 80
