@@ -64,8 +64,11 @@ def _read_arrow_with_dv(path: str, dv_paths: tuple):
             poss = sidecar.column("pos").to_pylist()
             drop.update(p for f, p in zip(files, poss) if f == rel)
         if drop:
-            keep = [i for i in range(t.num_rows) if i not in drop]
-            t = t.take(keep)
+            import numpy as np
+
+            mask = np.ones(t.num_rows, dtype=bool)
+            mask[np.fromiter(drop, dtype=np.int64)] = False
+            t = t.take(np.flatnonzero(mask))
     return t
 
 
@@ -452,15 +455,20 @@ class DeltaliteChangeFeedReader(DataSourceStreamReader):
                 pa.array([partition.version] * n, pa.int64()),
             )
 
+        def minus(tbl, drop):
+            if not drop:
+                return tbl
+            import numpy as np
+
+            mask = np.ones(tbl.num_rows, dtype=bool)
+            mask[np.fromiter(drop, dtype=np.int64)] = False
+            return tbl.take(np.flatnonzero(mask))
+
         if partition.kind == "insert":
-            drop = _dv_positions_for(partition.rel, partition.dv_new)
-            if drop:
-                t = t.take([i for i in range(t.num_rows) if i not in drop])
+            t = minus(t, _dv_positions_for(partition.rel, partition.dv_new))
             yield from tagged(t, "insert").to_batches()
         elif partition.kind == "delete":
-            drop = _dv_positions_for(partition.rel, partition.dv_old)
-            if drop:
-                t = t.take([i for i in range(t.num_rows) if i not in drop])
+            t = minus(t, _dv_positions_for(partition.rel, partition.dv_old))
             yield from tagged(t, "delete").to_batches()
         else:  # dv_delete: position delta between old and new vectors
             old = _dv_positions_for(partition.rel, partition.dv_old)
