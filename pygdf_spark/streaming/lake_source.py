@@ -195,7 +195,17 @@ class DeltaliteDataSource(DataSource):
             )
         return st
 
-    def reader(self, schema: StructType) -> DeltaliteBatchReader:
+    def reader(self, schema: StructType):
+        if self._cdf():
+            from pygdf_spark.sources import deltalite as dl
+
+            table = self._table()
+            start = int(self.options.get("startingversion", 0))
+            end = self.options.get("endingversion")
+            return DeltaliteChangeFeedBatchReader(
+                table, start,
+                int(end) if end is not None else dl.table_version(table),
+            )
         v = self.options.get("version")
         return DeltaliteBatchReader(
             self._table(), int(v) if v is not None else None
@@ -484,3 +494,25 @@ class DeltaliteChangeFeedReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass
+
+
+class DeltaliteChangeFeedBatchReader(DataSourceReader):
+    """Batch CDF through the format API (the Delta
+    ``read.format(...).option("readChangeFeed", "true")`` shape):
+    row-level changes for [startingVersion, endingVersion], planned and
+    read exactly like the streaming feed — per-file partitions, coarse
+    file-set semantics for rewrite commits (``table_changes(key=...)``
+    is the precise keyed diff)."""
+
+    def __init__(self, table: str, start: int, end: int):
+        self._feed = DeltaliteChangeFeedReader(table)
+        self.start = start
+        self.end = end
+
+    def partitions(self):
+        return self._feed.partitions(
+            {"version": self.start - 1}, {"version": self.end}
+        )
+
+    def read(self, partition):
+        yield from self._feed.read(partition)

@@ -293,3 +293,30 @@ def test_stream_constraint_commit_does_not_break_tail(spark, table, tmp_path):
     _mk(spark, table, 50, 80)
     drain()
     assert spark.read.parquet(out).count() == 80
+
+
+def test_batch_change_feed_via_format(spark, table):
+    """Batch CDF: read.format('deltalite').option('readChangeFeed') over
+    a version range equals the streaming feed's change sets."""
+    register(spark)
+    df = spark.range(0, 120).withColumn("v", F.col("id")).repartition(2)
+    dl.append(df, table)                              # v0
+    dl.delete_where(spark, table, [("id", "<", 20)])  # v1
+    _mk(spark, table, 1000, 1010)                     # v2
+    full = (
+        spark.read.format("deltalite").option("path", table)
+        .option("readChangeFeed", "true").load()
+    )
+    got = {
+        (r["_commit_version"], r["_change_type"]): r["n"]
+        for r in full.groupBy("_commit_version", "_change_type")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == {(0, "insert"): 120, (1, "delete"): 20, (2, "insert"): 10}
+    ranged = (
+        spark.read.format("deltalite").option("path", table)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1").option("endingVersion", "1").load()
+    )
+    assert ranged.count() == 20
+    assert ranged.select("_change_type").distinct().first()[0] == "delete"
