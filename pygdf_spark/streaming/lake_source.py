@@ -21,6 +21,14 @@ Semantics (mirrors the public Delta source contract):
   with pyarrow and emit Arrow record batches (zero row-by-row Python).
 - The BATCH reader applies deletion vectors per file (position-mask
   ``take`` on the Arrow table) and supports ``version`` time travel.
+- ``readChangeFeed=true`` (stream OR batch with startingVersion/
+  endingVersion) emits row-level changes per commit, computed per-file
+  on executors — appends as ``insert``, deletion-vector deltas as
+  exactly the incremental ``delete`` set, restore un-deletes as
+  ``insert``; rewrite commits fall to the documented coarse file-set
+  diff (``table_changes(key=...)`` is the precise keyed API).
+- ``writeStream.format("deltalite")`` is the exactly-once SINK: one
+  txn-stamped commit per micro-batch (see DeltaliteStreamWriter).
 
 100 TB posture: planning is O(files-in-range) driver-side metadata
 (the same cost the JVM Delta source pays); all data bytes move
