@@ -213,6 +213,25 @@ def history(table: str) -> list[dict]:
     return out
 
 
+def history_df(spark: SparkSession, table: str) -> DataFrame:
+    """DESCRIBE HISTORY as a DataFrame: version, operation, timestamp,
+    txn app/batch (nulls where absent) — the audit surface operators
+    page through."""
+    rows = [
+        (
+            int(h["version"]), h["operation"], h.get("ts"),
+            (h.get("txn") or {}).get("app"),
+            (h.get("txn") or {}).get("batch"),
+        )
+        for h in history(table)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version long, operation string, ts string, "
+        "txn_app string, txn_batch long",
+    )
+
+
 def last_txn_batch(table: str, app_id: str) -> int:
     """Highest streaming batch id committed for ``app_id`` (the Delta
     'txn' action's high-water mark), or -1. Drives idempotent
@@ -560,7 +579,9 @@ def _commit_retry(
                         f"removed since version {base_version} — re-derive "
                         "against the current snapshot"
                     )
-        header = {"version": version, "operation": operation, "schema": schema}
+        header = {"version": version, "operation": operation,
+                  "schema": schema,
+                  "ts": _dt.datetime.now(_dt.timezone.utc).isoformat()}
         if txn is not None:
             header["txn"] = {"app": txn[0], "batch": int(txn[1])}
         actions = [{"commit": header}]
