@@ -279,20 +279,31 @@ def _file_stats(path: str, stat_cols: list[str]) -> dict:
         mn = mx = None
         nulls = 0
         ok = True
+        nulls_ok = True
         for rg in range(meta.num_row_groups):
             st = meta.row_group(rg).column(i).statistics
-            if st is None or not st.has_min_max:
-                ok = False
+            if st is None:
+                ok = nulls_ok = False
                 break
+            if st.null_count is None:
+                nulls_ok = False
+            else:
+                nulls += st.null_count
+            if not st.has_min_max:
+                ok = False  # e.g. an all-null chunk: nulls still count
+                continue
             lo, hi = _json_safe(st.min), _json_safe(st.max)
             if lo is None or hi is None:
                 ok = False
-                break
+                continue
             mn = lo if mn is None or lo < mn else mn
             mx = hi if mx is None or hi > mx else mx
-            nulls += st.null_count or 0
         if ok and mn is not None:
             out[col] = {"min": mn, "max": mx, "nulls": nulls}
+        elif nulls_ok:
+            # no usable min/max (e.g. all-null column) — the null count
+            # alone still powers isnull/notnull pruning
+            out[col] = {"nulls": nulls}
     return out
 
 
@@ -380,9 +391,39 @@ def _bloom_may_contain(bloom: dict, value) -> bool:
     )
 
 
+def _file_rows(path: str) -> int:
+    """Row count from the parquet footer (metadata-only read)."""
+    import pyarrow.parquet as pq
+
+    return int(pq.ParquetFile(path).metadata.num_rows)
+
+
+def table_stats(table: str, version: int | None = None) -> dict:
+    """O(log) table statistics — no data scan: files, bytes, rows
+    (add-action footer counts minus deletion-vector counts; files
+    written before row harvesting report rows=None and are excluded
+    from the exact row total, flagged via 'rows_exact')."""
+    adds = live_files(table, version)
+    rows = 0
+    exact = True
+    for a in adds:
+        if a.get("rows") is None:
+            exact = False
+            continue
+        rows += int(a["rows"]) - sum(
+            d.get("count", 0) for d in (a.get("dv") or [])
+        )
+    return {
+        "files": len(adds),
+        "bytes": sum(a.get("bytes", 0) for a in adds),
+        "rows": rows,
+        "rows_exact": exact,
+    }
+
+
 # ------------------------------------------------------------ predicates
 
-_OPS = ("<", "<=", ">", ">=", "=", "==", "!=")
+_OPS = ("<", "<=", ">", ">=", "=", "==", "!=", "isnull", "notnull")
 
 
 def _file_may_match(add: dict, predicate: list[tuple]) -> bool:
@@ -391,14 +432,26 @@ def _file_may_match(add: dict, predicate: list[tuple]) -> bool:
     stats = add.get("stats") or {}
     blooms = add.get("bloom") or {}
     for col, op, val in predicate:
+        if op == "isnull":
+            s = stats.get(col)
+            if s is not None and s.get("nulls", None) == 0:
+                return False  # zero nulls in this file -> cannot match
+            continue
+        if op == "notnull":
+            s = stats.get(col)
+            rows = add.get("rows")
+            if (s is not None and rows is not None
+                    and s.get("nulls", None) == rows):
+                return False  # every row null -> cannot match
+            continue
         # bloom probe first: an equality literal absent from the
         # file's bitset PROVES exclusion (FPs scan, FNs impossible)
         if op in ("=", "==") and col in blooms and val is not None:
             if not _bloom_may_contain(blooms[col], val):
                 return False
         s = stats.get(col)
-        if s is None:
-            continue
+        if s is None or "min" not in s:
+            continue  # no zone map (possibly nulls-only entry)
         val = _json_safe(val)
         if val is None:
             continue
@@ -436,6 +489,12 @@ def _predicate_to_expr(predicate: list[tuple]) -> str:
     for col, op, val in predicate:
         if op not in _OPS:
             raise ValueError(f"unsupported predicate op {op!r}")
+        if op == "isnull":
+            parts.append(f"(`{col}` IS NULL)")
+            continue
+        if op == "notnull":
+            parts.append(f"(`{col}` IS NOT NULL)")
+            continue
         op = "=" if op == "==" else op
         if isinstance(val, str):
             lit = "'" + val.replace("'", "''") + "'"
@@ -503,6 +562,7 @@ def _write_data_files(
         add = {
             "path": os.path.join(rel_dir, name),
             "bytes": os.path.getsize(full),
+            "rows": _file_rows(full),
         }
         if stat_cols:
             add["stats"] = _file_stats(full, stat_cols)

@@ -901,3 +901,38 @@ def test_compact_small_files_only_touches_small(spark, sf_dir, table):
     v = dl.table_version(table)
     res2 = dl.compact_small_files(spark, table, target_bytes=1)
     assert res2["files_compacted"] == 0 and dl.table_version(table) == v
+
+
+def test_table_stats_o1_and_dv_adjusted(spark, sf_dir, table):
+    """O(log) row counts: exact after appends, dv deletes subtract,
+    purge/compact stay exact — never a data scan."""
+    src = _orders(spark, sf_dir)
+    dl.append(src.repartition(4), table, stat_cols=["o_orderkey"])
+    n = src.count()
+    st = dl.table_stats(table)
+    assert st["rows"] == n and st["rows_exact"] and st["files"] >= 4
+    dl.delete_where(spark, table, [("o_orderstatus", "=", "F")])
+    n2 = src.filter("o_orderstatus <> 'F'").count()
+    assert dl.table_stats(table)["rows"] == n2
+    dl.purge_dv(spark, table)
+    assert dl.table_stats(table)["rows"] == n2
+    assert dl.table_stats(table, version=0)["rows"] == n
+
+
+def test_null_predicate_pruning(spark, sf_dir, table):
+    """isnull prunes all-non-null files; notnull prunes all-null files;
+    results always exact."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20)], "k int, v int"
+    )
+    nulls = spark.createDataFrame([(3, None), (4, None)], "k int, v int")
+    dl.append(df.coalesce(1), table, stat_cols=["v"])
+    dl.append(nulls.coalesce(1), table, stat_cols=["v"])
+    sel, tot = dl.plan_files(table, predicate=[("v", "isnull", None)])
+    assert tot == 2 and len(sel) == 1
+    got = dl.read_table(spark, table, predicate=[("v", "isnull", None)])
+    assert sorted(r["k"] for r in got.collect()) == [3, 4]
+    sel2, _ = dl.plan_files(table, predicate=[("v", "notnull", None)])
+    assert len(sel2) == 1
+    got2 = dl.read_table(spark, table, predicate=[("v", "notnull", None)])
+    assert sorted(r["k"] for r in got2.collect()) == [1, 2]
