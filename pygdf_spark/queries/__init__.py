@@ -82,7 +82,8 @@ _PRIORITY = [
     "dedup_fuzzy_block", "events_gapfill_interp", "sample_kfold_split",
     "sstream_lake_source_live",
     "join_range_bucketed", "join_salted_skew",
-    "agg_quantiles", "agg_idxmax",
+    "nlp_sentence_split",  # displaces agg_quantiles (r1-green)
+    "agg_idxmax",
     "lake_bloom_skip",  # displaces agg_rollup (r1-green)
     "sstream_lake_cdf_live",  # displaces agg_global_reduce (r1-green)
     # -- net-new late-r6: deltalite transaction-log table format

@@ -399,7 +399,61 @@ SELECT piece, n_uses FROM usage ORDER BY n_uses DESC, piece ASC LIMIT 40
 
 
 
+def nlp_sentence_split(spark, sf_dir):
+    """Rule-based sentence segmentation (the nvtext sentence-tokenize
+    analog): split on terminal-punctuation runs followed by
+    whitespace, map-side regex only. Per-source stats: sentence count,
+    mean sentence length in tokens (integer micro-units), and the
+    count of single-sentence documents — the features a readability /
+    chunking stage consumes."""
+    d = T(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.split(F.trim("text"), r"[.!?]+\s+"),
+        lambda s: F.length(s) > 0,
+    )
+    per_doc = d.select(
+        "source",
+        F.size(sents).alias("n_sent"),
+        F.size(tokens("text")).alias("n_tok"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.sum("n_sent").alias("sentences"),
+            F.sum(F.when(F.col("n_sent") == 1, 1).otherwise(0)).alias(
+                "single_sentence_docs"
+            ),
+            F.sum(
+                F.when(
+                    F.col("n_sent") > 0,
+                    F.expr("n_tok * 1000000 div n_sent"),
+                ).otherwise(0)
+            ).alias("mean_len_micro_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+NLP_SENTENCE_SQL = r"""
+WITH per_doc AS (
+  SELECT source,
+         len(list_filter(string_split_regex(trim(text), '[.!?]+\s+'),
+                         s -> length(s) > 0)) AS n_sent,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+  FROM documents
+)
+SELECT source, CAST(SUM(n_sent) AS BIGINT) AS sentences,
+       CAST(SUM(CASE WHEN n_sent = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS single_sentence_docs,
+       CAST(SUM(CASE WHEN n_sent > 0 THEN n_tok * 1000000 // n_sent
+                     ELSE 0 END) AS BIGINT) AS mean_len_micro_sum
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
+    "nlp_sentence_split": nlp_sentence_split,
     "nlp_unigram_segment": nlp_unigram_segment,
     "nlp_bpe_train": nlp_bpe_train,
     "nlp_bpe_encode": nlp_bpe_encode,
@@ -427,6 +481,7 @@ ORDER BY d.doc_id
 """
 
 ORACLE = {
+    "nlp_sentence_split": NLP_SENTENCE_SQL,
     "nlp_unigram_segment": NLP_UNIGRAM_SQL,
     "nlp_bpe_train": NLP_BPE_SQL,
     "nlp_bpe_encode": NLP_BPE_ENCODE_SQL,
