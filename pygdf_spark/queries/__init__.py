@@ -83,7 +83,7 @@ _PRIORITY = [
     "sstream_lake_source_live",
     "join_range_bucketed", "join_salted_skew",
     "nlp_sentence_split",  # displaces agg_quantiles (r1-green)
-    "agg_idxmax",
+    "text_lm_perplexity",  # displaces agg_idxmax (r1-green)
     "lake_bloom_skip",  # displaces agg_rollup (r1-green)
     "sstream_lake_cdf_live",  # displaces agg_global_reduce (r1-green)
     # -- net-new late-r6: deltalite transaction-log table format

@@ -651,7 +651,89 @@ GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
 """
 
 
+def text_lm_perplexity(spark, sf_dir):
+    """Bigram language-model PERPLEXITY scoring — the CCNet-style
+    quality filter, self-trained on the corpus (no external model):
+    add-one-smoothed p(y|x) = (c_xy + 1)/(c_x + V), and each document
+    accumulates Σ −ln p over its bigrams. Determinism discipline:
+    every term's log-prob is rounded to integer MICRO-NATS before any
+    aggregation (the BM25 6-dp ln idiom), so the per-source sums are
+    pure int64 — order-free at any partitioning. Plan: two count
+    shuffles (unigram, bigram), one bigram-keyed scoring join, the
+    vocab-sized unigram side broadcast; per-source final aggregate."""
+    d = T(spark, sf_dir, "documents")
+    uni = (
+        d.select(F.explode(X.tokens("text")).alias("x"))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("c_x"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))  # 1 row
+    big = (
+        d.select(F.explode(X.ngrams("text", 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    doc_terms = d.select(
+        "doc_id", "source", F.explode(X.ngrams("text", 2)).alias("bigram")
+    )
+    scored = (
+        doc_terms.join(big, "bigram")
+        .withColumn("x", F.split("bigram", " ").getItem(0))
+        .join(F.broadcast(uni), "x")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "source",
+            F.round(
+                -F.log(
+                    (F.col("c_xy") + 1).cast("double")
+                    / (F.col("c_x") + F.col("v")).cast("double")
+                )
+                * 1e6,
+                0,
+            ).cast("long").alias("nll_micro"),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("nll_micro").alias("nll_micro_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+TEXT_LM_PERPLEXITY_SQL = r"""
+WITH words AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\s+') END AS w
+  FROM documents
+),
+u AS (SELECT x, COUNT(*) AS c_x FROM (SELECT UNNEST(w) AS x FROM words) GROUP BY x),
+vocab AS (SELECT COUNT(*) AS v FROM u),
+bigrams AS (
+  SELECT doc_id, source,
+         w[i] || ' ' || w[i+1] AS bigram, w[i] AS x
+  FROM words, LATERAL UNNEST(generate_series(1, greatest(len(w) - 1, 0))) AS t(i)
+),
+big AS (SELECT bigram, COUNT(*) AS c_xy FROM bigrams GROUP BY bigram),
+scored AS (
+  SELECT bt.source AS source,
+         CAST(round(-ln(CAST(bg.c_xy + 1 AS DOUBLE)
+                        / CAST(uu.c_x + (SELECT v FROM vocab) AS DOUBLE))
+                    * 1e6, 0) AS BIGINT) AS nll_micro
+  FROM bigrams bt JOIN big bg ON bt.bigram = bg.bigram
+  JOIN u uu ON bt.x = uu.x
+)
+SELECT source, COUNT(*) AS n_bigrams,
+       CAST(SUM(nll_micro) AS BIGINT) AS nll_micro_sum
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
+    "text_lm_perplexity": text_lm_perplexity,
     "text_heavy_hitters": text_heavy_hitters,
     "text_pmi_bigrams": text_pmi_bigrams,
     "text_chunk_split": text_chunk_split,
@@ -669,6 +751,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "text_lm_perplexity": TEXT_LM_PERPLEXITY_SQL,
     "text_heavy_hitters": TEXT_HEAVY_HITTERS_SQL,
     "text_pmi_bigrams": TEXT_PMI_SQL,
     "text_chunk_split": TEXT_CHUNK_SQL,
