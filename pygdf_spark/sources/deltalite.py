@@ -1384,6 +1384,37 @@ def append_zorder(
     )
 
 
+def compact_zorder(
+    spark: SparkSession, table: str, zorder_by: list[str],
+    bits: int = 16, num_files: int | None = None,
+    checkpoint_every: int = 10,
+) -> int:
+    """OPTIMIZE ... ZORDER BY: rewrite the ENTIRE live set Z-curve-
+    clustered in one atomic remove+add commit — the maintenance form
+    of ``append_zorder`` for a table whose ingestion order no longer
+    matches its query dimensions. Deletion vectors materialize on the
+    way through; readers' result sets are unchanged (CDF skips it like
+    any compact). Stats land on every z-ordered column, so
+    single-column predicates on ANY of them prune files afterwards."""
+    base = table_version(table)
+    current = live_files(table)
+    removes = [a["path"] for a in current]
+    df = _read_adds(spark, table, current)
+    z = zorder_expr(df, zorder_by, bits)
+    n = num_files or max(1, len(current) // 2)
+    clustered = (
+        df.withColumn("__z", z)
+        .repartitionByRange(n, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    adds = _write_data_files(clustered, table, base + 1, zorder_by, None)
+    return _commit_retry(
+        table, "compact", adds, removes, df.schema.json(), base,
+        checkpoint_every,
+    )
+
+
 # ------------------------------------------------------------- change feed
 
 

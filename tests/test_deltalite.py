@@ -936,3 +936,28 @@ def test_null_predicate_pruning(spark, sf_dir, table):
     assert len(sel2) == 1
     got2 = dl.read_table(spark, table, predicate=[("v", "notnull", None)])
     assert sorted(r["k"] for r in got2.collect()) == [1, 2]
+
+
+def test_compact_zorder_reclusters_and_prunes(spark, sf_dir, table):
+    """OPTIMIZE ZORDER: a table ingested in ONE dimension's order gets
+    re-clustered on two dimensions — afterwards single-column
+    predicates on BOTH dimensions prune files, the row set is
+    unchanged, and outstanding DVs materialize."""
+    src = _orders(spark, sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    # ingestion clustered ONLY by orderkey
+    dl.append(src.repartition(8), table, stat_cols=["o_orderkey"],
+              cluster_by=["o_orderkey"])
+    dl.delete_where(spark, table, [("o_orderstatus", "=", "P")])
+    expect = _ids(dl.read_table(spark, table))
+    dl.compact_zorder(spark, table, ["o_orderkey", "o_custkey"],
+                      num_files=8)
+    assert not any(a.get("dv") for a in dl.live_files(table))
+    assert _ids(dl.read_table(spark, table)) == expect
+    # both dimensions now prune
+    k_mid = int(src.agg(F.expr("percentile(o_orderkey, 0.1)")).first()[0])
+    c_mid = int(src.agg(F.expr("percentile(o_custkey, 0.1)")).first()[0])
+    sel_k, tot = dl.plan_files(table, predicate=[("o_orderkey", "<=", k_mid)])
+    sel_c, _ = dl.plan_files(table, predicate=[("o_custkey", "<=", c_mid)])
+    assert len(sel_k) < tot and len(sel_c) < tot
