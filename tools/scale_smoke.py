@@ -73,7 +73,8 @@ TIMED = ["q1_pricing_summary", "join_inner_q3", "agg_basic_stats",
          # triangles, heavy hitters, restore)
          "lake_delete_dv", "lake_restore", "dedup_substring_remove",
          "ml_logreg_grad0", "ml_quality_score_apply",
-         "graph_triangle_count", "text_heavy_hitters"]
+         "graph_triangle_count", "text_heavy_hitters",
+         "text_lm_perplexity", "nlp_sentence_split"]
 
 
 def build(spark, n: int, dst: str) -> None:
