@@ -114,6 +114,7 @@ EXTRA_BENCH = [
     "lake_delete_dv",         # deletion-vector DELETE + merge-on-read scan
     "dedup_substring_remove", # exact substring dedup with span removal
     "ml_quality_score_apply", # hashed-ngram linear quality scoring
+    "text_lm_perplexity",     # self-trained bigram-LM perplexity filter
 ]
 
 
