@@ -80,14 +80,47 @@ def main() -> None:
     docs = cand.drop("__bits", "__hit").join(dirty, "doc_id", "left_anti")
     print(f"after decontamination: {docs.count()}")
 
-    # 4. quality-weighted keep — map-side hash-Bernoulli, no RNG state
+    # 4. EXACT SUBSTRING dedup (Lee et al. 2022): repeated 6-token
+    #    spans keep only their global first occurrence; text is
+    #    rebuilt from surviving tokens (one keyed shuffle on span ids)
+    cleaned = D.substring_dedup(docs, "doc_id", "text", k=6,
+                                carry=["source", "lang"], hashed=True)
+    removed = cleaned.agg(F.sum("n_removed")).first()[0]
+    docs = cleaned.filter(F.col("clean_text") != "").select(
+        "doc_id", "source", "lang", F.col("clean_text").alias("text")
+    )
+    print(f"after span removal: {docs.count()} docs "
+          f"({removed} duplicated tokens cut)")
+
+    # 5. PERPLEXITY-style + trained-classifier quality gate:
+    #    (a) self-trained hashed-ngram logistic classifier scores every
+    #        doc (training = per-iteration gradient aggregates;
+    #        the corpus never leaves the executors)
+    from pygdf_spark.operators.linear_model import (
+        hashed_ngram_features, logreg_fit, logreg_score,
+    )
+
+    feats = hashed_ngram_features(docs, d=64)
+    labels = docs.select(
+        F.col("doc_id").alias("doc"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    model = logreg_fit(spark, feats, labels, d=64, iters=4)
+    scores = logreg_score(spark, feats, model)
+    docs = docs.join(
+        scores.filter(F.col("prob") > 0.2).select(F.col("doc").alias("doc_id")),
+        "doc_id", "left_semi",
+    )
+    print(f"after classifier gate: {docs.count()}")
+
+    # 6. quality-weighted keep — map-side hash-Bernoulli, no RNG state
     keep_pct = F.array(F.lit(100), F.lit(75), F.lit(50), F.lit(25))[
         F.substring("source", 4, 10).cast("int") % 4
     ]
     docs = docs.filter(md5_u64(F.col("doc_id").cast("string")) % 100 < keep_pct)
     print(f"after quality/mixture sampling: {docs.count()}")
 
-    # 5. token-budget packing — running sums inside fixed shards
+    # 7. token-budget packing — running sums inside fixed shards
     toks = F.size(F.split(F.trim("text"), r"\s+"))
     packed = with_pack_ids(docs.select("doc_id", toks.alias("n_tok")), budget=2048, n_shards=8)
     stats = packed.groupBy("shard").agg(
@@ -96,6 +129,25 @@ def main() -> None:
     print("packs per shard:")
     for r in stats.orderBy("shard").collect():
         print(f"  shard {r.shard}: {r.docs} docs in {r.packs} packs")
+
+    # 8. land the curated corpus in a CONSTRAINED lakehouse table with
+    #    group-aware k-fold assignment — reproducible snapshots, loud
+    #    refusal of any future empty-text ingest
+    import shutil
+    import tempfile
+
+    from pygdf_spark.sources import deltalite as dl
+
+    table = os.path.join(tempfile.gettempdir(), f"curated_{os.getpid()}")
+    shutil.rmtree(table, ignore_errors=True)
+    fold = (md5_u64(F.concat(F.lit("fold:"), F.col("source"))) % 5).cast("int")
+    dl.append(docs.withColumn("fold", fold).repartition(4), table,
+              stat_cols=["doc_id"])
+    dl.add_check_constraint(spark, table, "nonempty", "length(text) > 0")
+    st = dl.table_stats(table)
+    print(f"curated lake table: {st['rows']} rows in {st['files']} files "
+          f"(O(log) stats), constraints={list(dl.table_constraints(table))}")
+    shutil.rmtree(table, ignore_errors=True)
     spark.stop()
 
 

@@ -660,7 +660,11 @@ def text_lm_perplexity(spark, sf_dir):
     aggregation (the BM25 6-dp ln idiom), so the per-source sums are
     pure int64 — order-free at any partitioning. Plan: two count
     shuffles (unigram, bigram), one bigram-keyed scoring join, the
-    vocab-sized unigram side broadcast; per-source final aggregate."""
+    vocab-sized unigram side broadcast; per-source final aggregate.
+    The scoring join's key is zipfian (hot bigrams like "of the") —
+    AQE skew-join splitting (on in the session config) splits hot
+    reducers at runtime; operators/skew.salted_join is the explicit
+    fallback shape."""
     d = T(spark, sf_dir, "documents")
     uni = (
         d.select(F.explode(X.tokens("text")).alias("x"))
