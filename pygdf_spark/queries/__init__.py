@@ -81,7 +81,8 @@ _PRIORITY = [
     # r1-green with cumulative rows)
     "dedup_fuzzy_block", "events_gapfill_interp", "sample_kfold_split",
     "sstream_lake_source_live",
-    "join_range_bucketed", "join_salted_skew",
+    "join_range_bucketed",
+    "text_readability",  # displaces join_salted_skew (r1-green)
     "nlp_sentence_split",  # displaces agg_quantiles (r1-green)
     "text_lm_perplexity",  # displaces agg_idxmax (r1-green)
     "lake_bloom_skip",  # displaces agg_rollup (r1-green)

@@ -736,7 +736,76 @@ FROM scored GROUP BY source ORDER BY source
 """
 
 
+def text_readability(spark, sf_dir):
+    """Readability raw counts (the Flesch/FK ingredients, kept integer
+    so the hash is partition-proof): per source — words, sentences
+    (terminal-punctuation runs), syllable proxy (vowel-group count per
+    word, the standard heuristic), long words (≥7 chars), and
+    characters. The float Flesch score is one expression over these
+    sums downstream; map-side only."""
+    d = T(spark, sf_dir, "documents")
+    w = X.tokens("text")
+    sents = F.filter(
+        F.split(F.trim("text"), r"[.!?]+\s+"), lambda s: F.length(s) > 0
+    )
+    syll = F.aggregate(
+        w, F.lit(0),
+        lambda acc, x: acc
+        + F.greatest(
+            F.size(F.regexp_extract_all(F.lower(x), F.lit("[aeiouy]+"), 0)),
+            F.lit(1),
+        ),
+    )
+    per_doc = d.select(
+        "source",
+        F.size(w).alias("n_words"),
+        F.size(sents).alias("n_sents"),
+        syll.alias("n_syll"),
+        F.size(F.filter(w, lambda x: F.length(x) >= 7)).alias("n_long"),
+        F.length(F.trim("text")).alias("n_chars_t"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.sum("n_words").alias("words"),
+            F.sum("n_sents").alias("sentences"),
+            F.sum("n_syll").alias("syllables"),
+            F.sum("n_long").alias("long_words"),
+            F.sum("n_chars_t").alias("chars"),
+        )
+        .orderBy("source")
+    )
+
+
+TEXT_READABILITY_SQL = r"""
+WITH per_doc AS (
+  SELECT source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+         len(list_filter(string_split_regex(trim(text), '[.!?]+\s+'),
+                         s -> length(s) > 0)) AS n_sents,
+         CASE WHEN trim(text) = '' THEN 0 ELSE
+           list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+             x -> greatest(len(regexp_extract_all(lower(x), '[aeiouy]+')), 1)))
+         END AS n_syll,
+         CASE WHEN trim(text) = '' THEN 0 ELSE
+           len(list_filter(string_split_regex(trim(text), '\s+'),
+                           x -> length(x) >= 7))
+         END AS n_long,
+         length(trim(text)) AS n_chars_t
+  FROM documents
+)
+SELECT source, CAST(SUM(n_words) AS BIGINT) AS words,
+       CAST(SUM(n_sents) AS BIGINT) AS sentences,
+       CAST(SUM(n_syll) AS BIGINT) AS syllables,
+       CAST(SUM(n_long) AS BIGINT) AS long_words,
+       CAST(SUM(n_chars_t) AS BIGINT) AS chars
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
+    "text_readability": text_readability,
     "text_lm_perplexity": text_lm_perplexity,
     "text_heavy_hitters": text_heavy_hitters,
     "text_pmi_bigrams": text_pmi_bigrams,
@@ -755,6 +824,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "text_readability": TEXT_READABILITY_SQL,
     "text_lm_perplexity": TEXT_LM_PERPLEXITY_SQL,
     "text_heavy_hitters": TEXT_HEAVY_HITTERS_SQL,
     "text_pmi_bigrams": TEXT_PMI_SQL,
