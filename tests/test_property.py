@@ -443,7 +443,16 @@ def test_veneer_merge_vs_pandas(spark, lrows, rrows, how):
 
     lp = pd.DataFrame(lrows, columns=["k", "v"])
     rp = pd.DataFrame(rrows, columns=["k", "v"])
-    exp = pd.merge(lp, rp, on="k", how=how, suffixes=("_x", "_y"))
+    try:
+        exp = pd.merge(lp, rp, on="k", how=how, suffixes=("_x", "_y"))
+    except ValueError:
+        # pandas 2.2.2 itself crashes on outer merges mixing a None
+        # key with duplicated keys ("Shape of passed values ...") —
+        # the ORACLE is unavailable for this input class, not the
+        # engine wrong (hypothesis found it: [(None,0)] x [('a',0)x2])
+        from hypothesis import assume
+
+        assume(False)
     gl = gd.DataFrame.from_pandas(spark, lp)
     gr = gd.DataFrame.from_pandas(spark, rp)
     got = gl.merge(gr, on="k", how=how, suffixes=("_x", "_y")).to_pandas()
