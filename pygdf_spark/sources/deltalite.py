@@ -41,9 +41,14 @@ pipeline needs that a bare parquet directory cannot give:
   unreferenced by the last ``keep_versions`` versions.
 
 Scale posture: the log is O(files) metadata, never data; every data
-byte moves through Spark's distributed parquet writer/reader. The
-driver-side work per commit is one footer read per new file plus one
-small JSON write — the same cost profile as Delta's commit service.
+byte moves through Spark's distributed parquet writer/reader. Stats
+harvesting for large commits fans out as a Spark job over the file
+list (driver-serial only below ``_DRIVER_HARVEST_MAX`` files), and all
+commit-log I/O goes through a pluggable ``LogStore`` whose one hard
+requirement is put-if-absent — ``LocalLogStore`` (os.link) for POSIX,
+a conditional-PUT backend for S3/GCS/ABFS — so the driver-side work
+per commit is one small JSON publish, the same cost profile as Delta's
+commit service.
 
 Reference parity note: the reference (rapidsai cudf) has no table
 format — this is a §2.12 net-new capability row (training pipelines
@@ -69,6 +74,104 @@ class ConcurrentWriteError(RuntimeError):
     """The table moved underneath an overwrite/compact transaction."""
 
 
+# ------------------------------------------------------------ LogStore seam
+#
+# All commit-log I/O (never data-file I/O — data moves through Spark's
+# own readers/writers) goes through a 5-method LogStore, mirroring the
+# public Delta LogStore SPI. The contract each backend must supply:
+#
+#   put_if_absent  — EXCLUSIVE create of one log object: the whole
+#                    optimistic-concurrency protocol rests on exactly
+#                    this primitive. Local FS = os.link; S3 =
+#                    conditional PUT with If-None-Match:* (native since
+#                    2024); GCS = x-goog-if-generation-match: 0;
+#                    HDFS/ABFS = atomic create-no-overwrite.
+#   write_atomic   — overwrite-allowed atomic publish (checkpoints,
+#                    which are derived data and may be rewritten).
+#   read_bytes     — read one log object.
+#   list_names     — names in the log directory ([] if absent).
+#   exists         — one-object existence probe.
+#
+# The default LocalLogStore is the POSIX implementation used by every
+# test; an object-store deployment plugs its backend in with
+# ``set_log_store`` without touching the transaction protocol above it.
+
+
+class LogStore:
+    """Abstract commit-log backend (see module comment for contract)."""
+
+    def put_if_absent(self, path: str, data: bytes) -> None:
+        raise NotImplementedError
+
+    def write_atomic(self, path: str, data: bytes) -> None:
+        raise NotImplementedError
+
+    def read_bytes(self, path: str) -> bytes:
+        raise NotImplementedError
+
+    def list_names(self, directory: str) -> list[str]:
+        raise NotImplementedError
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+
+class LocalLogStore(LogStore):
+    """POSIX backend: exclusive create via ``os.link`` (hard-link to a
+    fsynced temp file fails with FileExistsError if another writer took
+    the name — the local-FS put-if-absent)."""
+
+    def put_if_absent(self, path: str, data: bytes) -> None:
+        d = os.path.dirname(path)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)  # exclusive create
+        finally:
+            os.unlink(tmp)
+
+    def write_atomic(self, path: str, data: bytes) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    def read_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    def list_names(self, directory: str) -> list[str]:
+        if not os.path.isdir(directory):
+            return []
+        return os.listdir(directory)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+
+_LOG_STORE: LogStore = LocalLogStore()
+
+
+def set_log_store(store: LogStore) -> LogStore:
+    """Install a LogStore backend (returns the previous one). The
+    production slot for object stores whose put-if-absent is a
+    conditional PUT rather than a POSIX hard link."""
+    global _LOG_STORE
+    prev, _LOG_STORE = _LOG_STORE, store
+    return prev
+
+
+def get_log_store() -> LogStore:
+    return _LOG_STORE
+
+
 # ---------------------------------------------------------------- log I/O
 
 
@@ -86,12 +189,14 @@ def _checkpoint_path(table: str, version: int) -> str:
     )
 
 
+def _log_exists(table: str, version: int) -> bool:
+    """Does version N's commit record exist (False once vacuumed)?"""
+    return _LOG_STORE.exists(_version_path(table, version))
+
+
 def _list_versions(table: str) -> list[int]:
-    d = _log_dir(table)
-    if not os.path.isdir(d):
-        return []
     out = []
-    for name in os.listdir(d):
+    for name in _LOG_STORE.list_names(_log_dir(table)):
         if name.endswith(".json") and not name.endswith(".checkpoint.json"):
             stem = name[: -len(".json")]
             if stem.isdigit():
@@ -106,27 +211,18 @@ def table_version(table: str) -> int:
 
 
 def _read_actions(path: str) -> list[dict]:
-    with open(path, encoding="utf-8") as f:
-        return [json.loads(line) for line in f if line.strip()]
+    text = _LOG_STORE.read_bytes(path).decode("utf-8")
+    return [json.loads(line) for line in text.splitlines() if line.strip()]
 
 
 def _publish(table: str, version: int, actions: list[dict]) -> None:
-    """Atomically publish one commit: temp write + hard-link to the
-    version path. ``os.link`` fails with FileExistsError if another
-    writer took the version — the optimistic-concurrency primitive.
-    (Object stores supply the same primitive as put-if-absent.)"""
-    log = _log_dir(table)
-    os.makedirs(log, exist_ok=True)
-    tmp = os.path.join(log, f".tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}")
-    with open(tmp, "w", encoding="utf-8") as f:
-        for a in actions:
-            f.write(json.dumps(a, separators=(",", ":")) + "\n")
-        f.flush()
-        os.fsync(f.fileno())
-    try:
-        os.link(tmp, _version_path(table, version))  # exclusive create
-    finally:
-        os.unlink(tmp)
+    """Atomically publish one commit via the LogStore's put-if-absent:
+    it raises FileExistsError if another writer took the version — the
+    optimistic-concurrency primitive."""
+    data = "".join(
+        json.dumps(a, separators=(",", ":")) + "\n" for a in actions
+    ).encode("utf-8")
+    _LOG_STORE.put_if_absent(_version_path(table, version), data)
 
 
 # ------------------------------------------------------------- snapshots
@@ -142,14 +238,14 @@ def _resolve_version(table: str, version: int | None) -> int:
         raise ValueError(
             f"version {version} out of range [0, {latest}] for {table}"
         )
-    if not os.path.exists(_version_path(table, version)):
+    if not _log_exists(table, version):
         raise ValueError(f"version {version} missing from the log: {table}")
     return version
 
 
 def _latest_checkpoint_at_or_before(table: str, version: int) -> int | None:
     best = None
-    for name in os.listdir(_log_dir(table)):
+    for name in _LOG_STORE.list_names(_log_dir(table)):
         if name.endswith(".checkpoint.json"):
             stem = name[: -len(".checkpoint.json")]
             if stem.isdigit() and int(stem) <= version:
@@ -169,15 +265,16 @@ def _snapshot(table: str, version: int) -> dict:
     start = 0
     ckpt = _latest_checkpoint_at_or_before(table, version)
     if ckpt is not None:
-        with open(_checkpoint_path(table, ckpt), encoding="utf-8") as f:
-            snap = json.load(f)
+        snap = json.loads(
+            _LOG_STORE.read_bytes(_checkpoint_path(table, ckpt))
+        )
         adds = {a["path"]: a for a in snap["adds"]}
         schema = snap.get("schema")
         constraints = dict(snap.get("constraints") or {})
         start = ckpt + 1
     for v in range(start, version + 1):
         p = _version_path(table, v)
-        if not os.path.exists(p):  # vacuumed / never written
+        if not _log_exists(table, v):  # vacuumed / never written
             continue
         for action in _read_actions(p):
             if "commit" in action:
@@ -299,7 +396,13 @@ def _file_stats(path: str, stat_cols: list[str]) -> dict:
             mn = lo if mn is None or lo < mn else mn
             mx = hi if mx is None or hi > mx else mx
         if ok and mn is not None:
-            out[col] = {"min": mn, "max": mx, "nulls": nulls}
+            # 'nulls' only when EVERY row group reported a null_count:
+            # a partial sum under-counts, and isnull pruning treats
+            # nulls==0 as proof of absence — absence of the key means
+            # 'cannot skip', an under-count means silent data loss
+            out[col] = {"min": mn, "max": mx}
+            if nulls_ok:
+                out[col]["nulls"] = nulls
         elif nulls_ok:
             # no usable min/max (e.g. all-null column) — the null count
             # alone still powers isnull/notnull pruning
@@ -426,6 +529,19 @@ def table_stats(table: str, version: int | None = None) -> dict:
 _OPS = ("<", "<=", ">", ">=", "=", "==", "!=", "isnull", "notnull")
 
 
+def _kinds_compatible(val, stored) -> bool:
+    """True when a predicate literal and a stored stat value are the
+    same comparison kind (numeric-with-numeric, or same type, bools
+    apart from ints). A mismatch means Spark would implicitly CAST at
+    query time — our stats/bloom keys cannot model that, so skipping
+    must stand down ('cannot skip', never 'skip')."""
+    if isinstance(val, bool) != isinstance(stored, bool):
+        return False
+    if isinstance(val, (int, float)) and isinstance(stored, (int, float)):
+        return True
+    return type(val) is type(stored)
+
+
 def _file_may_match(add: dict, predicate: list[tuple]) -> bool:
     """Conservative skip test: False only when the file's [min,max]
     PROVES no row can satisfy EVERY conjunct. Missing stats → True."""
@@ -444,11 +560,22 @@ def _file_may_match(add: dict, predicate: list[tuple]) -> bool:
                     and s.get("nulls", None) == rows):
                 return False  # every row null -> cannot match
             continue
-        # bloom probe first: an equality literal absent from the
-        # file's bitset PROVES exclusion (FPs scan, FNs impossible)
+        # bloom probe: an equality literal absent from the file's
+        # bitset PROVES exclusion (FPs scan, FNs impossible) — but
+        # ONLY when the literal's canonical kind matches the stored
+        # column kind, witnessed by the zone-map min. A kind mismatch
+        # (e.g. the string '42' probing an int column) is SQL-equal
+        # after Spark's implicit cast yet hashes to a different
+        # _bloom_key, which would falsely prune a matching file — and
+        # delete_where's candidate pruning rides this same path, so a
+        # false prune there is silent data loss, not just a perf miss.
         if op in ("=", "==") and col in blooms and val is not None:
-            if not _bloom_may_contain(blooms[col], val):
-                return False
+            s = stats.get(col)
+            probe = _json_safe(val)
+            if (s is not None and "min" in s and probe is not None
+                    and _kinds_compatible(probe, s["min"])):
+                if not _bloom_may_contain(blooms[col], val):
+                    return False
         s = stats.get(col)
         if s is None or "min" not in s:
             continue  # no zone map (possibly nulls-only entry)
@@ -458,10 +585,7 @@ def _file_may_match(add: dict, predicate: list[tuple]) -> bool:
         mn, mx = s["min"], s["max"]
         # mixed-kind guard: only compare numeric-with-numeric or
         # same-type values; anything else → cannot skip
-        both_num = isinstance(val, (int, float)) and isinstance(mn, (int, float))
-        if isinstance(val, bool) != isinstance(mn, bool):
-            continue
-        if not both_num and type(val) is not type(mn):
+        if not _kinds_compatible(val, mn):
             continue
         if op in ("=", "=="):
             if val < mn or val > mx:
@@ -532,6 +656,34 @@ def plan_files(
 # ------------------------------------------------------------- transactions
 
 
+def _harvest_add(
+    full: str, rel: str, stat_cols: list[str] | None,
+    bloom_cols: list[str] | None, bloom_fpp: float,
+) -> dict:
+    """One file's ``add`` action: size + footer row count + min/max/
+    null-count stats + optional bloom bitsets. Pure function of the
+    file — safe to run on EXECUTORS (only os/pyarrow inside), which is
+    where a large commit runs it."""
+    add = {
+        "path": rel,
+        "bytes": os.path.getsize(full),
+        "rows": _file_rows(full),
+    }
+    if stat_cols:
+        add["stats"] = _file_stats(full, stat_cols)
+    if bloom_cols:
+        bloom = _file_bloom(full, bloom_cols, bloom_fpp)
+        if bloom:
+            add["bloom"] = bloom
+    return add
+
+
+# commits up to this many files harvest stats on the driver (a handful
+# of footer reads is cheaper than a Spark job); above it the harvest
+# fans out across executors
+_DRIVER_HARVEST_MAX = 16
+
+
 def _write_data_files(
     df: DataFrame, table: str, version_hint: int, stat_cols: list[str] | None,
     cluster_by: list[str] | None, bloom_cols: list[str] | None = None,
@@ -541,7 +693,16 @@ def _write_data_files(
     (no filename collisions across commits, ever) and return their
     ``add`` actions with footer-harvested stats (and, for
     ``bloom_cols``, per-file bloom bitsets for point-lookup skipping
-    on columns whose min/max ranges overlap across files)."""
+    on columns whose min/max ranges overlap across files).
+
+    Stats harvesting is DISTRIBUTED above ``_DRIVER_HARVEST_MAX``
+    files: a 100 TB initial load or a large OPTIMIZE lands O(10^4-10^5)
+    files, and a driver-serial footer-read loop over an object store is
+    tens of minutes of dead time — the harvest instead fans out as one
+    Spark map over the file list (the same shape as Delta/Iceberg's
+    task-commit stats). The collected result is O(files) small dicts —
+    log metadata, bounded by design."""
+    spark = df.sparkSession
     token = uuid.uuid4().hex[:8]
     rel_dir = os.path.join("data", f"{version_hint:05d}-{token}")
     out_dir = os.path.join(table, rel_dir)
@@ -554,41 +715,43 @@ def _write_data_files(
             *cluster_by
         )
     df.write.mode("overwrite").parquet(out_dir)
-    adds = []
-    for name in sorted(os.listdir(out_dir)):
-        if not name.endswith(".parquet"):
-            continue
-        full = os.path.join(out_dir, name)
-        add = {
-            "path": os.path.join(rel_dir, name),
-            "bytes": os.path.getsize(full),
-            "rows": _file_rows(full),
-        }
-        if stat_cols:
-            add["stats"] = _file_stats(full, stat_cols)
-        if bloom_cols:
-            bloom = _file_bloom(full, bloom_cols, bloom_fpp)
-            if bloom:
-                add["bloom"] = bloom
-        adds.append(add)
+    files = [
+        (os.path.join(out_dir, name), os.path.join(rel_dir, name))
+        for name in sorted(os.listdir(out_dir))
+        if name.endswith(".parquet")
+    ]
+    if len(files) <= _DRIVER_HARVEST_MAX:
+        adds = [
+            _harvest_add(full, rel, stat_cols, bloom_cols, bloom_fpp)
+            for full, rel in files
+        ]
+    else:
+        sc = spark.sparkContext
+        n_slices = min(len(files), sc.defaultParallelism * 4)
+        adds = (
+            sc.parallelize(files, n_slices)
+            .map(lambda t: _harvest_add(
+                t[0], t[1], stat_cols, bloom_cols, bloom_fpp
+            ))
+            .collect()
+        )
+        adds.sort(key=lambda a: a["path"])
     return adds
 
 
 def _maybe_checkpoint(table: str, version: int, every: int) -> None:
     if every and version > 0 and version % every == 0:
         snap = _snapshot(table, version)
-        tmp = _checkpoint_path(table, version) + f".tmp-{os.getpid()}"
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(
-                {
-                    "version": version,
-                    "schema": snap["schema"],
-                    "constraints": snap["constraints"],
-                    "adds": sorted(snap["adds"].values(), key=lambda a: a["path"]),
-                },
-                f,
-            )
-        os.replace(tmp, _checkpoint_path(table, version))
+        data = json.dumps(
+            {
+                "version": version,
+                "schema": snap["schema"],
+                "constraints": snap["constraints"],
+                "adds": sorted(snap["adds"].values(), key=lambda a: a["path"]),
+            },
+        ).encode("utf-8")
+        # checkpoints are derived (re-derivable) data: overwrite-allowed
+        _LOG_STORE.write_atomic(_checkpoint_path(table, version), data)
 
 
 def _commit_retry(
@@ -1101,15 +1264,31 @@ def add_check_constraint(
     base = table_version(table)
     if base < 0:
         raise FileNotFoundError(f"no such table: {table}")
-    n_bad = read_table(spark, table).filter(F.expr(expr) == False).count()  # noqa: E712
-    if n_bad:
-        raise ValueError(
-            f"add_check_constraint {name!r}: {n_bad} existing rows violate "
-            f"CHECK ({expr}) — constraint not added"
+
+    def _validate(at: int) -> None:
+        n_bad = (
+            read_table(spark, table, version=at)
+            .filter(F.expr(expr) == False).count()  # noqa: E712
         )
-    schema = _snapshot(table, base)["schema"]
+        if n_bad:
+            raise ValueError(
+                f"add_check_constraint {name!r}: {n_bad} existing rows "
+                f"violate CHECK ({expr}) — constraint not added"
+            )
+
+    _validate(base)
     while True:
-        version = table_version(table) + 1
+        # TOCTOU guard: the validation scan only proves the table at
+        # ``base``. If a concurrent writer (who read table_constraints
+        # BEFORE this commit lands) moved the head, re-validate against
+        # the new head before publishing — otherwise the constraint
+        # could land claiming a state the in-flight rows violate.
+        head = table_version(table)
+        if head != base:
+            _validate(head)
+            base = head
+        schema = _snapshot(table, base)["schema"]
+        version = base + 1
         actions = [
             {"commit": {"version": version, "operation": "set_constraint",
                         "schema": schema}},
@@ -1461,7 +1640,7 @@ def table_changes(
     feeds = []
     for v in range(from_version + 1, to_version + 1):
         p = _version_path(table, v)
-        if not os.path.exists(p):
+        if not _log_exists(table, v):
             raise ValueError(f"version {v} vacuumed from the log: {table}")
         actions = _read_actions(p)
         op = next(a["commit"]["operation"] for a in actions if "commit" in a)

@@ -99,9 +99,24 @@ class DeltaliteStreamReader(DataSourceStreamReader):
         from pygdf_spark.sources import deltalite as dl
 
         parts: list[_FilePart] = []
-        for v in range(start["version"] + 1, end["version"] + 1):
+        # live-path set BEFORE each replayed commit, maintained
+        # incrementally (one snapshot resolve, then O(actions) per
+        # version) — needed to classify commits by CONTENT, not by
+        # operation name: an add-only commit that re-ADDS an already
+        # live path (delete_dv fattening a deletion vector) replaces
+        # rows and is a change commit, while an add-only commit of all
+        # fresh paths (append, append-zorder, a pure-insert merge) is
+        # an append regardless of what the writer called it. Name-based
+        # classification silently DROPPED pure-insert merge rows under
+        # skipChangeCommits — data loss, the Delta contract treats only
+        # remove-bearing/replacing commits as change commits.
+        sv = start["version"]
+        live: set[str] = (
+            set(dl._snapshot(self.table, sv)["adds"]) if sv >= 0 else set()
+        )
+        for v in range(sv + 1, end["version"] + 1):
             p = dl._version_path(self.table, v)
-            if not os.path.exists(p):
+            if not dl._log_exists(self.table, v):
                 raise ValueError(
                     f"deltalite stream: version {v} vacuumed from the log"
                 )
@@ -109,24 +124,30 @@ class DeltaliteStreamReader(DataSourceStreamReader):
             op = next(
                 a["commit"]["operation"] for a in actions if "commit" in a
             )
-            data_bearing = any("add" in a or "remove" in a for a in actions)
-            if op in ("compact", "purge") or not data_bearing:
-                # pure metadata: compaction, DV purge, constraint
-                # set/drop — no new logical rows, never an error
-                continue
-            if op != "append":
-                if self.skip_change_commits:
-                    continue
+            adds = [a["add"] for a in actions if "add" in a]
+            removes = [a["remove"]["path"] for a in actions if "remove" in a]
+            replaces_live = any(a["path"] in live for a in adds)
+            is_change = bool(removes) or replaces_live
+            # compact/purge rewrite files but change NO logical rows
+            # (the dataChange=false analog): never an error, never data
+            if op in ("compact", "purge"):
+                pass
+            elif not is_change:
+                # append-like by content: all-new files, nothing removed
+                for a in adds:
+                    parts.append(
+                        _FilePart(os.path.join(self.table, a["path"]))
+                    )
+            elif not self.skip_change_commits:
                 raise ValueError(
-                    f"deltalite stream: non-append commit v{v} ({op}) — "
+                    f"deltalite stream: change commit v{v} ({op}: "
+                    f"{len(removes)} removed, "
+                    f"{sum(a['path'] in live for a in adds)} replaced) — "
                     "set skipChangeCommits=true to skip change commits, or "
                     "consume row-level changes via table_changes()"
                 )
-            for a in actions:
-                if "add" in a:
-                    parts.append(
-                        _FilePart(os.path.join(self.table, a["add"]["path"]))
-                    )
+            live -= set(removes)
+            live |= {a["path"] for a in adds}
         return parts
 
     def read(self, partition: _FilePart):
