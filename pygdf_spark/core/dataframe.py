@@ -34,6 +34,23 @@ from pyspark.sql import functions as F
 
 _RID = "__row_id"
 
+# Row-MultiIndex encoding (reference core/multiindex.py row-index
+# workflows: set_index([a,b]) -> groupby(level=) / unstack(level=)).
+# Index levels live as HIDDEN physical columns named
+# "__dlmi_{level:02d}_{name}" — the level order and label ride in the
+# column name itself, so the index survives every `_with()` without
+# extra object state (the same trick as _RID).
+_MI_PREFIX = "__dlmi_"
+
+
+def _mi_phys(level: int, name: str) -> str:
+    return f"{_MI_PREFIX}{level:02d}_{name}"
+
+
+def _mi_parse(col: str) -> tuple[int, str]:
+    body = col[len(_MI_PREFIX):]
+    return int(body[:2]), body[3:]
+
 
 def from_spark(sdf: SDF) -> "DataFrame":
     """Wrap a Spark DataFrame, materializing the ingest order."""
@@ -83,7 +100,50 @@ class DataFrame:
 
     @property
     def columns(self) -> list[str]:
-        return [c for c in self._sdf.columns if c != _RID]
+        return [
+            c for c in self._sdf.columns
+            if c != _RID and not c.startswith(_MI_PREFIX)
+        ]
+
+    def _row_mi(self) -> list[tuple[str, int, str]]:
+        """The row-MultiIndex levels as [(physical_col, level, name)],
+        level-ordered; empty when the frame has no row index."""
+        out = [
+            (c, *_mi_parse(c))
+            for c in self._sdf.columns
+            if c.startswith(_MI_PREFIX)
+        ]
+        return sorted(out, key=lambda t: t[1])
+
+    @property
+    def index_names(self) -> list[str] | None:
+        """Row-index level names after ``set_index([a, b])`` (the
+        pandas ``df.index.names`` read), else None."""
+        mi = self._row_mi()
+        return [name for _, _, name in mi] or None
+
+    def _mi_resolve(self, level) -> list[tuple[str, str]]:
+        """level spec (int | name | list) → [(physical, plain_name)]."""
+        mi = self._row_mi()
+        if not mi:
+            raise TypeError(
+                "level= needs a row MultiIndex — call set_index([...]) first"
+            )
+        levels = level if isinstance(level, (list, tuple)) else [level]
+        out = []
+        for lv in levels:
+            if isinstance(lv, int):
+                lv = lv if lv >= 0 else len(mi) + lv
+                if not 0 <= lv < len(mi):
+                    raise KeyError(f"index level {lv} out of range")
+                phys, _, name = mi[lv]
+            else:
+                match = [t for t in mi if t[2] == lv]
+                if not match:
+                    raise KeyError(f"no index level named {lv!r}")
+                phys, _, name = match[0]
+            out.append((phys, name))
+        return out
 
     @columns.setter
     def columns(self, new) -> None:
@@ -768,9 +828,23 @@ class DataFrame:
 
     def reset_index(self, drop: bool = False) -> "DataFrame":
         """reset_index (frame.py method list): re-key the order column to
-        0..n-1; drop=False surfaces the old position as `index`."""
+        0..n-1; drop=False surfaces the old position as `index`. On a
+        row-MultiIndexed frame the level columns come back as leading
+        data columns (or are dropped with drop=True) — the pandas
+        round-trip inverse of ``set_index([...])``."""
         from pygdf_spark.operators.order import global_row_number
 
+        mi = self._row_mi()
+        if mi:
+            sdf = self._sdf
+            names = []
+            for phys, _, name in mi:
+                if drop:
+                    sdf = sdf.drop(phys)
+                else:
+                    sdf = sdf.withColumnRenamed(phys, name)
+                    names.append(name)
+            return self._with(sdf.select(_RID, *names, *self.columns))
         sdf = global_row_number(self._sdf, [_RID], "__pos").withColumn(
             "__pos", F.col("__pos") - 1
         )
@@ -781,13 +855,31 @@ class DataFrame:
         sdf = sdf.withColumn(_RID, F.col("__pos")).drop("__pos")
         return self._with(sdf.select(_RID, *cols))
 
-    def set_index(self, col: str) -> "DataFrame":
+    def set_index(self, col) -> "DataFrame":
         """set_index (frame.py method list): the named column becomes the
         order key (cuDF re-labels rows; the veneer's row identity IS the
         order column, so re-keying is the faithful analog). Ties break on
-        prior order — stable, like cuDF's stable sort_index path."""
+        prior order — stable, like cuDF's stable sort_index path.
+
+        A LIST of columns builds a row MultiIndex (reference
+        core/multiindex.py): the columns leave the data-column view and
+        become hidden level columns, order re-keyed by (levels...,
+        prior order); ``groupby(level=)`` / ``unstack(level=)`` /
+        ``reset_index`` then operate on them. Distribution shape: the
+        index is ordinary columns — grouping by a level is a plain
+        keyed shuffle, never a driver structure."""
         from pygdf_spark.operators.order import rekey_row_id
 
+        if isinstance(col, (list, tuple)):
+            cols = list(col)
+            sdf = rekey_row_id(
+                self._sdf,
+                [*[(c, "asc", "nulls_last") for c in cols], _RID],
+                _RID,
+            )
+            for i, c in enumerate(cols):
+                sdf = sdf.withColumnRenamed(c, _mi_phys(i, c))
+            return self._with(sdf)
         return self._with(
             rekey_row_id(self._sdf, [(col, "asc", "nulls_last"), _RID], _RID)
         )
@@ -827,10 +919,57 @@ class DataFrame:
         (variable, value) rows, row-major like cuDF/pandas."""
         return self.melt(id_vars=[], value_vars=self.columns)
 
-    def unstack(self, index: str, columns: str, values: str) -> "DataFrame":
-        """unstack (dataframe.py:6650): long → wide; the veneer takes the
-        (index, columns, values) triple explicitly (it carries no
-        MultiIndex) and pivots."""
+    def unstack(self, index: str | None = None, columns: str | None = None,
+                values: str | None = None, level=-1) -> "DataFrame":
+        """unstack (dataframe.py:6650): long → wide.
+
+        On a row-MultiIndexed frame (``set_index([a, b])``) the pandas
+        form ``unstack(level=)`` pivots the named/numbered index level
+        into columns; the remaining levels stay the row index. One
+        Spark pivot — a keyed shuffle over the surviving levels, the
+        pivoted domain becoming the column set (Spark collects and
+        sorts the distinct pivot values, bounded by that domain's
+        cardinality, same contract as ``pivot``). Single data column
+        (the post-groupby shape); multi-column frames keep the explicit
+        (index, columns, values) spelling.
+
+        Without a row index the veneer takes the (index, columns,
+        values) triple explicitly and pivots."""
+        mi = self._row_mi()
+        if index is None and mi:
+            if len(mi) < 2:
+                raise ValueError("unstack needs >= 2 index levels")
+            tgt_phys, tgt_name = self._mi_resolve(level)[0]
+            rest = [(p, lv, n) for p, lv, n in mi if p != tgt_phys]
+            data = self.columns
+            if len(data) != 1:
+                raise NotImplementedError(
+                    "row-MI unstack supports one data column (the "
+                    "grouped-aggregate shape); use "
+                    "unstack(index=, columns=, values=) for wide frames"
+                )
+            (val,) = data
+            out = (
+                self._sdf.groupBy(*[p for p, _, _ in rest])
+                .pivot(tgt_phys)
+                .agg(F.first(val))
+            )
+            # re-number the surviving levels 0..k-1 and re-key order
+            from pygdf_spark.operators.order import rekey_row_id
+
+            out = rekey_row_id(
+                out,
+                [(p, "asc", "nulls_last") for p, _, _ in rest],
+                _RID,
+            )
+            for i, (p, _, n) in enumerate(rest):
+                out = out.withColumnRenamed(p, _mi_phys(i, n))
+            return self._with(out)
+        if index is None or columns is None or values is None:
+            raise TypeError(
+                "unstack without a row MultiIndex needs index=, columns=, "
+                "values="
+            )
         return self.pivot(index=index, columns=columns, values=values)
 
     def repeat(self, repeats: int) -> "DataFrame":
@@ -1347,7 +1486,20 @@ class DataFrame:
 
     # -- groupby (§2.4, dataframe.py:4554) -------------------------------
 
-    def groupby(self, by, dropna: bool = True) -> "GroupBy":
+    def groupby(self, by=None, dropna: bool = True, level=None) -> "GroupBy":
+        if level is not None:
+            # group by row-index level(s): resolve to the hidden level
+            # columns, expose them under their plain names for the agg,
+            # and have the result RE-ENCODE them as index levels — the
+            # pandas contract (the grouped result keeps the MultiIndex)
+            pairs = self._mi_resolve(level)
+            sdf = self._sdf
+            for phys, plain in pairs:
+                sdf = sdf.withColumnRenamed(phys, plain)
+            gb = GroupBy(self._with(sdf), [p for _, p in pairs],
+                         dropna=dropna)
+            gb._mi_restore = [p for _, p in pairs]
+            return gb
         if hasattr(by, "key"):  # cudf.Grouper
             by = by.key
         return GroupBy(self, [by] if isinstance(by, str) else list(by), dropna=dropna)
@@ -1507,11 +1659,40 @@ class GroupBy:
             res._col_tuples = MultiIndex(
                 [(k, "") for k in self._keys] + labels
             )
-        return res
+        return self._finish(res)
+
+    def _finish(self, res: DataFrame) -> DataFrame:
+        """groupby(level=) results keep the row MultiIndex (pandas
+        contract): re-encode the key columns as index levels, order
+        re-keyed by them."""
+        names = getattr(self, "_mi_restore", None)
+        if not names:
+            return res
+        from pygdf_spark.operators.order import rekey_row_id
+
+        sdf = rekey_row_id(
+            res._sdf,
+            [*[(k, "asc", "nulls_last") for k in names], _RID],
+            _RID,
+        )
+        for i, k in enumerate(names):
+            sdf = sdf.withColumnRenamed(k, _mi_phys(i, k))
+        out = DataFrame(sdf)
+        ct = res.columns_tuples
+        if ct is not None:
+            # key labels moved into the row index: drop their tuples
+            from pygdf_spark.core.multiindex import MultiIndex
+
+            out._col_tuples = MultiIndex(
+                [t for t in ct if t[0] not in names], ct.names
+            )
+        return out
 
     def size(self) -> DataFrame:
         out = self._gsdf().groupBy(*self._keys).agg(F.count(F.lit(1)).alias("size"))
-        return DataFrame(out.withColumn(_RID, F.monotonically_increasing_id()))
+        return self._finish(
+            DataFrame(out.withColumn(_RID, F.monotonically_increasing_id()))
+        )
 
     def apply(self, func, schema) -> DataFrame:
         """GroupBy.apply (groupby.py:384) → applyInPandas."""

@@ -156,6 +156,98 @@ def bpe_train(docs: DataFrame, tokens: Column, n_merges: int = 4,
     return docs.sparkSession.createDataFrame(rows, out.schema)
 
 
+def _inmem_bpe(words: list[tuple[str, int]], n_merges: int):
+    """Exact sequential BPE over a collected ``(word, freq)`` vocabulary
+    — pair-indexed so each merge touches only the words containing the
+    winning pair (the standard exact trainer datastructure; per-merge
+    cost is O(occurrences), not O(|V|)). Tie-break matches the
+    distributed/oracle rule exactly: (count desc, left asc, right asc).
+    Returns [(rank, left, right, weight)]."""
+    from collections import Counter, defaultdict
+
+    syms = {w: list(w) for w, _ in words}
+    freq = dict(words)
+    counts: Counter = Counter()
+    where: defaultdict = defaultdict(set)  # pair -> words containing it
+    for w, s in syms.items():
+        f = freq[w]
+        for i in range(len(s) - 1):
+            p = (s[i], s[i + 1])
+            counts[p] += f
+            where[p].add(w)
+    out = []
+    for rank in range(1, n_merges + 1):
+        live = [(c, p) for p, c in counts.items() if c > 0]
+        if not live:
+            break
+        c, (a, b) = min(live, key=lambda t: (-t[0], t[1]))
+        out.append((rank, a, b, int(c)))
+        ab = a + b
+        for w in list(where.get((a, b), ())):
+            s = syms[w]
+            f = freq[w]
+            # remove the word's old pair contributions
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                counts[p] -= f
+                where[p].discard(w)
+            # greedy leftmost merge
+            ns = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    ns.append(ab)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            syms[w] = ns
+            for i in range(len(ns) - 1):
+                p = (ns[i], ns[i + 1])
+                counts[p] += f
+                where[p].add(w)
+    return out
+
+
+def bpe_train_fast(docs: DataFrame, tokens: Column, n_merges: int,
+                   min_freq: int = 1,
+                   max_vocab_words: int = 1_000_000) -> DataFrame:
+    """Exact BPE training at tokenizer-real merge counts — the scale
+    path the per-merge distributed loop (``bpe_train``) cannot reach:
+    at 30k merges one Spark job per merge is a driver-latency wall
+    (r6 verdict), and EXACT batching cannot fix it (the provably-safe
+    batch — pairwise-disjoint symbols/products, count strictly above
+    every interaction bound — measures 1-4 merges per round on real
+    text, because top pairs share letters).
+
+    This is instead the shape every production trainer uses
+    (HuggingFace tokenizers, SentencePiece): the corpus-wide work is
+    ONE distributed shuffle down to the ``(word, freq)`` vocabulary
+    relation — 5-6 orders smaller than the corpus at any scale — which
+    is then capped to the ``max_vocab_words`` highest-frequency words
+    (deterministic: freq desc, word asc; real trainers prune exactly
+    this way via min_frequency/vocab caps) and collected for exact
+    in-memory pair-indexed training. Corpus bytes never reach the
+    driver; the collect is bounded by the cap, same class as the
+    k-means centroid collect. Total Spark jobs: 1, independent of
+    ``n_merges``. Result is bit-identical to ``bpe_train`` whenever
+    the cap does not bind (same tie-break, same greedy-leftmost
+    apply)."""
+    vocab = (
+        word_freq(docs, tokens)
+        .filter(F.col("freq") >= min_freq)
+        .orderBy(F.desc("freq"), F.asc("w"))
+        .limit(max_vocab_words)
+    )
+    words = [(r["w"], int(r["freq"])) for r in vocab.collect()]
+    rows = _inmem_bpe(words, n_merges)
+    return docs.sparkSession.createDataFrame(
+        rows,
+        "merge_rank int, left_sym string, right_sym string, "
+        "pair_weight bigint",
+    )
+
+
 def bpe_subword_lengths(docs: DataFrame, tokens: Column,
                         n_merges: int = 4):
     """The APPLY side of the train→apply loop: ``(w, n_syms)`` — each

@@ -50,74 +50,40 @@ _MODULES = [
 # per-query cost at sf0.01. Queries dropped from the window keep their
 # prior-round driver-green rows (CORRECTNESS_r01.json: 47 green).
 _PRIORITY = [
-    # r6 window: changed-since-green first (VERDICT r5 Next #9), then
-    # the 42 rows whose latest driver-green is OLDEST (all r1) so the
-    # cumulative ledger stays fresh. Prior-green rows are cumulative —
+    # r7 window (standing rule, VERDICT r6 Next #10): never-checked
+    # queries first, then every row whose IMPLEMENTATION FILES changed
+    # since its last green round, topped up with the rows whose latest
+    # driver-green is OLDEST (all r1). Prior-green rows are cumulative —
     # queries rotated out keep their rows.
-    # -- changed since last green (r6 code/oracle edits):
-    #    q12: oracle SQL gained CAST(...AS BIGINT) (the r5 hash-fail fix)
-    #    io_csv: read_csv/write_csv now route through the s3 dispatch
-    #    io_npy: TaskContext shard naming + atomic rename
-    #    io_safetensors: re-pointed at the sharded mapInPandas write
-    #    sim_ivf_probe: eager topk materialization + index unpersist
-    #    mm_image_*: vectorized unfilter + IEND strictness
-    #    mm_audio: ragged-data-chunk strictness
-    "q12_priority_class", "io_csv_roundtrip", "io_npy_roundtrip",
-    "io_npz_roundtrip",  # late-r6 zip-of-npy (displaces agg_collect_set)
-    "io_safetensors_roundtrip", "sim_ivf_probe",
-    "mm_image_decode_png", "mm_image_resize_nn", "mm_audio_decode_wav",
-    # -- net-new r6: WARC (Common Crawl) + WebDataset tar-shard sources
-    # and the WebDataset->PNG-decode multimodal composite
-    "io_warc_roundtrip", "io_webdataset_roundtrip", "mm_webdataset_images",
-    # -- oldest-green rotation (every row below last greened in r1):
-    # (dedup_substring_remove displaces q6_forecast_revenue, r1-green)
-    "dedup_substring_remove",
-    "q1_pricing_summary",
-    # (triangle/heavy-hitter queries displace join_semi / join_anti,
-    # both r1-green with cumulative rows)
-    "graph_triangle_count", "text_heavy_hitters",
-    # (fuzzy/gapfill/kfold/lake-source displace join_inner_q3,
-    # q1_pricing_summary, agg_basic_stats, win_group_cumsum — all
-    # r1-green with cumulative rows)
-    "dedup_fuzzy_block", "events_gapfill_interp", "sample_kfold_split",
-    "sstream_lake_source_live",
-    "join_range_bucketed",
-    "text_readability",  # displaces join_salted_skew (r1-green)
-    "nlp_sentence_split",  # displaces agg_quantiles (r1-green)
-    "text_lm_perplexity",  # displaces agg_idxmax (r1-green)
-    "lake_bloom_skip",  # displaces agg_rollup (r1-green)
-    "sstream_lake_cdf_live",  # displaces agg_global_reduce (r1-green)
-    # -- net-new late-r6: deltalite transaction-log table format
-    # (displacing sort_multi_nulls / topk_orders / dedup_keep_first,
-    # which keep their cumulative r1 driver-green rows):
-    # (sstream_lake_sink_live additionally displaces win_rolling_var,
-    # r1-green) — exactly-once foreachBatch ingestion into deltalite:
-    # (lake_merge_upsert additionally displaces agg_bool_any_all, and
-    # lake_zorder_skip displaces win_rolling_time — both r1-green)
-    # (lake_change_feed displaces win_rolling_rows, r1-green)
-    # (lake_delete_dv / lake_restore displace join_left_outer /
-    # join_full_outer, both r1-green with cumulative rows)
-    "lake_delete_dv", "lake_restore",
+    # -- never driver-checked (net-new r7):
+    "mi_row_roundtrip",      # row MultiIndex set_index/groupby(level)/unstack
+    "io_csv_options",        # skiprows/nrows/skipfooter/parse_dates
+    "nlp_bpe_train_fast",    # 1-job exact BPE vs 48 sequential oracle CTEs
+    # -- changed since last green (r7 edits):
+    #    deltalite.py: LogStore seam + distributed stats harvest + bloom
+    #    kind guard + null-count gating (all 13 lake/stream-lake rows)
     "lake_snapshot_read", "lake_time_travel", "lake_file_skipping",
-    "lake_merge_upsert", "lake_zorder_skip", "lake_change_feed",
-    "lake_incremental_matview",  # displaces agg_corr_cov (r1-green)
-    "sstream_lake_sink_live",
-    # -- net-new mid-r6 (never driver-checked; displaced seven r1-green
-    # rows — dedup_distinct, value_counts, filter_isin,
-    # ast_filter_string, fillna_coalesce, reshape_melt, reshape_pivot
-    # keep their cumulative green rows):
-    # -- net-new late-r6 #2: GIF frame sampling + training-loop
-    # sampling ops (displacing win_ffill / win_nth_value /
-    # win_rank_methods, all r1-green):
-    "mm_gif_frames", "sample_epoch_shuffle", "sample_domain_cap",
-    "sample_temperature",  # displaces agg_moments (r1-green)
-    "nlp_unigram_segment",  # displaces join_cross (r1-green)
-    "nlp_bpe_train", "nlp_bpe_encode", "events_multires_rollup",
-    "scd2_event_history", "sstream_scd2_changes_live",
-    "text_pmi_bigrams", "ml_gram_suffstats",
-    # (logreg family displaces join_conditional / join_index_aligned,
-    # both r1-green with cumulative rows)
-    "ml_logreg_grad0", "ml_quality_score_apply",
+    "lake_merge_upsert", "lake_delete_dv", "lake_restore",
+    "lake_change_feed", "lake_zorder_skip", "lake_bloom_skip",
+    "lake_incremental_matview",
+    "sstream_lake_source_live",  # content-based change-commit classifier
+    "sstream_lake_cdf_live", "sstream_lake_sink_live",
+    #    sources/io.py: remote-FS dispatch generalized (s3/gs/hdfs)
+    "io_csv_roundtrip",
+    #    operators/bpe.py grew the fast path; oracle CTEs MATERIALIZED
+    "nlp_bpe_train", "nlp_bpe_encode",
+    #    core/dataframe.py: columns property + groupby/unstack/reset
+    #    grew row-MI handling — re-check the veneer-surface rows
+    "mi_xs_level", "take_slice_split", "reverse_tail", "groupby_describe",
+    # -- oldest-green rotation (latest green r1; cumulative rows kept):
+    "q6_forecast_revenue", "join_inner_q3", "join_semi", "join_anti",
+    "agg_basic_stats", "win_group_cumsum", "join_salted_skew",
+    "agg_quantiles", "agg_idxmax", "agg_rollup", "agg_global_reduce",
+    "sort_multi_nulls", "topk_orders", "dedup_keep_first",
+    "win_rolling_var", "agg_bool_any_all", "win_rolling_time",
+    "win_rolling_rows", "join_left_outer", "join_full_outer",
+    "agg_corr_cov", "dedup_distinct", "value_counts", "filter_isin",
+    "ast_filter_string", "fillna_coalesce", "reshape_melt",
 ]
 
 

@@ -274,6 +274,83 @@ FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
 """
 
 
+def io_csv_options(spark, sf_dir):
+    """The positional read_csv option tail (csv.hpp:40-1115:
+    skiprows/nrows/skipfooter/parse_dates): the 500 smallest orders are
+    exported to ONE csv file with 2 junk preamble lines, then read back
+    twice through the line-indexed distributed path — (a) skiprows=2 +
+    nrows=100, (b) skiprows=2 + skipfooter=5 — with o_orderdate
+    parse_dates'd. Both reads aggregate into one row, so every option
+    is value-checked against the DuckDB oracle."""
+    import os
+
+    from pygdf_spark.queries._util import T
+    from pygdf_spark.sources.io import read_csv, write_csv
+
+    base = (
+        T(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        .orderBy("o_orderkey")
+        .limit(500)
+    )
+    path = _rt_path(sf_dir, "csvopt", "orders")
+    write_csv(base.coalesce(1), path)
+    # re-stage as ONE standalone file with 2 junk preamble lines (the
+    # skiprows target); a fresh file, not an in-place edit — Spark's
+    # writer leaves Hadoop .crc sidecars that an edit would invalidate
+    (part,) = [
+        os.path.join(path, n) for n in os.listdir(path)
+        if n.startswith("part-") and n.endswith(".csv")
+    ]
+    staged = path + ".file.csv"
+    with open(part, encoding="utf-8") as src, \
+            open(staged, "w", encoding="utf-8") as dst:
+        dst.write("# export v1\n# source: orders\n")
+        dst.write(src.read())
+
+    head = read_csv(
+        spark, staged, skiprows=2, nrows=100, parse_dates=["o_orderdate"]
+    )
+    trimmed = read_csv(
+        spark, staged, skiprows=2, skipfooter=5, parse_dates=["o_orderdate"]
+    )
+    a = head.agg(
+        F.count(F.lit(1)).alias("n_head"),
+        F.sum("o_orderkey").cast("long").alias("key_sum_head"),
+        F.max("o_orderkey").cast("long").alias("key_max_head"),
+        F.min(F.col("o_orderdate").cast("date")).alias("first_date_head"),
+    )
+    b = trimmed.agg(
+        F.count(F.lit(1)).alias("n_trim"),
+        F.sum("o_orderkey").cast("long").alias("key_sum_trim"),
+        F.max("o_orderkey").cast("long").alias("key_max_trim"),
+        F.min(F.length("o_orderpriority")).cast("int").alias("prio_len_min"),
+    )
+    return a.crossJoin(b)
+
+
+IO_CSV_OPTIONS_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderdate, o_orderpriority
+  FROM orders ORDER BY o_orderkey LIMIT 500
+),
+head AS (SELECT * FROM base ORDER BY o_orderkey LIMIT 100),
+trimmed AS (
+  SELECT * FROM base ORDER BY o_orderkey
+  LIMIT (SELECT COUNT(*) - 5 FROM base)
+)
+SELECT
+  (SELECT COUNT(*) FROM head) AS n_head,
+  (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM head) AS key_sum_head,
+  (SELECT CAST(MAX(o_orderkey) AS BIGINT) FROM head) AS key_max_head,
+  (SELECT MIN(o_orderdate) FROM head) AS first_date_head,
+  (SELECT COUNT(*) FROM trimmed) AS n_trim,
+  (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM trimmed) AS key_sum_trim,
+  (SELECT CAST(MAX(o_orderkey) AS BIGINT) FROM trimmed) AS key_max_trim,
+  (SELECT CAST(MIN(LENGTH(o_orderpriority)) AS INT) FROM trimmed) AS prio_len_min
+"""
+
+
 def io_orc_roundtrip(spark, sf_dir):
     """read_orc/write_orc (orc.hpp:363,579) end-to-end with predicate +
     column pruning applied ON THE ORC READ (the filter reaches stripe
@@ -399,14 +476,50 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def mi_row_roundtrip(spark, sf_dir):
+    """Row-wise MultiIndex workflow through the pandas-compat veneer
+    (reference core/multiindex.py; r6-verdict task #7): set_index over
+    two key columns → groupby(level=[0,1]) sum → unstack the status
+    level into columns → reset_index back to a flat frame. The index
+    levels are hidden ordinary columns, so every step is a plain keyed
+    shuffle/pivot — the veneer adds labels, not work."""
+    import pygdf_spark as gd
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus", "o_custkey"
+    )
+    g = gd.from_spark(o).set_index(["o_orderpriority", "o_orderstatus"])
+    assert g.index_names == ["o_orderpriority", "o_orderstatus"]
+    summed = g.groupby(level=[0, 1]).agg({"o_custkey": "sum"})
+    wide = summed.unstack(level="o_orderstatus")
+    flat = wide.reset_index()
+    return flat.spark.select(
+        "o_orderpriority",
+        F.col("F").cast("long").alias("sum_f"),
+        F.col("O").cast("long").alias("sum_o"),
+        F.col("P").cast("long").alias("sum_p"),
+    ).orderBy("o_orderpriority")
+
+
+MI_ROW_SQL = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN o_custkey END) AS BIGINT) AS sum_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN o_custkey END) AS BIGINT) AS sum_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN o_custkey END) AS BIGINT) AS sum_p
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "mi_xs_level": mi_xs_level,
+    "mi_row_roundtrip": mi_row_roundtrip,
     "transpose_small": transpose_small,
     "groupby_describe": groupby_describe,
     "rolling_apply_fold": rolling_apply_fold,
     "str_convert_pack": str_convert_pack,
     "io_avro_roundtrip": io_avro_roundtrip,
     "io_csv_roundtrip": io_csv_roundtrip,
+    "io_csv_options": io_csv_options,
     "io_orc_roundtrip": io_orc_roundtrip,
     "io_json_roundtrip": io_json_roundtrip,
     "io_feather_roundtrip": io_feather_roundtrip,
@@ -414,12 +527,14 @@ QUERIES = {
 
 ORACLE = {
     "mi_xs_level": MI_XS_SQL,
+    "mi_row_roundtrip": MI_ROW_SQL,
     "transpose_small": TRANSPOSE_SQL,
     "groupby_describe": DESCRIBE_SQL,
     "rolling_apply_fold": ROLLING_APPLY_SQL,
     "str_convert_pack": STR_CONVERT_SQL,
     "io_avro_roundtrip": IO_AVRO_SQL,
     "io_csv_roundtrip": IO_CSV_SQL,
+    "io_csv_options": IO_CSV_OPTIONS_SQL,
     "io_orc_roundtrip": IO_ORC_SQL,
     "io_json_roundtrip": IO_JSON_SQL,
     "io_feather_roundtrip": IO_FEATHER_SQL,

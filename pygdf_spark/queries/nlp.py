@@ -220,6 +220,21 @@ def nlp_bpe_train(spark, sf_dir):
     return bpe_train(d, tokens("text"), n_merges=4)
 
 
+def nlp_bpe_train_fast(spark, sf_dir):
+    """Tokenizer-scale BPE training (r6 verdict task: the per-merge
+    job loop is a driver-latency wall at 30k merges). The scale path:
+    ONE corpus shuffle to the (word, freq) vocabulary relation, capped
+    bounded collect, exact in-memory pair-indexed training — 1 Spark
+    job for ANY merge count, bit-identical to the sequential trainer
+    (same tie-break, same greedy-leftmost apply). Oracle: 48 unrolled
+    sequential-merge CTE iterations — the EXACTNESS of the fast path
+    against true sequential BPE is what the hash pins."""
+    from pygdf_spark.operators.bpe import bpe_train_fast
+
+    d = T(spark, sf_dir, "documents")
+    return bpe_train_fast(d, tokens("text"), n_merges=48)
+
+
 def _bpe_ctes(n_merges: int = 4) -> str:
     """Shared unrolled-iteration CTE chain (the kmeans-CTE precedent):
     w0 → v0 → (p1, v1) → … → (p{n}, v{n}). The greedy leftmost merge is
@@ -229,25 +244,25 @@ def _bpe_ctes(n_merges: int = 4) -> str:
     because symbols never contain spaces. Unreferenced tail CTEs cost
     nothing (DuckDB only evaluates reachable ones)."""
     parts = [r"""
-WITH w0 AS (
+WITH w0 AS MATERIALIZED (
   SELECT w, COUNT(*) AS freq FROM (
     SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS w FROM documents
   ) t WHERE w <> '' GROUP BY w
 ),
-v0 AS (
+v0 AS MATERIALIZED (
   SELECT w, freq,
          list_transform(generate_series(1, length(w)), i -> w[i]) AS syms
   FROM w0
 )"""]
     for i in range(1, n_merges + 1):
         parts.append(f""",
-p{i} AS (
+p{i} AS MATERIALIZED (
   SELECT s.syms[u.i] AS a, s.syms[u.i + 1] AS b,
          CAST(SUM(s.freq) AS BIGINT) AS cnt
   FROM v{i - 1} s, UNNEST(generate_series(1, len(s.syms) - 1)) AS u(i)
   GROUP BY 1, 2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
 ),
-v{i} AS (
+v{i} AS MATERIALIZED (
   SELECT v.w, v.freq,
          string_split(substring(list_reduce(
            list_prepend('<s>', v.syms),
@@ -456,6 +471,7 @@ QUERIES = {
     "nlp_sentence_split": nlp_sentence_split,
     "nlp_unigram_segment": nlp_unigram_segment,
     "nlp_bpe_train": nlp_bpe_train,
+    "nlp_bpe_train_fast": nlp_bpe_train_fast,
     "nlp_bpe_encode": nlp_bpe_encode,
     "nlp_token_filter": nlp_token_filter,
     "nlp_subword_tokenize": nlp_subword_tokenize,
@@ -484,6 +500,7 @@ ORACLE = {
     "nlp_sentence_split": NLP_SENTENCE_SQL,
     "nlp_unigram_segment": NLP_UNIGRAM_SQL,
     "nlp_bpe_train": NLP_BPE_SQL,
+    "nlp_bpe_train_fast": _bpe_sql(48),
     "nlp_bpe_encode": NLP_BPE_ENCODE_SQL,
     "nlp_subword_tokenize": NLP_SUBWORD_SQL,
     "nlp_token_filter": NLP_TOKEN_FILTER_SQL,

@@ -50,29 +50,30 @@ def _schema(names, dtype) -> ST.StructType | None:
 
 
 def _s3_read(read_fn, filepath: str):
-    """Remote-FS dispatch: native Hadoop-connector path first (the
-    production path — pushdown/split planning stay in the JVM); when the
-    scheme fails to resolve (no hadoop-aws jar, this sandbox), localize
-    via boto3 and hand the LOCAL path to the same native reader. See
-    sources/s3.py for the bounded-fallback contract."""
-    from pygdf_spark.sources.s3 import is_s3_path, s3_localize
+    """Remote-FS dispatch (s3://, gs://, hdfs://): native Hadoop-
+    connector path first (the production path — pushdown/split planning
+    stay in the JVM); when the scheme fails to resolve (no
+    hadoop-aws/gcs-connector jar, this sandbox), localize and hand the
+    LOCAL path to the same native reader. See sources/s3.py and
+    sources/remote_fs.py for the bounded-fallback contract."""
+    from pygdf_spark.sources.remote_fs import is_remote_path, remote_localize
 
-    if not is_s3_path(filepath):
+    if not is_remote_path(filepath):
         return read_fn(filepath)
     try:
         return read_fn(filepath)
     except Exception:
-        return read_fn(s3_localize(filepath))
+        return read_fn(remote_localize(filepath))
 
 
 def _s3_write(write_fn, path: str) -> None:
     """Same dispatch for sinks: native first; else stage the Spark write
-    to a local temp dir and upload the part objects via boto3."""
+    to a local temp dir and upload the part objects."""
     import tempfile
 
-    from pygdf_spark.sources.s3 import is_s3_path, s3_upload
+    from pygdf_spark.sources.remote_fs import is_remote_path, remote_upload
 
-    if not is_s3_path(path):
+    if not is_remote_path(path):
         write_fn(path)
         return
     try:
@@ -80,7 +81,93 @@ def _s3_write(write_fn, path: str) -> None:
     except Exception:
         stage = tempfile.mkdtemp(prefix="pygdf_s3_out_")
         write_fn(stage)
-        s3_upload(stage, path)
+        remote_upload(stage, path)
+
+
+def _csv_prefix_read(
+    spark: SparkSession, filepath: str, r, sep: str, quotechar: str,
+    header_used: bool, names: list[str] | None, schema,
+    skiprows: int, nrows: int | None, skipfooter: int,
+    byte_range: tuple[int, int] | None,
+):
+    """The sequential-prefix CSV options (``skiprows``/``nrows``/
+    ``skipfooter``/``byte_range``, reference csv.hpp:40-1115) need
+    exact FILE line positions, which Spark's split-parallel csv scan
+    deliberately does not expose. This path reads the file as
+    distributed text, assigns exact global line numbers with
+    ``zipWithIndex`` (two passes: per-partition counts, then offsets —
+    no driver materialization, order-correct because text splits are
+    file-offset ordered), filters by position, and hands the surviving
+    lines to the SAME native csv parser (``DataFrameReader.csv`` over
+    an RDD of strings). Restriction shared with the reference's
+    byte-range reader: records must be single-line (no embedded
+    newlines in quoted fields) for positions to be line positions."""
+    import csv as _pycsv
+
+    rdd = spark.sparkContext.textFile(filepath)
+
+    if byte_range is not None:
+        if names is None:
+            raise ValueError(
+                "read_csv(byte_range=...) requires explicit `names` "
+                "(the header line is generally outside the range) — "
+                "same contract as the reference reader"
+            )
+        off, size = byte_range
+        # per-partition byte totals -> prefix offsets (bounded collect:
+        # one small int per partition), then keep rows whose FIRST byte
+        # falls inside [off, off+size) — the reference's row-ownership
+        # rule, so adjacent ranges partition a file exactly
+        per_part = rdd.mapPartitionsWithIndex(
+            lambda i, it: [(i, sum(len(line.encode("utf-8")) + 1
+                                   for line in it))]
+        ).collect()
+        starts = {}
+        acc = 0
+        for i, n in sorted(per_part):
+            starts[i] = acc
+            acc += n
+
+        def _in_range(i, it):
+            pos = starts[i]
+            for line in it:
+                if off <= pos < off + size:
+                    yield line
+                pos += len(line.encode("utf-8")) + 1
+
+        lines = rdd.mapPartitionsWithIndex(_in_range)
+        df = r.schema(schema).option("header", "false").csv(lines) \
+            if schema is not None else \
+            r.option("header", "false").option("inferSchema", "true").csv(lines)
+        return df.toDF(*names) if schema is None else df
+
+    idx = rdd.zipWithIndex()
+    data_start = skiprows
+    cols = names
+    if header_used:
+        hdr = idx.filter(lambda t: t[1] == skiprows).map(lambda t: t[0]).first()
+        cols = next(_pycsv.reader([hdr], delimiter=sep, quotechar=quotechar))
+        data_start = skiprows + 1
+    hi = None
+    if skipfooter:
+        hi = rdd.count() - skipfooter  # one counting pass, only if asked
+    lo_stop = None if nrows is None else data_start + nrows
+
+    def keep(t):
+        i = t[1]
+        if i < data_start:
+            return False
+        if hi is not None and i >= hi:
+            return False
+        if lo_stop is not None and i >= lo_stop:
+            return False
+        return True
+
+    lines = idx.filter(keep).map(lambda t: t[0])
+    if schema is not None:
+        return r.schema(schema).option("header", "false").csv(lines)
+    df = r.option("header", "false").option("inferSchema", "true").csv(lines)
+    return df.toDF(*cols) if cols else df
 
 
 def read_csv(
@@ -97,6 +184,11 @@ def read_csv(
     dayfirst: bool = False,
     compression: str = "infer",
     doublequote: bool = True,
+    skiprows: int = 0,
+    nrows: int | None = None,
+    skipfooter: int = 0,
+    parse_dates: list[str] | None = None,
+    byte_range: tuple[int, int] | None = None,
 ) -> DataFrame:
     """read_csv (csv.hpp:1124; py io/csv.py). ``names`` + ``dtype``
     supply an explicit schema (cuDF semantics); otherwise the header is
@@ -104,21 +196,45 @@ def read_csv(
     pushes the pruning into the scan. ``doublequote`` mirrors the
     cuDF/pandas default (a doubled quotechar inside a quoted field is a
     literal quote); Spark's native default is backslash-escape, so the
-    escape char is pinned to the quotechar unless doublequote=False."""
+    escape char is pinned to the quotechar unless doublequote=False.
+
+    Positional options (reference csv.hpp:40-1115): ``skiprows`` skips
+    leading file lines BEFORE the header; ``nrows`` bounds the data
+    rows read; ``skipfooter`` drops trailing file lines; ``byte_range``
+    =(offset, size) reads only rows whose first byte falls in the
+    range (requires ``names``). Any of these routes through the
+    line-indexed distributed text path (see ``_csv_prefix_read``);
+    with none set the read is the plain native csv scan.
+    ``parse_dates`` casts the named columns to timestamp after the
+    read (pandas semantics)."""
+    from pyspark.sql import functions as F
+
     r = spark.read.option("sep", sep).option("quote", quotechar)
     if doublequote:
         r = r.option("escape", quotechar)
-    schema = _schema(names, dtype)
-    if schema is not None:
-        r = r.schema(schema).option("header", "false" if header == "infer" else str(bool(header)).lower())
-    else:
-        r = r.option("header", "true").option("inferSchema", "true")
     if na_values is not None:
         vals = [na_values] if isinstance(na_values, str) else list(na_values)
         r = r.option("nullValue", vals[0])  # Spark supports one sentinel
     if comment is not None:
         r = r.option("comment", comment)
-    df = _s3_read(r.csv, filepath)
+    schema = _schema(names, dtype)
+    header_used = header is True or (header == "infer" and names is None)
+    if skiprows or nrows is not None or skipfooter or byte_range is not None:
+        df = _csv_prefix_read(
+            spark, filepath, r, sep, quotechar, header_used, names, schema,
+            skiprows, nrows, skipfooter, byte_range,
+        )
+    else:
+        if schema is not None:
+            r = r.schema(schema).option(
+                "header",
+                "false" if header == "infer" else str(bool(header)).lower(),
+            )
+        else:
+            r = r.option("header", "true").option("inferSchema", "true")
+        df = _s3_read(r.csv, filepath)
+    for c in parse_dates or ():
+        df = df.withColumn(c, F.to_timestamp(F.col(c)))
     if usecols:
         df = df.select(*usecols)
     return df

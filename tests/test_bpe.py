@@ -190,3 +190,80 @@ def test_unigram_segment_distributed_matches_scalar(spark, sf_dir):
     for w, pieces in seg.items():
         assert "".join(pieces) == w
         assert pieces == _viterbi(w, wgt)
+
+
+# ----------------- bpe_train_fast: tokenizer-scale exact training -----
+
+
+def test_bpe_fast_matches_sequential_trainer_at_256(spark):
+    """The 1-job fast path must be bit-identical to sequential BPE at
+    tokenizer-real merge counts (256), on a corpus rich enough that
+    merges interact (shared letters, re-merged products)."""
+    from pygdf_spark.operators.bpe import bpe_train_fast
+
+    texts = [
+        " ".join(
+            f"w{(i * 7 + j) % 53:02d}x{(i + j * 3) % 11}" * ((j % 3) + 1)
+            for j in range(12)
+        )
+        for i in range(200)
+    ] + ["the quick brown fox jumps over the lazy dog"] * 40
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_weight"])
+        for r in bpe_train_fast(
+            df, F.split(F.trim(F.col("text")), r"\s+"), 256
+        ).collect()
+    ]
+    exp = _reference_bpe(texts, 256)
+    assert got == exp
+    assert len(got) > 100  # the corpus actually sustains deep merging
+
+
+def test_bpe_fast_equals_distributed_trainer(spark, sf_dir):
+    """fast(n=4) == bpe_train(n=4) on the real documents table."""
+    from pygdf_spark.operators.bpe import bpe_train, bpe_train_fast
+
+    from pygdf_spark.queries._util import T
+    from pygdf_spark.queries.nlp import tokens
+
+    d = T(spark, sf_dir, "documents")
+    a = [tuple(r) for r in bpe_train(d, tokens("text"), 4).collect()]
+    b = [tuple(r) for r in bpe_train_fast(d, tokens("text"), 4).collect()]
+    assert a == b
+
+
+def test_bpe_fast_is_one_job_regardless_of_merges(spark):
+    """256 merges must cost exactly ONE Spark job (the r6 verdict's
+    driver-latency wall: one job per merge at 30k merges)."""
+    from pygdf_spark.operators.bpe import bpe_train_fast
+
+    df = spark.createDataFrame(
+        [("aa bb aa cc aa bb",)] * 50, "text string"
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("bpe_fast_jobcount", "bpe fast job counting")
+    try:
+        bpe_train_fast(df, F.split(F.trim(F.col("text")), r"\s+"), 256)
+    finally:
+        sc.setJobGroup(None, None)
+    st = sc.statusTracker()
+    jobs = st.getJobIdsForGroup("bpe_fast_jobcount")
+    # AQE may stage the vocab shuffle as 2 jobs; the point is the count
+    # is CONSTANT in n_merges (sequential training = 1+ job per merge)
+    assert len(jobs) <= 2, f"expected <=2 jobs, saw {len(jobs)}"
+
+
+def test_bpe_fast_vocab_cap_is_deterministic(spark):
+    """With a binding cap, the kept words are the top-(freq desc, w asc)
+    prefix — deterministic truncation, documented pruning semantics."""
+    from pygdf_spark.operators.bpe import bpe_train_fast
+
+    texts = ["xx yy xx zz", "xx yy qq"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = bpe_train_fast(
+        df, F.split(F.trim(F.col("text")), r"\s+"), 4, max_vocab_words=2
+    ).collect()
+    # top-2 words by (freq desc, w asc): xx(3), yy(2) -> merges within
+    exp = _reference_bpe(["xx xx xx yy yy"], 4)
+    assert [tuple(r) for r in got] == exp

@@ -1354,3 +1354,101 @@ def test_from_records_structured_array(spark):
     import pytest as _pt
     with _pt.raises(TypeError, match="columns"):
         from_records(spark, [(1, 2)])
+
+
+# --------------- row-wise MultiIndex workflows (r6-verdict task #7) ----
+
+
+@pytest.fixture(scope="module")
+def mi_pdf():
+    return pd.DataFrame({
+        "a": ["p", "p", "q", "q", "p", "r", "q"],
+        "b": ["x", "y", "x", "y", "x", "y", "x"],
+        "v": [1, 2, 3, 4, 5, 6, 7],
+        "u": [10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0],
+    })
+
+
+@pytest.fixture(scope="module")
+def mi_gdf(spark, mi_pdf):
+    return from_spark(spark.createDataFrame(mi_pdf))
+
+
+def test_set_index_list_hides_levels(mi_gdf):
+    g = mi_gdf.set_index(["a", "b"])
+    assert g.columns == ["v", "u"]
+    assert g.index_names == ["a", "b"]
+
+
+def test_set_index_reset_index_roundtrip(mi_gdf, mi_pdf):
+    g = mi_gdf.set_index(["a", "b"]).reset_index()
+    exp = mi_pdf.set_index(["a", "b"]).reset_index()
+    eq(g.sort_values(["a", "b", "v"]), exp.sort_values(["a", "b", "v"]))
+
+
+def test_reset_index_drop_discards_levels(mi_gdf, mi_pdf):
+    g = mi_gdf.set_index(["a", "b"]).reset_index(drop=True)
+    assert g.columns == ["v", "u"]
+    eq(g.sort_values("v"), mi_pdf[["v", "u"]].sort_values("v"))
+
+
+def test_groupby_level_sum_matches_pandas(mi_gdf, mi_pdf):
+    got = (
+        mi_gdf.set_index(["a", "b"]).groupby(level=[0, 1])
+        .agg({"v": "sum"}).reset_index()
+    )
+    exp = (
+        mi_pdf.set_index(["a", "b"]).groupby(level=[0, 1])["v"].sum()
+        .reset_index().rename(columns={"v": "sum_v"})
+    )
+    eq(got.sort_values(["a", "b"]), exp.sort_values(["a", "b"]))
+
+
+def test_groupby_single_level_by_name(mi_gdf, mi_pdf):
+    got = (
+        mi_gdf.set_index(["a", "b"]).groupby(level="a")
+        .agg({"v": "max"}).reset_index()
+    )
+    exp = (
+        mi_pdf.set_index(["a", "b"]).groupby(level="a")["v"].max()
+        .reset_index().rename(columns={"v": "max_v"})
+    )
+    eq(got.sort_values("a"), exp.sort_values("a"))
+
+
+def test_unstack_level_matches_pandas(mi_gdf, mi_pdf):
+    got = (
+        mi_gdf.set_index(["a", "b"]).groupby(level=[0, 1])
+        .agg({"v": "sum"}).unstack(level="b").reset_index()
+    )
+    exp = (
+        mi_pdf.set_index(["a", "b"]).groupby(level=[0, 1])["v"].sum()
+        .unstack(level="b").reset_index()
+    )
+    exp.columns = ["a", "x", "y"]
+    eq(got.sort_values("a"), exp.sort_values("a"))
+
+
+def test_unstack_negative_level_default(mi_gdf, mi_pdf):
+    got = (
+        mi_gdf.set_index(["a", "b"]).groupby(level=[0, 1])
+        .agg({"v": "sum"}).unstack().reset_index()
+    )
+    exp = (
+        mi_pdf.set_index(["a", "b"]).groupby(level=[0, 1])["v"].sum()
+        .unstack().reset_index()
+    )
+    exp.columns = ["a", "x", "y"]
+    eq(got.sort_values("a"), exp.sort_values("a"))
+
+
+def test_groupby_level_errors_without_index(mi_gdf):
+    with pytest.raises(TypeError, match="set_index"):
+        mi_gdf.groupby(level=0)
+
+
+def test_unstack_errors(mi_gdf):
+    with pytest.raises(TypeError, match="index="):
+        mi_gdf.unstack()
+    with pytest.raises(KeyError):
+        mi_gdf.set_index(["a", "b"]).groupby(level="zzz")

@@ -383,3 +383,88 @@ def test_avro_lite_multifile_schema_mismatch(spark, tmp_path):
     write_avro(pd.DataFrame({"x": [1], "z": [3]}), str(tmp_path / "b.avro"))
     with _pytest.raises(Exception, match="schema mismatch"):
         read_avro_lite(spark, str(tmp_path)).collect()
+
+
+# ------------------------- positional CSV options (csv.hpp:40-1115) ----
+
+
+@pytest.fixture(scope="module")
+def csv_file(tmp_path_factory):
+    """One plain CSV file with 2 junk preamble lines, a header, 20 data
+    rows, and 3 trailer lines that look like data (the skipfooter
+    target) — the pandas fixture shape."""
+    import pandas as pd
+
+    p = tmp_path_factory.mktemp("csvopt") / "f.csv"
+    rows = "\n".join(
+        f"{i},{i * 10},name_{i:02d},2024-0{1 + i % 9}-1{i % 10}"
+        for i in range(20)
+    )
+    trailer = "\n".join(f"{900 + i},0,trailer_{i},2030-01-01" for i in range(3))
+    p.write_text(
+        "# junk line 1\n# junk line 2\n"
+        "k,v,name,d\n" + rows + "\n" + trailer + "\n"
+    )
+    return str(p)
+
+
+def _pd_read(csv_file, **kw):
+    import pandas as pd
+
+    return pd.read_csv(csv_file, engine="python", **kw)
+
+
+def test_csv_skiprows_matches_pandas(spark, csv_file):
+    got = IO.read_csv(spark, csv_file, skiprows=2).toPandas()
+    exp = _pd_read(csv_file, skiprows=2)
+    assert list(got.columns) == list(exp.columns)
+    assert got["k"].tolist() == exp["k"].tolist()
+    assert got["name"].tolist() == exp["name"].tolist()
+
+
+def test_csv_nrows_matches_pandas(spark, csv_file):
+    got = IO.read_csv(spark, csv_file, skiprows=2, nrows=7).toPandas()
+    exp = _pd_read(csv_file, skiprows=2, nrows=7)
+    assert got["k"].tolist() == exp["k"].tolist() == list(range(7))
+
+
+def test_csv_skipfooter_matches_pandas(spark, csv_file):
+    got = IO.read_csv(spark, csv_file, skiprows=2, skipfooter=3).toPandas()
+    exp = _pd_read(csv_file, skiprows=2, skipfooter=3)
+    assert got["k"].tolist() == exp["k"].tolist() == list(range(20))
+    assert "trailer_0" not in set(got["name"])
+
+
+def test_csv_parse_dates(spark, csv_file):
+    got = IO.read_csv(
+        spark, csv_file, skiprows=2, nrows=5, parse_dates=["d"]
+    )
+    assert dict(got.dtypes)["d"] == "timestamp"
+    exp = _pd_read(csv_file, skiprows=2, nrows=5, parse_dates=["d"])
+    assert [t.date().isoformat() for t in got.toPandas()["d"]] == [
+        t.date().isoformat() for t in exp["d"]
+    ]
+
+
+def test_csv_byte_range_partitions_exactly(spark, csv_file):
+    """Adjacent byte ranges must partition the file's rows exactly
+    (each row belongs to the range holding its first byte) — the
+    reference's byte_range ownership rule."""
+    import os
+
+    names = ["k", "v", "name", "d"]
+    size = os.path.getsize(csv_file)
+    mid = size // 2
+    a = IO.read_csv(spark, csv_file, names=names, byte_range=(0, mid))
+    b = IO.read_csv(spark, csv_file, names=names, byte_range=(mid, size - mid))
+    full = IO.read_csv(spark, csv_file, names=names, byte_range=(0, size))
+    assert a.count() + b.count() == full.count()
+    got = sorted(
+        r["k"] for r in a.select("k").collect()
+    ) + sorted(r["k"] for r in b.select("k").collect())
+    assert len(got) == full.count()
+
+
+def test_csv_byte_range_requires_names(spark, csv_file):
+    with pytest.raises(ValueError, match="names"):
+        IO.read_csv(spark, csv_file, byte_range=(0, 100))

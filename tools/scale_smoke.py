@@ -74,7 +74,10 @@ TIMED = ["q1_pricing_summary", "join_inner_q3", "agg_basic_stats",
          "lake_delete_dv", "lake_restore", "dedup_substring_remove",
          "ml_logreg_grad0", "ml_quality_score_apply",
          "graph_triangle_count", "text_heavy_hitters",
-         "text_lm_perplexity", "nlp_sentence_split"]
+         "text_lm_perplexity", "nlp_sentence_split",
+         # r7 additions (fast exact BPE, positional CSV options,
+         # row-MultiIndex workflow)
+         "nlp_bpe_train_fast", "io_csv_options", "mi_row_roundtrip"]
 
 
 def build(spark, n: int, dst: str) -> None:
