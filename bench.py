@@ -115,6 +115,10 @@ EXTRA_BENCH = [
     "dedup_substring_remove", # exact substring dedup with span removal
     "ml_quality_score_apply", # hashed-ngram linear quality scoring
     "text_lm_perplexity",     # self-trained bigram-LM perplexity filter
+    # r7 operators (same outside-headline rule):
+    "lake_replace_where",     # predicate-scoped atomic overwrite (backfill)
+    "nlp_bpe_train_fast",     # 1-job exact BPE at 48 merges
+    "io_csv_options",         # positional CSV options via indexed text
 ]
 
 

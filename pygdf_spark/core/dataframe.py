@@ -863,21 +863,18 @@ class DataFrame:
 
         A LIST of columns builds a row MultiIndex (reference
         core/multiindex.py): the columns leave the data-column view and
-        become hidden level columns, order re-keyed by (levels...,
-        prior order); ``groupby(level=)`` / ``unstack(level=)`` /
-        ``reset_index`` then operate on them. Distribution shape: the
-        index is ordinary columns — grouping by a level is a plain
-        keyed shuffle, never a driver structure."""
+        become hidden level columns; ``groupby(level=)`` /
+        ``unstack(level=)`` / ``reset_index`` then operate on them.
+        Row ORDER is preserved — pandas ``set_index`` never sorts
+        (``sort_index`` does) — so this is a pure metadata rename, zero
+        shuffles. Distribution shape: the index is ordinary columns —
+        grouping by a level is a plain keyed shuffle, never a driver
+        structure."""
         from pygdf_spark.operators.order import rekey_row_id
 
         if isinstance(col, (list, tuple)):
-            cols = list(col)
-            sdf = rekey_row_id(
-                self._sdf,
-                [*[(c, "asc", "nulls_last") for c in cols], _RID],
-                _RID,
-            )
-            for i, c in enumerate(cols):
+            sdf = self._sdf
+            for i, c in enumerate(col):
                 sdf = sdf.withColumnRenamed(c, _mi_phys(i, c))
             return self._with(sdf)
         return self._with(

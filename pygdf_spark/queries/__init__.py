@@ -59,6 +59,7 @@ _PRIORITY = [
     "mi_row_roundtrip",      # row MultiIndex set_index/groupby(level)/unstack
     "io_csv_options",        # skiprows/nrows/skipfooter/parse_dates
     "nlp_bpe_train_fast",    # 1-job exact BPE vs 48 sequential oracle CTEs
+    "lake_replace_where",    # Delta replaceWhere: predicate-scoped overwrite
     # -- changed since last green (r7 edits):
     #    deltalite.py: LogStore seam + distributed stats harvest + bloom
     #    kind guard + null-count gating (all 13 lake/stream-lake rows)
@@ -83,7 +84,7 @@ _PRIORITY = [
     "win_rolling_var", "agg_bool_any_all", "win_rolling_time",
     "win_rolling_rows", "join_left_outer", "join_full_outer",
     "agg_corr_cov", "dedup_distinct", "value_counts", "filter_isin",
-    "ast_filter_string", "fillna_coalesce", "reshape_melt",
+    "ast_filter_string", "fillna_coalesce",
 ]
 
 

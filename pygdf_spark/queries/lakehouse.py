@@ -534,7 +534,173 @@ FROM orders o JOIN k ON o.o_orderkey = k.o_orderkey
 """
 
 
+def lake_replace_where(spark, sf_dir):
+    """Dynamic predicate overwrite (Delta replaceWhere;
+    sources/deltalite.py overwrite_where): land orders clustered by
+    o_orderdate, then atomically RE-LAND the 1995 slice with amended
+    totals (+7 cents) — the daily/period backfill primitive. Files
+    wholly inside 1995 drop as pure metadata (clustered zone maps make
+    that the common case), boundary files rewrite without their 1995
+    rows, the amended slice lands in the SAME commit. The oracle
+    recomputes the post-backfill table algebraically, so the hash pins
+    atomicity + scope (nothing outside 1995 may move). A files_removed
+    assertion pins that whole-file drops actually happened — the scale
+    behavior under test, not just the row set."""
+    from pygdf_spark.sources import deltalite as dl
+
+    base = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", cents("o_totalprice").alias("cents")
+    )
+    path = _tmp(sf_dir, "lake_rw")
+    shutil.rmtree(path, ignore_errors=True)
+    # >= 16 date-clustered files: the 12-month replace window then always
+    # fully contains at least one file (orders span ~7 years), so the
+    # whole-file metadata drop is exercised at every scale factor
+    n = min(256, max(16, base.count() // 10_000))
+    dl.append(
+        base.repartition(n), path,
+        stat_cols=["o_orderdate"], cluster_by=["o_orderdate"],
+    )
+    lo, hi = "1995-01-01", "1996-01-01"
+    amended = base.filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    ).withColumn("cents", F.col("cents") + F.lit(7))
+    res = dl.overwrite_where(
+        spark, amended, path,
+        [("o_orderdate", ">=", lo), ("o_orderdate", "<", hi)],
+        stat_cols=["o_orderdate"],
+    )
+    assert res["files_removed"] > 0, "clustered backfill must drop whole files"
+    snap = dl.read_table(spark, path)
+    return (
+        snap.groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .orderBy("yr")
+    )
+
+
+LAKE_REPLACE_WHERE_SQL = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+       COUNT(*) AS n_orders,
+       CAST(SUM({sql_cents('o_totalprice')}
+                + CASE WHEN o_orderdate >= DATE '1995-01-01'
+                        AND o_orderdate <  DATE '1996-01-01'
+                       THEN 7 ELSE 0 END) AS BIGINT) AS total_cents
+FROM orders GROUP BY 1 ORDER BY yr
+"""
+
+
+def lake_incremental_lsh(spark, sf_dir):
+    """Incrementally-maintained near-dup INDEX over a lakehouse corpus —
+    the composite a 100 TB curation stack actually runs: the MinHash
+    signature table is refreshed from the docs table's CHANGE FEED
+    instead of recomputed (signatures for inserted docs merged in,
+    tombstoned doc_ids merge-DELETED), so refresh cost is O(changes),
+    not O(corpus).
+
+    Protocol under test: v0 initial corpus → full index build → v1
+    append (new docs) → v2 predicate takedown (DV delete) → one CDC
+    apply: net the feed per key (last change wins — a doc inserted in
+    v1 and deleted in v2 must NOT survive), merge-delete the tombstones,
+    merge-upsert the insert signatures. The oracle recomputes signatures
+    from the FINAL doc set, so the hash pins that incremental
+    maintenance converges to the from-scratch index exactly."""
+    from pyspark.sql import Window
+
+    from pygdf_spark.operators.dedup import minhash_signatures
+    from pygdf_spark.sources import deltalite as dl
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    tbl = _tmp(sf_dir, "lake_lsh_docs")
+    idx = _tmp(sf_dir, "lake_lsh_idx")
+    for p in (tbl, idx):
+        shutil.rmtree(p, ignore_errors=True)
+
+    def sigs(frame):
+        return minhash_signatures(frame).filter(F.col("minhash").isNotNull())
+
+    # v0 + full build
+    dl.append(docs.filter(F.col("doc_id") % 3 != 2).repartition(4), tbl,
+              stat_cols=["doc_id"])
+    dl.append(sigs(dl.read_table(spark, tbl)), idx, stat_cols=["doc_id"])
+    cursor = dl.table_version(tbl)
+    # the corpus moves: new docs, then a takedown
+    dl.append(docs.filter(F.col("doc_id") % 3 == 2).repartition(4), tbl,
+              stat_cols=["doc_id"])
+    dl.delete_where(spark, tbl, "doc_id % 5 = 0", mode="dv")
+    # one CDC apply: net per key (last change wins)
+    head = dl.table_version(tbl)
+    ch = dl.table_changes(spark, tbl, cursor, head, key="doc_id")
+    rank = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.desc("_commit_version"),
+            # within one commit a pre/post pair nets to the postimage
+            F.desc(F.col("_change_type").isin("insert", "update_postimage")),
+        )
+    )
+    net = ch.withColumn("__r", rank).filter(F.col("__r") == 1).drop("__r")
+    tombstones = net.filter(F.col("_change_type") == "delete").select("doc_id")
+    upserts = net.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select("doc_id", "text")
+    dl.merge_into(spark, idx, tombstones, on="doc_id",
+                  when_matched="delete", stat_cols=["doc_id"])
+    dl.merge_into(spark, idx, sigs(upserts), on="doc_id",
+                  stat_cols=["doc_id"])
+    # compact per-perm summary of the final index — pins every row
+    return (
+        dl.read_table(spark, idx)
+        .groupBy("perm")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("minhash").alias("mh_sum"),
+            F.min("minhash").alias("mh_min"),
+            F.max("minhash").alias("mh_max"),
+        )
+        .orderBy("perm")
+    )
+
+
+def _lake_lsh_sql() -> str:
+    from pygdf_spark.functions.hashing import MERSENNE_P, minhash_perm_sql
+
+    p = MERSENNE_P
+    perm_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS perm, {minhash_perm_sql('x', i)} AS h"
+        " FROM hashed"
+        for i in range(6)
+    )
+    return rf"""
+WITH shingles AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+          FROM documents WHERE doc_id % 5 <> 0)
+  )
+),
+hashed AS (
+  SELECT doc_id, CAST(md5_number_lower(shingle) % {p} AS BIGINT) AS x
+  FROM shingles
+),
+sigs AS (
+  SELECT doc_id, perm, MIN(h) AS minhash FROM ({perm_rows})
+  GROUP BY doc_id, perm
+)
+SELECT perm, COUNT(*) AS n_docs, CAST(SUM(minhash) AS BIGINT) AS mh_sum,
+       CAST(MIN(minhash) AS BIGINT) AS mh_min,
+       CAST(MAX(minhash) AS BIGINT) AS mh_max
+FROM sigs GROUP BY perm ORDER BY perm
+"""
+
+
 QUERIES = {
+    "lake_replace_where": lake_replace_where,
+    "lake_incremental_lsh": lake_incremental_lsh,
     "lake_bloom_skip": lake_bloom_skip,
     "lake_delete_dv": lake_delete_dv,
     "lake_restore": lake_restore,
@@ -548,6 +714,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "lake_replace_where": LAKE_REPLACE_WHERE_SQL,
+    "lake_incremental_lsh": _lake_lsh_sql(),
     "lake_bloom_skip": LAKE_BLOOM_SQL,
     "lake_delete_dv": LAKE_DELETE_DV_SQL,
     "lake_restore": LAKE_RESTORE_SQL,

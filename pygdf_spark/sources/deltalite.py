@@ -736,7 +736,19 @@ def _write_data_files(
             .collect()
         )
         adds.sort(key=lambda a: a["path"])
-    return adds
+    # never publish 0-row shards (a sparsely-partitioned frame writes
+    # empty part files): they pollute the live set and every scan plan.
+    # Same behavior as Delta's writer — empty tasks commit nothing.
+    kept = []
+    for a in adds:
+        if a["rows"]:
+            kept.append(a)
+        else:
+            try:
+                os.unlink(os.path.join(table, a["path"]))
+            except OSError:
+                pass
+    return kept
 
 
 def _maybe_checkpoint(table: str, version: int, every: int) -> None:
@@ -1185,6 +1197,96 @@ def delete_where(
     }
 
 
+def overwrite_where(
+    spark: SparkSession, df: DataFrame, table: str, predicate,
+    stat_cols: list[str] | None = None, checkpoint_every: int = 10,
+    validate: bool = True,
+) -> dict:
+    """Dynamic predicate overwrite (Delta's ``replaceWhere``): ONE
+    atomic commit that deletes every existing row matching
+    ``predicate`` and inserts ``df`` — the backfill primitive
+    (re-landing one day/region of a 100 TB table without touching the
+    rest, where a full ``overwrite`` would rewrite everything).
+
+    Physical shape mirrors Delta: stats-pruned candidates are split
+    into files FULLY inside the predicate (dropped as pure metadata,
+    no data movement — with tight ``cluster_by`` zone maps a daily
+    backfill drops whole files) and boundary files (rewritten without
+    their matching rows, same as ``delete_where(mode='rewrite')``).
+    The incoming ``df`` lands as new files in the same commit.
+
+    ``validate`` enforces the replaceWhere contract: every incoming
+    row must satisfy the predicate (otherwise the op silently writes
+    outside its declared scope — Delta rejects this too). ``predicate``
+    is the ``(col, op, literal)`` conjunction list (file-level pruning
+    applies) or a raw Spark SQL boolean string (no pruning). Returns
+    {"version", "rows_deleted", "files_removed", "files_rewritten"}.
+    """
+    from pyspark.sql import functions as F
+
+    base = table_version(table)
+    if base < 0:
+        raise FileNotFoundError(f"no such table: {table}")
+    tuples = predicate if isinstance(predicate, list) else None
+    expr = _predicate_to_expr(tuples) if tuples else predicate
+    if validate:
+        n_out = df.filter(~F.coalesce(F.expr(expr), F.lit(False))).count()
+        if n_out:
+            raise ValueError(
+                f"overwrite_where: {n_out} incoming rows do NOT satisfy "
+                f"the predicate ({expr}) — refusing to write outside the "
+                "declared replace scope"
+            )
+    live = live_files(table)
+    cands = (
+        [a for a in live if _file_may_match(a, tuples)] if tuples else list(live)
+    )
+    # one distributed pass over the candidates: per file, how many rows
+    # match vs total (bounded collect: one row per candidate file)
+    removed_whole: list[str] = []
+    boundary: list[dict] = []
+    rows_deleted = 0
+    if cands:
+        scan = _read_adds(spark, table, cands, lineage=True)
+        per_file = {
+            r["__dl_file"]: (r["m"], r["n"])
+            for r in scan.groupBy("__dl_file").agg(
+                F.sum(
+                    F.coalesce(F.expr(expr), F.lit(False)).cast("long")
+                ).alias("m"),
+                F.count("*").alias("n"),
+            ).collect()
+        }
+        for a in cands:
+            m, n = per_file.get(a["path"], (0, 0))
+            rows_deleted += int(m)
+            if m == 0:
+                continue  # predicate missed this file entirely
+            if m == n:
+                removed_whole.append(a["path"])  # pure metadata drop
+            else:
+                boundary.append(a)
+    adds: list[dict] = []
+    if boundary:
+        survivors = _read_adds(spark, table, boundary).filter(
+            ~F.coalesce(F.expr(expr), F.lit(False))
+        )
+        adds += _write_data_files(survivors, table, base + 1, stat_cols, None)
+    adds += _write_data_files(df, table, base + 1, stat_cols, None)
+    _validate_constraints(spark, table, adds)
+    version = _commit_retry(
+        table, "replace_where", adds,
+        removed_whole + [a["path"] for a in boundary],
+        df.schema.json(), base, checkpoint_every,
+    )
+    return {
+        "version": version,
+        "rows_deleted": rows_deleted,
+        "files_removed": len(removed_whole),
+        "files_rewritten": len(boundary),
+    }
+
+
 def purge_dv(
     spark: SparkSession, table: str, stat_cols: list[str] | None = None,
     cluster_by: list[str] | None = None, checkpoint_every: int = 10,
@@ -1377,6 +1479,7 @@ def merge_into(
     spark: SparkSession, table: str, source: DataFrame, on: str,
     stat_cols: list[str] | None = None, checkpoint_every: int = 10,
     txn: tuple[str, int] | None = None,
+    when_matched: str = "replace",
 ) -> dict:
     """MERGE INTO (upsert): rows of ``source`` whose ``on`` key matches
     an existing row REPLACE it; unmatched source rows are INSERTED —
@@ -1403,10 +1506,22 @@ def merge_into(
     table underneath raises ConcurrentWriteError via the standard
     remove-set validation.
 
+    ``when_matched="delete"`` is MERGE ... WHEN MATCHED THEN DELETE —
+    the CDC tombstone-apply: matched keys' rows are removed (touched
+    files rewritten without them, same two-pass pruning), unmatched
+    source keys are ignored, nothing is inserted. ``source`` may be a
+    bare key frame. This is the delete-by-join a change-feed consumer
+    needs at scale (a literal-predicate ``delete_where`` cannot express
+    'delete these 10M keys').
+
     Returns {"version", "files_rewritten", "files_total"}.
     """
     from pyspark.sql import functions as F
 
+    if when_matched not in ("replace", "delete"):
+        raise ValueError(
+            f"when_matched must be 'replace'|'delete': {when_matched!r}"
+        )
     base = table_version(table)
     live = live_files(table)
     if txn is not None and last_txn_batch(table, txn[0]) >= txn[1]:
@@ -1432,8 +1547,10 @@ def merge_into(
 
     def is_candidate(add: dict) -> bool:
         s = (add.get("stats") or {}).get(on)
-        if s is None or lo is None or hi is None:
-            return True  # no stats → cannot prune
+        # nulls-only stats entries (all-null or EMPTY files) carry no
+        # zone map — 'min' absent means cannot prune, never KeyError
+        if s is None or "min" not in s or lo is None or hi is None:
+            return True
         return not (s["max"] < lo or s["min"] > hi)
 
     candidates = [a for a in live if is_candidate(a)]
@@ -1455,6 +1572,29 @@ def merge_into(
             .collect()
         )
     touched_set = set(touched_rel)
+
+    if when_matched == "delete":
+        if not touched_rel:  # no key present: nothing to delete
+            return {"version": base, "files_rewritten": 0,
+                    "files_total": len(live)}
+        existing = _read_adds(
+            spark, table, [a for a in candidates if a["path"] in touched_set]
+        )
+        survivors = existing.join(src_keys, on=on, how="left_anti")
+        # fully-deleted files leave 0-row shards, which
+        # _write_data_files already drops from the commit
+        adds = _write_data_files(survivors, table, base + 1, stat_cols,
+                                 cluster_by=[on] if stat_cols else None)
+        version = _commit_retry(
+            table, "merge_delete", adds, touched_rel,
+            _snapshot(table, base)["schema"], base, checkpoint_every,
+            txn=txn,
+        )
+        return {
+            "version": version,
+            "files_rewritten": len(touched_rel),
+            "files_total": len(live),
+        }
 
     if touched_rel:
         existing = _read_adds(

@@ -307,3 +307,120 @@ def test_stream_readd_of_live_path_is_change(spark, table, tmp_path):
         q.awaitTermination(120)
         if q.exception() is not None:
             raise Exception(str(q.exception()))
+
+
+# ------------------------------ overwrite_where (Delta replaceWhere) --
+
+
+def test_replace_where_basic(spark, table):
+    """Replace one key-range slice: rows outside must be untouched,
+    inside replaced by the incoming frame, atomically."""
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    dl.append(df.repartition(10), table, stat_cols=["id"],
+              cluster_by=["id"])
+    new = spark.range(20, 40).withColumn("v", F.lit(-1).cast("long"))
+    res = dl.overwrite_where(
+        spark, new, table, [("id", ">=", 20), ("id", "<", 40)],
+        stat_cols=["id"],
+    )
+    assert res["rows_deleted"] == 20
+    assert res["files_removed"] >= 1  # clustered files inside the range
+    got = {r["id"]: r["v"] for r in dl.read_table(spark, table).collect()}
+    assert len(got) == 100
+    for i in range(100):
+        assert got[i] == (-1 if 20 <= i < 40 else i * 2)
+    # one atomic commit: exactly one version past the append
+    assert dl.table_version(table) == 1
+
+
+def test_replace_where_rejects_out_of_scope_rows(spark, table):
+    dl.append(spark.range(10).withColumn("v", F.lit(0)), table)
+    bad = spark.range(5, 15).withColumn("v", F.lit(1))
+    with pytest.raises(ValueError, match="outside the declared"):
+        dl.overwrite_where(spark, bad, table, [("id", "<", 10)])
+    # nothing moved
+    assert dl.table_version(table) == 0
+    assert dl.read_table(spark, table).count() == 10
+
+
+def test_replace_where_respects_deletion_vectors(spark, table):
+    """A DV'd row is already dead: replace counts/moves only live rows
+    and must not resurrect it."""
+    dl.append(spark.range(50).withColumn("v", F.col("id")), table,
+              stat_cols=["id"])
+    dl.delete_where(spark, table, [("id", "=", 5)])  # dv delete
+    res = dl.overwrite_where(
+        spark, spark.range(0, 10).withColumn("v", F.lit(-7).cast("long")),
+        table, [("id", "<", 10)], stat_cols=["id"],
+    )
+    assert res["rows_deleted"] == 9  # id=5 was already dead
+    ids = sorted(r["id"] for r in dl.read_table(spark, table).collect())
+    assert ids == list(range(50))  # 0..9 re-landed, 10..49 untouched
+    got = {r["id"]: r["v"] for r in dl.read_table(spark, table).collect()}
+    assert got[5] == -7 and got[20] == 20
+
+
+def test_replace_where_time_travel_and_cdf(spark, table):
+    """The replace is one commit: time travel reads the pre-image, and
+    the change feed shows exactly the replaced slice."""
+    dl.append(spark.range(30).withColumn("v", F.col("id")), table,
+              stat_cols=["id"])
+    dl.overwrite_where(
+        spark, spark.range(10, 20).withColumn("v", F.col("id") * 100),
+        table, [("id", ">=", 10), ("id", "<", 20)], stat_cols=["id"],
+    )
+    assert dl.read_table(spark, table, version=0).count() == 30
+    ch = dl.table_changes(spark, table, 0, 1, key="id").collect()
+    by_type = {}
+    for r in ch:
+        by_type.setdefault(r["_change_type"], set()).add(r["id"])
+    # all 10 replaced keys surface as updates (value moved), none outside
+    assert by_type.get("update_postimage") == set(range(10, 20))
+    assert "insert" not in by_type or not (
+        by_type["insert"] - set(range(10, 20))
+    )
+
+
+# ------------------------- MERGE WHEN MATCHED THEN DELETE (CDC apply) --
+
+
+def test_merge_delete_by_join(spark, table):
+    """Delete-by-join: matched keys' rows removed, unmatched source
+    keys ignored, untouched files ride through as metadata."""
+    df = spark.range(100).withColumn("v", F.col("id"))
+    dl.append(df.repartition(10), table, stat_cols=["id"],
+              cluster_by=["id"])
+    keys = spark.createDataFrame(
+        [(i,) for i in [3, 7, 42, 99, 555]], "id long"  # 555 not present
+    )
+    res = dl.merge_into(spark, table, keys, on="id",
+                        when_matched="delete", stat_cols=["id"])
+    assert 1 <= res["files_rewritten"] < 10  # only files holding a key
+    ids = sorted(r["id"] for r in dl.read_table(spark, table).collect())
+    assert ids == [i for i in range(100) if i not in (3, 7, 42, 99)]
+    assert dl.table_version(table) == 1  # one atomic commit
+
+
+def test_merge_delete_whole_file_leaves_no_empty_shards(spark, table):
+    """Deleting every key of a file must not publish 0-row shards."""
+    dl.append(spark.range(0, 10).withColumn("v", F.lit(1)), table,
+              stat_cols=["id"])
+    dl.append(spark.range(10, 20).withColumn("v", F.lit(2)), table,
+              stat_cols=["id"])
+    keys = spark.range(0, 10).select(F.col("id"))
+    dl.merge_into(spark, table, keys, on="id", when_matched="delete",
+                  stat_cols=["id"])
+    assert dl.read_table(spark, table).count() == 10
+    assert all(a["rows"] > 0 for a in dl.live_files(table))
+    # time travel still sees the pre-delete state
+    assert dl.read_table(spark, table, version=1).count() == 20
+
+
+def test_merge_delete_no_match_is_noop(spark, table):
+    dl.append(spark.range(5).withColumn("v", F.lit(0)), table,
+              stat_cols=["id"])
+    keys = spark.createDataFrame([(1000,)], "id long")
+    res = dl.merge_into(spark, table, keys, on="id",
+                        when_matched="delete", stat_cols=["id"])
+    assert res["files_rewritten"] == 0
+    assert dl.table_version(table) == 0  # no commit published

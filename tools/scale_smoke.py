@@ -77,7 +77,8 @@ TIMED = ["q1_pricing_summary", "join_inner_q3", "agg_basic_stats",
          "text_lm_perplexity", "nlp_sentence_split",
          # r7 additions (fast exact BPE, positional CSV options,
          # row-MultiIndex workflow)
-         "nlp_bpe_train_fast", "io_csv_options", "mi_row_roundtrip"]
+         "nlp_bpe_train_fast", "io_csv_options", "mi_row_roundtrip",
+         "lake_replace_where"]
 
 
 def build(spark, n: int, dst: str) -> None:
