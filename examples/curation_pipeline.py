@@ -147,6 +147,37 @@ def main() -> None:
     st = dl.table_stats(table)
     print(f"curated lake table: {st['rows']} rows in {st['files']} files "
           f"(O(log) stats), constraints={list(dl.table_constraints(table))}")
+
+    # 9. corpus MAINTENANCE, the part that runs forever after the build:
+    #    (a) a takedown arrives as a tombstone key-frame → MERGE WHEN
+    #        MATCHED THEN DELETE (delete-by-join; rewrites only the
+    #        files holding those keys)
+    takedown = docs.select("doc_id").limit(5)
+    res = dl.merge_into(spark, table, takedown, on="doc_id",
+                        when_matched="delete", stat_cols=["doc_id"])
+    print(f"takedown applied: {res['files_rewritten']} files rewritten "
+          f"of {res['files_total']}")
+    #    (b) one source re-crawled → replaceWhere backfills JUST that
+    #        slice atomically (files wholly inside the predicate drop
+    #        as metadata)
+    recrawl = dl.read_table(spark, table).filter(
+        F.col("source") == "src0"
+    ).withColumn("text", F.concat(F.col("text"), F.lit(" [v2]")))
+    if recrawl.count() > 0:
+        res = dl.overwrite_where(
+            spark, recrawl, table, [("source", "=", "src0")],
+            stat_cols=["doc_id"],
+        )
+        print(f"backfill: {res['files_removed']} dropped whole, "
+              f"{res['files_rewritten']} boundary rewrites")
+    #    (c) downstream indexes refresh from the CHANGE FEED, not a
+    #        rescan — see queries/lakehouse.py lake_incremental_lsh for
+    #        the full incremental near-dup index protocol
+    ch = dl.table_changes(spark, table, 0, dl.table_version(table),
+                          key="doc_id")
+    print("change feed rows by type:",
+          {r['_change_type']: r['n'] for r in
+           ch.groupBy("_change_type").agg(F.count("*").alias("n")).collect()})
     shutil.rmtree(table, ignore_errors=True)
     spark.stop()
 
