@@ -119,6 +119,8 @@ EXTRA_BENCH = [
     "lake_replace_where",     # predicate-scoped atomic overwrite (backfill)
     "nlp_bpe_train_fast",     # 1-job exact BPE at 48 merges
     "io_csv_options",         # positional CSV options via indexed text
+    "lake_partition_prune",   # hive partitions: metadata-only DELETE + prune
+    "lake_update_where",      # copy-on-write UPDATE with touch detection
 ]
 
 

@@ -593,6 +593,109 @@ FROM orders GROUP BY 1 ORDER BY yr
 """
 
 
+def lake_partition_prune(spark, sf_dir):
+    """Hive-partitioned deltalite table (partition_by year(o_orderdate);
+    sources/deltalite.py append/partition_by): every data file is
+    single-valued on the partition column with its value in the log, so
+    (a) DELETE of one partition commits as PURE METADATA — zero rows
+    scanned or moved (asserted: the commit adds no files), and (b) a
+    partition predicate prunes the scan from the log alone (asserted
+    via plan_files). The oracle recomputes the post-delete table
+    algebraically — the hash pins that metadata-only DML produced
+    exactly the right row set. This is the 100 TB primitive: dropping a
+    day/region of a petabyte table costs one log write."""
+    from pygdf_spark.sources import deltalite as dl
+
+    base = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        cents("o_totalprice").alias("cents"),
+    )
+    path = _tmp(sf_dir, "lake_part")
+    shutil.rmtree(path, ignore_errors=True)
+    dl.append(base, path, partition_by=["yr"])
+    before = {a["path"] for a in dl.live_files(path)}
+    res = dl.delete_where(spark, path, [("yr", "=", 1995)])
+    after = {a["path"] for a in dl.live_files(path)}
+    assert res["rows_deleted"] > 0 and after < before, \
+        "partition delete must be a pure-metadata file drop"
+    sel, total = dl.plan_files(path, predicate=[("yr", "=", 1997)])
+    assert len(sel) < total, "partition predicate must prune files"
+    snap = dl.read_table(spark, path)
+    return (
+        snap.groupBy("yr")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum("cents").alias("total_cents"))
+        .orderBy("yr")
+    )
+
+
+LAKE_PARTITION_PRUNE_SQL = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+       COUNT(*) AS n_orders,
+       CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) AS total_cents
+FROM orders
+WHERE EXTRACT(year FROM o_orderdate) <> 1995
+GROUP BY 1 ORDER BY yr
+"""
+
+
+def lake_update_where(spark, sf_dir):
+    """Copy-on-write UPDATE (sources/deltalite.py update_where): land
+    orders clustered by o_orderkey, then UPDATE SET cents = cents + 50,
+    status = lower(status) WHERE o_orderkey < K. Stats pruning + touch
+    detection rewrite ONLY the files holding matching keys (asserted:
+    files_rewritten < files_total), SET expressions evaluate against
+    the pre-update row, and non-matching rows ride through bit-intact.
+    The oracle is the algebraic CASE WHEN over the source."""
+    from pygdf_spark.sources import deltalite as dl
+
+    base = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        cents("o_totalprice").alias("cents"),
+    )
+    path = _tmp(sf_dir, "lake_upd")
+    shutil.rmtree(path, ignore_errors=True)
+    n = min(256, max(16, base.count() // 10_000))
+    dl.append(base.repartition(n), path,
+              stat_cols=["o_orderkey"], cluster_by=["o_orderkey"])
+    # fixed threshold: TPC-H orderkeys are a fixed low-end pattern, so
+    # keys < 600 exist at EVERY scale factor while staying a small
+    # fraction of the clustered key range (files_rewritten stays < total)
+    k = 600
+    res = dl.update_where(
+        spark, path, [("o_orderkey", "<", k)],
+        {"cents": "cents + 50", "o_orderstatus": "lower(o_orderstatus)"},
+        stat_cols=["o_orderkey"],
+    )
+    assert res["rows_updated"] > 0
+    assert res["files_rewritten"] < res["files_total"], \
+        "touch detection must leave untouched files as pure metadata"
+    snap = dl.read_table(spark, path)
+    return (
+        snap.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum("cents").alias("total_cents"))
+        .orderBy("o_orderstatus")
+    )
+
+
+LAKE_UPDATE_WHERE_SQL = f"""
+WITH upd AS (
+  SELECT CASE WHEN o_orderkey < 600
+              THEN lower(o_orderstatus) ELSE o_orderstatus
+         END AS o_orderstatus,
+         {sql_cents('o_totalprice')}
+         + CASE WHEN o_orderkey < 600 THEN 50 ELSE 0 END
+         AS cents
+  FROM orders
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM upd GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def lake_incremental_lsh(spark, sf_dir):
     """Incrementally-maintained near-dup INDEX over a lakehouse corpus —
     the composite a 100 TB curation stack actually runs: the MinHash
@@ -699,6 +802,8 @@ FROM sigs GROUP BY perm ORDER BY perm
 
 
 QUERIES = {
+    "lake_partition_prune": lake_partition_prune,
+    "lake_update_where": lake_update_where,
     "lake_replace_where": lake_replace_where,
     "lake_incremental_lsh": lake_incremental_lsh,
     "lake_bloom_skip": lake_bloom_skip,
@@ -714,6 +819,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "lake_partition_prune": LAKE_PARTITION_PRUNE_SQL,
+    "lake_update_where": LAKE_UPDATE_WHERE_SQL,
     "lake_replace_where": LAKE_REPLACE_WHERE_SQL,
     "lake_incremental_lsh": _lake_lsh_sql(),
     "lake_bloom_skip": LAKE_BLOOM_SQL,

@@ -261,6 +261,7 @@ def _snapshot(table: str, version: int) -> dict:
     interval, not the table's age."""
     adds: dict[str, dict] = {}
     schema = None
+    partition_by = None
     constraints: dict[str, str] = {}
     start = 0
     ckpt = _latest_checkpoint_at_or_before(table, version)
@@ -270,6 +271,7 @@ def _snapshot(table: str, version: int) -> dict:
         )
         adds = {a["path"]: a for a in snap["adds"]}
         schema = snap.get("schema")
+        partition_by = snap.get("partition_by")
         constraints = dict(snap.get("constraints") or {})
         start = ckpt + 1
     for v in range(start, version + 1):
@@ -279,6 +281,9 @@ def _snapshot(table: str, version: int) -> dict:
         for action in _read_actions(p):
             if "commit" in action:
                 schema = action["commit"].get("schema", schema)
+                partition_by = action["commit"].get(
+                    "partition_by", partition_by
+                )
             elif "add" in action:
                 adds[action["add"]["path"]] = action["add"]
             elif "remove" in action:
@@ -290,13 +295,22 @@ def _snapshot(table: str, version: int) -> dict:
             elif "drop_constraint" in action:
                 constraints.pop(action["drop_constraint"]["name"], None)
     return {"adds": adds, "schema": schema, "version": version,
-            "constraints": constraints}
+            "constraints": constraints, "partition_by": partition_by}
 
 
 def live_files(table: str, version: int | None = None) -> list[dict]:
     """The live ``add`` actions (path + stats) at a version."""
     v = _resolve_version(table, version)
     return sorted(_snapshot(table, v)["adds"].values(), key=lambda a: a["path"])
+
+
+def table_partition_by(table: str) -> list[str] | None:
+    """The table's partition-column spec (None for unpartitioned) —
+    recorded in commit headers like the schema, immutable once set."""
+    v = table_version(table)
+    if v < 0:
+        return None
+    return _snapshot(table, v)["partition_by"]
 
 
 def history(table: str) -> list[dict]:
@@ -608,6 +622,83 @@ def _file_may_match(add: dict, predicate: list[tuple]) -> bool:
     return True
 
 
+def _single_value(add: dict, col: str):
+    """(decided, value): the file's single value for ``col`` when the
+    log PROVES single-valuedness — min==max with zero nulls, or
+    all-null. Partitioned writes guarantee this for partition columns;
+    anything else (missing stats, straddling range, mixed nulls) is
+    undecidable."""
+    rows = add.get("rows")
+    s = (add.get("stats") or {}).get(col)
+    if s is None or not rows:
+        return False, None
+    nulls = s.get("nulls")
+    if "min" not in s:
+        return nulls == rows, None  # all-null single "value"
+    if nulls == 0 and s["min"] == s["max"]:
+        return True, s["min"]
+    return False, None
+
+
+def _eval_single(value, op: str, lit) -> bool | None:
+    """Evaluate one conjunct against a known single value with SQL
+    semantics (NULL comparisons are not-matched). None = undecidable
+    (kind mismatch → Spark's implicit cast would decide; fall back)."""
+    if op == "isnull":
+        return value is None
+    if op == "notnull":
+        return value is not None
+    lit = _json_safe(lit)
+    if value is None or lit is None:
+        return False
+    if not _kinds_compatible(lit, value):
+        return None
+    if op in ("=", "=="):
+        return value == lit
+    if op == "!=":
+        return value != lit
+    if op == "<":
+        return value < lit
+    if op == "<=":
+        return value <= lit
+    if op == ">":
+        return value > lit
+    if op == ">=":
+        return value >= lit
+    return None
+
+
+def _metadata_match_plan(
+    table: str, adds: list[dict], predicate: list[tuple] | None
+) -> list[dict] | None:
+    """The partition fast path: when every conjunct references a
+    partition column and every candidate file is provably single-valued
+    on those columns, classify each file as wholly-matching from the
+    LOG alone — the shape that makes a partition-scoped DELETE /
+    replaceWhere on a 100 TB table a pure metadata commit (zero rows
+    scanned, zero rows moved). Returns the wholly-matching adds, or
+    None when anything is undecidable (callers run the normal scan)."""
+    pcols = set(table_partition_by(table) or ())
+    if not pcols or not predicate:
+        return None
+    if any(col not in pcols for col, _op, _v in predicate):
+        return None
+    matched = []
+    for a in adds:
+        verdict = True
+        for col, op, lit in predicate:
+            decided, value = _single_value(a, col)
+            if not decided:
+                return None
+            r = _eval_single(value, op, lit)
+            if r is None:
+                return None
+            verdict = verdict and r
+        if verdict:
+            matched.append(a)
+    return matched
+
+
 def _predicate_to_expr(predicate: list[tuple]) -> str:
     parts = []
     for col, op, val in predicate:
@@ -684,10 +775,28 @@ def _harvest_add(
 _DRIVER_HARVEST_MAX = 16
 
 
+def _partition_values_from_rel(rel: str) -> dict:
+    """Parse ``__p_<col>=<value>`` hive segments out of a log-relative
+    file path. Values are the hive STRING encoding (display only —
+    typed pruning rides the auto-harvested per-file stats);
+    __HIVE_DEFAULT_PARTITION__ decodes to None."""
+    from urllib.parse import unquote
+
+    out = {}
+    for seg in rel.split("/")[:-1]:
+        if seg.startswith("__p_") and "=" in seg:
+            k, _, v = seg.partition("=")
+            v = unquote(v)
+            out[k[len("__p_"):]] = (
+                None if v == "__HIVE_DEFAULT_PARTITION__" else v
+            )
+    return out
+
+
 def _write_data_files(
     df: DataFrame, table: str, version_hint: int, stat_cols: list[str] | None,
     cluster_by: list[str] | None, bloom_cols: list[str] | None = None,
-    bloom_fpp: float = 0.01,
+    bloom_fpp: float = 0.01, partition_by: list[str] | None = None,
 ) -> list[dict]:
     """Write the data files for one commit into a commit-unique subdir
     (no filename collisions across commits, ever) and return their
@@ -702,10 +811,39 @@ def _write_data_files(
     Spark map over the file list (the same shape as Delta/Iceberg's
     task-commit stats). The collected result is O(files) small dicts —
     log metadata, bounded by design."""
+    from pyspark.sql import functions as F
+
     spark = df.sparkSession
     token = uuid.uuid4().hex[:8]
     rel_dir = os.path.join("data", f"{version_hint:05d}-{token}")
     out_dir = os.path.join(table, rel_dir)
+    # a partitioned table STAYS partitioned through every rewrite
+    # (compact / merge / delete / update / replaceWhere all call this
+    # writer), so the spec is inherited from the table when not given
+    if partition_by is None:
+        partition_by = table_partition_by(table)
+    if partition_by:
+        missing = [c for c in partition_by if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"partition columns absent from the frame: {missing}"
+            )
+        # partition columns auto-join the stats set: each file is
+        # single-valued on them (min==max), which makes the ordinary
+        # zone-map pruning EXACT on partition predicates and is what
+        # the metadata-only DELETE/replaceWhere fast path keys on
+        stat_cols = list(stat_cols or []) + [
+            c for c in partition_by if c not in (stat_cols or [])
+        ]
+        # hive layout on DUPLICATED internal columns: the writer strips
+        # its partitionBy columns from the files, so partitioning on
+        # __p_<col> copies keeps the REAL columns in the data — readers
+        # need no path-reconstruction, and every non-partition-aware
+        # code path (DV anti-joins, merge lineage, stats) is unchanged.
+        # A constant column per file costs ~bytes after RLE/dictionary.
+        pdup = [f"__p_{c}" for c in partition_by]
+        for c, d in zip(partition_by, pdup):
+            df = df.withColumn(d, F.col(c))
     if cluster_by:
         # tight, non-overlapping zone maps per file → skipping actually
         # bites; explicit partition count (the incoming parallelism) so
@@ -714,12 +852,17 @@ def _write_data_files(
         df = df.repartitionByRange(n, *cluster_by).sortWithinPartitions(
             *cluster_by
         )
-    df.write.mode("overwrite").parquet(out_dir)
-    files = [
-        (os.path.join(out_dir, name), os.path.join(rel_dir, name))
-        for name in sorted(os.listdir(out_dir))
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*pdup)
+    w.parquet(out_dir)
+    files = sorted(
+        (os.path.join(dirpath, name),
+         os.path.relpath(os.path.join(dirpath, name), table))
+        for dirpath, _dirs, names in os.walk(out_dir)
+        for name in names
         if name.endswith(".parquet")
-    ]
+    )
     if len(files) <= _DRIVER_HARVEST_MAX:
         adds = [
             _harvest_add(full, rel, stat_cols, bloom_cols, bloom_fpp)
@@ -736,6 +879,9 @@ def _write_data_files(
             .collect()
         )
         adds.sort(key=lambda a: a["path"])
+    if partition_by:
+        for a in adds:
+            a["partition"] = _partition_values_from_rel(a["path"])
     # never publish 0-row shards (a sparsely-partitioned frame writes
     # empty part files): they pollute the live set and every scan plan.
     # Same behavior as Delta's writer — empty tasks commit nothing.
@@ -758,6 +904,7 @@ def _maybe_checkpoint(table: str, version: int, every: int) -> None:
             {
                 "version": version,
                 "schema": snap["schema"],
+                "partition_by": snap["partition_by"],
                 "constraints": snap["constraints"],
                 "adds": sorted(snap["adds"].values(), key=lambda a: a["path"]),
             },
@@ -772,6 +919,7 @@ def _commit_retry(
     txn: tuple[str, int] | None = None,
     require_unchanged: dict | None = None,
     expect_head: int | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Publish adds/removes, retrying version collisions. Appends
     (no removes) are always safe to replay at a later version; a
@@ -817,6 +965,8 @@ def _commit_retry(
         header = {"version": version, "operation": operation,
                   "schema": schema,
                   "ts": _dt.datetime.now(_dt.timezone.utc).isoformat()}
+        if partition_by is not None:
+            header["partition_by"] = list(partition_by)
         if txn is not None:
             header["txn"] = {"app": txn[0], "batch": int(txn[1])}
         actions = [{"commit": header}]
@@ -836,38 +986,68 @@ def append(
     cluster_by: list[str] | None = None, checkpoint_every: int = 10,
     txn: tuple[str, int] | None = None,
     bloom_cols: list[str] | None = None, bloom_fpp: float = 0.01,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Atomically append ``df`` as a new version; returns the version.
     ``txn=(app_id, batch_id)`` makes the append idempotent for
     streaming foreachBatch replays (see ``last_txn_batch``).
     ``bloom_cols`` attaches per-file bloom indexes for equality-literal
-    file skipping on unclustered high-cardinality columns."""
+    file skipping on unclustered high-cardinality columns.
+
+    ``partition_by`` (first commit only — the spec is immutable, like
+    Delta's) lays the table out hive-style with every data file
+    single-valued on the partition columns and per-file partition
+    values in the log: predicates on partition columns then prune
+    files from the LOG alone, and a partition-scoped DELETE /
+    replaceWhere is a pure metadata commit — zero data scanned or
+    moved (see ``delete_where``). Later appends inherit the spec."""
     base = table_version(table)
+    pby = _resolve_partition_by(table, partition_by)
     if txn is not None and last_txn_batch(table, txn[0]) >= txn[1]:
         return table_version(table)  # replayed micro-batch: no-op
     adds = _write_data_files(df, table, base + 1, stat_cols, cluster_by,
-                             bloom_cols, bloom_fpp)
+                             bloom_cols, bloom_fpp, partition_by=pby)
     _validate_constraints(df.sparkSession, table, adds)
     return _commit_retry(
         table, "append", adds, [], df.schema.json(), base,
-        checkpoint_every, txn=txn,
+        checkpoint_every, txn=txn, partition_by=pby,
     )
+
+
+def _resolve_partition_by(
+    table: str, requested: list[str] | None
+) -> list[str] | None:
+    """Inherit-or-validate the partition spec: a table partitioned at
+    creation keeps its spec forever (every write inherits it); asking
+    for a DIFFERENT spec on an existing table raises."""
+    existing = table_partition_by(table)
+    if requested is None:
+        return existing
+    if existing is not None and list(requested) != list(existing):
+        raise ValueError(
+            f"table is partitioned by {existing}; cannot write with "
+            f"partition_by={list(requested)} (the spec is immutable)"
+        )
+    return list(requested)
 
 
 def overwrite(
     df: DataFrame, table: str, stat_cols: list[str] | None = None,
     cluster_by: list[str] | None = None, checkpoint_every: int = 10,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Atomically replace the table's contents. Old versions still read
     the old files (snapshot isolation); raises ConcurrentWriteError if
     the live set changed between snapshot and publish."""
     base = table_version(table)
+    pby = _resolve_partition_by(table, partition_by)
     removes = [a["path"] for a in live_files(table)] if base >= 0 else []
-    adds = _write_data_files(df, table, base + 1, stat_cols, cluster_by)
+    adds = _write_data_files(df, table, base + 1, stat_cols, cluster_by,
+                             partition_by=pby)
     _validate_constraints(df.sparkSession, table, adds)
     return _commit_retry(
         table, "overwrite", adds, removes, df.schema.json(), base,
-        checkpoint_every,
+        checkpoint_every, partition_by=pby,
     )
 
 
@@ -893,6 +1073,7 @@ def compact(
     return _commit_retry(
         table, "compact", adds, removes, df.schema.json(), base,
         checkpoint_every,
+        require_unchanged={a["path"]: a for a in current},
     )
 
 
@@ -921,6 +1102,7 @@ def compact_small_files(
     version = _commit_retry(
         table, "compact", adds, [a["path"] for a in small],
         df.schema.json(), base, checkpoint_every,
+        require_unchanged={a["path"]: a for a in small},
     )
     return {"version": version, "files_compacted": len(small),
             "files_total": len(live)}
@@ -968,7 +1150,12 @@ def vacuum(table: str, keep_versions: int = 1) -> list[str]:
 
 
 # a file URI → the log's table-relative add path ("data/<commit>/<part>")
-_REL_FILE_RE = r"data/[^/]+/[^/]+$"
+# log-relative data-file path inside an absolute _metadata.file_path.
+# Anchored on the commit-dir token (%05d-%8hex) so a "data" segment in
+# the table's own path can never produce a false leftmost match, and
+# open-ended in depth: partitioned commits nest __p_<col>=<value>
+# directories between the commit dir and the part file.
+_REL_FILE_RE = r"data/\d{5,}-[0-9a-f]{8}(?:/[^/]+)*/[^/]+$"
 
 # below this many total deleted positions the DV anti-join broadcasts
 # (positions are 2 small columns; 4M rows ≈ tens of MB)
@@ -1119,6 +1306,24 @@ def delete_where(
         return noop
     schema = _snapshot(table, base)["schema"]
 
+    # partition fast path (both modes): a predicate wholly decidable on
+    # partition columns deletes whole files as PURE METADATA — no scan,
+    # no sidecar, no rewrite. Concurrent fatter-DV re-adds are benign
+    # for whole-file drops (their tombstones are a subset of ours), so
+    # plain remove-liveness validation suffices.
+    plan = _metadata_match_plan(table, cands, tuples)
+    if plan is not None:
+        if not plan:
+            return noop
+        dv_deleted = sum(d.get("count", 0) for d in _dv_entries(plan))
+        version = _commit_retry(
+            table, "delete", [], [a["path"] for a in plan], schema,
+            base, checkpoint_every,
+        )
+        return {"version": version,
+                "rows_deleted": int(sum(a["rows"] for a in plan)) - dv_deleted,
+                "files_touched": len(plan), "files_total": len(live)}
+
     if mode == "rewrite":
         # touch detection: bounded collect — one row per candidate file
         scan = _read_adds(spark, table, cands, lineage=True)
@@ -1137,6 +1342,7 @@ def delete_where(
         version = _commit_retry(
             table, "delete", adds, [a["path"] for a in touched], schema,
             base, checkpoint_every,
+            require_unchanged={a["path"]: a for a in touched},
         )
         return {"version": version, "rows_deleted": sum(per_file.values()),
                 "files_touched": len(touched), "files_total": len(live)}
@@ -1197,6 +1403,88 @@ def delete_where(
     }
 
 
+def update_where(
+    spark: SparkSession, table: str, predicate,
+    set_exprs: dict[str, str], stat_cols: list[str] | None = None,
+    checkpoint_every: int = 10,
+) -> dict:
+    """UPDATE ``table`` SET col = expr, ... WHERE ``predicate`` — the
+    copy-on-write UPDATE (the last DML verb next to DELETE / MERGE /
+    replaceWhere). The 100 TB shape is Delta's: stats-pruned candidates
+    → ONE touch-detection scan (which files actually contain a match,
+    bounded collect of one row per candidate) → only touched files are
+    rewritten, every other file rides through as metadata.
+
+    SQL UPDATE semantics: every SET expression is evaluated against the
+    PRE-update row (``SET a = b, b = a`` swaps), computed in one
+    projection; the result is cast back to the column's type; rows
+    where the predicate is NULL are left unmodified; SET columns must
+    already exist. CHECK constraints re-validate on the rewritten
+    files, and the change feed surfaces the touched rows as
+    update_preimage/update_postimage (keyed diff).
+
+    ``predicate`` is the ``(col, op, literal)`` conjunction list
+    (file-level pruning applies) or a raw Spark SQL boolean string.
+    Returns {"version", "rows_updated", "files_rewritten",
+    "files_total"}."""
+    from pyspark.sql import functions as F
+
+    base = table_version(table)
+    if base < 0:
+        raise FileNotFoundError(f"no such table: {table}")
+    tuples = predicate if isinstance(predicate, list) else None
+    expr = _predicate_to_expr(tuples) if tuples else predicate
+    live = live_files(table)
+    cands = (
+        [a for a in live if _file_may_match(a, tuples)] if tuples else list(live)
+    )
+    noop = {"version": base, "rows_updated": 0, "files_rewritten": 0,
+            "files_total": len(live)}
+    if not cands:
+        return noop
+    schema = _snapshot(table, base)["schema"]
+
+    # touch detection: bounded collect — one count per candidate file
+    scan = _read_adds(spark, table, cands, lineage=True)
+    bad = [c for c in set_exprs if c not in scan.columns]
+    if bad:
+        raise ValueError(
+            f"update_where SET columns not in the table: {bad} "
+            "(UPDATE cannot add columns — use a schema-evolving append)"
+        )
+    per_file = {
+        r["__dl_file"]: r["n"]
+        for r in scan.filter(F.expr(expr))
+        .groupBy("__dl_file").agg(F.count("*").alias("n")).collect()
+    }
+    if not per_file:
+        return noop
+    touched = [a for a in cands if a["path"] in per_file]
+    existing = _read_adds(spark, table, touched)
+    hit = F.coalesce(F.expr(expr), F.lit(False))
+    updated = existing.select(*[
+        F.when(hit, F.expr(set_exprs[c]))
+        .otherwise(F.col(c))
+        .cast(existing.schema[c].dataType)
+        .alias(c)
+        if c in set_exprs else F.col(c)
+        for c in existing.columns
+    ])
+    adds = _write_data_files(updated, table, base + 1, stat_cols, None)
+    _validate_constraints(spark, table, adds)
+    version = _commit_retry(
+        table, "update", adds, [a["path"] for a in touched], schema,
+        base, checkpoint_every,
+        require_unchanged={a["path"]: a for a in touched},
+    )
+    return {
+        "version": version,
+        "rows_updated": int(sum(per_file.values())),
+        "files_rewritten": len(touched),
+        "files_total": len(live),
+    }
+
+
 def overwrite_where(
     spark: SparkSession, df: DataFrame, table: str, predicate,
     stat_cols: list[str] | None = None, checkpoint_every: int = 10,
@@ -1242,11 +1530,20 @@ def overwrite_where(
         [a for a in live if _file_may_match(a, tuples)] if tuples else list(live)
     )
     # one distributed pass over the candidates: per file, how many rows
-    # match vs total (bounded collect: one row per candidate file)
+    # match vs total (bounded collect: one row per candidate file) —
+    # UNLESS the predicate is wholly decidable on partition columns,
+    # in which case the existing-data side is classified from the log
+    # alone (partition-scoped backfill = metadata drops + new files)
     removed_whole: list[str] = []
     boundary: list[dict] = []
     rows_deleted = 0
-    if cands:
+    plan = _metadata_match_plan(table, cands, tuples)
+    if plan is not None:
+        removed_whole = [a["path"] for a in plan]
+        rows_deleted = int(sum(a["rows"] for a in plan)) - sum(
+            d.get("count", 0) for d in _dv_entries(plan)
+        )
+    elif cands:
         scan = _read_adds(spark, table, cands, lineage=True)
         per_file = {
             r["__dl_file"]: (r["m"], r["n"])
@@ -1274,10 +1571,17 @@ def overwrite_where(
         adds += _write_data_files(survivors, table, base + 1, stat_cols, None)
     adds += _write_data_files(df, table, base + 1, stat_cols, None)
     _validate_constraints(spark, table, adds)
+    # boundary rewrites were DERIVED from their snapshot actions — a
+    # concurrent DV-delete re-adding one with a fatter DV would have its
+    # tombstones resurrected by our stale-survivor rewrite (lost update),
+    # so those must be unchanged. Whole-file drops are safe regardless:
+    # every physical row matches the predicate, so a concurrently fatter
+    # DV deletes a subset of what the drop deletes anyway.
     version = _commit_retry(
         table, "replace_where", adds,
         removed_whole + [a["path"] for a in boundary],
         df.schema.json(), base, checkpoint_every,
+        require_unchanged={a["path"]: a for a in boundary},
     )
     return {
         "version": version,
@@ -1306,6 +1610,7 @@ def purge_dv(
     version = _commit_retry(
         table, "purge", adds, [a["path"] for a in dvd], df.schema.json(),
         base, checkpoint_every,
+        require_unchanged={a["path"]: a for a in dvd},
     )
     return {"version": version, "files_purged": len(dvd)}
 
@@ -1589,6 +1894,10 @@ def merge_into(
             table, "merge_delete", adds, touched_rel,
             _snapshot(table, base)["schema"], base, checkpoint_every,
             txn=txn,
+            require_unchanged={
+                a["path"]: a for a in candidates
+                if a["path"] in touched_set
+            },
         )
         return {
             "version": version,
@@ -1614,6 +1923,9 @@ def merge_into(
     version = _commit_retry(
         table, "merge", adds, touched_rel,
         rewritten.schema.json(), base, checkpoint_every, txn=txn,
+        require_unchanged={
+            a["path"]: a for a in candidates if a["path"] in touched_set
+        },
     )
     return {
         "version": version,
@@ -1731,6 +2043,7 @@ def compact_zorder(
     return _commit_retry(
         table, "compact", adds, removes, df.schema.json(), base,
         checkpoint_every,
+        require_unchanged={a["path"]: a for a in current},
     )
 
 

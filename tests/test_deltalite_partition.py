@@ -1,0 +1,282 @@
+"""Partitioned deltalite tables: hive-style layout on duplicated
+internal columns (real columns stay in the data files), per-file
+partition values + single-valued stats in the log, metadata-only
+DELETE / replaceWhere on partition predicates, and the copy-on-write
+UPDATE verb."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pygdf_spark.sources import deltalite as dl
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _mk(spark, table, **kw):
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3], float(i) * 1.5) for i in range(30)],
+        "id int, region string, v double",
+    )
+    dl.append(df, table, partition_by=["region"], **kw)
+    return df
+
+
+def _ids(spark, table, **kw):
+    return sorted(
+        r["id"] for r in dl.read_table(spark, table, **kw).select("id").collect()
+    )
+
+
+def test_partitioned_roundtrip_schema_and_content(spark, table):
+    df = _mk(spark, table)
+    out = dl.read_table(spark, table)
+    # no __p_ reconstruction leaks into the read schema
+    assert out.columns == df.columns
+    assert _ids(spark, table) == list(range(30))
+    # hive layout on disk, one value per file, values recorded in log
+    adds = dl.live_files(table)
+    assert all("__p_region=" in a["path"] for a in adds)
+    assert all(a["partition"]["region"] in ("a", "b", "c") for a in adds)
+    # partition columns are auto-stats'd and single-valued
+    for a in adds:
+        s = a["stats"]["region"]
+        assert s["min"] == s["max"] == a["partition"]["region"]
+    assert dl.table_partition_by(table) == ["region"]
+
+
+def test_spec_is_immutable_and_inherited(spark, table):
+    _mk(spark, table)
+    more = spark.createDataFrame([(100, "a", 1.0)], "id int, region string, v double")
+    with pytest.raises(ValueError, match="immutable"):
+        dl.append(more, table, partition_by=["id"])
+    dl.append(more, table)  # inherits ["region"]
+    newest = max(dl.live_files(table), key=lambda a: a["path"])
+    assert newest["partition"] == {"region": "a"}
+    # spec survives checkpoint replay
+    for _ in range(3):
+        dl.append(more, table, checkpoint_every=2)
+    assert dl.table_partition_by(table) == ["region"]
+
+
+def test_partition_scoped_delete_is_pure_metadata(spark, table, monkeypatch):
+    _mk(spark, table)
+    before = {a["path"] for a in dl.live_files(table)}
+
+    def no_scan(*a, **k):  # the whole point: zero data read
+        raise AssertionError("metadata-only delete must not scan data")
+
+    monkeypatch.setattr(dl, "_read_adds", no_scan)
+    res = dl.delete_where(spark, table, [("region", "=", "b")])
+    monkeypatch.undo()
+    assert res["rows_deleted"] == 10
+    assert res["files_touched"] > 0
+    after = {a["path"] for a in dl.live_files(table)}
+    assert after < before  # pure removes, no new files
+    assert _ids(spark, table) == sorted(
+        i for i in range(30) if i % 3 != 1
+    )
+    # time travel still sees the deleted partition
+    assert len(_ids(spark, table, version=0)) == 30
+
+
+def test_partition_delete_range_and_noop(spark, table, monkeypatch):
+    _mk(spark, table)
+    monkeypatch.setattr(
+        dl, "_read_adds",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("scan")),
+    )
+    assert dl.delete_where(spark, table, [("region", ">", "b")])[
+        "rows_deleted"] == 10  # 'c'
+    assert dl.delete_where(spark, table, [("region", "=", "zz")])[
+        "rows_deleted"] == 0
+
+
+def test_non_partition_predicate_falls_back_to_scan(spark, table):
+    _mk(spark, table)
+    res = dl.delete_where(spark, table, [("region", "=", "a"), ("id", "<", 6)])
+    assert res["rows_deleted"] == 2  # ids 0, 3
+    assert _ids(spark, table) == sorted(set(range(30)) - {0, 3})
+
+
+def test_partition_scoped_replace_where_is_metadata_plus_new(
+    spark, table, monkeypatch
+):
+    _mk(spark, table)
+    incoming = spark.createDataFrame(
+        [(1000, "b", 0.5), (1001, "b", 0.6)], "id int, region string, v double"
+    )
+    real = dl._read_adds
+    calls = {"n": 0}
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(dl, "_read_adds", counting)
+    res = dl.overwrite_where(spark, incoming, table, [("region", "=", "b")])
+    assert calls["n"] == 0  # classification came from the log
+    assert res["files_rewritten"] == 0  # no boundary files
+    assert res["rows_deleted"] == 10
+    assert _ids(spark, table) == sorted(
+        [i for i in range(30) if i % 3 != 1] + [1000, 1001]
+    )
+    # the landed files follow the table's partition layout
+    newest = [a for a in dl.live_files(table) if "1000" not in a["path"]]
+    assert all("__p_region=" in a["path"] for a in dl.live_files(table))
+
+
+def test_rewrites_preserve_partition_layout(spark, table):
+    _mk(spark, table)
+    dl.compact(spark, table, num_files=1)
+    adds = dl.live_files(table)
+    assert all("__p_region=" in a["path"] for a in adds)
+    # still single-valued -> metadata fast path still fires post-compact
+    res = dl.delete_where(spark, table, [("region", "=", "c")])
+    assert res["rows_deleted"] == 10
+    assert _ids(spark, table) == sorted(i for i in range(30) if i % 3 != 2)
+
+
+def test_merge_on_partitioned_table(spark, table):
+    _mk(spark, table)
+    src = spark.createDataFrame(
+        [(3, "a", -1.0), (500, "c", -2.0)], "id int, region string, v double"
+    )
+    dl.merge_into(spark, table, src, on="id", stat_cols=["id"])
+    out = {r["id"]: r["v"] for r in dl.read_table(spark, table).collect()}
+    assert out[3] == -1.0 and out[500] == -2.0 and len(out) == 31
+    assert all("__p_region=" in a["path"] for a in dl.live_files(table))
+
+
+def test_null_partition_value(spark, table):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None)], "id int, region string"
+    )
+    dl.append(df, table, partition_by=["region"])
+    adds = dl.live_files(table)
+    nulls = [a for a in adds if a["partition"]["region"] is None]
+    assert nulls and sum(a["rows"] for a in nulls) == 2
+    # '=' never matches NULL (SQL semantics): metadata delete of 'a'
+    # must not touch the null partition, and a predicate on the null
+    # partition's value deletes nothing
+    assert dl.delete_where(spark, table, [("region", "=", "zz")])[
+        "rows_deleted"] == 0
+    res = dl.delete_where(spark, table, [("region", "=", "a")])
+    assert res["rows_deleted"] == 1
+    assert sorted(r["id"] for r in dl.read_table(spark, table).collect()) == [2, 3]
+    # isnull predicate drops the null partition as metadata
+    res = dl.delete_where(spark, table, [("region", "isnull", None)])
+    assert res["rows_deleted"] == 2
+    assert dl.read_table(spark, table).count() == 0
+
+
+def test_partition_string_values_with_specials(spark, table):
+    df = spark.createDataFrame(
+        [(1, "us east/1"), (2, "eu=west 2")], "id int, region string"
+    )
+    dl.append(df, table, partition_by=["region"])
+    adds = dl.live_files(table)
+    assert sorted(a["partition"]["region"] for a in adds) == [
+        "eu=west 2", "us east/1"
+    ]
+    res = dl.delete_where(spark, table, [("region", "=", "us east/1")])
+    assert res["rows_deleted"] == 1
+    assert [r["id"] for r in dl.read_table(spark, table).collect()] == [2]
+
+
+def test_multi_column_partitioning(spark, table):
+    df = spark.createDataFrame(
+        [(i, i % 2, ["x", "y"][i % 2 == 0], float(i)) for i in range(12)],
+        "id int, y int, m string, v double",
+    )
+    dl.append(df, table, partition_by=["y", "m"])
+    adds = dl.live_files(table)
+    assert all(set(a["partition"]) == {"y", "m"} for a in adds)
+    res = dl.delete_where(spark, table, [("y", "=", 1), ("m", "=", "x")])
+    assert res["rows_deleted"] == 6
+    assert dl.read_table(spark, table).count() == 6
+
+
+# ------------------------------------------------------------- UPDATE
+
+
+def test_update_where_basic(spark, table):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id int, v double"
+    )
+    dl.append(df, table, stat_cols=["id"])
+    res = dl.update_where(
+        spark, table, [("id", ">=", 7)], {"v": "v * 10"}, stat_cols=["id"]
+    )
+    assert res["rows_updated"] == 3
+    out = {r["id"]: r["v"] for r in dl.read_table(spark, table).collect()}
+    assert out[7] == 70.0 and out[6] == 6.0 and len(out) == 10
+    # time travel: pre-update values intact
+    old = {r["id"]: r["v"]
+           for r in dl.read_table(spark, table, version=0).collect()}
+    assert old[7] == 7.0
+
+
+def test_update_simultaneous_assignment_and_cast(spark, table):
+    df = spark.createDataFrame([(1, 10, 20)], "id int, a int, b int")
+    dl.append(df, table)
+    dl.update_where(spark, table, "id = 1", {"a": "b", "b": "a"})
+    row = dl.read_table(spark, table).collect()[0]
+    assert (row["a"], row["b"]) == (20, 10)  # swap, not chain
+    # SET expr casts back to the column's type (SQL UPDATE semantics)
+    dl.update_where(spark, table, "id = 1", {"a": "a * 2.9"})
+    row = dl.read_table(spark, table).collect()[0]
+    assert row["a"] == 58 and isinstance(row["a"], int)
+
+
+def test_update_touches_only_matching_files(spark, table):
+    df = spark.range(100).withColumn("v", F.col("id").cast("double"))
+    dl.append(df.repartitionByRange(4, "id"), table, stat_cols=["id"],
+              cluster_by=["id"])
+    n_before = len(dl.live_files(table))
+    res = dl.update_where(spark, table, [("id", "=", 5)], {"v": "-1.0"},
+                          stat_cols=["id"])
+    assert res["rows_updated"] == 1
+    assert res["files_rewritten"] == 1
+    assert res["files_total"] == n_before
+    out = dl.read_table(spark, table)
+    assert out.filter("v = -1.0").count() == 1
+    assert out.count() == 100
+
+
+def test_update_null_predicate_rows_kept(spark, table):
+    df = spark.createDataFrame(
+        [(1, None), (2, 5)], "id int, k int"
+    )
+    dl.append(df, table)
+    dl.update_where(spark, table, "k > 0", {"id": "id + 100"})
+    out = sorted(r["id"] for r in dl.read_table(spark, table).collect())
+    assert out == [1, 102]  # NULL-predicate row untouched
+
+
+def test_update_rejects_new_columns_and_validates_constraints(spark, table):
+    dl.append(spark.createDataFrame([(1,)], "x int"), table)
+    with pytest.raises(ValueError, match="not in the table"):
+        dl.update_where(spark, table, "x = 1", {"nope": "1"})
+    dl.add_check_constraint(spark, table, "pos", "x > 0")
+    with pytest.raises(ValueError, match="CHECK"):
+        dl.update_where(spark, table, "x = 1", {"x": "-5"})
+    assert dl.read_table(spark, table).collect()[0]["x"] == 1
+
+
+def test_update_cdf_emits_pre_and_post_images(spark, table):
+    dl.append(spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id int, v double"), table)
+    v0 = dl.table_version(table)
+    dl.update_where(spark, table, "id = 2", {"v": "v + 1"})
+    feed = dl.table_changes(spark, table, v0, dl.table_version(table), key="id")
+    rows = {(r["_change_type"], r["id"]): r["v"] for r in feed.collect()}
+    assert rows[("update_preimage", 2)] == 20.0
+    assert rows[("update_postimage", 2)] == 21.0
+    assert ("update_preimage", 1) not in rows

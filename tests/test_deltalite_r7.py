@@ -424,3 +424,111 @@ def test_merge_delete_no_match_is_noop(spark, table):
                         when_matched="delete", stat_cols=["id"])
     assert res["files_rewritten"] == 0
     assert dl.table_version(table) == 0  # no commit published
+
+
+# --------------------- rewrite-vs-DV-delete lost-update (r7 review #5)
+#
+# Every rewrite-style commit (compact / delete rewrite / merge /
+# replaceWhere boundary / purge) derives its survivor rows from a
+# snapshot. A concurrent DV-delete re-ADDS one of those files with a
+# fatter deletion vector: the path stays live, so a remove check keyed
+# on liveness alone would let the stale rewrite land and RESURRECT the
+# concurrently-deleted rows — the classic lost update. The rewriters
+# must pass require_unchanged for every file they derived from.
+
+
+def _race_once(monkeypatch, spark, table, operation, racing):
+    """Run ``racing()`` immediately before the first publish whose
+    commit header carries ``operation`` (i.e. between the op's snapshot
+    derivation and its commit)."""
+    real_publish = dl._publish
+    fired = {"done": False}
+
+    def racing_publish(tbl, version, actions):
+        hdr = actions[0].get("commit", {}) if actions else {}
+        if not fired["done"] and hdr.get("operation") == operation:
+            fired["done"] = True
+            racing()
+        real_publish(tbl, version, actions)
+
+    monkeypatch.setattr(dl, "_publish", racing_publish)
+
+
+def _vals(spark, table):
+    return sorted(
+        r["x"] for r in dl.read_table(spark, table).select("x").collect()
+    )
+
+
+@pytest.mark.parametrize("op", ["compact", "purge", "delete_rewrite",
+                                "merge", "merge_delete", "replace_where",
+                                "update"])
+def test_rewrite_never_resurrects_concurrent_dv_delete(
+    spark, table, monkeypatch, op
+):
+    dl.append(
+        spark.createDataFrame([(i,) for i in range(1, 7)], "x int"),
+        table, stat_cols=["x"],
+    )
+    # ONE live file, so the racing DV-delete provably hits the same
+    # file the op under test rewrites (scattered layouts where the op
+    # touches a different file are benign and shouldn't raise)
+    dl.compact(spark, table, num_files=1, stat_cols=["x"])
+    if op == "purge":  # purge needs an outstanding DV to touch the file
+        dl.delete_where(spark, table, [("x", "=", 6)], mode="dv")
+
+    def racing():
+        dl.delete_where(spark, table, [("x", "=", 3)], mode="dv")
+
+    ops = {
+        "compact": lambda: dl.compact(spark, table, num_files=1),
+        "purge": lambda: dl.purge_dv(spark, table),
+        "delete_rewrite": lambda: dl.delete_where(
+            spark, table, [("x", ">", 5)], mode="rewrite"),
+        "merge": lambda: dl.merge_into(
+            spark, table, spark.createDataFrame([(5,)], "x int"), on="x"),
+        "merge_delete": lambda: dl.merge_into(
+            spark, table, spark.createDataFrame([(5,)], "x int"), on="x",
+            when_matched="delete"),
+        "replace_where": lambda: dl.overwrite_where(
+            spark, spark.createDataFrame([(5,)], "x int"), table,
+            [("x", ">=", 5)]),
+        "update": lambda: dl.update_where(
+            spark, table, [("x", "=", 5)], {"x": "x + 100"}),
+    }
+    header = {"compact": "compact", "purge": "purge",
+              "delete_rewrite": "delete", "merge": "merge",
+              "merge_delete": "merge_delete",
+              "replace_where": "replace_where", "update": "update"}
+    _race_once(monkeypatch, spark, table, header[op], racing)
+    with pytest.raises(dl.ConcurrentWriteError):
+        ops[op]()
+    # the loser raised; the concurrent delete survived intact
+    assert 3 not in _vals(spark, table)
+    # and re-deriving against the current snapshot succeeds
+    ops[op]()
+    assert 3 not in _vals(spark, table)
+
+
+def test_replace_where_whole_file_drop_tolerates_concurrent_dv(
+    spark, table, monkeypatch
+):
+    """A file wholly inside the replace predicate is dropped as pure
+    metadata — every physical row is deleted regardless of how fat a
+    concurrent DV got, so THAT race is benign and must NOT raise."""
+    dl.append(
+        spark.createDataFrame([(i,) for i in range(1, 5)], "x int"),
+        table, stat_cols=["x"],
+    )
+
+    def racing():
+        dl.delete_where(spark, table, [("x", "=", 2)], mode="dv")
+
+    _race_once(monkeypatch, spark, table, "replace_where", racing)
+    out = dl.overwrite_where(
+        spark,
+        spark.createDataFrame([(10,), (11,)], "x int"),
+        table, [("x", ">=", 1)],  # covers every file entirely
+    )
+    assert out["files_rewritten"] == 0  # no boundary files
+    assert _vals(spark, table) == [10, 11]
