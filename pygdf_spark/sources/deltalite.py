@@ -1125,15 +1125,23 @@ def vacuum(table: str, keep_versions: int = 1) -> list[str]:
     deleted = []
     data_root = os.path.join(table, "data")
     if os.path.isdir(data_root):
-        for sub in sorted(os.listdir(data_root)):
-            subdir = os.path.join(data_root, sub)
-            for name in sorted(os.listdir(subdir)):
-                rel = os.path.join("data", sub, name)
+        # recursive: partitioned commits nest __p_<col>=<value> dirs
+        # between the commit dir and the part files
+        for dirpath, _dirs, names in sorted(os.walk(data_root)):
+            for name in sorted(names):
+                full = os.path.join(dirpath, name)
+                rel = os.path.relpath(full, table)
                 if name.endswith(".parquet") and rel not in keep:
-                    os.unlink(os.path.join(subdir, name))
+                    os.unlink(full)
                     deleted.append(rel)
-            if not os.listdir(subdir):
-                shutil.rmtree(subdir)
+        # prune emptied commit/partition dirs bottom-up (re-listing at
+        # visit time — the walk snapshot predates the child deletions)
+        for dirpath, _dirs, _names in os.walk(data_root, topdown=False):
+            if dirpath != data_root and not os.listdir(dirpath):
+                try:
+                    os.rmdir(dirpath)
+                except OSError:
+                    pass
     # DV sidecars: a sidecar DIRECTORY is referenced as a unit by add
     # actions; drop the ones no kept version references
     dv_root = os.path.join(table, _DV_DIR)

@@ -280,3 +280,24 @@ def test_update_cdf_emits_pre_and_post_images(spark, table):
     assert rows[("update_preimage", 2)] == 20.0
     assert rows[("update_postimage", 2)] == 21.0
     assert ("update_preimage", 1) not in rows
+
+
+def test_vacuum_reclaims_nested_partition_files(spark, table):
+    df = spark.createDataFrame(
+        [(i, ["a", "b"][i % 2]) for i in range(8)], "id int, region string"
+    )
+    dl.append(df, table, partition_by=["region"])
+    dl.delete_where(spark, table, [("region", "=", "a")])  # metadata drop
+    dl.compact(spark, table, num_files=1)
+    deleted = dl.vacuum(table, keep_versions=1)
+    # the dropped partition's nested files are actually reclaimed
+    assert any("__p_region=a" in p for p in deleted)
+    for p in deleted:
+        assert not os.path.exists(os.path.join(table, p))
+    # the live snapshot is untouched
+    assert sorted(r["id"] for r in dl.read_table(spark, table).collect()) \
+        == [1, 3, 5, 7]
+    # emptied partition/commit dirs are pruned
+    data_root = os.path.join(table, "data")
+    for dirpath, dirs, names in os.walk(data_root):
+        assert names or dirs, f"empty dir left behind: {dirpath}"
