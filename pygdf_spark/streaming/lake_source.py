@@ -52,19 +52,26 @@ from pyspark.sql.types import StructType
 
 
 class _FilePart(InputPartition):
-    def __init__(self, path: str, dv_paths: tuple = ()):
+    def __init__(self, path: str, dv_paths: tuple = (), rel: str = ""):
         self.path = path
         self.dv_paths = tuple(dv_paths)
+        # the log-relative path ("data/<commit>/[...partition dirs...]/
+        # <file>") — DV sidecars key deleted positions on exactly this
+        # string, and it cannot be re-derived from the absolute path by
+        # segment count once partitioned commits nest __p_<col>=<value>
+        # directories, so it rides along from planning time
+        self.rel = rel
 
 
-def _read_arrow_with_dv(path: str, dv_paths: tuple):
+def _read_arrow_with_dv(path: str, dv_paths: tuple, rel: str = ""):
     """Arrow table of one data file minus its deletion-vector
     positions (executor-side; no Spark imports)."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(path)
     if dv_paths:
-        rel = "/".join(path.rsplit("/", 3)[1:])  # data/<commit>/<file>
+        if not rel:  # legacy fallback: flat data/<commit>/<file> layout
+            rel = "/".join(path.rsplit("/", 3)[1:])
         drop = set()
         for dv in dv_paths:
             sidecar = pq.read_table(dv, columns=["file", "pos"])
@@ -136,7 +143,8 @@ class DeltaliteStreamReader(DataSourceStreamReader):
                 # append-like by content: all-new files, nothing removed
                 for a in adds:
                     parts.append(
-                        _FilePart(os.path.join(self.table, a["path"]))
+                        _FilePart(os.path.join(self.table, a["path"]),
+                                  rel=a["path"])
                     )
             elif not self.skip_change_commits:
                 raise ValueError(
@@ -151,7 +159,8 @@ class DeltaliteStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition: _FilePart):
-        t = _read_arrow_with_dv(partition.path, partition.dv_paths)
+        t = _read_arrow_with_dv(partition.path, partition.dv_paths,
+                                getattr(partition, "rel", ""))
         yield from t.to_batches()
 
     def commit(self, end: dict) -> None:
@@ -174,12 +183,14 @@ class DeltaliteBatchReader(DataSourceReader):
                     os.path.join(self.table, d["path"])
                     for d in (a.get("dv") or [])
                 ),
+                rel=a["path"],
             )
             for a in adds
         ]
 
     def read(self, partition: _FilePart):
-        t = _read_arrow_with_dv(partition.path, partition.dv_paths)
+        t = _read_arrow_with_dv(partition.path, partition.dv_paths,
+                                getattr(partition, "rel", ""))
         yield from t.to_batches()
 
 

@@ -301,3 +301,44 @@ def test_vacuum_reclaims_nested_partition_files(spark, table):
     data_root = os.path.join(table, "data")
     for dirpath, dirs, names in os.walk(data_root):
         assert names or dirs, f"empty dir left behind: {dirpath}"
+
+
+def test_datasource_reads_partitioned_table_with_dv(spark, table):
+    """The Python DataSource batch reader must apply deletion vectors
+    on NESTED partitioned paths (the DV sidecar keys positions on the
+    log-relative path, which segment counting cannot recover once
+    partition dirs nest)."""
+    from pygdf_spark.streaming.lake_source import register
+
+    register(spark)
+    df = spark.createDataFrame(
+        [(i, ["a", "b"][i % 2]) for i in range(10)], "id int, region string"
+    )
+    dl.append(df, table, partition_by=["region"])
+    dl.delete_where(spark, table, [("id", "=", 4)], mode="dv")  # non-partition col
+    out = spark.read.format("deltalite").option("path", table).load()
+    assert sorted(r["id"] for r in out.collect()) == [
+        0, 1, 2, 3, 5, 6, 7, 8, 9
+    ]
+
+
+def test_stream_reads_partitioned_appends(spark, table, tmp_path):
+    from pygdf_spark.streaming.lake_source import register
+
+    register(spark)
+    for lo in (0, 4):
+        df = spark.createDataFrame(
+            [(i, ["a", "b"][i % 2]) for i in range(lo, lo + 4)],
+            "id int, region string",
+        )
+        dl.append(df, table, partition_by=["region"])
+    q = (
+        spark.readStream.format("deltalite").option("path", table).load()
+        .writeStream.format("memory").queryName("part_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["id"] for r in spark.sql("select * from part_stream").collect())
+    assert got == list(range(8))
