@@ -261,6 +261,8 @@ class DeltaliteDataSource(DataSource):
         return DeltaliteStreamReader(self._table(), skip, start)
 
     def streamWriter(self, schema: StructType, overwrite: bool):
+        from pygdf_spark.sources import deltalite as dl
+
         app_id = self.options.get(
             "appid",
             self.options.get("checkpointlocation", "deltalite-stream-sink"),
@@ -268,8 +270,17 @@ class DeltaliteDataSource(DataSource):
         stat_cols = [
             c for c in str(self.options.get("statcols", "")).split(",") if c
         ]
+        # partition spec resolved DRIVER-side (executors never read the
+        # log): inherited from the table, or set by the `partitionBy`
+        # option on the sink's FIRST commit (immutable afterwards, same
+        # contract as dl.append)
+        requested = [
+            c for c in str(self.options.get("partitionby", "")).split(",")
+            if c
+        ] or None
+        pby = dl._resolve_partition_by(self._table(), requested)
         return DeltaliteStreamWriter(
-            self._table(), schema, app_id, stat_cols
+            self._table(), schema, app_id, stat_cols, pby
         )
 
 
@@ -282,9 +293,10 @@ def register(spark) -> None:
 
 
 class _ShardMsg(WriterCommitMessage):
-    def __init__(self, rel_path: str | None, rows: int):
-        self.rel_path = rel_path
-        self.rows = rows
+    def __init__(self, shards: list):
+        # [(log-relative path, row count)] — one entry per staged file;
+        # a partitioned sink task stages one file per partition value
+        self.shards = list(shards)
 
 
 class DeltaliteStreamWriter(DataSourceStreamWriter):
@@ -299,15 +311,17 @@ class DeltaliteStreamWriter(DataSourceStreamWriter):
     orphans are unreferenced files that vacuum() reclaims."""
 
     def __init__(self, table: str, schema: StructType, app_id: str,
-                 stat_cols: list[str]):
+                 stat_cols: list[str], partition_by: list[str] | None = None):
         self.table = table
         self.schema = schema
         self.app_id = app_id
         self.stat_cols = stat_cols
+        self.partition_by = list(partition_by) if partition_by else None
         self.stage = f"stream-{os.getpid()}-{__import__('uuid').uuid4().hex[:8]}"
 
     def write(self, iterator) -> "_ShardMsg":
         import uuid as _uuid
+        from urllib.parse import quote
 
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -315,35 +329,72 @@ class DeltaliteStreamWriter(DataSourceStreamWriter):
 
         rows = list(iterator)
         if not rows:
-            return _ShardMsg(None, 0)
+            return _ShardMsg([])
         arrow_schema = to_arrow_schema(self.schema)
         cols = [f.name for f in self.schema.fields]
-        data = {c: [r[i] for r in rows] for i, c in enumerate(cols)}
-        t = pa.Table.from_pydict(data, schema=arrow_schema)
-        rel = os.path.join(
-            "data", self.stage, f"part-{_uuid.uuid4().hex}.parquet"
-        )
-        full = os.path.join(self.table, rel)
-        os.makedirs(os.path.dirname(full), exist_ok=True)
-        tmp = full + ".tmp"
-        pq.write_table(t, tmp)
-        os.replace(tmp, full)  # atomic: no torn shard is ever referenced
-        return _ShardMsg(rel, len(rows))
+
+        def _stage_one(subrows, subdir: str):
+            data = {c: [r[i] for r in subrows] for i, c in enumerate(cols)}
+            t = pa.Table.from_pydict(data, schema=arrow_schema)
+            rel = os.path.join(
+                "data", self.stage, *filter(None, [subdir]),
+                f"part-{_uuid.uuid4().hex}.parquet",
+            )
+            full = os.path.join(self.table, rel)
+            os.makedirs(os.path.dirname(full), exist_ok=True)
+            tmp = full + ".tmp"
+            pq.write_table(t, tmp)
+            os.replace(tmp, full)  # atomic: no torn shard ever referenced
+            return rel, len(subrows)
+
+        if not self.partition_by:
+            return _ShardMsg([_stage_one(rows, "")])
+        # partitioned sink: one single-valued shard per partition value
+        # (hive layout, real columns kept in the data — the same layout
+        # contract as _write_data_files, so partition pruning and
+        # metadata-only DELETE work on stream-landed data too)
+        pidx = [cols.index(c) for c in self.partition_by]
+
+        def _hive(v):
+            return ("__HIVE_DEFAULT_PARTITION__" if v is None
+                    else quote(str(v), safe=""))
+
+        groups: dict = {}
+        for r in rows:
+            groups.setdefault(tuple(r[i] for i in pidx), []).append(r)
+        shards = []
+        for key, grp in sorted(groups.items(),
+                               key=lambda kv: tuple(map(str, kv[0]))):
+            subdir = "/".join(
+                f"__p_{c}={_hive(v)}"
+                for c, v in zip(self.partition_by, key)
+            )
+            shards.append(_stage_one(grp, subdir))
+        return _ShardMsg(shards)
 
     def commit(self, messages, batchId: int) -> None:
         from pyspark.sql import SparkSession
 
         from pygdf_spark.sources import deltalite as dl
 
+        # partition columns auto-join the stats set (single-valued per
+        # shard by construction) so partition predicates prune these
+        # files and metadata-only DELETE fires on stream-landed data
+        scols = list(self.stat_cols)
+        for c in self.partition_by or ():
+            if c not in scols:
+                scols.append(c)
         adds = []
         for m in messages:
-            if m is None or m.rel_path is None:
-                continue
-            full = os.path.join(self.table, m.rel_path)
-            add = {"path": m.rel_path, "bytes": os.path.getsize(full)}
-            if self.stat_cols:
-                add["stats"] = dl._file_stats(full, self.stat_cols)
-            adds.append(add)
+            for rel, nrows in (getattr(m, "shards", None) or []):
+                full = os.path.join(self.table, rel)
+                add = {"path": rel, "bytes": os.path.getsize(full),
+                       "rows": int(nrows)}
+                if scols:
+                    add["stats"] = dl._file_stats(full, scols)
+                if self.partition_by:
+                    add["partition"] = dl._partition_values_from_rel(rel)
+                adds.append(add)
         if not adds:
             return  # empty batch: nothing to publish
         if dl.table_version(self.table) >= 0 and dl.table_constraints(
@@ -363,13 +414,14 @@ class DeltaliteStreamWriter(DataSourceStreamWriter):
         dl._commit_retry(
             self.table, "append", adds, [], schema_json, base,
             checkpoint_every=10, txn=(self.app_id, int(batchId)),
+            partition_by=self.partition_by,
         )
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:
-            if m is not None and m.rel_path:
+            for rel, _n in (getattr(m, "shards", None) or []):
                 try:
-                    os.unlink(os.path.join(self.table, m.rel_path))
+                    os.unlink(os.path.join(self.table, rel))
                 except OSError:
                     pass
 

@@ -342,3 +342,49 @@ def test_stream_reads_partitioned_appends(spark, table, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["id"] for r in spark.sql("select * from part_stream").collect())
     assert got == list(range(8))
+
+
+def test_stream_sink_lands_partitioned(spark, table, tmp_path, monkeypatch):
+    """The native streaming sink writes hive-partitioned single-valued
+    shards (inheriting the table spec, or creating it via the
+    partitionBy option), so partition pruning and metadata-only DELETE
+    work on stream-landed data too."""
+    from pygdf_spark.streaming.lake_source import register
+
+    register(spark)
+    feed = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3]) for i in range(30)],
+        "id long, region string",
+    ).write.json(feed)
+    q = (
+        spark.readStream.schema("id long, region string").json(feed)
+        .writeStream.format("deltalite")
+        .option("path", table).option("appId", "sink-part-test")
+        .option("partitionBy", "region")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert dl.read_table(spark, table).count() == 30
+    assert dl.table_partition_by(table) == ["region"]
+    adds = dl.live_files(table)
+    assert all("__p_region=" in a["path"] for a in adds)
+    assert all(a["partition"]["region"] in ("a", "b", "c") for a in adds)
+    assert all(a["rows"] > 0 for a in adds)
+    # partition predicates prune stream-landed files from the log alone
+    sel, total = dl.plan_files(table, predicate=[("region", "=", "a")])
+    assert len(sel) < total
+    # ... and partition DELETE is pure metadata (no scan)
+    monkeypatch.setattr(
+        dl, "_read_adds",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("scan")),
+    )
+    assert dl.delete_where(spark, table, [("region", "=", "b")])[
+        "rows_deleted"] == 10
+    monkeypatch.undo()
+    assert dl.read_table(spark, table).count() == 20
+    # a later batch sink into the same table inherits the spec
+    dl.append(spark.createDataFrame([(99, "a")], "id long, region string"),
+              table)
+    assert dl.table_partition_by(table) == ["region"]

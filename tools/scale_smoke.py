@@ -78,7 +78,9 @@ TIMED = ["q1_pricing_summary", "join_inner_q3", "agg_basic_stats",
          # r7 additions (fast exact BPE, positional CSV options,
          # row-MultiIndex workflow)
          "nlp_bpe_train_fast", "io_csv_options", "mi_row_roundtrip",
-         "lake_replace_where", "lake_incremental_lsh"]
+         "lake_replace_where", "lake_incremental_lsh",
+         # late-r7 additions (hive partitions, copy-on-write UPDATE)
+         "lake_partition_prune", "lake_update_where"]
 
 
 def build(spark, n: int, dst: str) -> None:
