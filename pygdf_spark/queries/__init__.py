@@ -60,9 +60,14 @@ _PRIORITY = [
     "io_csv_options",        # skiprows/nrows/skipfooter/parse_dates
     "nlp_bpe_train_fast",    # 1-job exact BPE vs 48 sequential oracle CTEs
     "lake_replace_where",    # Delta replaceWhere: predicate-scoped overwrite
+    "lake_partition_prune",  # hive partitions: metadata DELETE + log pruning
+    "lake_update_where",     # copy-on-write UPDATE with touch detection
+    "lake_incremental_lsh",  # CDF-driven incremental MinHash index
     # -- changed since last green (r7 edits):
     #    deltalite.py: LogStore seam + distributed stats harvest + bloom
-    #    kind guard + null-count gating (all 13 lake/stream-lake rows)
+    #    kind guard + null-count gating; late-r7: require_unchanged
+    #    rewrite guards, partition layout/fast path, recursive vacuum,
+    #    partition-aware sink (all 13 lake/stream-lake rows)
     "lake_snapshot_read", "lake_time_travel", "lake_file_skipping",
     "lake_merge_upsert", "lake_delete_dv", "lake_restore",
     "lake_change_feed", "lake_zorder_skip", "lake_bloom_skip",
@@ -83,8 +88,7 @@ _PRIORITY = [
     "sort_multi_nulls", "topk_orders", "dedup_keep_first",
     "win_rolling_var", "agg_bool_any_all", "win_rolling_time",
     "win_rolling_rows", "join_left_outer", "join_full_outer",
-    "agg_corr_cov", "dedup_distinct", "value_counts", "filter_isin",
-    "ast_filter_string", "fillna_coalesce",
+    "agg_corr_cov", "dedup_distinct", "value_counts",
 ]
 
 

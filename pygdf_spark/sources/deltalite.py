@@ -1077,6 +1077,65 @@ def compact(
     )
 
 
+def show_partitions(spark: SparkSession, table: str,
+                    version: int | None = None) -> DataFrame:
+    """SHOW PARTITIONS from the LOG alone (zero data I/O): one row per
+    live partition-value combination with file/row/byte counts — the
+    operational view a 100 TB table is managed by. Values are the hive
+    string encoding (NULL partition → null)."""
+    pby = table_partition_by(table)
+    if not pby:
+        raise ValueError(f"table is not partitioned: {table}")
+    agg: dict = {}
+    for a in live_files(table, version):
+        key = tuple((a.get("partition") or {}).get(c) for c in pby)
+        n_files, n_rows, n_bytes = agg.get(key, (0, 0, 0))
+        agg[key] = (n_files + 1, n_rows + int(a.get("rows") or 0),
+                    n_bytes + int(a.get("bytes") or 0))
+    rows = [
+        (*key, nf, nr, nb) for key, (nf, nr, nb) in sorted(
+            agg.items(), key=lambda kv: tuple(str(k) for k in kv[0])
+        )
+    ]
+    schema = ", ".join(f"`{c}` string" for c in pby) + \
+        ", n_files long, n_rows long, n_bytes long"
+    return spark.createDataFrame(rows, schema)
+
+
+def compact_where(
+    spark: SparkSession, table: str, predicate: list[tuple],
+    target_bytes: int = 128 << 20, stat_cols: list[str] | None = None,
+    checkpoint_every: int = 10,
+) -> dict:
+    """OPTIMIZE ... WHERE: bin-pack ONLY the files matching a partition
+    (or stats-decidable) predicate — the maintenance form for tables
+    where streaming lands many small files into the ACTIVE partition
+    while cold partitions are already well-packed. Candidate selection
+    is log-only; files at or above ``target_bytes`` ride through
+    untouched. Same atomicity/conflict rules as compact (rewrites
+    require their derived-from actions unchanged)."""
+    base = table_version(table)
+    live = live_files(table)
+    in_scope = _metadata_match_plan(table, live, predicate)
+    if in_scope is None:  # not partition-decidable: conservative stats prune
+        in_scope = [a for a in live if _file_may_match(a, predicate)]
+    small = [a for a in in_scope if a.get("bytes", 0) < target_bytes]
+    if len(small) < 2:
+        return {"version": base, "files_compacted": 0,
+                "files_total": len(live)}
+    total = sum(a.get("bytes", 0) for a in small)
+    n_out = max(1, -(-total // target_bytes))  # ceil
+    df = _read_adds(spark, table, small).coalesce(n_out)
+    adds = _write_data_files(df, table, base + 1, stat_cols, None)
+    version = _commit_retry(
+        table, "compact", adds, [a["path"] for a in small],
+        df.schema.json(), base, checkpoint_every,
+        require_unchanged={a["path"]: a for a in small},
+    )
+    return {"version": version, "files_compacted": len(small),
+            "files_total": len(live)}
+
+
 def compact_small_files(
     spark: SparkSession, table: str, target_bytes: int = 128 << 20,
     stat_cols: list[str] | None = None, checkpoint_every: int = 10,

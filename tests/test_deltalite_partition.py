@@ -388,3 +388,51 @@ def test_stream_sink_lands_partitioned(spark, table, tmp_path, monkeypatch):
     dl.append(spark.createDataFrame([(99, "a")], "id long, region string"),
               table)
     assert dl.table_partition_by(table) == ["region"]
+
+
+def test_show_partitions_log_only(spark, table, monkeypatch):
+    _mk(spark, table)
+    monkeypatch.setattr(
+        dl, "_read_adds",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("scan")),
+    )
+    parts = {r["region"]: (r["n_files"], r["n_rows"])
+             for r in dl.show_partitions(spark, table).collect()}
+    monkeypatch.undo()
+    assert set(parts) == {"a", "b", "c"}
+    assert sum(n for _, n in parts.values()) == 30
+    assert all(f >= 1 for f, _ in parts.values())
+    with pytest.raises(ValueError, match="not partitioned"):
+        dl.show_partitions(spark, str(table) + "_nope")
+
+
+def test_compact_where_packs_only_the_hot_partition(spark, table):
+    # many small files land in partition 'a' (streaming shape); 'b'/'c'
+    # files must ride through untouched
+    for i in range(4):
+        dl.append(
+            spark.createDataFrame(
+                [(100 * i + j, "a", 1.0) for j in range(3)],
+                "id int, region string, v double",
+            ), table, partition_by=["region"],
+        )
+    dl.append(
+        spark.createDataFrame(
+            [(900, "b", 2.0), (901, "c", 3.0)], "id int, region string, v double"
+        ), table,
+    )
+    untouched = {
+        a["path"] for a in dl.live_files(table)
+        if a["partition"]["region"] in ("b", "c")
+    }
+    res = dl.compact_where(spark, table, [("region", "=", "a")])
+    assert res["files_compacted"] >= 4
+    after = {a["path"] for a in dl.live_files(table)}
+    assert untouched <= after  # cold partitions untouched
+    a_files = [a for a in dl.live_files(table)
+               if a["partition"]["region"] == "a"]
+    assert len(a_files) < res["files_compacted"]
+    assert dl.read_table(spark, table).count() == 14
+    # still single-valued: metadata delete fires post-compact
+    assert dl.delete_where(spark, table, [("region", "=", "a")])[
+        "rows_deleted"] == 12
