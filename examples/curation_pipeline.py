@@ -141,8 +141,14 @@ def main() -> None:
     table = os.path.join(tempfile.gettempdir(), f"curated_{os.getpid()}")
     shutil.rmtree(table, ignore_errors=True)
     fold = (md5_u64(F.concat(F.lit("fold:"), F.col("source"))) % 5).cast("int")
+    # PARTITIONED by source: every file is single-valued on `source`, so
+    # source-scoped retention/backfill below is pure log metadata
     dl.append(docs.withColumn("fold", fold).repartition(4), table,
-              stat_cols=["doc_id"])
+              stat_cols=["doc_id"], partition_by=["source"])
+    print("partitions:", [
+        (r["source"], r["n_rows"])
+        for r in dl.show_partitions(spark, table).collect()
+    ][:5])
     dl.add_check_constraint(spark, table, "nonempty", "length(text) > 0")
     st = dl.table_stats(table)
     print(f"curated lake table: {st['rows']} rows in {st['files']} files "
@@ -170,6 +176,11 @@ def main() -> None:
         )
         print(f"backfill: {res['files_removed']} dropped whole, "
               f"{res['files_rewritten']} boundary rewrites")
+    #    (b2) a whole source expires (retention) → partition-scoped
+    #         DELETE: zero rows scanned or moved, one log write
+    res = dl.delete_where(spark, table, [("source", "=", "src1")])
+    print(f"retention drop of src1: {res['rows_deleted']} rows as pure "
+          f"metadata ({res['files_touched']} files unlinked from the log)")
     #    (c) downstream indexes refresh from the CHANGE FEED, not a
     #        rescan — see queries/lakehouse.py lake_incremental_lsh for
     #        the full incremental near-dup index protocol
