@@ -324,6 +324,33 @@ def history(table: str) -> list[dict]:
     return out
 
 
+def version_as_of_timestamp(table: str, ts) -> int:
+    """TIMESTAMP AS OF resolution: the newest version whose commit
+    timestamp is <= ``ts`` (ISO-8601 string or datetime; naive inputs
+    are taken as UTC, matching the log's timestamps). Raises if the
+    table's first commit is later than ``ts`` — same contract as
+    Delta's timestamp time travel. Vacuumed early commit headers fall
+    back conservatively (a missing header can only hide an OLDER
+    version, never select a newer one)."""
+    if isinstance(ts, str):
+        ts = _dt.datetime.fromisoformat(ts)
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=_dt.timezone.utc)
+    best = -1
+    for h in history(table):
+        h_ts = h.get("ts")
+        if h_ts is None:
+            continue
+        if _dt.datetime.fromisoformat(h_ts) <= ts:
+            best = max(best, int(h["version"]))
+    if best < 0:
+        raise ValueError(
+            f"no version of {table} at or before {ts.isoformat()} "
+            "(first commit is newer)"
+        )
+    return best
+
+
 def history_df(spark: SparkSession, table: str) -> DataFrame:
     """DESCRIBE HISTORY as a DataFrame: version, operation, timestamp,
     txn app/batch (nulls where absent) — the audit surface operators
@@ -1296,6 +1323,7 @@ def _read_adds(
 def read_table(
     spark: SparkSession, table: str, version: int | None = None,
     predicate: list[tuple] | None = None, columns: list[str] | None = None,
+    timestamp=None,
 ) -> DataFrame:
     """Snapshot read. ``predicate`` is a conjunction of
     ``(col, op, literal)`` triples: files whose footer stats prove
@@ -1304,7 +1332,13 @@ def read_table(
     correctness dependency). ``columns`` projects early so the pruned
     scan also column-prunes. Files carrying deletion vectors
     (``delete_where(mode="dv")``) are read merge-on-read: their deleted
-    positions anti-join out of the scan."""
+    positions anti-join out of the scan. ``timestamp`` is TIMESTAMP AS
+    OF (see ``version_as_of_timestamp``); mutually exclusive with
+    ``version``."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_as_of_timestamp(table, timestamp)
     v = _resolve_version(table, version)
     adds, _total = plan_adds(table, v, predicate)
     df = _read_adds(spark, table, adds)

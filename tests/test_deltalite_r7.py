@@ -532,3 +532,31 @@ def test_replace_where_whole_file_drop_tolerates_concurrent_dv(
     )
     assert out["files_rewritten"] == 0  # no boundary files
     assert _vals(spark, table) == [10, 11]
+
+
+# ------------------------------------------------ TIMESTAMP AS OF
+
+
+def test_timestamp_time_travel(spark, table):
+    import datetime as dt
+
+    dl.append(spark.createDataFrame([(1,)], "x int"), table)
+    t0 = dl.history(table)[-1]["ts"]
+    dl.append(spark.createDataFrame([(2,)], "x int"), table)
+    t1 = dl.history(table)[-1]["ts"]
+
+    assert dl.version_as_of_timestamp(table, t0) == 0
+    assert dl.version_as_of_timestamp(table, t1) == 1
+    # far future resolves to the head; ISO string and datetime both work
+    future = dt.datetime.now(dt.timezone.utc) + dt.timedelta(days=1)
+    assert dl.version_as_of_timestamp(table, future) == 1
+    assert dl.read_table(spark, table, timestamp=t0).count() == 1
+    assert dl.read_table(
+        spark, table, timestamp=future.isoformat()
+    ).count() == 2
+    # before the first commit: loud error, never an empty frame
+    past = "2000-01-01T00:00:00+00:00"
+    with pytest.raises(ValueError, match="first commit is newer"):
+        dl.version_as_of_timestamp(table, past)
+    with pytest.raises(ValueError, match="not both"):
+        dl.read_table(spark, table, version=0, timestamp=t0)
