@@ -262,6 +262,7 @@ def _snapshot(table: str, version: int) -> dict:
     adds: dict[str, dict] = {}
     schema = None
     partition_by = None
+    partition_exprs = None
     constraints: dict[str, str] = {}
     start = 0
     ckpt = _latest_checkpoint_at_or_before(table, version)
@@ -272,6 +273,7 @@ def _snapshot(table: str, version: int) -> dict:
         adds = {a["path"]: a for a in snap["adds"]}
         schema = snap.get("schema")
         partition_by = snap.get("partition_by")
+        partition_exprs = snap.get("partition_exprs")
         constraints = dict(snap.get("constraints") or {})
         start = ckpt + 1
     for v in range(start, version + 1):
@@ -284,6 +286,9 @@ def _snapshot(table: str, version: int) -> dict:
                 partition_by = action["commit"].get(
                     "partition_by", partition_by
                 )
+                partition_exprs = action["commit"].get(
+                    "partition_exprs", partition_exprs
+                )
             elif "add" in action:
                 adds[action["add"]["path"]] = action["add"]
             elif "remove" in action:
@@ -295,7 +300,8 @@ def _snapshot(table: str, version: int) -> dict:
             elif "drop_constraint" in action:
                 constraints.pop(action["drop_constraint"]["name"], None)
     return {"adds": adds, "schema": schema, "version": version,
-            "constraints": constraints, "partition_by": partition_by}
+            "constraints": constraints, "partition_by": partition_by,
+            "partition_exprs": partition_exprs}
 
 
 def live_files(table: str, version: int | None = None) -> list[dict]:
@@ -311,6 +317,16 @@ def table_partition_by(table: str) -> list[str] | None:
     if v < 0:
         return None
     return _snapshot(table, v)["partition_by"]
+
+
+def table_partition_exprs(table: str) -> dict | None:
+    """Generated-partition-column expressions ({col: SQL expr}, the
+    Delta generated-columns partitioning pattern) — recorded with the
+    spec; a write whose frame lacks a generated column derives it."""
+    v = table_version(table)
+    if v < 0:
+        return None
+    return _snapshot(table, v)["partition_exprs"]
 
 
 def history(table: str) -> list[dict]:
@@ -824,6 +840,7 @@ def _write_data_files(
     df: DataFrame, table: str, version_hint: int, stat_cols: list[str] | None,
     cluster_by: list[str] | None, bloom_cols: list[str] | None = None,
     bloom_fpp: float = 0.01, partition_by: list[str] | None = None,
+    partition_exprs: dict | None = None,
 ) -> list[dict]:
     """Write the data files for one commit into a commit-unique subdir
     (no filename collisions across commits, ever) and return their
@@ -850,6 +867,17 @@ def _write_data_files(
     if partition_by is None:
         partition_by = table_partition_by(table)
     if partition_by:
+        if partition_exprs is None:
+            partition_exprs = table_partition_exprs(table) or {}
+        # generated partition columns (the Delta generated-columns
+        # pattern): a frame that lacks a partition column whose SQL
+        # expression is recorded derives it here — writers keep landing
+        # raw frames while the table stays partitioned on the derived
+        # dimension. The derived column is materialized in the data
+        # (same as Delta stores generated columns).
+        for c in partition_by:
+            if c not in df.columns and c in partition_exprs:
+                df = df.withColumn(c, F.expr(partition_exprs[c]))
         missing = [c for c in partition_by if c not in df.columns]
         if missing:
             raise ValueError(
@@ -932,6 +960,7 @@ def _maybe_checkpoint(table: str, version: int, every: int) -> None:
                 "version": version,
                 "schema": snap["schema"],
                 "partition_by": snap["partition_by"],
+                "partition_exprs": snap["partition_exprs"],
                 "constraints": snap["constraints"],
                 "adds": sorted(snap["adds"].values(), key=lambda a: a["path"]),
             },
@@ -947,6 +976,7 @@ def _commit_retry(
     require_unchanged: dict | None = None,
     expect_head: int | None = None,
     partition_by: list[str] | None = None,
+    partition_exprs: dict | None = None,
 ) -> int:
     """Publish adds/removes, retrying version collisions. Appends
     (no removes) are always safe to replay at a later version; a
@@ -994,6 +1024,8 @@ def _commit_retry(
                   "ts": _dt.datetime.now(_dt.timezone.utc).isoformat()}
         if partition_by is not None:
             header["partition_by"] = list(partition_by)
+        if partition_exprs is not None:
+            header["partition_exprs"] = dict(partition_exprs)
         if txn is not None:
             header["txn"] = {"app": txn[0], "batch": int(txn[1])}
         actions = [{"commit": header}]
@@ -1014,6 +1046,7 @@ def append(
     txn: tuple[str, int] | None = None,
     bloom_cols: list[str] | None = None, bloom_fpp: float = 0.01,
     partition_by: list[str] | None = None,
+    partition_exprs: dict | None = None,
 ) -> int:
     """Atomically append ``df`` as a new version; returns the version.
     ``txn=(app_id, batch_id)`` makes the append idempotent for
@@ -1027,17 +1060,22 @@ def append(
     values in the log: predicates on partition columns then prune
     files from the LOG alone, and a partition-scoped DELETE /
     replaceWhere is a pure metadata commit — zero data scanned or
-    moved (see ``delete_where``). Later appends inherit the spec."""
+    moved (see ``delete_where``). Later appends inherit the spec.
+    ``partition_exprs`` ({col: SQL expr}) declares GENERATED partition
+    columns: a frame lacking such a column derives it at write time
+    (Delta's generated-columns partitioning)."""
     base = table_version(table)
     pby = _resolve_partition_by(table, partition_by)
+    pex = _resolve_partition_exprs(table, partition_exprs)
     if txn is not None and last_txn_batch(table, txn[0]) >= txn[1]:
         return table_version(table)  # replayed micro-batch: no-op
     adds = _write_data_files(df, table, base + 1, stat_cols, cluster_by,
-                             bloom_cols, bloom_fpp, partition_by=pby)
+                             bloom_cols, bloom_fpp, partition_by=pby,
+                             partition_exprs=pex)
     _validate_constraints(df.sparkSession, table, adds)
     return _commit_retry(
         table, "append", adds, [], df.schema.json(), base,
-        checkpoint_every, txn=txn, partition_by=pby,
+        checkpoint_every, txn=txn, partition_by=pby, partition_exprs=pex,
     )
 
 
@@ -1058,23 +1096,42 @@ def _resolve_partition_by(
     return list(requested)
 
 
+def _resolve_partition_exprs(
+    table: str, requested: dict | None
+) -> dict | None:
+    """Same inherit-or-validate contract for generated-partition-column
+    expressions (immutable alongside the spec — two writers deriving
+    the same column differently would corrupt pruning)."""
+    existing = table_partition_exprs(table)
+    if requested is None:
+        return existing
+    if existing is not None and dict(requested) != dict(existing):
+        raise ValueError(
+            f"table's generated partition expressions are {existing}; "
+            f"cannot write with {dict(requested)} (immutable)"
+        )
+    return dict(requested)
+
+
 def overwrite(
     df: DataFrame, table: str, stat_cols: list[str] | None = None,
     cluster_by: list[str] | None = None, checkpoint_every: int = 10,
     partition_by: list[str] | None = None,
+    partition_exprs: dict | None = None,
 ) -> int:
     """Atomically replace the table's contents. Old versions still read
     the old files (snapshot isolation); raises ConcurrentWriteError if
     the live set changed between snapshot and publish."""
     base = table_version(table)
     pby = _resolve_partition_by(table, partition_by)
+    pex = _resolve_partition_exprs(table, partition_exprs)
     removes = [a["path"] for a in live_files(table)] if base >= 0 else []
     adds = _write_data_files(df, table, base + 1, stat_cols, cluster_by,
-                             partition_by=pby)
+                             partition_by=pby, partition_exprs=pex)
     _validate_constraints(df.sparkSession, table, adds)
     return _commit_retry(
         table, "overwrite", adds, removes, df.schema.json(), base,
-        checkpoint_every, partition_by=pby,
+        checkpoint_every, partition_by=pby, partition_exprs=pex,
     )
 
 

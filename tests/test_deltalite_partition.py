@@ -436,3 +436,45 @@ def test_compact_where_packs_only_the_hot_partition(spark, table):
     # still single-valued: metadata delete fires post-compact
     assert dl.delete_where(spark, table, [("region", "=", "a")])[
         "rows_deleted"] == 12
+
+
+# ---------------------------------------- generated partition columns
+
+
+def test_generated_partition_column(spark, table):
+    """partition_exprs derives the partition column at write time for
+    frames that lack it (Delta generated-columns partitioning); all
+    partition machinery (pruning, metadata DELETE) then applies."""
+    df = spark.createDataFrame(
+        [(i, f"201{i % 3}-06-01") for i in range(12)],
+        "id int, day string",
+    ).withColumn("day", F.to_date("day"))
+    dl.append(df, table, partition_by=["yr"],
+              partition_exprs={"yr": "year(day)"})
+    adds = dl.live_files(table)
+    assert dl.table_partition_by(table) == ["yr"]
+    assert dl.table_partition_exprs(table) == {"yr": "year(day)"}
+    assert all(a["partition"]["yr"] in ("2010", "2011", "2012") for a in adds)
+    # the derived column is materialized in the data
+    assert "yr" in dl.read_table(spark, table).columns
+    # later appends derive too (no yr in the incoming frame) ...
+    dl.append(
+        spark.createDataFrame([(100, "2012-01-01")], "id int, day string")
+        .withColumn("day", F.to_date("day")), table,
+    )
+    assert dl.read_table(spark, table).filter("yr = 2012").count() == 5
+    # ... and conflicting expressions are rejected
+    with pytest.raises(ValueError, match="immutable"):
+        dl.append(df, table, partition_by=["yr"],
+                  partition_exprs={"yr": "year(day) + 1"})
+    # metadata-only DELETE on the generated dimension
+    res = dl.delete_where(spark, table, [("yr", "=", 2011)])
+    assert res["rows_deleted"] == 4
+    assert dl.read_table(spark, table).count() == 9
+    # spec + exprs survive checkpointed replay
+    for _ in range(3):
+        dl.append(
+            spark.createDataFrame([(200, "2010-02-02")], "id int, day string")
+            .withColumn("day", F.to_date("day")), table, checkpoint_every=2,
+        )
+    assert dl.table_partition_exprs(table) == {"yr": "year(day)"}
