@@ -478,3 +478,30 @@ def test_generated_partition_column(spark, table):
             .withColumn("day", F.to_date("day")), table, checkpoint_every=2,
         )
     assert dl.table_partition_exprs(table) == {"yr": "year(day)"}
+
+
+def test_cdf_surfaces_metadata_partition_delete(spark, table):
+    """A partition DELETE commits as remove-only metadata — the change
+    feed must still surface the dropped rows as `delete` (the removed
+    files' pre-images ARE the change set)."""
+    _mk(spark, table)
+    v0 = dl.table_version(table)
+    dl.delete_where(spark, table, [("region", "=", "b")])
+    feed = dl.table_changes(spark, table, v0, dl.table_version(table),
+                            key="id")
+    rows = feed.collect()
+    assert all(r["_change_type"] == "delete" for r in rows)
+    assert sorted(r["id"] for r in rows) == sorted(
+        i for i in range(30) if i % 3 == 1
+    )
+
+
+def test_restore_undoes_partition_delete(spark, table):
+    _mk(spark, table)
+    v0 = dl.table_version(table)
+    dl.delete_where(spark, table, [("region", "=", "a")])
+    assert dl.read_table(spark, table).count() == 20
+    dl.restore(table, v0)
+    assert dl.read_table(spark, table).count() == 30
+    # spec intact after restore
+    assert dl.table_partition_by(table) == ["region"]
