@@ -1939,7 +1939,7 @@ def _validate_constraints(
 
 
 def merge_into(
-    spark: SparkSession, table: str, source: DataFrame, on: str,
+    spark: SparkSession, table: str, source: DataFrame, on,
     stat_cols: list[str] | None = None, checkpoint_every: int = 10,
     txn: tuple[str, int] | None = None,
     when_matched: str = "replace",
@@ -1977,6 +1977,13 @@ def merge_into(
     needs at scale (a literal-predicate ``delete_where`` cannot express
     'delete these 10M keys').
 
+    ``on`` may be a COLUMN LIST (composite CDC key): matching, touch
+    detection, and the null-key guard apply per column, and the stats
+    prune runs conjunctively — on a partitioned table whose partition
+    column is part of the key, that per-column prune IS sound partition
+    pruning for MERGE (a file whose single partition value is outside
+    the source's range drops out log-side).
+
     Returns {"version", "files_rewritten", "files_total"}.
     """
     from pyspark.sql import functions as F
@@ -1985,39 +1992,47 @@ def merge_into(
         raise ValueError(
             f"when_matched must be 'replace'|'delete': {when_matched!r}"
         )
+    keys = [on] if isinstance(on, str) else list(on)
     base = table_version(table)
     live = live_files(table)
     if txn is not None and last_txn_batch(table, txn[0]) >= txn[1]:
         return {"version": base, "files_rewritten": 0,
                 "files_total": len(live)}  # replayed txn: no-op
-    # one 1-row job: key range + the null-key guard (a null merge key
-    # can never match, so it would be re-INSERTED on every CDC apply —
-    # silently non-idempotent; Delta rejects it too)
-    row = source.agg(
-        F.min(on), F.max(on), F.count("*"),
-        F.sum(F.col(on).isNull().cast("long")),
-    ).collect()[0]
-    lo, hi = _json_safe(row[0]), _json_safe(row[1])
-    if (row[3] or 0) > 0:
-        raise ValueError(
-            f"merge_into: {row[3]} source rows have a NULL merge key "
-            f"{on!r} — null keys never match and would duplicate on "
-            "every apply; filter or key them first"
-        )
-    if row[2] == 0:  # empty source: nothing to do, no empty-file commit
+    # one 1-row job: per-key range + the null-key guard (a null merge
+    # key can never match, so it would be re-INSERTED on every CDC
+    # apply — silently non-idempotent; Delta rejects it too)
+    aggs = [F.count("*")]
+    for k in keys:
+        aggs += [F.min(k), F.max(k), F.sum(F.col(k).isNull().cast("long"))]
+    row = source.agg(*aggs).collect()[0]
+    if row[0] == 0:  # empty source: nothing to do, no empty-file commit
         return {"version": base, "files_rewritten": 0,
                 "files_total": len(live)}
+    ranges = {}
+    for i, k in enumerate(keys):
+        lo, hi, nn = row[1 + 3 * i], row[2 + 3 * i], row[3 + 3 * i]
+        if (nn or 0) > 0:
+            raise ValueError(
+                f"merge_into: {nn} source rows have a NULL merge key "
+                f"{k!r} — null keys never match and would duplicate on "
+                "every apply; filter or key them first"
+            )
+        ranges[k] = (_json_safe(lo), _json_safe(hi))
 
     def is_candidate(add: dict) -> bool:
-        s = (add.get("stats") or {}).get(on)
-        # nulls-only stats entries (all-null or EMPTY files) carry no
-        # zone map — 'min' absent means cannot prune, never KeyError
-        if s is None or "min" not in s or lo is None or hi is None:
-            return True
-        return not (s["max"] < lo or s["min"] > hi)
+        # conjunctive per-key prune; nulls-only stats entries (all-null
+        # or EMPTY files) carry no zone map — 'min' absent means cannot
+        # prune, never KeyError
+        for k, (lo, hi) in ranges.items():
+            s = (add.get("stats") or {}).get(k)
+            if s is None or "min" not in s or lo is None or hi is None:
+                continue
+            if s["max"] < lo or s["min"] > hi:
+                return False
+        return True
 
     candidates = [a for a in live if is_candidate(a)]
-    src_keys = source.select(on).distinct()
+    src_keys = source.select(*keys).distinct()
 
     touched_rel: list[str] = []
     if candidates:
@@ -2028,8 +2043,8 @@ def merge_into(
         touched_rel = sorted(
             r[0]
             for r in _read_adds(spark, table, candidates, lineage=True)
-            .select(F.col("__dl_file"), F.col(on))
-            .join(F.broadcast(src_keys), on=on, how="inner")
+            .select("__dl_file", *keys)
+            .join(F.broadcast(src_keys), on=keys, how="inner")
             .select("__dl_file")
             .distinct()
             .collect()
@@ -2043,11 +2058,11 @@ def merge_into(
         existing = _read_adds(
             spark, table, [a for a in candidates if a["path"] in touched_set]
         )
-        survivors = existing.join(src_keys, on=on, how="left_anti")
+        survivors = existing.join(src_keys, on=keys, how="left_anti")
         # fully-deleted files leave 0-row shards, which
         # _write_data_files already drops from the commit
         adds = _write_data_files(survivors, table, base + 1, stat_cols,
-                                 cluster_by=[on] if stat_cols else None)
+                                 cluster_by=keys if stat_cols else None)
         version = _commit_retry(
             table, "merge_delete", adds, touched_rel,
             _snapshot(table, base)["schema"], base, checkpoint_every,
@@ -2069,13 +2084,13 @@ def merge_into(
         )
         # rewrite = unmatched existing rows + ALL source rows (update
         # semantics: the source row wins; insert: key absent anywhere)
-        survivors = existing.join(src_keys, on=on, how="left_anti")
+        survivors = existing.join(src_keys, on=keys, how="left_anti")
         rewritten = survivors.unionByName(source)
     else:
         rewritten = source
     adds = _write_data_files(
         rewritten, table, base + 1, stat_cols,
-        cluster_by=[on] if stat_cols else None,
+        cluster_by=keys if stat_cols else None,
     )
     _validate_constraints(spark, table, adds)
     version = _commit_retry(

@@ -560,3 +560,61 @@ def test_timestamp_time_travel(spark, table):
         dl.version_as_of_timestamp(table, past)
     with pytest.raises(ValueError, match="not both"):
         dl.read_table(spark, table, version=0, timestamp=t0)
+
+
+# ------------------------------------------------ composite-key MERGE
+
+
+def test_merge_composite_key(spark, table):
+    dl.append(spark.createDataFrame(
+        [(d, r, float(i)) for i, (d, r) in enumerate(
+            [(1, "a"), (1, "b"), (2, "a"), (2, "b")])],
+        "day int, region string, v double"), table, stat_cols=["day"])
+    src = spark.createDataFrame(
+        [(1, "b", -1.0), (3, "c", -2.0)], "day int, region string, v double"
+    )
+    res = dl.merge_into(spark, table, src, on=["day", "region"],
+                        stat_cols=["day"])
+    out = {(r["day"], r["region"]): r["v"]
+           for r in dl.read_table(spark, table).collect()}
+    assert out[(1, "b")] == -1.0       # matched tuple replaced
+    assert out[(3, "c")] == -2.0       # unmatched tuple inserted
+    assert out[(1, "a")] == 0.0        # same day, other region untouched
+    assert len(out) == 5
+    # tombstone by composite key
+    res = dl.merge_into(
+        spark, table,
+        spark.createDataFrame([(2, "a")], "day int, region string"),
+        on=["day", "region"], when_matched="delete")
+    assert (2, "a") not in {
+        (r["day"], r["region"]) for r in dl.read_table(spark, table).collect()
+    }
+    # null in ANY key column is rejected
+    with pytest.raises(ValueError, match="NULL merge key"):
+        dl.merge_into(
+            spark, table,
+            spark.createDataFrame([(1, None, 0.0)],
+                                  "day int, region string, v double"),
+            on=["day", "region"])
+
+
+def test_merge_composite_key_prunes_partitions(spark, table):
+    """Partition column in the composite key -> per-column stats prune
+    IS partition pruning: files of other partitions are not candidates
+    and are never touched."""
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3], float(i)) for i in range(30)],
+        "id int, region string, v double",
+    )
+    dl.append(df, table, partition_by=["region"], stat_cols=["id"])
+    before = {a["path"] for a in dl.live_files(table)
+              if a["partition"]["region"] != "b"}
+    src = spark.createDataFrame(
+        [(4, "b", -4.0), (7, "b", -7.0)], "id int, region string, v double"
+    )
+    res = dl.merge_into(spark, table, src, on=["region", "id"],
+                        stat_cols=["id"])
+    after = {a["path"] for a in dl.live_files(table)}
+    assert before <= after, "non-b partitions must ride through untouched"
+    out = {r["id"]: r["v"] for r in dl.read_table(spark, table).collect()}
+    assert out[4] == -4.0 and out[7] == -7.0 and len(out) == 30
