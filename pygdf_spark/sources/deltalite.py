@@ -1628,6 +1628,14 @@ def update_where(
         if c in set_exprs else F.col(c)
         for c in existing.columns
     ])
+    # generated partition columns re-derive after the SET (derived
+    # always wins — updating year(day)'s source column must move the
+    # row's partition, never leave a stale generated value behind)
+    for c, e in (table_partition_exprs(table) or {}).items():
+        if c in updated.columns:
+            updated = updated.withColumn(
+                c, F.expr(e).cast(existing.schema[c].dataType)
+            )
     adds = _write_data_files(updated, table, base + 1, stat_cols, None)
     _validate_constraints(spark, table, adds)
     version = _commit_retry(

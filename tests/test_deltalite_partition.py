@@ -505,3 +505,26 @@ def test_restore_undoes_partition_delete(spark, table):
     assert dl.read_table(spark, table).count() == 30
     # spec intact after restore
     assert dl.table_partition_by(table) == ["region"]
+
+
+def test_update_rederives_generated_partition_column(spark, table):
+    """UPDATE on a generated column's SOURCE column re-derives the
+    generated value and the row lands in its NEW partition (derived
+    always wins; no stale partition values)."""
+    df = spark.createDataFrame(
+        [(1, "2010-03-01"), (2, "2011-03-01")], "id int, day string"
+    ).withColumn("day", F.to_date("day"))
+    dl.append(df, table, partition_by=["yr"],
+              partition_exprs={"yr": "year(day)"})
+    dl.update_where(spark, table, "id = 1", {"day": "date'2012-09-09'"})
+    out = {r["id"]: (str(r["day"]), r["yr"])
+           for r in dl.read_table(spark, table).collect()}
+    assert out[1] == ("2012-09-09", 2012)
+    assert out[2] == ("2011-03-01", 2011)
+    # the moved row's file is single-valued in the new partition
+    moved = [a for a in dl.live_files(table)
+             if a["partition"]["yr"] == "2012"]
+    assert moved and all(a["rows"] == 1 for a in moved)
+    # metadata delete on the new partition finds it
+    assert dl.delete_where(spark, table, [("yr", "=", 2012)])[
+        "rows_deleted"] == 1
