@@ -109,6 +109,34 @@ def read_webdataset(path_glob, spark=None) -> "DataFrame":
     return from_spark(_r(spark or get_spark(), path_glob))
 
 
+def read_deltalite(table, spark=None, version=None, timestamp=None,
+                   predicate=None, columns=None) -> "DataFrame":
+    """Snapshot-read a deltalite lakehouse table into the compat
+    surface: ``version``/``timestamp`` time travel, file skipping via
+    ``predicate`` (a [(col, op, literal)] conjunction), early column
+    pruning — sources/deltalite.py read_table."""
+    from pygdf_spark.sources.deltalite import read_table
+
+    return from_spark(read_table(
+        spark or get_spark(), table, version=version, timestamp=timestamp,
+        predicate=predicate, columns=columns,
+    ))
+
+
+def to_deltalite(df, table, mode="append", stat_cols=None, cluster_by=None,
+                 partition_by=None, partition_exprs=None) -> int:
+    """Land a frame (compat or Spark) as an atomic deltalite commit;
+    returns the new version. ``mode``: append | overwrite. Partition /
+    clustering / stats options as in sources/deltalite.py append."""
+    from pygdf_spark.sources import deltalite as dl
+
+    sdf = getattr(df, "_sdf", df)
+    sdf = sdf.drop("__row_id") if "__row_id" in sdf.columns else sdf
+    fn = {"append": dl.append, "overwrite": dl.overwrite}[mode]
+    return fn(sdf, table, stat_cols=stat_cols, cluster_by=cluster_by,
+              partition_by=partition_by, partition_exprs=partition_exprs)
+
+
 def write_npy_dir(df, path, id_col="vec_id", vec_col="embedding") -> None:
     """(id, vector) frame → sharded .npy directory (one ids/vecs pair
     per partition, executor-local; sources/npy_lite.py)."""

@@ -528,3 +528,21 @@ def test_update_rederives_generated_partition_column(spark, table):
     # metadata delete on the new partition finds it
     assert dl.delete_where(spark, table, [("yr", "=", 2012)])[
         "rows_deleted"] == 1
+
+
+def test_veneer_roundtrip(spark, table):
+    """gd.to_deltalite / gd.read_deltalite: the pandas-compat surface
+    talks to the lakehouse directly (hidden row-id column stripped)."""
+    import pygdf_spark as gd
+
+    df = gd.from_spark(spark.createDataFrame(
+        [(i, ["a", "b"][i % 2]) for i in range(8)], "id int, region string"
+    ))
+    v = gd.to_deltalite(df, table, partition_by=["region"])
+    assert v == 0
+    out = gd.read_deltalite(table, predicate=[("region", "=", "a")])
+    assert sorted(r["id"] for r in out._sdf.collect()) == [0, 2, 4, 6]
+    assert out.columns == ["id", "region"]
+    v = gd.to_deltalite(df, table, mode="overwrite")
+    assert gd.read_deltalite(table)._sdf.count() == 8
+    assert gd.read_deltalite(table, version=0)._sdf.count() == 8
