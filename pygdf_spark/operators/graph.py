@@ -85,6 +85,58 @@ def connected_components(
     return labels.select("id", F.col("label").alias("comp"))
 
 
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, hop): minimum hop distance from ANY source vertex —
+    multi-source breadth-first search over an undirected edge list
+    (single-source is the 1-row special case). The level-synchronous
+    frontier algorithm every distributed graph engine uses (Pregel /
+    GraphX shape):
+
+    per round: expand the frontier through the (symmetrized) edges —
+    one keyed shuffle — then anti-join the visited set so each vertex
+    settles exactly once, at its first (= minimum) hop. Rounds =
+    eccentricity of the source set, NOT O(V); lineage is truncated per
+    round with localCheckpoint like connected_components above, so the
+    plan stays O(1) per round at any scale. Unreachable vertices are
+    absent from the output (no sentinel hops).
+
+    Raises after ``max_iter`` rounds with the frontier non-empty —
+    a truncated BFS would silently report infinite distances as
+    merely-unvisited."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    visited = (
+        sources.select(F.col(sources.columns[0]).alias("id")).distinct()
+        .withColumn("hop", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    frontier = visited
+    for hop in range(1, max_iter + 1):
+        nxt = (
+            sym.join(
+                frontier.select(F.col("id").alias("u")), "u"
+            )
+            .select(F.col("v").alias("id")).distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("hop", F.lit(hop).cast("long"))
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            return visited
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt
+    raise RuntimeError(
+        f"bfs_hops frontier still expanding after {max_iter} rounds; "
+        "raise max_iter"
+    )
+
+
 def pagerank_micro(
     edges: DataFrame,
     src: str = "a",

@@ -818,7 +818,127 @@ QUERIES = {
     "lake_file_skipping": lake_file_skipping,
 }
 
+def lake_column_mapping(spark, sf_dir):
+    """Metadata-only schema evolution (sources/deltalite.py
+    rename_column/drop_column — the Delta column-mapping analog): land
+    half of orders, RENAME cents→price_cents and DROP o_orderstatus
+    (both asserted zero-data-movement: the live file set is
+    bit-identical before and after), then append the other half under
+    the NEW logical schema. The final read must show exactly the
+    logical columns with every row intact — physical bytes still carry
+    the old names, translated at the scan boundary. Oracle: the same
+    aggregate over ALL of orders (the rename/drop is pure metadata, so
+    the row set equals the two appends' union)."""
+    from pygdf_spark.sources import deltalite as dl
+
+    base = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        cents("o_totalprice").alias("cents"),
+    )
+    path = _tmp(sf_dir, "lake_colmap")
+    shutil.rmtree(path, ignore_errors=True)
+    n = _shards(base)
+    dl.append(base.filter("o_orderkey % 2 = 0").repartition(n), path,
+              stat_cols=["o_orderkey"])
+    before = {a["path"] for a in dl.live_files(path)}
+    dl.rename_column(path, "cents", "price_cents")
+    dl.drop_column(path, "o_orderstatus")
+    after = {a["path"] for a in dl.live_files(path)}
+    assert before == after, "rename/drop must move zero data files"
+    dl.append(
+        base.filter("o_orderkey % 2 = 1").repartition(n)
+        .withColumnRenamed("cents", "price_cents").drop("o_orderstatus"),
+        path, stat_cols=["o_orderkey"],
+    )
+    snap = dl.read_table(spark, path)
+    assert sorted(snap.columns) == ["o_custkey", "o_orderkey",
+                                    "price_cents"]
+    # logical-name predicates still prune from physical stats
+    sel, total = dl.plan_files(path, predicate=[("o_orderkey", "<", 0)])
+    assert len(sel) == 0 and total > 0
+    return (
+        snap.groupBy((F.col("o_orderkey") % 7).alias("bucket"))
+        .agg(F.count("*").alias("n_orders"),
+             F.sum("price_cents").alias("sum_price_cents"))
+        .orderBy("bucket")
+    )
+
+
+LAKE_COLUMN_MAPPING_SQL = f"""
+SELECT o_orderkey % 7 AS bucket, COUNT(*) AS n_orders,
+       CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) AS sum_price_cents
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def lake_shallow_clone(spark, sf_dir):
+    """SHALLOW CLONE (sources/deltalite.py clone): zero-copy snapshot —
+    the clone's add actions reference the source's bytes absolutely
+    (asserted: the clone directory owns NO data files), then the two
+    tables DIVERGE: a DV takedown on the clone (keys < 600) and a
+    copy-on-write UPDATE on the source (cents+10 for keys < 300),
+    neither visible to the other. Result: a side-tagged aggregate over
+    both tables; the oracle re-expresses each side algebraically over
+    the original orders rows."""
+    from pygdf_spark.sources import deltalite as dl
+
+    base = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", cents("o_totalprice").alias("cents"),
+    )
+    src_t = _tmp(sf_dir, "lake_clone_src")
+    dst_t = _tmp(sf_dir, "lake_clone_dst")
+    shutil.rmtree(src_t, ignore_errors=True)
+    shutil.rmtree(dst_t, ignore_errors=True)
+    n = _shards(base)
+    dl.append(base.repartition(n), src_t,
+              stat_cols=["o_orderkey"], cluster_by=["o_orderkey"])
+    dl.clone(src_t, dst_t)
+    owned = [
+        f for _d, _s, fs in os.walk(os.path.join(dst_t, "data"))
+        for f in fs
+    ] if os.path.isdir(os.path.join(dst_t, "data")) else []
+    assert owned == [], "shallow clone must own zero data files"
+    dl.delete_where(spark, dst_t, [("o_orderkey", "<", 600)], mode="dv")
+    dl.update_where(spark, src_t, [("o_orderkey", "<", 300)],
+                    {"cents": "cents + 10"}, stat_cols=["o_orderkey"])
+    both = (
+        dl.read_table(spark, src_t).withColumn("side", F.lit("src"))
+        .unionByName(
+            dl.read_table(spark, dst_t).withColumn("side", F.lit("clone"))
+        )
+    )
+    return (
+        both.groupBy("side", "o_orderstatus")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum("cents").alias("total_cents"))
+        .orderBy("side", "o_orderstatus")
+    )
+
+
+LAKE_SHALLOW_CLONE_SQL = f"""
+WITH src AS (
+  SELECT 'src' AS side, o_orderstatus,
+         {sql_cents('o_totalprice')}
+         + CASE WHEN o_orderkey < 300 THEN 10 ELSE 0 END AS cents
+  FROM orders
+), cl AS (
+  SELECT 'clone' AS side, o_orderstatus, {sql_cents('o_totalprice')} AS cents
+  FROM orders WHERE o_orderkey >= 600
+), u AS (
+  SELECT * FROM src UNION ALL SELECT * FROM cl
+)
+SELECT side, o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM u GROUP BY side, o_orderstatus ORDER BY side, o_orderstatus
+"""
+
+
+QUERIES["lake_column_mapping"] = lake_column_mapping
+QUERIES["lake_shallow_clone"] = lake_shallow_clone
+
 ORACLE = {
+    "lake_column_mapping": LAKE_COLUMN_MAPPING_SQL,
+    "lake_shallow_clone": LAKE_SHALLOW_CLONE_SQL,
     "lake_partition_prune": LAKE_PARTITION_PRUNE_SQL,
     "lake_update_where": LAKE_UPDATE_WHERE_SQL,
     "lake_replace_where": LAKE_REPLACE_WHERE_SQL,

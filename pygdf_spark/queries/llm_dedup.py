@@ -290,6 +290,89 @@ SELECT comp, COUNT(*) AS n_orders FROM cc GROUP BY comp ORDER BY comp
 """
 
 
+def graph_bfs_hops(spark, sf_dir):
+    """Multi-source BFS (operators/graph.py bfs_hops — the frontier
+    Pregel shape): the test graph chains each customer's orders by
+    rank and adds head→rank-6/11/16… skip edges, so minimum-hop
+    distances genuinely compete between the chain path and the
+    shortcut (dist ≤ 6 regardless of chain length). Sources are every
+    chain head. The oracle walks the same graph with a recursive CTE
+    (UNION-fixpoint over (id, hop) pairs, MIN per vertex) — an
+    independent formulation of shortest-hops."""
+    from pyspark.sql import Window
+
+    from pygdf_spark.operators.graph import bfs_hops
+
+    o = T(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    ranked = o.select(
+        F.col("o_custkey").alias("c"),
+        F.col("o_orderkey").alias("id"),
+        F.row_number().over(w).alias("r"),
+    ).localCheckpoint()
+    nxt = ranked.select(
+        F.col("c"), F.col("id").alias("b"), (F.col("r") - 1).alias("r")
+    )
+    chain = ranked.join(nxt, ["c", "r"]).select(
+        F.col("id").alias("a"), "b"
+    )
+    heads = ranked.filter("r = 1")
+    skips = (
+        heads.select("c", F.col("id").alias("a"))
+        .join(
+            ranked.filter("r > 1 AND (r - 1) % 5 = 0")
+            .select("c", F.col("id").alias("b")),
+            "c",
+        )
+        .select("a", "b")
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        dist = bfs_hops(chain.union(skips), heads.select("id"),
+                        max_iter=16)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+    return (
+        dist.groupBy("hop")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+        .orderBy("hop")
+    )
+
+
+GRAPH_BFS_SQL = """
+WITH RECURSIVE
+ranked AS (
+  SELECT o_custkey AS c, o_orderkey AS id,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS r
+  FROM orders WHERE o_custkey < 300
+),
+chain AS (
+  SELECT x.id AS a, y.id AS b FROM ranked x
+  JOIN ranked y ON x.c = y.c AND y.r = x.r + 1
+),
+skips AS (
+  SELECT h.id AS a, t.id AS b FROM ranked h
+  JOIN ranked t ON h.c = t.c AND h.r = 1
+                AND t.r > 1 AND (t.r - 1) % 5 = 0
+),
+e0 AS (SELECT a, b FROM chain UNION ALL SELECT a, b FROM skips),
+e AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+walk(id, hop) AS (
+  SELECT id, 0 AS hop FROM ranked WHERE r = 1
+  UNION
+  SELECT e.b, w.hop + 1 FROM walk w JOIN e ON e.a = w.id
+  WHERE w.hop < 14
+),
+dist AS (SELECT id, MIN(hop) AS hop FROM walk GROUP BY id)
+SELECT CAST(hop AS BIGINT) AS hop, COUNT(*) AS n_vertices
+FROM dist GROUP BY hop ORDER BY hop
+"""
+
+
 def dedup_decontaminate(spark, sf_dir):
     """Benchmark decontamination — the eval-set n-gram collision check
     every pretraining pipeline runs before training: flag corpus
@@ -1002,6 +1085,7 @@ QUERIES = {
     "dedup_fuzzy_block": dedup_fuzzy_block,
     "graph_triangle_count": graph_triangle_count,
     "graph_connected_components": graph_connected_components,
+    "graph_bfs_hops": graph_bfs_hops,
     "graph_pagerank": graph_pagerank,
     "pipeline_neardup_prune": pipeline_neardup_prune,
     "dedup_keep_list": dedup_keep_list,
@@ -1023,6 +1107,7 @@ ORACLE = {
     "dedup_fuzzy_block": DEDUP_FUZZY_SQL,
     "graph_triangle_count": GRAPH_TRIANGLE_SQL,
     "graph_connected_components": GRAPH_CC_SQL,
+    "graph_bfs_hops": GRAPH_BFS_SQL,
     "graph_pagerank": _pagerank_sql(),
     "pipeline_neardup_prune": _neardup_prune_sql(),
     "dedup_keep_list": DEDUP_KEEP_LIST_SQL,

@@ -510,6 +510,62 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def profile_documents(spark, sf_dir):
+    """ONE-PASS column profiler over the documents table — the
+    data-QA summary every training-data pipeline runs before touching
+    a new corpus drop: per column, row count, null count, EXACT
+    distinct count, and (stringified, 32-char-capped) min/max. All
+    measures ride a single aggregate over one scan (Spark plans the
+    multi-distinct via expand — still one pass over the data, fully
+    partial-aggregable), then unpivot driver-free via ``stack``. At
+    100 TB this is exactly one shuffle of pre-aggregated partials.
+    The oracle is the per-column UNION ALL of the same measures."""
+    d = T(spark, sf_dir, "documents")
+    cols = ["doc_id", "lang", "n_chars", "source", "text"]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    row = d.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, "
+        f"substring({c}__min, 1, 32), substring({c}__max, 1, 32)"
+        for c in cols
+    )
+    return row.selectExpr(
+        "__n AS n_rows",
+        f"stack({len(cols)}, {stacked}) AS "
+        "(col_name, n_nulls, n_distinct, min_s, max_s)",
+    ).select(
+        "col_name", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s"
+    ).orderBy("col_name")
+
+
+def _profile_sql_one(c: str) -> str:
+    return f"""
+SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       substr(CAST(MIN({c}) AS VARCHAR), 1, 32) AS min_s,
+       substr(CAST(MAX({c}) AS VARCHAR), 1, 32) AS max_s
+FROM documents"""
+
+
+PROFILE_DOCUMENTS_SQL = (
+    "WITH p AS ("
+    + " UNION ALL ".join(
+        _profile_sql_one(c)
+        for c in ["doc_id", "lang", "n_chars", "source", "text"]
+    )
+    + ") SELECT * FROM p ORDER BY col_name"
+)
+
+
 QUERIES = {
     "mi_xs_level": mi_xs_level,
     "mi_row_roundtrip": mi_row_roundtrip,
@@ -523,6 +579,7 @@ QUERIES = {
     "io_orc_roundtrip": io_orc_roundtrip,
     "io_json_roundtrip": io_json_roundtrip,
     "io_feather_roundtrip": io_feather_roundtrip,
+    "profile_documents": profile_documents,
 }
 
 ORACLE = {
@@ -538,4 +595,5 @@ ORACLE = {
     "io_orc_roundtrip": IO_ORC_SQL,
     "io_json_roundtrip": IO_JSON_SQL,
     "io_feather_roundtrip": IO_FEATHER_SQL,
+    "profile_documents": PROFILE_DOCUMENTS_SQL,
 }

@@ -60,6 +60,7 @@ from __future__ import annotations
 import datetime as _dt
 import json
 import os
+import re as _re
 import shutil
 import uuid
 
@@ -263,6 +264,7 @@ def _snapshot(table: str, version: int) -> dict:
     schema = None
     partition_by = None
     partition_exprs = None
+    column_mapping = None
     constraints: dict[str, str] = {}
     start = 0
     ckpt = _latest_checkpoint_at_or_before(table, version)
@@ -274,6 +276,7 @@ def _snapshot(table: str, version: int) -> dict:
         schema = snap.get("schema")
         partition_by = snap.get("partition_by")
         partition_exprs = snap.get("partition_exprs")
+        column_mapping = snap.get("column_mapping")
         constraints = dict(snap.get("constraints") or {})
         start = ckpt + 1
     for v in range(start, version + 1):
@@ -289,6 +292,9 @@ def _snapshot(table: str, version: int) -> dict:
                 partition_exprs = action["commit"].get(
                     "partition_exprs", partition_exprs
                 )
+                column_mapping = action["commit"].get(
+                    "column_mapping", column_mapping
+                )
             elif "add" in action:
                 adds[action["add"]["path"]] = action["add"]
             elif "remove" in action:
@@ -301,7 +307,8 @@ def _snapshot(table: str, version: int) -> dict:
                 constraints.pop(action["drop_constraint"]["name"], None)
     return {"adds": adds, "schema": schema, "version": version,
             "constraints": constraints, "partition_by": partition_by,
-            "partition_exprs": partition_exprs}
+            "partition_exprs": partition_exprs,
+            "column_mapping": column_mapping}
 
 
 def live_files(table: str, version: int | None = None) -> list[dict]:
@@ -327,6 +334,70 @@ def table_partition_exprs(table: str) -> dict | None:
     if v < 0:
         return None
     return _snapshot(table, v)["partition_exprs"]
+
+
+def table_column_mapping(
+    table: str, version: int | None = None
+) -> dict | None:
+    """The table's column mapping (the Delta column-mapping analog):
+    ``{"map": {logical: physical}, "retired": [physical, ...]}`` or
+    None. ``rename_column``/``drop_column`` are METADATA-ONLY commits —
+    file bytes and footer stats always carry PHYSICAL names; readers
+    translate physical→logical at the scan boundary and writers
+    logical→physical just before landing bytes, so a rename/drop on a
+    100 TB table moves zero data. ``retired`` lists physical columns
+    whose logical column was dropped (projected away on read; a later
+    re-add of the same logical name allocates a FRESH physical name so
+    dropped data can never resurface through mergeSchema)."""
+    if version is None:
+        version = table_version(table)
+    if version < 0:
+        return None
+    return _snapshot(table, version)["column_mapping"]
+
+
+def _cm_active(cm: dict | None) -> bool:
+    return bool(cm and (cm.get("map") or cm.get("retired")))
+
+
+def _cm_phys(cm: dict | None, col: str) -> str:
+    """Logical column name → the physical name stored in file bytes."""
+    return (cm or {}).get("map", {}).get(col, col)
+
+
+def _cm_tuples(cm: dict | None, tuples):
+    """Translate a (col, op, literal) conjunction to physical names
+    (stats/bloom/partition entries in add actions are keyed physical)."""
+    if not tuples or not _cm_active(cm):
+        return tuples
+    return [(_cm_phys(cm, c), op, v) for c, op, v in tuples]
+
+
+def _to_physical_df(df: DataFrame, cm: dict | None) -> DataFrame:
+    """Rename mapped logical columns to their physical names — one
+    simultaneous projection (physical names are unique by construction,
+    so no sequential-rename collisions)."""
+    if not _cm_active(cm):
+        return df
+    from pyspark.sql import functions as F
+
+    m = cm.get("map") or {}
+    return df.select(*[F.col(c).alias(m.get(c, c)) for c in df.columns])
+
+
+def _to_logical_df(df: DataFrame, cm: dict | None, keep=()) -> DataFrame:
+    """Scan-boundary translation: drop retired physical columns (their
+    logical column was dropped — mergeSchema may still surface them
+    from pre-drop files) and rename physical→logical. ``keep`` protects
+    internal lineage columns (``__dl_*``) from the retired filter."""
+    if not _cm_active(cm):
+        return df
+    from pyspark.sql import functions as F
+
+    retired = set(cm.get("retired") or ())
+    p2l = {p: l for l, p in (cm.get("map") or {}).items()}
+    cols = [c for c in df.columns if c not in retired or c in keep]
+    return df.select(*[F.col(c).alias(p2l.get(c, c)) for c in cols])
 
 
 def history(table: str) -> list[dict]:
@@ -773,6 +844,12 @@ def plan_adds(
     adds = live_files(table, version)
     total = len(adds)
     if predicate:
+        # stats/bloom are keyed by PHYSICAL names; predicates arrive
+        # logical — translate through the at-version column mapping
+        predicate = _cm_tuples(
+            table_column_mapping(table, _resolve_version(table, version)),
+            predicate,
+        )
         adds = [a for a in adds if _file_may_match(a, predicate)]
     return adds, total
 
@@ -841,6 +918,7 @@ def _write_data_files(
     cluster_by: list[str] | None, bloom_cols: list[str] | None = None,
     bloom_fpp: float = 0.01, partition_by: list[str] | None = None,
     partition_exprs: dict | None = None,
+    column_mapping: dict | str | None = "inherit",
 ) -> list[dict]:
     """Write the data files for one commit into a commit-unique subdir
     (no filename collisions across commits, ever) and return their
@@ -907,6 +985,20 @@ def _write_data_files(
         df = df.repartitionByRange(n, *cluster_by).sortWithinPartitions(
             *cluster_by
         )
+    # column mapping: everything above (partition derivation, dup
+    # columns, clustering) ran on LOGICAL names; the file bytes and the
+    # footer stats below carry PHYSICAL names (rename/drop never touch
+    # data — see table_column_mapping)
+    cm = (
+        table_column_mapping(table)
+        if column_mapping == "inherit" else column_mapping
+    )
+    if _cm_active(cm):
+        df = _to_physical_df(df, cm)
+        if stat_cols:
+            stat_cols = [_cm_phys(cm, c) for c in stat_cols]
+        if bloom_cols:
+            bloom_cols = [_cm_phys(cm, c) for c in bloom_cols]
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*pdup)
@@ -961,6 +1053,7 @@ def _maybe_checkpoint(table: str, version: int, every: int) -> None:
                 "schema": snap["schema"],
                 "partition_by": snap["partition_by"],
                 "partition_exprs": snap["partition_exprs"],
+                "column_mapping": snap["column_mapping"],
                 "constraints": snap["constraints"],
                 "adds": sorted(snap["adds"].values(), key=lambda a: a["path"]),
             },
@@ -977,6 +1070,7 @@ def _commit_retry(
     expect_head: int | None = None,
     partition_by: list[str] | None = None,
     partition_exprs: dict | None = None,
+    column_mapping: dict | None = None,
 ) -> int:
     """Publish adds/removes, retrying version collisions. Appends
     (no removes) are always safe to replay at a later version; a
@@ -1026,6 +1120,11 @@ def _commit_retry(
             header["partition_by"] = list(partition_by)
         if partition_exprs is not None:
             header["partition_exprs"] = dict(partition_exprs)
+        if column_mapping is not None:
+            header["column_mapping"] = {
+                "map": dict(column_mapping.get("map") or {}),
+                "retired": list(column_mapping.get("retired") or []),
+            }
         if txn is not None:
             header["txn"] = {"app": txn[0], "batch": int(txn[1])}
         actions = [{"commit": header}]
@@ -1038,6 +1137,31 @@ def _commit_retry(
             continue
         _maybe_checkpoint(table, version, checkpoint_every)
         return version
+
+
+def _evolve_column_mapping(table: str, df: DataFrame, hint: int):
+    """Schema evolution under column mapping: an incoming column whose
+    logical name collides with a RETIRED physical (a previously-dropped
+    column) or another column's mapped physical gets a FRESH physical
+    name — otherwise mergeSchema would resurrect the dropped column's
+    old bytes under the new name. Returns (mapping-for-write,
+    mapping-for-header-or-None-if-unchanged)."""
+    cm = table_column_mapping(table)
+    cm = {"map": dict((cm or {}).get("map") or {}),
+          "retired": list((cm or {}).get("retired") or [])}
+    taken = set(cm["retired"]) | set(cm["map"].values())
+    changed = False
+    for c in df.columns:
+        if c in cm["map"] or c not in taken:
+            continue
+        phys = f"{c}__r{hint}"
+        while phys in taken:
+            phys += "x"
+        cm["map"][c] = phys
+        taken.add(phys)
+        changed = True
+    active = cm if (cm["map"] or cm["retired"]) else None
+    return active, (cm if changed else None)
 
 
 def append(
@@ -1069,13 +1193,19 @@ def append(
     pex = _resolve_partition_exprs(table, partition_exprs)
     if txn is not None and last_txn_batch(table, txn[0]) >= txn[1]:
         return table_version(table)  # replayed micro-batch: no-op
+    cm_w, cm_hdr = _evolve_column_mapping(table, df, base + 1)
     adds = _write_data_files(df, table, base + 1, stat_cols, cluster_by,
                              bloom_cols, bloom_fpp, partition_by=pby,
-                             partition_exprs=pex)
+                             partition_exprs=pex, column_mapping=cm_w)
     _validate_constraints(df.sparkSession, table, adds)
     return _commit_retry(
         table, "append", adds, [], df.schema.json(), base,
         checkpoint_every, txn=txn, partition_by=pby, partition_exprs=pex,
+        column_mapping=cm_hdr,
+        # a mapping-extending append must not replay past a concurrent
+        # rename/drop (it would clobber the newer mapping); plain
+        # appends keep their always-replayable property
+        expect_head=base if cm_hdr is not None else None,
     )
 
 
@@ -1126,12 +1256,16 @@ def overwrite(
     pby = _resolve_partition_by(table, partition_by)
     pex = _resolve_partition_exprs(table, partition_exprs)
     removes = [a["path"] for a in live_files(table)] if base >= 0 else []
+    cm_w, cm_hdr = _evolve_column_mapping(table, df, base + 1)
     adds = _write_data_files(df, table, base + 1, stat_cols, cluster_by,
-                             partition_by=pby, partition_exprs=pex)
+                             partition_by=pby, partition_exprs=pex,
+                             column_mapping=cm_w)
     _validate_constraints(df.sparkSession, table, adds)
     return _commit_retry(
         table, "overwrite", adds, removes, df.schema.json(), base,
         checkpoint_every, partition_by=pby, partition_exprs=pex,
+        column_mapping=cm_hdr,
+        expect_head=base if cm_hdr is not None else None,
     )
 
 
@@ -1200,6 +1334,7 @@ def compact_where(
     require their derived-from actions unchanged)."""
     base = table_version(table)
     live = live_files(table)
+    predicate = _cm_tuples(table_column_mapping(table), predicate)
     in_scope = _metadata_match_plan(table, live, predicate)
     if in_scope is None:  # not partition-decidable: conservative stats prune
         in_scope = [a for a in live if _file_may_match(a, predicate)]
@@ -1308,6 +1443,19 @@ def vacuum(table: str, keep_versions: int = 1) -> list[str]:
 # directories between the commit dir and the part file.
 _REL_FILE_RE = r"data/\d{5,}-[0-9a-f]{8}(?:/[^/]+)*/[^/]+$"
 
+
+def _log_rel(path: str) -> str:
+    """The lineage-matching key of a log path: a CLONED add references
+    its source file by ABSOLUTE path, but ``__dl_file`` lineage and DV
+    sidecar keys always carry the ``data/<commit>/...`` tail — reduce
+    absolute paths to that tail so DV anti-joins and touch detection
+    match on clones exactly as on the source."""
+    if os.path.isabs(path):
+        m = _re.search(_REL_FILE_RE, path)
+        if m:
+            return m.group(0)
+    return path
+
 # below this many total deleted positions the DV anti-join broadcasts
 # (positions are 2 small columns; 4M rows ≈ tens of MB)
 _DV_BROADCAST_MAX = 4_000_000
@@ -1332,6 +1480,7 @@ def _read_dv_positions(spark: SparkSession, table: str, adds: list[dict]):
 def _read_adds(
     spark: SparkSession, table: str, adds: list[dict],
     lineage: bool = False,
+    column_mapping: dict | str | None = "inherit",
 ) -> DataFrame | None:
     """DV-aware read of a set of add actions: files without deletion
     vectors scan plain; files with DVs scan with ``_metadata.row_index``
@@ -1374,6 +1523,15 @@ def _read_adds(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
+    # scan-boundary translation: physical file columns → the logical
+    # schema (drops retired columns pre-drop files still carry). Done
+    # LAST so the _metadata-derived DV lineage above stays resolvable.
+    cm = (
+        table_column_mapping(table)
+        if column_mapping == "inherit" else column_mapping
+    )
+    if _cm_active(cm):
+        out = _to_logical_df(out, cm, keep=("__dl_file", "__dl_pos"))
     return out
 
 
@@ -1398,7 +1556,11 @@ def read_table(
         version = version_as_of_timestamp(table, timestamp)
     v = _resolve_version(table, version)
     adds, _total = plan_adds(table, v, predicate)
-    df = _read_adds(spark, table, adds)
+    # time travel to a pre-rename version must surface that version's
+    # logical names — translate with the AT-VERSION mapping, not head's
+    df = _read_adds(
+        spark, table, adds, column_mapping=table_column_mapping(table, v)
+    )
     if df is None:
         from pyspark.sql import types as ST
 
@@ -1455,9 +1617,14 @@ def delete_where(
     if base < 0:
         raise FileNotFoundError(f"no such table: {table}")
     live = live_files(table)
+    cm = table_column_mapping(table)
     tuples = predicate if isinstance(predicate, list) else None
+    tuples_p = _cm_tuples(cm, tuples)  # stats keys are physical
     expr = _predicate_to_expr(tuples) if tuples else predicate
-    cands = [a for a in live if _file_may_match(a, tuples)] if tuples else list(live)
+    cands = (
+        [a for a in live if _file_may_match(a, tuples_p)]
+        if tuples else list(live)
+    )
     noop = {"version": base, "rows_deleted": 0, "files_touched": 0,
             "files_total": len(live)}
     if not cands:
@@ -1469,7 +1636,7 @@ def delete_where(
     # no sidecar, no rewrite. Concurrent fatter-DV re-adds are benign
     # for whole-file drops (their tombstones are a subset of ours), so
     # plain remove-liveness validation suffices.
-    plan = _metadata_match_plan(table, cands, tuples)
+    plan = _metadata_match_plan(table, cands, tuples_p)
     if plan is not None:
         if not plan:
             return noop
@@ -1492,7 +1659,7 @@ def delete_where(
         }
         if not per_file:
             return noop
-        touched = [a for a in cands if a["path"] in per_file]
+        touched = [a for a in cands if _log_rel(a["path"]) in per_file]
         survivors = _read_adds(spark, table, touched).filter(
             ~F.coalesce(F.expr(expr), F.lit(False))
         )
@@ -1508,11 +1675,15 @@ def delete_where(
     # ---- mode == "dv": harvest matching positions, consolidate, commit
     raw = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(table, a["path"]) for a in cands]
-    )
+    ).withColumn(
+        "__dl_f",
+        F.regexp_extract(F.col("_metadata.file_path"), _REL_FILE_RE, 0),
+    ).withColumn("__dl_p", F.col("_metadata.row_index"))
+    # the predicate is LOGICAL; the raw scan carries physical names —
+    # translate after the _metadata lineage columns are materialized
+    raw = _to_logical_df(raw, cm, keep=("__dl_f", "__dl_p"))
     new_pos = raw.filter(F.expr(expr)).select(
-        F.regexp_extract(F.col("_metadata.file_path"), _REL_FILE_RE, 0)
-        .alias("file"),
-        F.col("_metadata.row_index").alias("pos"),
+        F.col("__dl_f").alias("file"), F.col("__dl_p").alias("pos")
     )
     old_dv = _read_dv_positions(spark, table, cands)
     old_count = sum(d.get("count", 0) for d in _dv_entries(cands))
@@ -1521,7 +1692,7 @@ def delete_where(
         # files OUTSIDE this delete's candidate set — restrict to the
         # candidates so those files keep their (still-live) sidecars
         cand_df = spark.createDataFrame(
-            [(a["path"],) for a in cands], "file string"
+            [(_log_rel(a["path"]),) for a in cands], "file string"
         )
         old_pos = old_dv.join(F.broadcast(cand_df), "file", "inner")
         all_pos = new_pos.unionByName(old_pos).distinct()
@@ -1541,7 +1712,7 @@ def delete_where(
         return noop
     new_adds = []
     for a in cands:
-        n = counts.get(a["path"], 0)
+        n = counts.get(_log_rel(a["path"]), 0)
         if n > 0:
             na = {k: v for k, v in a.items() if k != "dv"}
             na["dv"] = [{"path": rel_dv, "count": int(n)}]
@@ -1591,10 +1762,12 @@ def update_where(
     if base < 0:
         raise FileNotFoundError(f"no such table: {table}")
     tuples = predicate if isinstance(predicate, list) else None
+    tuples_p = _cm_tuples(table_column_mapping(table), tuples)
     expr = _predicate_to_expr(tuples) if tuples else predicate
     live = live_files(table)
     cands = (
-        [a for a in live if _file_may_match(a, tuples)] if tuples else list(live)
+        [a for a in live if _file_may_match(a, tuples_p)]
+        if tuples else list(live)
     )
     noop = {"version": base, "rows_updated": 0, "files_rewritten": 0,
             "files_total": len(live)}
@@ -1617,7 +1790,7 @@ def update_where(
     }
     if not per_file:
         return noop
-    touched = [a for a in cands if a["path"] in per_file]
+    touched = [a for a in cands if _log_rel(a["path"]) in per_file]
     existing = _read_adds(spark, table, touched)
     hit = F.coalesce(F.expr(expr), F.lit(False))
     updated = existing.select(*[
@@ -1692,8 +1865,10 @@ def overwrite_where(
                 "declared replace scope"
             )
     live = live_files(table)
+    tuples_p = _cm_tuples(table_column_mapping(table), tuples)
     cands = (
-        [a for a in live if _file_may_match(a, tuples)] if tuples else list(live)
+        [a for a in live if _file_may_match(a, tuples_p)]
+        if tuples else list(live)
     )
     # one distributed pass over the candidates: per file, how many rows
     # match vs total (bounded collect: one row per candidate file) —
@@ -1703,7 +1878,7 @@ def overwrite_where(
     removed_whole: list[str] = []
     boundary: list[dict] = []
     rows_deleted = 0
-    plan = _metadata_match_plan(table, cands, tuples)
+    plan = _metadata_match_plan(table, cands, tuples_p)
     if plan is not None:
         removed_whole = [a["path"] for a in plan]
         rows_deleted = int(sum(a["rows"] for a in plan)) - sum(
@@ -1721,7 +1896,7 @@ def overwrite_where(
             ).collect()
         }
         for a in cands:
-            m, n = per_file.get(a["path"], (0, 0))
+            m, n = per_file.get(_log_rel(a["path"]), (0, 0))
             rows_deleted += int(m)
             if m == 0:
                 continue  # predicate missed this file entirely
@@ -1811,6 +1986,11 @@ def restore(table: str, to_version: int, checkpoint_every: int = 10) -> int:
     return _commit_retry(
         table, "restore", adds, removes, target["schema"], base,
         checkpoint_every, expect_head=base,
+        # restoring past a rename/drop must restore those logical names
+        # too (normalized so 'no mapping yet' still overrides a newer
+        # one — None would mean 'leave the header key out')
+        column_mapping=target["column_mapping"] or {"map": {},
+                                                    "retired": []},
     )
 
 
@@ -1899,6 +2079,163 @@ def drop_check_constraint(
     return version
 
 
+# ------------------------------------------------- schema evolution DDL
+
+
+def _expr_references(expr: str, col: str) -> bool:
+    """Conservative identifier check: does a SQL expression string
+    mention ``col`` as a word (or backtick-quoted)? Used to refuse
+    rename/drop of columns a CHECK constraint or generated-partition
+    expression depends on — same restriction as Delta's."""
+    return bool(_re.search(
+        rf"(?:\b|`){_re.escape(col)}(?:\b|`)", expr
+    ))
+
+
+def _mapping_ddl_guard(table: str, col: str, verb: str) -> dict:
+    """Shared validation for rename_column/drop_column: the column must
+    exist, must not be a partition column (the hive layout and spec
+    embed its name), and must not be referenced by a CHECK constraint
+    or a generated-partition expression. Returns the current snapshot."""
+    base = table_version(table)
+    if base < 0:
+        raise FileNotFoundError(f"no such table: {table}")
+    snap = _snapshot(table, base)
+    fields = json.loads(snap["schema"])["fields"] if snap["schema"] else []
+    names = [f["name"] for f in fields]
+    if col not in names:
+        raise KeyError(f"{verb} {table}: no such column {col!r}")
+    pby = snap["partition_by"] or []
+    pex = snap["partition_exprs"] or {}
+    if col in pby or col in pex:
+        raise ValueError(
+            f"{verb} {table}: {col!r} is a partition column — the spec "
+            "is immutable (rewrite into a new table to repartition)"
+        )
+    for c, e in pex.items():
+        if _expr_references(e, col):
+            raise ValueError(
+                f"{verb} {table}: generated partition column {c!r} "
+                f"derives from {col!r} ({e})"
+            )
+    for name, e in (snap["constraints"] or {}).items():
+        if _expr_references(e, col):
+            raise ValueError(
+                f"{verb} {table}: CHECK constraint {name!r} references "
+                f"{col!r} ({e}) — drop the constraint first"
+            )
+    return snap
+
+
+def rename_column(
+    table: str, old: str, new: str, checkpoint_every: int = 10
+) -> int:
+    """ALTER TABLE RENAME COLUMN — METADATA-ONLY (the Delta
+    column-mapping rename): zero data files move, on a 100 TB table as
+    on an empty one. The logical schema renames; bytes keep the old
+    PHYSICAL name; subsequent reads translate at the scan boundary and
+    subsequent writes translate back (see ``table_column_mapping``).
+    Time travel to pre-rename versions surfaces the old name, and
+    RESTORE past the rename restores it."""
+    snap = _mapping_ddl_guard(table, old, "rename_column")
+    schema = json.loads(snap["schema"])
+    names = [f["name"] for f in schema["fields"]]
+    if new in names:
+        raise ValueError(f"rename_column {table}: {new!r} already exists")
+    cm = {"map": dict((snap["column_mapping"] or {}).get("map") or {}),
+          "retired": list((snap["column_mapping"] or {}).get("retired")
+                          or [])}
+    if new in cm["retired"] or new in cm["map"].values():
+        raise ValueError(
+            f"rename_column {table}: {new!r} collides with a physical "
+            "column name still present in data files"
+        )
+    for f in schema["fields"]:
+        if f["name"] == old:
+            f["name"] = new
+    cm["map"][new] = cm["map"].pop(old, old)
+    if cm["map"][new] == new:  # renamed back to its physical name
+        del cm["map"][new]
+    return _commit_retry(
+        table, "rename_column", [], [], json.dumps(schema),
+        snap["version"], checkpoint_every, column_mapping=cm,
+        expect_head=snap["version"],  # recompute on any race
+    )
+
+
+def drop_column(table: str, col: str, checkpoint_every: int = 10) -> int:
+    """ALTER TABLE DROP COLUMN — METADATA-ONLY: the physical column
+    stays in existing files (readers project it away; the next
+    ``compact``/rewrite physically purges it) and its name is RETIRED —
+    a later append re-adding the same logical name allocates a fresh
+    physical name, so the dropped bytes can never resurface through
+    schema merging."""
+    snap = _mapping_ddl_guard(table, col, "drop_column")
+    schema = json.loads(snap["schema"])
+    if len(schema["fields"]) == 1:
+        raise ValueError(f"drop_column {table}: cannot drop the only column")
+    schema["fields"] = [f for f in schema["fields"] if f["name"] != col]
+    cm = {"map": dict((snap["column_mapping"] or {}).get("map") or {}),
+          "retired": list((snap["column_mapping"] or {}).get("retired")
+                          or [])}
+    phys = cm["map"].pop(col, col)
+    if phys not in cm["retired"]:
+        cm["retired"].append(phys)
+    return _commit_retry(
+        table, "drop_column", [], [], json.dumps(schema),
+        snap["version"], checkpoint_every, column_mapping=cm,
+        expect_head=snap["version"],
+    )
+
+
+def clone(src: str, dst: str, version: int | None = None) -> int:
+    """SHALLOW CLONE: create ``dst`` as a zero-copy snapshot of ``src``
+    at ``version`` — one metadata commit whose add actions reference
+    the source's data files (and DV sidecars) by ABSOLUTE path; no
+    bytes move regardless of table size. The clone's log is independent
+    from commit 0: writes, DML, OPTIMIZE, and RESTORE on the clone
+    never touch the source, and ``vacuum`` on either side only reclaims
+    files under its OWN table directory (absolute-source references are
+    invisible to the clone's directory walk by construction). Schema,
+    partition spec, generated-column exprs, CHECK constraints, and the
+    column mapping all carry over. Clone-of-clone keeps pointing at the
+    original bytes (absolute paths pass through ``os.path.join``)."""
+    v = _resolve_version(src, version)
+    snap = _snapshot(src, v)
+    if table_version(dst) >= 0:
+        raise FileExistsError(f"clone target already a table: {dst}")
+    src_abs = os.path.abspath(src)
+    adds = []
+    for p, a in sorted(snap["adds"].items()):
+        a = dict(a)
+        a["path"] = os.path.join(src_abs, p)
+        if a.get("dv"):
+            a["dv"] = [
+                {**d, "path": os.path.join(src_abs, d["path"])}
+                for d in a["dv"]
+            ]
+        adds.append(a)
+    header = {
+        "version": 0, "operation": "clone", "schema": snap["schema"],
+        "ts": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+        "source": {"table": src_abs, "version": v},
+    }
+    if snap["partition_by"] is not None:
+        header["partition_by"] = snap["partition_by"]
+    if snap["partition_exprs"] is not None:
+        header["partition_exprs"] = snap["partition_exprs"]
+    if snap["column_mapping"] is not None:
+        header["column_mapping"] = snap["column_mapping"]
+    actions = [{"commit": header}]
+    actions += [
+        {"constraint": {"name": n, "expr": e}}
+        for n, e in sorted((snap["constraints"] or {}).items())
+    ]
+    actions += [{"add": a} for a in adds]
+    _publish(dst, 0, actions)
+    return 0
+
+
 def _validate_constraints(
     spark: SparkSession, table: str, adds: list[dict]
 ) -> None:
@@ -1913,6 +2250,8 @@ def _validate_constraints(
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(*[os.path.join(table, a["path"]) for a in adds])
+    # staged files carry physical names; constraint exprs are logical
+    df = _to_logical_df(df, table_column_mapping(table))
     names = list(cons)
     row = df.agg(*[
         F.sum(
@@ -2027,12 +2366,14 @@ def merge_into(
             )
         ranges[k] = (_json_safe(lo), _json_safe(hi))
 
+    cm = table_column_mapping(table)
+
     def is_candidate(add: dict) -> bool:
         # conjunctive per-key prune; nulls-only stats entries (all-null
         # or EMPTY files) carry no zone map — 'min' absent means cannot
-        # prune, never KeyError
+        # prune, never KeyError. Stats are keyed PHYSICAL.
         for k, (lo, hi) in ranges.items():
-            s = (add.get("stats") or {}).get(k)
+            s = (add.get("stats") or {}).get(_cm_phys(cm, k))
             if s is None or "min" not in s or lo is None or hi is None:
                 continue
             if s["max"] < lo or s["min"] > hi:
@@ -2058,38 +2399,38 @@ def merge_into(
             .collect()
         )
     touched_set = set(touched_rel)
+    # lineage keys are data/<commit>/... tails; cloned adds are logged
+    # by absolute path — translate through _log_rel for both the
+    # remove set and the conflict guard
+    touched_adds = [
+        a for a in candidates if _log_rel(a["path"]) in touched_set
+    ]
+    removes = [a["path"] for a in touched_adds]
 
     if when_matched == "delete":
-        if not touched_rel:  # no key present: nothing to delete
+        if not touched_adds:  # no key present: nothing to delete
             return {"version": base, "files_rewritten": 0,
                     "files_total": len(live)}
-        existing = _read_adds(
-            spark, table, [a for a in candidates if a["path"] in touched_set]
-        )
+        existing = _read_adds(spark, table, touched_adds)
         survivors = existing.join(src_keys, on=keys, how="left_anti")
         # fully-deleted files leave 0-row shards, which
         # _write_data_files already drops from the commit
         adds = _write_data_files(survivors, table, base + 1, stat_cols,
                                  cluster_by=keys if stat_cols else None)
         version = _commit_retry(
-            table, "merge_delete", adds, touched_rel,
+            table, "merge_delete", adds, removes,
             _snapshot(table, base)["schema"], base, checkpoint_every,
             txn=txn,
-            require_unchanged={
-                a["path"]: a for a in candidates
-                if a["path"] in touched_set
-            },
+            require_unchanged={a["path"]: a for a in touched_adds},
         )
         return {
             "version": version,
-            "files_rewritten": len(touched_rel),
+            "files_rewritten": len(touched_adds),
             "files_total": len(live),
         }
 
-    if touched_rel:
-        existing = _read_adds(
-            spark, table, [a for a in candidates if a["path"] in touched_set]
-        )
+    if touched_adds:
+        existing = _read_adds(spark, table, touched_adds)
         # rewrite = unmatched existing rows + ALL source rows (update
         # semantics: the source row wins; insert: key absent anywhere)
         survivors = existing.join(src_keys, on=keys, how="left_anti")
@@ -2102,15 +2443,13 @@ def merge_into(
     )
     _validate_constraints(spark, table, adds)
     version = _commit_retry(
-        table, "merge", adds, touched_rel,
+        table, "merge", adds, removes,
         rewritten.schema.json(), base, checkpoint_every, txn=txn,
-        require_unchanged={
-            a["path"]: a for a in candidates if a["path"] in touched_set
-        },
+        require_unchanged={a["path"]: a for a in touched_adds},
     )
     return {
         "version": version,
-        "files_rewritten": len(touched_rel),
+        "files_rewritten": len(touched_adds),
         "files_total": len(live),
     }
 
@@ -2270,6 +2609,23 @@ def table_changes(
         raise ValueError(
             f"change range [{from_version}, {to_version}] outside [-1, {latest}]"
         )
+    # the feed unions per-version diffs by name: a rename/drop inside
+    # the range would mix logical schemas — split the read at the
+    # mapping-change boundary instead (Delta's CDF makes the same call)
+    cm = table_column_mapping(table, to_version) if to_version >= 0 else None
+    cm_from = (
+        table_column_mapping(table, from_version) if from_version >= 0
+        else None
+    )
+    norm = lambda c: (  # noqa: E731
+        dict((c or {}).get("map") or {}), sorted((c or {}).get("retired") or ())
+    )
+    if norm(cm) != norm(cm_from):
+        raise ValueError(
+            f"change range ({from_version}, {to_version}] crosses a "
+            "rename_column/drop_column commit — read the feed in two "
+            "ranges split at that version"
+        )
 
     feeds = []
     for v in range(from_version + 1, to_version + 1):
@@ -2288,8 +2644,8 @@ def table_changes(
         # belong on the old side of the diff
         replaced = [a["path"] for a in add_acts if a["path"] in pre]
         old_acts = [pre[q] for q in rem_paths + replaced if q in pre]
-        new = _read_adds(spark, table, add_acts)
-        old = _read_adds(spark, table, old_acts)
+        new = _read_adds(spark, table, add_acts, column_mapping=cm)
+        old = _read_adds(spark, table, old_acts, column_mapping=cm)
 
         def tag(df: DataFrame, typ: str) -> DataFrame:
             return df.withColumn("_change_type", F.lit(typ)).withColumn(

@@ -52,7 +52,8 @@ from pyspark.sql.types import StructType
 
 
 class _FilePart(InputPartition):
-    def __init__(self, path: str, dv_paths: tuple = (), rel: str = ""):
+    def __init__(self, path: str, dv_paths: tuple = (), rel: str = "",
+                 renames: tuple = (), drops: tuple = ()):
         self.path = path
         self.dv_paths = tuple(dv_paths)
         # the log-relative path ("data/<commit>/[...partition dirs...]/
@@ -61,14 +62,35 @@ class _FilePart(InputPartition):
         # segment count once partitioned commits nest __p_<col>=<value>
         # directories, so it rides along from planning time
         self.rel = rel
+        # column mapping, resolved at PLANNING time (physical→logical
+        # rename pairs + retired physical columns to drop): data files
+        # carry physical names; the declared schema is logical
+        self.renames = tuple(renames)
+        self.drops = tuple(drops)
 
 
-def _read_arrow_with_dv(path: str, dv_paths: tuple, rel: str = ""):
+def _cm_parts(cm) -> tuple[tuple, tuple]:
+    """A column mapping → (_FilePart.renames, _FilePart.drops)."""
+    if not cm:
+        return (), ()
+    renames = tuple(
+        (p, l) for l, p in (cm.get("map") or {}).items() if p != l
+    )
+    return renames, tuple(cm.get("retired") or ())
+
+
+def _read_arrow_with_dv(path: str, dv_paths: tuple, rel: str = "",
+                        renames: tuple = (), drops: tuple = ()):
     """Arrow table of one data file minus its deletion-vector
     positions (executor-side; no Spark imports)."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(path)
+    if renames or drops:
+        m = dict(renames)
+        gone = set(drops)
+        keep = [c for c in t.column_names if c not in gone]
+        t = t.select(keep).rename_columns([m.get(c, c) for c in keep])
     if dv_paths:
         if not rel:  # legacy fallback: flat data/<commit>/<file> layout
             rel = "/".join(path.rsplit("/", 3)[1:])
@@ -121,6 +143,12 @@ class DeltaliteStreamReader(DataSourceStreamReader):
         live: set[str] = (
             set(dl._snapshot(self.table, sv)["adds"]) if sv >= 0 else set()
         )
+        # mapping pinned alongside the stream's declared schema: data
+        # files are physical forever, so translating with the pinned
+        # mapping stays correct even if a rename lands mid-stream
+        renames, drops = _cm_parts(
+            dl.table_column_mapping(self.table)
+        )
         for v in range(sv + 1, end["version"] + 1):
             p = dl._version_path(self.table, v)
             if not dl._log_exists(self.table, v):
@@ -144,7 +172,8 @@ class DeltaliteStreamReader(DataSourceStreamReader):
                 for a in adds:
                     parts.append(
                         _FilePart(os.path.join(self.table, a["path"]),
-                                  rel=a["path"])
+                                  rel=a["path"], renames=renames,
+                                  drops=drops)
                     )
             elif not self.skip_change_commits:
                 raise ValueError(
@@ -160,7 +189,9 @@ class DeltaliteStreamReader(DataSourceStreamReader):
 
     def read(self, partition: _FilePart):
         t = _read_arrow_with_dv(partition.path, partition.dv_paths,
-                                getattr(partition, "rel", ""))
+                                getattr(partition, "rel", ""),
+                                getattr(partition, "renames", ()),
+                                getattr(partition, "drops", ()))
         yield from t.to_batches()
 
     def commit(self, end: dict) -> None:
@@ -176,6 +207,11 @@ class DeltaliteBatchReader(DataSourceReader):
         from pygdf_spark.sources import deltalite as dl
 
         adds, _ = dl.plan_adds(self.table, self.version)
+        renames, drops = _cm_parts(
+            dl.table_column_mapping(
+                self.table, dl._resolve_version(self.table, self.version)
+            )
+        )
         return [
             _FilePart(
                 os.path.join(self.table, a["path"]),
@@ -184,13 +220,17 @@ class DeltaliteBatchReader(DataSourceReader):
                     for d in (a.get("dv") or [])
                 ),
                 rel=a["path"],
+                renames=renames,
+                drops=drops,
             )
             for a in adds
         ]
 
     def read(self, partition: _FilePart):
         t = _read_arrow_with_dv(partition.path, partition.dv_paths,
-                                getattr(partition, "rel", ""))
+                                getattr(partition, "rel", ""),
+                                getattr(partition, "renames", ()),
+                                getattr(partition, "drops", ()))
         yield from t.to_batches()
 
 
