@@ -72,6 +72,28 @@ def image_decode(df: DataFrame, bytes_col: str = "img_png") -> DataFrame:
     return df.mapInPandas(kernel, IMAGE_META_SCHEMA)
 
 
+def jpeg_decode(df: DataFrame, bytes_col: str = "img_jpeg") -> DataFrame:
+    """Decode a baseline-JPEG binary column (sources/jpeg_lite.py —
+    real Huffman/DCT bitstreams, the dominant photo format in scraped
+    corpora) to typed image metadata + pixel stats. Same contract as
+    ``image_decode``: one Arrow crossing, fail-loud on malformed
+    payloads."""
+    from pygdf_spark.sources.jpeg_lite import decode_jpeg
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc, buf in zip(pdf["doc_id"], pdf[bytes_col]):
+                out = decode_jpeg(bytes(buf))
+                px = out["pixels"]
+                if px.ndim == 2:  # grayscale → 1-channel volume
+                    px = px[:, :, None]
+                rows.append(_img_stats(int(doc), px))
+            yield _typed_img(rows)
+
+    return df.mapInPandas(kernel, IMAGE_META_SCHEMA)
+
+
 def image_resize_nn(df: DataFrame, bytes_col: str = "img_png", factor: int = 2) -> DataFrame:
     """Decode → nearest-neighbor decimate by ``factor`` → RE-ENCODE →
     decode again, reporting stats of the re-decoded result: the full

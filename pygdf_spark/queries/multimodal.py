@@ -523,6 +523,65 @@ def _gen_gif(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "img_gif": bufs})
 
 
+def _gen_jpeg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from pygdf_spark.sources.jpeg_lite import encode_jpeg
+
+    for pdf in batches:
+        bufs = []
+        for doc in pdf["doc_id"]:
+            doc = int(doc)
+            wt, ht = 2 + doc % 3, 1 + (doc // 3) % 3
+            tx = np.arange(wt)[None, :]
+            ty = np.arange(ht)[:, None]
+            tiles = ((doc + 11 * tx + 23 * ty) % 256).astype("uint8")
+            img = np.repeat(np.repeat(tiles, 8, 0), 8, 1)
+            bufs.append(encode_jpeg(img, quality=100))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "img_jpeg": bufs})
+
+
+def mm_jpeg_decode(spark, sf_dir):
+    """REAL JPEG decode: synthesized baseline JFIF bitstreams (full
+    Huffman + zigzag + IDCT pipeline at quality 100) decoded by
+    sources/jpeg_lite.py inside mapInPandas. Fixtures are constant
+    within each aligned 8x8 tile, which quality-100 baseline JPEG
+    round-trips BIT-EXACTLY (DC-only blocks, all-ones quant tables) —
+    so the oracle recomputes every pixel stat from the tile formula,
+    codec-free, while the decoder exercises its fully general paths."""
+    from pygdf_spark.operators.multimodal import jpeg_decode
+
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 300) \
+        .select("doc_id")
+    payloads = d.mapInPandas(_gen_jpeg, "doc_id long, img_jpeg binary")
+    return jpeg_decode(payloads).orderBy("doc_id")
+
+
+MM_JPEG_DECODE_SQL = """
+WITH spec AS (
+  SELECT doc_id, 2 + doc_id % 3 AS wt, 1 + (doc_id // 3) % 3 AS ht
+  FROM documents WHERE doc_id < 300
+),
+tiles AS (
+  SELECT s.doc_id, s.wt, s.ht,
+         SUM((s.doc_id + 11 * xx.x + 23 * yy.y) % 256) AS tsum
+  FROM spec s,
+       UNNEST(generate_series(0, s.wt - 1)) AS xx(x),
+       UNNEST(generate_series(0, s.ht - 1)) AS yy(y)
+  GROUP BY s.doc_id, s.wt, s.ht
+)
+SELECT doc_id,
+       CAST(wt * 8 AS INT) AS width,
+       CAST(ht * 8 AS INT) AS height,
+       CAST(1 AS INT) AS channels,
+       CAST(tsum * 64 AS BIGINT) AS px_sum,
+       CAST(doc_id % 256 AS INT) AS px_first,
+       CAST((doc_id + 11 * (wt - 1) + 23 * (ht - 1)) % 256 AS INT)
+         AS px_last
+FROM tiles ORDER BY doc_id
+"""
+
+
 def mm_gif_frames(spark, sf_dir):
     """REAL animated-image frame sampling: synthesized multi-frame GIFs
     (16-color palette, per-frame delays) decoded by the spec LZW codec
@@ -570,6 +629,7 @@ FROM px ORDER BY doc_id, frame
 
 
 QUERIES = {
+    "mm_jpeg_decode": mm_jpeg_decode,
     "mm_gif_frames": mm_gif_frames,
     "mm_binary_meta": mm_binary_meta,
     "mm_image_decode_stub": mm_image_decode_stub,
@@ -584,6 +644,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "mm_jpeg_decode": MM_JPEG_DECODE_SQL,
     "mm_gif_frames": MM_GIF_FRAMES_SQL,
     "mm_webdataset_images": MM_WEBDATASET_SQL,
     "mm_binary_meta": MM_BINARY_META_SQL,
