@@ -358,6 +358,18 @@ class DeltaliteStreamWriter(DataSourceStreamWriter):
         self.stat_cols = stat_cols
         self.partition_by = list(partition_by) if partition_by else None
         self.stage = f"stream-{os.getpid()}-{__import__('uuid').uuid4().hex[:8]}"
+        # column mapping pinned at stream start (same discipline as the
+        # stream READER): shards must land with PHYSICAL column names —
+        # logical-named bytes on a mapped table would collide with the
+        # scan-boundary translation. commit() re-checks the pin.
+        from pygdf_spark.sources import deltalite as dl
+
+        cm = (dl.table_column_mapping(table)
+              if dl.table_version(table) >= 0 else None)
+        self.cm_pin = {
+            "map": dict((cm or {}).get("map") or {}),
+            "retired": sorted((cm or {}).get("retired") or []),
+        }
 
     def write(self, iterator) -> "_ShardMsg":
         import uuid as _uuid
@@ -373,9 +385,13 @@ class DeltaliteStreamWriter(DataSourceStreamWriter):
         arrow_schema = to_arrow_schema(self.schema)
         cols = [f.name for f in self.schema.fields]
 
+        phys = self.cm_pin["map"]
+
         def _stage_one(subrows, subdir: str):
             data = {c: [r[i] for r in subrows] for i, c in enumerate(cols)}
             t = pa.Table.from_pydict(data, schema=arrow_schema)
+            if phys:  # logical → physical before bytes land
+                t = t.rename_columns([phys.get(c, c) for c in t.column_names])
             rel = os.path.join(
                 "data", self.stage, *filter(None, [subdir]),
                 f"part-{_uuid.uuid4().hex}.parquet",
@@ -424,6 +440,22 @@ class DeltaliteStreamWriter(DataSourceStreamWriter):
         for c in self.partition_by or ():
             if c not in scols:
                 scols.append(c)
+        # shards were staged with the PINNED mapping's physical names;
+        # a rename/drop landing mid-stream would make them wrong — the
+        # documented contract (Delta's too) is: restart the stream.
+        cm_now = (dl.table_column_mapping(self.table)
+                  if dl.table_version(self.table) >= 0 else None)
+        cm_now = {
+            "map": dict((cm_now or {}).get("map") or {}),
+            "retired": sorted((cm_now or {}).get("retired") or []),
+        }
+        if cm_now != self.cm_pin:
+            raise dl.ConcurrentWriteError(
+                f"deltalite sink on {self.table}: column mapping changed "
+                "mid-stream (rename_column/drop_column) — restart the "
+                "streaming query to pick up the new mapping"
+            )
+        scols = [self.cm_pin["map"].get(c, c) for c in scols]
         adds = []
         for m in messages:
             for rel, nrows in (getattr(m, "shards", None) or []):

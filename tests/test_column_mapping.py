@@ -194,6 +194,56 @@ def test_streaming_datasource_reads_logical_names(spark, sf_dir, table):
     assert got.count() == src.count()
 
 
+def test_append_with_old_name_after_rename_is_new_column(spark, sf_dir,
+                                                         table):
+    src = _orders(spark, sf_dir)
+    dl.append(src, table)
+    dl.rename_column(table, "o_totalprice", "price")
+    # a writer still using the OLD name appends a NEW logical column —
+    # it must get a fresh physical name, never alias the renamed bytes
+    dl.append(src.limit(2).select("o_orderkey", "o_custkey",
+                                  "o_orderstatus", "o_totalprice"), table)
+    got = dl.read_table(spark, table)
+    assert "price" in got.columns and "o_totalprice" in got.columns
+    # old rows: price carries the original values, o_totalprice is null
+    assert got.filter("price IS NOT NULL").count() == src.count()
+    assert got.filter("o_totalprice IS NOT NULL").count() == 2
+    cm = dl.table_column_mapping(table)
+    assert cm["map"]["o_totalprice"] != "o_totalprice"
+
+
+def test_stream_sink_stages_physical_names_and_pins_mapping(
+    spark, sf_dir, table
+):
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    from pygdf_spark.streaming.lake_source import DeltaliteStreamWriter
+
+    src = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    dl.append(src, table, stat_cols=["o_orderkey"])
+    dl.rename_column(table, "o_totalprice", "price")
+    st = StructType([StructField("o_orderkey", LongType()),
+                     StructField("price", DoubleType())])
+    w = DeltaliteStreamWriter(table, st, "appA", ["o_orderkey"])
+    msg = w.write(iter([(900001, 1.5), (900002, 2.5)]))
+    w.commit([msg], 0)
+    # file bytes carry the PHYSICAL name; reads surface the logical one
+    rel = msg.shards[0][0]
+    names = pq.ParquetFile(os.path.join(table, rel)).schema_arrow.names
+    assert names == ["o_orderkey", "o_totalprice"]
+    got = dl.read_table(spark, table)
+    assert got.columns == ["o_orderkey", "price"]
+    assert got.filter("o_orderkey >= 900000").count() == 2
+    # a rename landing mid-stream refuses the batch (restart contract)
+    w2 = DeltaliteStreamWriter(table, st, "appA", ["o_orderkey"])
+    msg2 = w2.write(iter([(900003, 3.5)]))
+    dl.rename_column(table, "price", "price2")
+    with pytest.raises(dl.ConcurrentWriteError, match="restart"):
+        w2.commit([msg2], 1)
+
+
 # -------------------------------------------------------------- clone
 
 
