@@ -121,6 +121,12 @@ EXTRA_BENCH = [
     "io_csv_options",         # positional CSV options via indexed text
     "lake_partition_prune",   # hive partitions: metadata-only DELETE + prune
     "lake_update_where",      # copy-on-write UPDATE with touch detection
+    # r7 close-out operators (same outside-headline rule):
+    "lake_column_mapping",    # metadata-only RENAME/DROP + translated scan
+    "lake_shallow_clone",     # zero-copy clone + divergent DML
+    "graph_bfs_hops",         # multi-source frontier BFS
+    "profile_documents",      # one-pass column profiler
+    "mm_jpeg_decode",         # baseline JPEG Huffman/IDCT decode
 ]
 
 

@@ -63,6 +63,12 @@ _PRIORITY = [
     "lake_partition_prune",  # hive partitions: metadata DELETE + log pruning
     "lake_update_where",     # copy-on-write UPDATE with touch detection
     "lake_incremental_lsh",  # CDF-driven incremental MinHash index
+    # -- never driver-checked (r7 close-out additions):
+    "lake_column_mapping",   # metadata-only RENAME/DROP COLUMN
+    "lake_shallow_clone",    # zero-copy clone + divergent DML
+    "graph_bfs_hops",        # multi-source frontier BFS
+    "profile_documents",     # one-pass column profiler
+    "mm_jpeg_decode",        # baseline JPEG decode (real bitstreams)
     # -- changed since last green (r7 edits):
     #    deltalite.py: LogStore seam + distributed stats harvest + bloom
     #    kind guard + null-count gating; late-r7: require_unchanged

@@ -80,7 +80,11 @@ TIMED = ["q1_pricing_summary", "join_inner_q3", "agg_basic_stats",
          "nlp_bpe_train_fast", "io_csv_options", "mi_row_roundtrip",
          "lake_replace_where", "lake_incremental_lsh",
          # late-r7 additions (hive partitions, copy-on-write UPDATE)
-         "lake_partition_prune", "lake_update_where"]
+         "lake_partition_prune", "lake_update_where",
+         # r7 close-out (column mapping, shallow clone, BFS, profiler,
+         # baseline JPEG)
+         "lake_column_mapping", "lake_shallow_clone", "graph_bfs_hops",
+         "profile_documents", "mm_jpeg_decode"]
 
 
 def build(spark, n: int, dst: str) -> None:
