@@ -272,13 +272,117 @@ FROM f GROUP BY user_id ORDER BY user_id
 """
 
 
+def events_ewma_trend(spark, sf_dir):
+    """Holt linear (double-exponential) smoothing per event-type series
+    — the trend/forecast primitive of an observability or demand
+    pipeline, run as one daily-rollup shuffle plus an applyInPandas
+    scan per series (sequential in t by nature, PARALLEL across series
+    — the correct axis at 100 TB, where series count ≫ series length).
+
+    EXACT integer µ-unit recurrence (the pagerank_micro discipline —
+    float smoothing would sum in engine-specific order), alpha=0.3,
+    beta=0.2, both engines truncate integer division toward zero:
+
+        l_0 = x_0·1e6, b_0 = 0
+        l_t = (3·x_t·1e6 + 7·(l_{t-1} + b_{t-1})) div 10
+        b_t = (2·(l_t − l_{t-1}) + 8·b_{t-1}) div 10
+
+    The oracle replays the same recurrence as a recursive CTE (one row
+    per (series, t) — linear, fixpoint-free). Output: the final state +
+    one-step forecast per series."""
+    import pandas as pd
+
+    e = events_ts(spark, sf_dir)
+    sec = F.expr("unix_micros(ts) div 1000000")
+    daily = (
+        e.select("event_type",
+                 (sec.cast("long") - sec.cast("long") % 86400)
+                 .alias("b_day"))
+        .groupBy("event_type", "b_day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("b_day")
+        l = b = None
+        for x in pdf["x"].astype(int):
+            if l is None:
+                l, b = x * 1_000_000, 0
+                continue
+            l_new = _trunc_div(3 * x * 1_000_000 + 7 * (l + b), 10)
+            b = _trunc_div(2 * (l_new - l) + 8 * b, 10)
+            l = l_new
+        return pd.DataFrame({
+            "event_type": [pdf["event_type"].iloc[0]],
+            "n_days": [len(pdf)],
+            "level_micro": [l], "trend_micro": [b],
+            "forecast_micro": [l + b],
+        })
+
+    out = daily.groupBy("event_type").applyInPandas(
+        holt,
+        "event_type string, n_days long, level_micro long, "
+        "trend_micro long, forecast_micro long",
+    )
+    return out.orderBy("event_type")
+
+
+def _trunc_div(a: int, d: int) -> int:
+    """Integer division truncating toward zero — Spark's BIGINT `div`
+    and DuckDB's `//` both do this; Python's // floors, hence the
+    helper."""
+    q = abs(a) // d
+    return q if a >= 0 else -q
+
+
+EVENTS_EWMA_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT event_type,
+         ((epoch_us(CAST(ts AS TIMESTAMP)) // 1000000)
+          - (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) % 86400)
+           AS b_day,
+         COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT event_type, x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY b_day)
+           AS rn
+  FROM daily
+),
+rec(event_type, rn, l, b) AS (
+  SELECT event_type, CAST(1 AS BIGINT),
+         CAST(x * 1000000 AS BIGINT), CAST(0 AS BIGINT)
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.rn,
+         (3 * s.x * 1000000 + 7 * (r.l + r.b)) // 10,
+         (2 * ((3 * s.x * 1000000 + 7 * (r.l + r.b)) // 10 - r.l)
+          + 8 * r.b) // 10
+  FROM rec r JOIN seq s
+    ON s.event_type = r.event_type AND s.rn = r.rn + 1
+),
+fin AS (
+  SELECT event_type, rn, l, b,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY rn DESC)
+           AS rk
+  FROM rec
+)
+SELECT event_type, rn AS n_days, l AS level_micro, b AS trend_micro,
+       l + b AS forecast_micro
+FROM fin WHERE rk = 1 ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "events_ewma_trend": events_ewma_trend,
     "events_gapfill_interp": events_gapfill_interp,
     "events_multires_rollup": events_multires_rollup,
     "scd2_event_history": scd2_event_history,
 }
 
 ORACLE = {
+    "events_ewma_trend": EVENTS_EWMA_SQL,
     "events_gapfill_interp": EVENTS_GAPFILL_SQL,
     "events_multires_rollup": EVENTS_MULTIRES_SQL,
     "scd2_event_history": SCD2_EVENT_HISTORY_SQL,

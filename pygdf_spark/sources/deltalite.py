@@ -265,6 +265,7 @@ def _snapshot(table: str, version: int) -> dict:
     partition_by = None
     partition_exprs = None
     column_mapping = None
+    protocol = None
     constraints: dict[str, str] = {}
     start = 0
     ckpt = _latest_checkpoint_at_or_before(table, version)
@@ -277,6 +278,7 @@ def _snapshot(table: str, version: int) -> dict:
         partition_by = snap.get("partition_by")
         partition_exprs = snap.get("partition_exprs")
         column_mapping = snap.get("column_mapping")
+        protocol = snap.get("protocol")
         constraints = dict(snap.get("constraints") or {})
         start = ckpt + 1
     for v in range(start, version + 1):
@@ -295,6 +297,7 @@ def _snapshot(table: str, version: int) -> dict:
                 column_mapping = action["commit"].get(
                     "column_mapping", column_mapping
                 )
+                protocol = action["commit"].get("protocol", protocol)
             elif "add" in action:
                 adds[action["add"]["path"]] = action["add"]
             elif "remove" in action:
@@ -308,7 +311,7 @@ def _snapshot(table: str, version: int) -> dict:
     return {"adds": adds, "schema": schema, "version": version,
             "constraints": constraints, "partition_by": partition_by,
             "partition_exprs": partition_exprs,
-            "column_mapping": column_mapping}
+            "column_mapping": column_mapping, "protocol": protocol}
 
 
 def live_files(table: str, version: int | None = None) -> list[dict]:
@@ -334,6 +337,78 @@ def table_partition_exprs(table: str) -> dict | None:
     if v < 0:
         return None
     return _snapshot(table, v)["partition_exprs"]
+
+
+# table features THIS build understands; a table whose protocol lists
+# anything newer is fenced off instead of silently mis-read/mis-written
+# (the Delta protocol-versioning contract)
+_READER_FEATURES = {
+    "columnMapping", "deletionVectors", "checkConstraints",
+    "generatedColumns", "partitionColumns", "timeTravel",
+    "changeDataFeed", "shallowClone",
+}
+_WRITER_FEATURES = set(_READER_FEATURES)
+
+
+def table_protocol(table: str, version: int | None = None) -> dict | None:
+    """{'reader_features': [...], 'writer_features': [...]} or None."""
+    v = table_version(table) if version is None else version
+    if v < 0:
+        return None
+    return _snapshot(table, v)["protocol"]
+
+
+def set_protocol(
+    table: str, reader_features=(), writer_features=(),
+    checkpoint_every: int = 10,
+) -> int:
+    """Declare the feature set required to read/write this table — a
+    metadata-only commit. An engine build that does not know a listed
+    reader feature REFUSES to read (mis-reading would silently return
+    wrong rows, e.g. ignoring deletion vectors); an unknown writer
+    feature refuses to commit (a blind write could corrupt invariants
+    the feature maintains) while reads keep working. This build cannot
+    fence ITSELF: requested features must be known here."""
+    unknown = (set(reader_features) - _READER_FEATURES) | (
+        set(writer_features) - _WRITER_FEATURES
+    )
+    if unknown:
+        raise ValueError(
+            f"set_protocol: features unknown to this build: "
+            f"{sorted(unknown)}"
+        )
+    base = table_version(table)
+    if base < 0:
+        raise FileNotFoundError(f"no such table: {table}")
+    snap = _snapshot(table, base)
+    return _commit_retry(
+        table, "set_protocol", [], [], snap["schema"], base,
+        checkpoint_every, expect_head=base,
+        protocol={"reader_features": sorted(set(reader_features)),
+                  "writer_features": sorted(set(writer_features))},
+    )
+
+
+def _check_reader(proto: dict | None, table: str) -> None:
+    unknown = set((proto or {}).get("reader_features") or ()) \
+        - _READER_FEATURES
+    if unknown:
+        raise RuntimeError(
+            f"deltalite table {table} requires reader features this "
+            f"build does not implement: {sorted(unknown)} — upgrade "
+            "the engine (refusing to mis-read)"
+        )
+
+
+def _check_writer(proto: dict | None, table: str) -> None:
+    unknown = set((proto or {}).get("writer_features") or ()) \
+        - _WRITER_FEATURES
+    if unknown:
+        raise RuntimeError(
+            f"deltalite table {table} requires writer features this "
+            f"build does not implement: {sorted(unknown)} — the table "
+            "stays readable; refusing to commit"
+        )
 
 
 def table_column_mapping(
@@ -1054,6 +1129,7 @@ def _maybe_checkpoint(table: str, version: int, every: int) -> None:
                 "partition_by": snap["partition_by"],
                 "partition_exprs": snap["partition_exprs"],
                 "column_mapping": snap["column_mapping"],
+                "protocol": snap["protocol"],
                 "constraints": snap["constraints"],
                 "adds": sorted(snap["adds"].values(), key=lambda a: a["path"]),
             },
@@ -1071,6 +1147,7 @@ def _commit_retry(
     partition_by: list[str] | None = None,
     partition_exprs: dict | None = None,
     column_mapping: dict | None = None,
+    protocol: dict | None = None,
 ) -> int:
     """Publish adds/removes, retrying version collisions. Appends
     (no removes) are always safe to replay at a later version; a
@@ -1087,6 +1164,10 @@ def _commit_retry(
     micro-batch won the race), this one is dropped and the winner's
     version returned."""
     version = table_version(table) + 1
+    # writer fence: an unknown writer feature refuses to commit (the
+    # table stays readable). One snapshot read, checkpoint-bounded.
+    if version > 0:
+        _check_writer(_snapshot(table, version - 1)["protocol"], table)
     while True:
         if expect_head is not None and version - 1 != expect_head:
             # a whole-table-state commit (restore) is only meaningful
@@ -1125,6 +1206,8 @@ def _commit_retry(
                 "map": dict(column_mapping.get("map") or {}),
                 "retired": list(column_mapping.get("retired") or []),
             }
+        if protocol is not None:
+            header["protocol"] = dict(protocol)
         if txn is not None:
             header["txn"] = {"app": txn[0], "batch": int(txn[1])}
         actions = [{"commit": header}]
@@ -1555,11 +1638,13 @@ def read_table(
             raise ValueError("pass version OR timestamp, not both")
         version = version_as_of_timestamp(table, timestamp)
     v = _resolve_version(table, version)
+    snap_meta = _snapshot(table, v)
+    _check_reader(snap_meta["protocol"], table)
     adds, _total = plan_adds(table, v, predicate)
     # time travel to a pre-rename version must surface that version's
     # logical names — translate with the AT-VERSION mapping, not head's
     df = _read_adds(
-        spark, table, adds, column_mapping=table_column_mapping(table, v)
+        spark, table, adds, column_mapping=snap_meta["column_mapping"]
     )
     if df is None:
         from pyspark.sql import types as ST
@@ -2226,6 +2311,8 @@ def clone(src: str, dst: str, version: int | None = None) -> int:
         header["partition_exprs"] = snap["partition_exprs"]
     if snap["column_mapping"] is not None:
         header["column_mapping"] = snap["column_mapping"]
+    if snap["protocol"] is not None:
+        header["protocol"] = snap["protocol"]
     actions = [{"commit": header}]
     actions += [
         {"constraint": {"name": n, "expr": e}}
@@ -2290,6 +2377,8 @@ def merge_into(
     stat_cols: list[str] | None = None, checkpoint_every: int = 10,
     txn: tuple[str, int] | None = None,
     when_matched: str = "replace",
+    set_exprs: dict[str, str] | None = None,
+    insert_unmatched: bool = True,
 ) -> dict:
     """MERGE INTO (upsert): rows of ``source`` whose ``on`` key matches
     an existing row REPLACE it; unmatched source rows are INSERTED —
@@ -2316,6 +2405,17 @@ def merge_into(
     table underneath raises ConcurrentWriteError via the standard
     remove-set validation.
 
+    ``when_matched="update"`` is MERGE ... WHEN MATCHED THEN UPDATE
+    SET col = expr (+ WHEN NOT MATCHED THEN INSERT unless
+    ``insert_unmatched=False``): matched rows are updated IN PLACE by
+    ``set_exprs`` evaluated against the pre-update target row with the
+    source row's columns visible as ``src_<col>`` (simultaneous
+    assignment, same rule as ``update_where``); unmatched target rows
+    ride through; source keys must be unique (a duplicate would
+    multiply matched rows — rejected, like Delta's multiple-matches
+    error). Same two-pass stats-prune + touch-detection shape: only
+    files holding a matched key rewrite.
+
     ``when_matched="delete"`` is MERGE ... WHEN MATCHED THEN DELETE —
     the CDC tombstone-apply: matched keys' rows are removed (touched
     files rewritten without them, same two-pass pruning), unmatched
@@ -2335,10 +2435,15 @@ def merge_into(
     """
     from pyspark.sql import functions as F
 
-    if when_matched not in ("replace", "delete"):
+    if when_matched not in ("replace", "delete", "update"):
         raise ValueError(
-            f"when_matched must be 'replace'|'delete': {when_matched!r}"
+            "when_matched must be 'replace'|'delete'|'update': "
+            f"{when_matched!r}"
         )
+    if when_matched == "update" and not set_exprs:
+        raise ValueError("when_matched='update' requires set_exprs")
+    if when_matched != "update" and set_exprs:
+        raise ValueError("set_exprs only applies to when_matched='update'")
     keys = [on] if isinstance(on, str) else list(on)
     base = table_version(table)
     live = live_files(table)
@@ -2429,7 +2534,76 @@ def merge_into(
             "files_total": len(live),
         }
 
-    if touched_adds:
+    if when_matched == "update":
+        # MERGE ... WHEN MATCHED THEN UPDATE SET col = expr — exprs see
+        # the PRE-update target row plus the source row's columns as
+        # ``src_<col>`` (simultaneous assignment, like update_where).
+        bad = [c for c in set_exprs if c in keys]
+        if bad:
+            raise ValueError(f"merge update cannot SET key columns: {bad}")
+        # a duplicate source key would multiply matched target rows
+        n_all, n_dist = source.select(
+            F.count(F.lit(1)), F.count_distinct(*[F.col(k) for k in keys])
+        ).first()
+        if n_all != n_dist:
+            raise ValueError(
+                "merge update: source keys must be unique "
+                f"({n_all} rows, {n_dist} distinct keys)"
+            )
+        src_pref = source.select(
+            *keys,
+            *[F.col(c).alias(f"src_{c}") for c in source.columns
+              if c not in keys],
+            F.lit(True).alias("__dl_m"),
+        )
+        parts = []
+        matched_keys = None
+        if touched_adds:
+            existing = _read_adds(spark, table, touched_adds)
+            bad = [c for c in set_exprs if c not in existing.columns]
+            if bad:
+                raise ValueError(
+                    f"merge update SET columns not in the table: {bad}"
+                )
+            j = existing.join(F.broadcast(src_pref), on=keys, how="left")
+            hit = F.coalesce(F.col("__dl_m"), F.lit(False))
+            updated = j.select(*[
+                F.when(hit, F.expr(set_exprs[c]))
+                .otherwise(F.col(c))
+                .cast(existing.schema[c].dataType)
+                .alias(c)
+                if c in set_exprs else F.col(c)
+                for c in existing.columns
+            ])
+            parts.append(updated)
+            matched_keys = (
+                existing.select(*keys)
+                .join(F.broadcast(src_keys), on=keys, how="inner")
+                .distinct()
+            )
+        if insert_unmatched:
+            inserts = source
+            if matched_keys is not None:
+                inserts = source.join(matched_keys, on=keys,
+                                      how="left_anti")
+            parts.append(inserts)
+        if not parts:
+            return {"version": base, "files_rewritten": 0,
+                    "files_total": len(live)}
+        rewritten = parts[0]
+        for p in parts[1:]:
+            rewritten = rewritten.unionByName(p)
+        # generated partition columns re-derive after the SET (same
+        # rule as update_where: derived always wins)
+        pex = table_partition_exprs(table) or {}
+        if pex and touched_adds:
+            sch = _read_adds(spark, table, touched_adds[:1]).schema
+            for c, e2 in pex.items():
+                if c in rewritten.columns:
+                    rewritten = rewritten.withColumn(
+                        c, F.expr(e2).cast(sch[c].dataType)
+                    )
+    elif touched_adds:
         existing = _read_adds(spark, table, touched_adds)
         # rewrite = unmatched existing rows + ALL source rows (update
         # semantics: the source row wins; insert: key absent anywhere)
@@ -2612,6 +2786,8 @@ def table_changes(
     # the feed unions per-version diffs by name: a rename/drop inside
     # the range would mix logical schemas — split the read at the
     # mapping-change boundary instead (Delta's CDF makes the same call)
+    if to_version >= 0:
+        _check_reader(_snapshot(table, to_version)["protocol"], table)
     cm = table_column_mapping(table, to_version) if to_version >= 0 else None
     cm_from = (
         table_column_mapping(table, from_version) if from_version >= 0

@@ -263,7 +263,9 @@ class DeltaliteDataSource(DataSource):
         v = dl.table_version(table)
         if v < 0:
             raise FileNotFoundError(f"no such deltalite table: {table}")
-        schema_json = dl._snapshot(table, v)["schema"]
+        snap = dl._snapshot(table, v)
+        dl._check_reader(snap["protocol"], table)
+        schema_json = snap["schema"]
         if not schema_json:
             raise FileNotFoundError(f"empty table with no schema: {table}")
         st = StructType.fromJson(json.loads(schema_json))

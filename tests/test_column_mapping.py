@@ -339,3 +339,112 @@ def test_clone_of_clone_and_mapping_carryover(spark, sf_dir, tmp_path):
     assert got.count() == src.count()
     with pytest.raises(FileExistsError):
         dl.clone(a, b)
+
+
+# ------------------------------------------- merge WHEN MATCHED UPDATE
+
+
+def test_merge_update_set_exprs(spark, sf_dir, tmp_path):
+    table = str(tmp_path / "mu")
+    src = _orders(spark, sf_dir)
+    keys = sorted(r[0] for r in src.select("o_orderkey").collect())
+    dl.append(src.repartition(4), table,
+              stat_cols=["o_orderkey"], cluster_by=["o_orderkey"])
+    # narrow CDC source: key + a delta column, pure UPDATE (no insert)
+    delta = spark.createDataFrame(
+        [(keys[0], 100.0), (keys[1], 200.0)], "o_orderkey long, dp double"
+    )
+    res = dl.merge_into(
+        spark, table, delta, on="o_orderkey", stat_cols=["o_orderkey"],
+        when_matched="update",
+        set_exprs={"o_totalprice": "o_totalprice + src_dp"},
+        insert_unmatched=False,
+    )
+    assert 0 < res["files_rewritten"] < res["files_total"]
+    got = dl.read_table(spark, table)
+    assert got.count() == len(keys)  # no inserts, no duplication
+    orig = {r[0]: r[1] for r in
+            src.select("o_orderkey", "o_totalprice").collect()}
+    now = {r[0]: r[1] for r in
+           got.select("o_orderkey", "o_totalprice").collect()}
+    assert now[keys[0]] == orig[keys[0]] + 100.0
+    assert now[keys[1]] == orig[keys[1]] + 200.0
+    assert now[keys[2]] == orig[keys[2]]  # unmatched rode through
+
+
+def test_merge_update_with_insert_and_guards(spark, sf_dir, tmp_path):
+    table = str(tmp_path / "mui")
+    src = _orders(spark, sf_dir)
+    dl.append(src, table, stat_cols=["o_orderkey"])
+    lo = src.agg(F.min("o_orderkey")).first()[0]
+    full = src.limit(1).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey", "o_totalprice", "o_orderstatus",
+    ).unionByName(src.filter(F.col("o_orderkey") == lo))
+    res = dl.merge_into(
+        spark, table, full, on="o_orderkey", stat_cols=["o_orderkey"],
+        when_matched="update",
+        set_exprs={"o_orderstatus": "lower(src_o_orderstatus)"},
+    )
+    got = dl.read_table(spark, table)
+    assert got.count() == src.count() + 1  # one insert
+    assert res["files_rewritten"] >= 1
+    row = got.filter(F.col("o_orderkey") == lo).first()
+    assert row["o_orderstatus"] == row["o_orderstatus"].lower()
+    # guards: SET on key, duplicate source keys, missing set_exprs
+    with pytest.raises(ValueError, match="key columns"):
+        dl.merge_into(spark, table, full, on="o_orderkey",
+                      when_matched="update",
+                      set_exprs={"o_orderkey": "1"})
+    dup = full.unionByName(full)
+    with pytest.raises(ValueError, match="unique"):
+        dl.merge_into(spark, table, dup, on="o_orderkey",
+                      when_matched="update",
+                      set_exprs={"o_totalprice": "0.0"})
+    with pytest.raises(ValueError, match="requires set_exprs"):
+        dl.merge_into(spark, table, full, on="o_orderkey",
+                      when_matched="update")
+
+
+# ------------------------------------------------- protocol gating
+
+
+def test_protocol_feature_fence(spark, sf_dir, tmp_path):
+    table = str(tmp_path / "proto")
+    src = _orders(spark, sf_dir)
+    dl.append(src, table)
+    # declaring features this build knows: everything keeps working
+    dl.set_protocol(table, reader_features=["deletionVectors",
+                                            "columnMapping"],
+                    writer_features=["deletionVectors"])
+    assert dl.read_table(spark, table).count() == src.count()
+    dl.append(src.limit(1), table)
+    assert dl.table_protocol(table)["reader_features"] == [
+        "columnMapping", "deletionVectors"]
+    # this build refuses to fence itself with unknown names
+    with pytest.raises(ValueError, match="unknown to this build"):
+        dl.set_protocol(table, reader_features=["futureV9"])
+    # a FUTURE writer's commit declaring an unknown WRITER feature:
+    # reads keep working, writes refuse
+    v = dl.table_version(table) + 1
+    dl._publish(table, v, [{"commit": {
+        "version": v, "operation": "set_protocol",
+        "schema": dl._snapshot(table, v - 1)["schema"],
+        "protocol": {"reader_features": [],
+                     "writer_features": ["futureWriterX"]},
+    }}])
+    assert dl.read_table(spark, table).count() == src.count() + 1
+    with pytest.raises(RuntimeError, match="futureWriterX"):
+        dl.append(src.limit(1), table)
+    # an unknown READER feature fences reads too (refusing to mis-read)
+    v = dl.table_version(table) + 1
+    dl._publish(table, v, [{"commit": {
+        "version": v, "operation": "set_protocol",
+        "schema": dl._snapshot(table, v - 1)["schema"],
+        "protocol": {"reader_features": ["futureReaderY"],
+                     "writer_features": []},
+    }}])
+    with pytest.raises(RuntimeError, match="futureReaderY"):
+        dl.read_table(spark, table)
+    with pytest.raises(RuntimeError, match="futureReaderY"):
+        dl.table_changes(spark, table, 0, dl.table_version(table))
