@@ -127,6 +127,8 @@ EXTRA_BENCH = [
     "graph_bfs_hops",         # multi-source frontier BFS
     "profile_documents",      # one-pass column profiler
     "mm_jpeg_decode",         # baseline JPEG Huffman/IDCT decode
+    "events_ewma_trend",      # exact integer Holt smoothing per series
+    "sstream_lake_merge_live",  # streaming CDC MERGE apply
 ]
 
 

@@ -69,6 +69,8 @@ _PRIORITY = [
     "graph_bfs_hops",        # multi-source frontier BFS
     "profile_documents",     # one-pass column profiler
     "mm_jpeg_decode",        # baseline JPEG decode (real bitstreams)
+    "events_ewma_trend",     # exact integer Holt smoothing per series
+    "sstream_lake_merge_live",  # streaming CDC MERGE apply, exactly-once
     # -- changed since last green (r7 edits):
     #    deltalite.py: LogStore seam + distributed stats harvest + bloom
     #    kind guard + null-count gating; late-r7: require_unchanged

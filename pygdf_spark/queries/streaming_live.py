@@ -377,7 +377,96 @@ SELECT * FROM (
 """
 
 
+def sstream_lake_merge_live(spark, sf_dir):
+    """Streaming CDC APPLY into a lakehouse STATE table: a seeded
+    per-user state (users < 50 at zero) consumes the purchase stream
+    via foreachBatch MERGE — each micro-batch reduces to one delta row
+    per user, matched users UPDATE additively (set_exprs see the
+    source delta as src_<col>), first-seen users INSERT — and the
+    whole run REPLAYS against a fresh checkpoint, so exactly-once on
+    the MERGE path rides the txn high-water mark inside the commit
+    protocol (a doubled batch doubles the additive sums — the oracle
+    would catch it). Final state must equal the from-scratch per-user
+    aggregate unioned with the untouched zero-seed users."""
+    import os
+    import shutil
+    import tempfile
+
+    from pygdf_spark.sources import deltalite as dl
+    from pygdf_spark.streaming import (
+        read_events_stream,
+        run_available_now_lake_merge,
+    )
+
+    sf = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = os.path.join(tempfile.gettempdir(),
+                        f"pygdf_lakemerge_{sf}_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    table = os.path.join(base, "tbl")
+
+    from pygdf_spark.queries._util import T
+
+    seed = (
+        T(spark, sf_dir, "events").select("user_id").distinct()
+        .filter(F.col("user_id") < 50)
+        .select(
+            "user_id",
+            F.lit(0).cast("long").alias("total_cents"),
+            F.lit(0).cast("long").alias("n_buys"),
+        )
+    )
+    dl.append(seed.repartition(4), table, stat_cols=["user_id"],
+              cluster_by=["user_id"])
+
+    def delta(bdf):
+        return (
+            bdf.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(
+                F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+                .alias("total_cents"),
+                F.count(F.lit(1)).alias("n_buys"),
+            )
+        )
+
+    def run(tag):
+        ev = read_events_stream(spark, sf_dir)
+        run_available_now_lake_merge(
+            ev, table, os.path.join(base, f"ckpt_{tag}"),
+            on="user_id",
+            set_exprs={
+                "total_cents": "total_cents + src_total_cents",
+                "n_buys": "n_buys + src_n_buys",
+            },
+            app_id="cdc_state", stat_cols=["user_id"], prepare=delta,
+        )
+
+    run("a")
+    run("b")  # fresh checkpoint: full replay — txn guard must dedupe
+    snap = dl.read_table(spark, table)
+    return snap.select("user_id", "total_cents", "n_buys") \
+        .orderBy("user_id")
+
+
+SSTREAM_LAKE_MERGE_SQL = """
+WITH buys AS (
+  SELECT user_id,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS total_cents,
+         COUNT(*) AS n_buys
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+seed AS (SELECT DISTINCT user_id FROM events WHERE user_id < 50)
+SELECT COALESCE(b.user_id, s.user_id) AS user_id,
+       COALESCE(b.total_cents, 0) AS total_cents,
+       COALESCE(b.n_buys, 0) AS n_buys
+FROM seed s FULL OUTER JOIN buys b ON s.user_id = b.user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "sstream_lake_merge_live": sstream_lake_merge_live,
     "sstream_lake_cdf_live": sstream_lake_cdf_live,
     "sstream_lake_source_live": sstream_lake_source_live,
     "sstream_lake_sink_live": sstream_lake_sink_live,
@@ -392,6 +481,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sstream_lake_merge_live": SSTREAM_LAKE_MERGE_SQL,
     "sstream_lake_cdf_live": SSTREAM_LAKE_CDF_SQL,
     "sstream_lake_source_live": SSTREAM_LAKE_SOURCE_SQL,
     "sstream_lake_sink_live": SSTREAM_LAKE_SINK_SQL,

@@ -4,6 +4,7 @@ from pygdf_spark.streaming.pipelines import (  # noqa: F401
     read_events_stream,
     run_available_now,
     run_available_now_deltalite,
+    run_available_now_lake_merge,
     session_counts,
     sliding_counts,
     stateful_change_capture,

@@ -392,3 +392,54 @@ def run_available_now_deltalite(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return len(committed)
+
+
+def run_available_now_lake_merge(
+    sdf: DataFrame, table: str, checkpoint: str, on,
+    set_exprs: dict[str, str], app_id: str = "cdc",
+    stat_cols: list[str] | None = None, shuffle_partitions: int = 8,
+    prepare=None,
+) -> int:
+    """Streaming CDC APPLY: every micro-batch is MERGEd into a
+    deltalite table (WHEN MATCHED THEN UPDATE SET ``set_exprs`` /
+    WHEN NOT MATCHED THEN INSERT), txn-stamped so a replayed batch is
+    swallowed inside the commit protocol — the exactly-once change-
+    feed consumer a warehouse dimension/state table runs. The batch
+    frame must already be keyed uniquely on ``on`` (aggregate per key
+    inside the stream before this sink). Only files holding a matched
+    key rewrite (merge's stats-prune + touch-detection shape), so the
+    per-batch cost tracks the batch's key footprint, not table size."""
+    from pygdf_spark.sources import deltalite as dl
+
+    committed = []
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        if bdf.isEmpty():
+            return
+        if prepare is not None:
+            # per-batch reduction to one row per key (the CDC delta) —
+            # runs on the BATCH frame, where plain aggregates are legal
+            bdf = prepare(bdf)
+        before = dl.table_version(table)
+        res = dl.merge_into(
+            bdf.sparkSession, table, bdf, on=on,
+            when_matched="update", set_exprs=set_exprs,
+            stat_cols=stat_cols, txn=(app_id, int(batch_id)),
+        )
+        if res["version"] > before:
+            committed.append(batch_id)
+
+    spark = sdf.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            sdf.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return len(committed)
