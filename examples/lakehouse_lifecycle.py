@@ -93,6 +93,31 @@ def main() -> None:
     snap = spark.read.format("deltalite").option("path", table).load()
     print("via format('deltalite'):", snap.count(), "rows")
 
+    # 9. schema evolution without touching a byte: RENAME is a pure
+    #    metadata commit (physical names stay in the files; readers
+    #    translate at the scan boundary), DROP retires the column and
+    #    the next compact physically purges it
+    dl.rename_column(table, "value", "amount")
+    dl.drop_column(table, "event_type")
+    print(f"v{dl.table_version(table)}: renamed+dropped —",
+          dl.read_table(spark, table).columns)
+
+    # 10. zero-copy SHALLOW CLONE for a dev/what-if sandbox: the clone
+    #     owns no data files and its DML never touches the source
+    clone_t = table + "_clone"
+    shutil.rmtree(clone_t, ignore_errors=True)
+    dl.clone(table, clone_t)
+    dl.delete_where(spark, clone_t, [("user_id", "<", 10)], mode="dv")
+    print("clone diverged:", dl.read_table(spark, clone_t).count(),
+          "rows vs source", dl.read_table(spark, table).count())
+
+    # 11. fence the table for older engine builds: an engine that does
+    #     not implement a listed reader feature refuses to MIS-read
+    dl.set_protocol(table, reader_features=["columnMapping",
+                                            "deletionVectors"])
+    print("protocol:", dl.table_protocol(table))
+
+    shutil.rmtree(clone_t, ignore_errors=True)
     shutil.rmtree(table, ignore_errors=True)
 
 
