@@ -137,6 +137,18 @@ def to_deltalite(df, table, mode="append", stat_cols=None, cluster_by=None,
               partition_by=partition_by, partition_exprs=partition_exprs)
 
 
+def deltalite_ddl():
+    """The lakehouse DDL/maintenance toolbox on the compat surface:
+    rename_column / drop_column (metadata-only schema evolution),
+    clone (zero-copy snapshot), set_protocol / table_protocol
+    (feature fencing), merge_into, delete_where, update_where,
+    overwrite_where, compact, vacuum, restore, table_changes —
+    returned as the deltalite module so one import serves all of it."""
+    from pygdf_spark.sources import deltalite as dl
+
+    return dl
+
+
 def write_npy_dir(df, path, id_col="vec_id", vec_col="embedding") -> None:
     """(id, vector) frame → sharded .npy directory (one ids/vecs pair
     per partition, executor-local; sources/npy_lite.py)."""
