@@ -175,6 +175,69 @@ SELECT q_id, v_id, cos, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 3 OR
 """
 
 
+def sim_knn_join(spark, sf_dir):
+    """Two-sided kNN JOIN — the scale path for joining a QUERY SET to
+    a corpus by embedding similarity (dedup-vs-reference, retrieval
+    eval, cross-corpus linking): both sides LSH-bucket map-side, the
+    candidate join is a plain bucket-key equi-join with the query side
+    SHUFFLED (broadcast_queries=False — at 100 TB both sides are big;
+    nothing corpus-sized broadcasts), multi-probe (own bucket + every
+    Hamming-1 flip) lifts recall ×(n_planes+1) with a map-side explode
+    of the query side only. Exact cosine rerank inside candidates,
+    top-2 per query. The oracle mirrors bucket + probe definitions, so
+    the result is deterministic though recall < 1 by design."""
+    vecs = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    qs = vecs.filter(F.col("vec_id") % 11 == 0)
+    base = vecs.filter(F.col("vec_id") % 11 != 0)
+    return SIM.bucketed_topk(
+        base, k=2, n_planes=4, queries=qs,
+        broadcast_queries=False, multiprobe=True,
+    ).orderBy("q_id", "rank")
+
+
+SIM_KNN_JOIN_SQL = rf"""
+WITH el AS (
+  SELECT vec_id AS vid,
+         generate_subscripts(embedding, 1) AS pos,
+         {_INT.replace('x', 'UNNEST(embedding)')} AS x
+  FROM embeddings WHERE vec_id < 400
+),
+nrm AS (SELECT vid, CAST(SUM(x * x) AS BIGINT) AS norm2 FROM el GROUP BY vid),
+{_bucket_ctes(4)},
+qp AS (
+  SELECT vid, bucket FROM buckets WHERE vid % 11 = 0
+  UNION ALL
+  SELECT b.vid, xor(b.bucket, CAST(POW(2.0, p.p) AS BIGINT)) AS bucket
+  FROM buckets b
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS p) p
+  WHERE b.vid % 11 = 0
+),
+cand AS (
+  SELECT q.vid AS q_id, b.vid AS v_id
+  FROM qp q JOIN buckets b ON q.bucket = b.bucket AND b.vid % 11 <> 0
+),
+dots AS (
+  SELECT cand.q_id, cand.v_id, CAST(SUM(q.x * v.x) AS BIGINT) AS dot
+  FROM cand JOIN el q ON q.vid = cand.q_id
+            JOIN el v ON v.vid = cand.v_id AND v.pos = q.pos
+  GROUP BY cand.q_id, cand.v_id
+),
+cosv AS (
+  SELECT q_id, v_id,
+         {_COS.format(dot='dot', na='nq.norm2', nb='nv.norm2')} AS cos
+  FROM dots JOIN nrm nq ON nq.vid = q_id JOIN nrm nv ON nv.vid = v_id
+),
+ranked AS (
+  SELECT q_id, v_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos DESC, v_id ASC) AS rank
+  FROM cosv
+)
+SELECT q_id, v_id, cos, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 2 ORDER BY q_id, rank
+"""
+
+
 def sim_kmeans_ivf(spark, sf_dir):
     """Distributed k-means (Lloyd's, operators/kmeans.py) as the real
     IVF coarse quantizer: deterministic lowest-id init, 2 exact
@@ -804,6 +867,7 @@ QUERIES = {
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_neardup_pairs": sim_neardup_pairs,
     "sim_kmeans_ivf": sim_kmeans_ivf,
+    "sim_knn_join": sim_knn_join,
     "sim_ivf_probe": sim_ivf_probe,
     "sim_doc_pool": sim_doc_pool,
     "sim_ann_recall": sim_ann_recall,
@@ -819,6 +883,7 @@ ORACLE = {
     "sim_lsh_buckets": SIM_LSH_SQL,
     "sim_neardup_pairs": SIM_NEARDUP_SQL,
     "sim_kmeans_ivf": SIM_KMEANS_SQL,
+    "sim_knn_join": SIM_KNN_JOIN_SQL,
     "sim_ivf_probe": SIM_IVF_PROBE_SQL,
     "sim_doc_pool": SIM_DOC_POOL_SQL,
     "sim_ann_recall": SIM_RECALL_SQL,
