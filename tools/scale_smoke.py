@@ -84,7 +84,9 @@ TIMED = ["q1_pricing_summary", "join_inner_q3", "agg_basic_stats",
          # r7 close-out (column mapping, shallow clone, BFS, profiler,
          # baseline JPEG)
          "lake_column_mapping", "lake_shallow_clone", "graph_bfs_hops",
-         "profile_documents", "mm_jpeg_decode"]
+         "profile_documents", "mm_jpeg_decode",
+         # r7 continuation (CDC merge stream, Holt smoothing, kNN join)
+         "sstream_lake_merge_live", "events_ewma_trend", "sim_knn_join"]
 
 
 def build(spark, n: int, dst: str) -> None:
