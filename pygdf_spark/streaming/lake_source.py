@@ -171,9 +171,11 @@ class DeltaliteStreamReader(DataSourceStreamReader):
                 # append-like by content: all-new files, nothing removed
                 for a in adds:
                     parts.append(
+                        # _log_rel: a CLONED add's path is absolute;
+                        # DV sidecars key on the data/<commit>/... tail
                         _FilePart(os.path.join(self.table, a["path"]),
-                                  rel=a["path"], renames=renames,
-                                  drops=drops)
+                                  rel=dl._log_rel(a["path"]),
+                                  renames=renames, drops=drops)
                     )
             elif not self.skip_change_commits:
                 raise ValueError(
@@ -219,7 +221,7 @@ class DeltaliteBatchReader(DataSourceReader):
                     os.path.join(self.table, d["path"])
                     for d in (a.get("dv") or [])
                 ),
-                rel=a["path"],
+                rel=dl._log_rel(a["path"]),
                 renames=renames,
                 drops=drops,
             )

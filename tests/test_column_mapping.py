@@ -326,6 +326,24 @@ def test_clone_merge_and_compact_localize(spark, sf_dir, tmp_path):
     assert dl.read_table(spark, dst_t).count() == src.count()
 
 
+def test_clone_datasource_read_applies_dv(spark, sf_dir, tmp_path):
+    from pygdf_spark.streaming.lake_source import register
+
+    register(spark)
+    src_t = str(tmp_path / "src")
+    dst_t = str(tmp_path / "dst")
+    src = _orders(spark, sf_dir)
+    keys = sorted(r[0] for r in src.select("o_orderkey").collect())
+    dl.append(src, src_t, stat_cols=["o_orderkey"])
+    dl.delete_where(spark, src_t, [("o_orderkey", "=", keys[0])], mode="dv")
+    dl.clone(src_t, dst_t)
+    # the registered batch DataSource must apply the cloned DV (a
+    # resurrected tombstone here means rel-key mismatch on clones)
+    got = spark.read.format("deltalite").option("path", dst_t).load()
+    assert got.count() == len(keys) - 1
+    assert got.filter(F.col("o_orderkey") == keys[0]).count() == 0
+
+
 def test_clone_of_clone_and_mapping_carryover(spark, sf_dir, tmp_path):
     a, b, c = (str(tmp_path / x) for x in "abc")
     src = _orders(spark, sf_dir)
