@@ -266,6 +266,7 @@ def _snapshot(table: str, version: int) -> dict:
     partition_exprs = None
     column_mapping = None
     protocol = None
+    type_widening = None
     constraints: dict[str, str] = {}
     start = 0
     ckpt = _latest_checkpoint_at_or_before(table, version)
@@ -279,6 +280,7 @@ def _snapshot(table: str, version: int) -> dict:
         partition_exprs = snap.get("partition_exprs")
         column_mapping = snap.get("column_mapping")
         protocol = snap.get("protocol")
+        type_widening = snap.get("type_widening")
         constraints = dict(snap.get("constraints") or {})
         start = ckpt + 1
     for v in range(start, version + 1):
@@ -298,6 +300,9 @@ def _snapshot(table: str, version: int) -> dict:
                     "column_mapping", column_mapping
                 )
                 protocol = action["commit"].get("protocol", protocol)
+                type_widening = action["commit"].get(
+                    "type_widening", type_widening
+                )
             elif "add" in action:
                 adds[action["add"]["path"]] = action["add"]
             elif "remove" in action:
@@ -311,7 +316,8 @@ def _snapshot(table: str, version: int) -> dict:
     return {"adds": adds, "schema": schema, "version": version,
             "constraints": constraints, "partition_by": partition_by,
             "partition_exprs": partition_exprs,
-            "column_mapping": column_mapping, "protocol": protocol}
+            "column_mapping": column_mapping, "protocol": protocol,
+            "type_widening": type_widening}
 
 
 def live_files(table: str, version: int | None = None) -> list[dict]:
@@ -1130,6 +1136,7 @@ def _maybe_checkpoint(table: str, version: int, every: int) -> None:
                 "partition_exprs": snap["partition_exprs"],
                 "column_mapping": snap["column_mapping"],
                 "protocol": snap["protocol"],
+                "type_widening": snap["type_widening"],
                 "constraints": snap["constraints"],
                 "adds": sorted(snap["adds"].values(), key=lambda a: a["path"]),
             },
@@ -1148,6 +1155,7 @@ def _commit_retry(
     partition_exprs: dict | None = None,
     column_mapping: dict | None = None,
     protocol: dict | None = None,
+    type_widening: dict | None = None,
 ) -> int:
     """Publish adds/removes, retrying version collisions. Appends
     (no removes) are always safe to replay at a later version; a
@@ -1208,6 +1216,8 @@ def _commit_retry(
             }
         if protocol is not None:
             header["protocol"] = dict(protocol)
+        if type_widening is not None:
+            header["type_widening"] = dict(type_widening)
         if txn is not None:
             header["txn"] = {"app": txn[0], "batch": int(txn[1])}
         actions = [{"commit": header}]
@@ -1281,14 +1291,25 @@ def append(
                              bloom_cols, bloom_fpp, partition_by=pby,
                              partition_exprs=pex, column_mapping=cm_w)
     _validate_constraints(df.sparkSession, table, adds)
+    snap_prev = _snapshot(table, base) if base >= 0 else None
+    decl = _union_decl_schema(
+        snap_prev["schema"] if snap_prev else None, df.schema,
+    )
+    # an append that WIDENS a column's type implicitly (long frame into
+    # an int column) is a widening like any other: record it, so every
+    # reader (explicit-schema JVM scan AND the Arrow DataSource casts)
+    # reconciles the narrow-era files
+    tw_hdr = _implicit_widenings(snap_prev, decl, cm_w)
     return _commit_retry(
-        table, "append", adds, [], df.schema.json(), base,
+        table, "append", adds, [], decl, base,
         checkpoint_every, txn=txn, partition_by=pby, partition_exprs=pex,
-        column_mapping=cm_hdr,
-        # a mapping-extending append must not replay past a concurrent
-        # rename/drop (it would clobber the newer mapping); plain
-        # appends keep their always-replayable property
-        expect_head=base if cm_hdr is not None else None,
+        column_mapping=cm_hdr, type_widening=tw_hdr,
+        # a mapping/widening-extending append must not replay past a
+        # concurrent schema commit (it would clobber the newer state);
+        # plain appends keep their always-replayable property
+        expect_head=(
+            base if (cm_hdr is not None or tw_hdr is not None) else None
+        ),
     )
 
 
@@ -1564,6 +1585,7 @@ def _read_adds(
     spark: SparkSession, table: str, adds: list[dict],
     lineage: bool = False,
     column_mapping: dict | str | None = "inherit",
+    read_schema="auto",
 ) -> DataFrame | None:
     """DV-aware read of a set of add actions: files without deletion
     vectors scan plain; files with DVs scan with ``_metadata.row_index``
@@ -1577,7 +1599,17 @@ def _read_adds(
         return None
     plain = [a for a in adds if not a.get("dv")]
     dvd = [a for a in adds if a.get("dv")]
-    reader = spark.read.option("mergeSchema", "true")
+    if read_schema == "auto":
+        # widened tables need the explicit-schema read (mergeSchema
+        # cannot reconcile int32/int64 eras of the same column);
+        # version-aware callers pass their snapshot's schema instead
+        read_schema = _physical_read_schema(
+            _snapshot(table, table_version(table))
+        )
+    if read_schema is not None:
+        reader = spark.read.schema(read_schema)
+    else:
+        reader = spark.read.option("mergeSchema", "true")
 
     def with_file(df):
         return df.withColumn(
@@ -1644,7 +1676,8 @@ def read_table(
     # time travel to a pre-rename version must surface that version's
     # logical names — translate with the AT-VERSION mapping, not head's
     df = _read_adds(
-        spark, table, adds, column_mapping=snap_meta["column_mapping"]
+        spark, table, adds, column_mapping=snap_meta["column_mapping"],
+        read_schema=_physical_read_schema(snap_meta),
     )
     if df is None:
         from pyspark.sql import types as ST
@@ -1758,7 +1791,11 @@ def delete_where(
                 "files_touched": len(touched), "files_total": len(live)}
 
     # ---- mode == "dv": harvest matching positions, consolidate, commit
-    raw = spark.read.option("mergeSchema", "true").parquet(
+    rs = _physical_read_schema(_snapshot(table, base))
+    raw = (
+        spark.read.schema(rs) if rs is not None
+        else spark.read.option("mergeSchema", "true")
+    ).parquet(
         *[os.path.join(table, a["path"]) for a in cands]
     ).withColumn(
         "__dl_f",
@@ -2076,6 +2113,7 @@ def restore(table: str, to_version: int, checkpoint_every: int = 10) -> int:
         # one — None would mean 'leave the header key out')
         column_mapping=target["column_mapping"] or {"map": {},
                                                     "retired": []},
+        type_widening=target["type_widening"] or {},
     )
 
 
@@ -2165,6 +2203,127 @@ def drop_check_constraint(
 
 
 # ------------------------------------------------- schema evolution DDL
+
+# lossless widening lattice (the Delta type-widening feature set this
+# engine supports): integral upcasts + float→double
+_WIDEN_ORDER = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+_WIDEN_FLOAT = {"float": 0, "double": 1}
+
+
+def _is_widening(frm: str, to: str) -> bool:
+    if frm in _WIDEN_ORDER and to in _WIDEN_ORDER:
+        return _WIDEN_ORDER[frm] < _WIDEN_ORDER[to]
+    if frm in _WIDEN_FLOAT and to in _WIDEN_FLOAT:
+        return _WIDEN_FLOAT[frm] < _WIDEN_FLOAT[to]
+    return False
+
+
+def table_type_widening(table: str, version: int | None = None) -> dict:
+    """{physical_col: widened simple type} — recorded by widen_column;
+    keyed PHYSICAL so renames never orphan an entry."""
+    v = table_version(table) if version is None else version
+    if v < 0:
+        return {}
+    return dict(_snapshot(table, v)["type_widening"] or {})
+
+
+def widen_column(table: str, col: str, new_type: str,
+                 checkpoint_every: int = 10) -> int:
+    """ALTER TABLE ALTER COLUMN TYPE — metadata-only LOSSLESS type
+    widening (byte→short→int→long, float→double): zero data files
+    move; existing narrow bytes are upcast AT SCAN TIME by reading
+    under the declared (wide) schema — Spark's parquet reader performs
+    the promotion natively. Narrowing or cross-family changes are
+    rejected (they would corrupt silently)."""
+    # same protections as rename/drop: partition columns and columns a
+    # CHECK constraint / generated expression depends on are off-limits
+    snap = _mapping_ddl_guard(table, col, "widen_column")
+    base = snap["version"]
+    schema = json.loads(snap["schema"])
+    field = next(f for f in schema["fields"] if f["name"] == col)
+    frm = field["type"] if isinstance(field["type"], str) else None
+    if frm is None or not _is_widening(frm, new_type):
+        raise ValueError(
+            f"widen_column {table}: {frm!r} -> {new_type!r} is not a "
+            "lossless widening (byte<short<integer<long, float<double)"
+        )
+    field["type"] = new_type
+    tw = dict(snap["type_widening"] or {})
+    cm = snap["column_mapping"]
+    tw[_cm_phys(cm, col)] = new_type
+    return _commit_retry(
+        table, "widen_column", [], [], json.dumps(schema), base,
+        checkpoint_every, expect_head=base, type_widening=tw,
+    )
+
+
+def _physical_read_schema(snap: dict):
+    """The explicit PHYSICAL-name read schema when type widening is
+    active at a snapshot (None otherwise): explicit-schema parquet
+    reads both upcast narrow files natively and null-fill columns a
+    pre-evolution file lacks — the read contract mergeSchema cannot
+    express once a column's type changed across files."""
+    if not snap.get("type_widening"):
+        return None
+    from pyspark.sql import types as ST
+
+    if not snap.get("schema"):
+        return None
+    logical = ST.StructType.fromJson(json.loads(snap["schema"]))
+    cm = snap.get("column_mapping")
+    m = (cm or {}).get("map") or {}
+    return ST.StructType([
+        ST.StructField(m.get(f.name, f.name), f.dataType, True)
+        for f in logical.fields
+    ])
+
+
+def _implicit_widenings(snap_prev: dict | None, decl_json: str,
+                        cm: dict | None) -> dict | None:
+    """Widenings introduced by an append's declared-schema union (a
+    wider frame landed on a narrower column): {physical: new_type}
+    merged over the existing state, or None when nothing widened."""
+    if snap_prev is None or not snap_prev.get("schema"):
+        return None
+    old = {f["name"]: f["type"]
+           for f in json.loads(snap_prev["schema"])["fields"]
+           if isinstance(f["type"], str)}
+    tw = dict(snap_prev.get("type_widening") or {})
+    changed = False
+    for f in json.loads(decl_json)["fields"]:
+        t = f["type"]
+        o = old.get(f["name"])
+        if isinstance(t, str) and o and o != t and _is_widening(o, t):
+            tw[_cm_phys(cm, f["name"])] = t
+            changed = True
+    return tw if changed else None
+
+
+def _union_decl_schema(existing_json: str | None, df_schema) -> str:
+    """Append-side declared-schema maintenance: keep every existing
+    field (a narrow append must not drop siblings from the declared
+    schema — explicit-schema reads would stop surfacing them), widen
+    per-field types monotonically (a narrow append can never REGRESS a
+    widened column), append genuinely new fields."""
+    new = json.loads(df_schema.json())
+    if not existing_json:
+        return json.dumps(new)
+    cur = json.loads(existing_json)
+    by_name = {f["name"]: f for f in new["fields"]}
+    out = []
+    for f in cur["fields"]:
+        g = by_name.pop(f["name"], None)
+        if g is None:
+            out.append(f)
+        elif (isinstance(f["type"], str) and isinstance(g["type"], str)
+              and _is_widening(g["type"], f["type"])):
+            out.append(f)  # declared stays wider
+        else:
+            out.append(g)  # same type, a widening, or last-wins change
+    out.extend(by_name[f["name"]] for f in new["fields"]
+               if f["name"] in by_name)
+    cur["fields"] = out
+    return json.dumps(cur)
 
 
 def _expr_references(expr: str, col: str) -> bool:
@@ -2313,6 +2472,8 @@ def clone(src: str, dst: str, version: int | None = None) -> int:
         header["column_mapping"] = snap["column_mapping"]
     if snap["protocol"] is not None:
         header["protocol"] = snap["protocol"]
+    if snap["type_widening"] is not None:
+        header["type_widening"] = snap["type_widening"]
     actions = [{"commit": header}]
     actions += [
         {"constraint": {"name": n, "expr": e}}
@@ -2336,9 +2497,13 @@ def _validate_constraints(
         return
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(*[os.path.join(table, a["path"]) for a in adds])
+    snapc = _snapshot(table, table_version(table))
+    rsc = _physical_read_schema(snapc)
+    df = (
+        spark.read.schema(rsc) if rsc is not None else spark.read
+    ).parquet(*[os.path.join(table, a["path"]) for a in adds])
     # staged files carry physical names; constraint exprs are logical
-    df = _to_logical_df(df, table_column_mapping(table))
+    df = _to_logical_df(df, snapc["column_mapping"])
     names = list(cons)
     row = df.agg(*[
         F.sum(
@@ -2820,8 +2985,11 @@ def table_changes(
         # belong on the old side of the diff
         replaced = [a["path"] for a in add_acts if a["path"] in pre]
         old_acts = [pre[q] for q in rem_paths + replaced if q in pre]
-        new = _read_adds(spark, table, add_acts, column_mapping=cm)
-        old = _read_adds(spark, table, old_acts, column_mapping=cm)
+        rs = _physical_read_schema(_snapshot(table, to_version))
+        new = _read_adds(spark, table, add_acts, column_mapping=cm,
+                         read_schema=rs)
+        old = _read_adds(spark, table, old_acts, column_mapping=cm,
+                         read_schema=rs)
 
         def tag(df: DataFrame, typ: str) -> DataFrame:
             return df.withColumn("_change_type", F.lit(typ)).withColumn(

@@ -53,9 +53,13 @@ from pyspark.sql.types import StructType
 
 class _FilePart(InputPartition):
     def __init__(self, path: str, dv_paths: tuple = (), rel: str = "",
-                 renames: tuple = (), drops: tuple = ()):
+                 renames: tuple = (), drops: tuple = (), casts: tuple = ()):
         self.path = path
         self.dv_paths = tuple(dv_paths)
+        # type-widened columns: (physical name, arrow target) — narrow
+        # eras of a widened column upcast executor-side so every batch
+        # matches the declared (wide) schema
+        self.casts = tuple(casts)
         # the log-relative path ("data/<commit>/[...partition dirs...]/
         # <file>") — DV sidecars key deleted positions on exactly this
         # string, and it cannot be re-derived from the absolute path by
@@ -79,13 +83,35 @@ def _cm_parts(cm) -> tuple[tuple, tuple]:
     return renames, tuple(cm.get("retired") or ())
 
 
+_ARROW_WIDE = {"short": "int16", "integer": "int32", "long": "int64",
+               "double": "float64"}
+
+
+def _tw_parts(tw) -> tuple:
+    """type_widening state → _FilePart.casts pairs."""
+    return tuple(
+        (c, _ARROW_WIDE[t]) for c, t in (tw or {}).items()
+        if t in _ARROW_WIDE
+    )
+
+
 def _read_arrow_with_dv(path: str, dv_paths: tuple, rel: str = "",
-                        renames: tuple = (), drops: tuple = ()):
+                        renames: tuple = (), drops: tuple = (),
+                        casts: tuple = ()):
     """Arrow table of one data file minus its deletion-vector
     positions (executor-side; no Spark imports)."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     t = pq.read_table(path)
+    for col, target in casts:
+        if col in t.column_names:
+            i = t.column_names.index(col)
+            f = t.schema.field(i)
+            if str(f.type) != target:
+                t = t.set_column(
+                    i, f.name, t.column(i).cast(pa.type_for_alias(target))
+                )
     if renames or drops:
         m = dict(renames)
         gone = set(drops)
@@ -149,6 +175,7 @@ class DeltaliteStreamReader(DataSourceStreamReader):
         renames, drops = _cm_parts(
             dl.table_column_mapping(self.table)
         )
+        casts = _tw_parts(dl.table_type_widening(self.table))
         for v in range(sv + 1, end["version"] + 1):
             p = dl._version_path(self.table, v)
             if not dl._log_exists(self.table, v):
@@ -175,7 +202,8 @@ class DeltaliteStreamReader(DataSourceStreamReader):
                         # DV sidecars key on the data/<commit>/... tail
                         _FilePart(os.path.join(self.table, a["path"]),
                                   rel=dl._log_rel(a["path"]),
-                                  renames=renames, drops=drops)
+                                  renames=renames, drops=drops,
+                                  casts=casts)
                     )
             elif not self.skip_change_commits:
                 raise ValueError(
@@ -193,7 +221,8 @@ class DeltaliteStreamReader(DataSourceStreamReader):
         t = _read_arrow_with_dv(partition.path, partition.dv_paths,
                                 getattr(partition, "rel", ""),
                                 getattr(partition, "renames", ()),
-                                getattr(partition, "drops", ()))
+                                getattr(partition, "drops", ()),
+                                getattr(partition, "casts", ()))
         yield from t.to_batches()
 
     def commit(self, end: dict) -> None:
@@ -209,11 +238,9 @@ class DeltaliteBatchReader(DataSourceReader):
         from pygdf_spark.sources import deltalite as dl
 
         adds, _ = dl.plan_adds(self.table, self.version)
-        renames, drops = _cm_parts(
-            dl.table_column_mapping(
-                self.table, dl._resolve_version(self.table, self.version)
-            )
-        )
+        v = dl._resolve_version(self.table, self.version)
+        renames, drops = _cm_parts(dl.table_column_mapping(self.table, v))
+        casts = _tw_parts(dl.table_type_widening(self.table, v))
         return [
             _FilePart(
                 os.path.join(self.table, a["path"]),
@@ -224,6 +251,7 @@ class DeltaliteBatchReader(DataSourceReader):
                 rel=dl._log_rel(a["path"]),
                 renames=renames,
                 drops=drops,
+                casts=casts,
             )
             for a in adds
         ]
@@ -232,7 +260,8 @@ class DeltaliteBatchReader(DataSourceReader):
         t = _read_arrow_with_dv(partition.path, partition.dv_paths,
                                 getattr(partition, "rel", ""),
                                 getattr(partition, "renames", ()),
-                                getattr(partition, "drops", ()))
+                                getattr(partition, "drops", ()),
+                                getattr(partition, "casts", ()))
         yield from t.to_batches()
 
 
