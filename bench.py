@@ -129,6 +129,7 @@ EXTRA_BENCH = [
     "mm_jpeg_decode",         # baseline JPEG Huffman/IDCT decode
     "events_ewma_trend",      # exact integer Holt smoothing per series
     "sstream_lake_merge_live",  # streaming CDC MERGE apply
+    "lake_type_widening",     # metadata-only ALTER COLUMN TYPE
 ]
 
 

@@ -72,6 +72,7 @@ _PRIORITY = [
     "events_ewma_trend",     # exact integer Holt smoothing per series
     "sstream_lake_merge_live",  # streaming CDC MERGE apply, exactly-once
     "sim_knn_join",          # two-sided multi-probe LSH kNN join
+    "lake_type_widening",    # metadata-only ALTER COLUMN TYPE
     # -- changed since last green (r7 edits):
     #    deltalite.py: LogStore seam + distributed stats harvest + bloom
     #    kind guard + null-count gating; late-r7: require_unchanged

@@ -936,7 +936,59 @@ FROM u GROUP BY side, o_orderstatus ORDER BY side, o_orderstatus
 QUERIES["lake_column_mapping"] = lake_column_mapping
 QUERIES["lake_shallow_clone"] = lake_shallow_clone
 
+def lake_type_widening(spark, sf_dir):
+    """Metadata-only type widening (sources/deltalite.py widen_column):
+    land even-key orders with INT cents, ALTER COLUMN TYPE to BIGINT
+    (asserted zero-data-movement), then append odd-key rows whose
+    values exceed the int32 range — the mixed narrow/wide-era table
+    every long-lived production table becomes. The read must upcast
+    the narrow era at scan time and aggregate exactly; oracle is the
+    same algebra over all of orders."""
+    from pygdf_spark.sources import deltalite as dl
+
+    base = T(spark, sf_dir, "orders").select(
+        "o_orderkey", cents("o_totalprice").alias("v")
+    )
+    path = _tmp(sf_dir, "lake_widen")
+    shutil.rmtree(path, ignore_errors=True)
+    n = _shards(base)
+    dl.append(
+        base.filter("o_orderkey % 2 = 0")
+        .withColumn("v", F.col("v").cast("int")).repartition(n),
+        path, stat_cols=["o_orderkey"],
+    )
+    before = {a["path"] for a in dl.live_files(path)}
+    dl.widen_column(path, "v", "long")
+    assert {a["path"] for a in dl.live_files(path)} == before, \
+        "widening must move zero data files"
+    dl.append(
+        base.filter("o_orderkey % 2 = 1")
+        .withColumn("v", F.col("v") + F.lit(3_000_000_000)).repartition(n),
+        path, stat_cols=["o_orderkey"],
+    )
+    snap = dl.read_table(spark, path)
+    assert dict(snap.dtypes)["v"] == "bigint"
+    return (
+        snap.groupBy((F.col("o_orderkey") % 5).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum("v").alias("sum_v"))
+        .orderBy("bucket")
+    )
+
+
+LAKE_TYPE_WIDENING_SQL = f"""
+SELECT o_orderkey % 5 AS bucket, COUNT(*) AS n_orders,
+       CAST(SUM({sql_cents('o_totalprice')}
+                + CASE WHEN o_orderkey % 2 = 1
+                       THEN 3000000000 ELSE 0 END) AS BIGINT) AS sum_v
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["lake_type_widening"] = lake_type_widening
+
 ORACLE = {
+    "lake_type_widening": LAKE_TYPE_WIDENING_SQL,
     "lake_column_mapping": LAKE_COLUMN_MAPPING_SQL,
     "lake_shallow_clone": LAKE_SHALLOW_CLONE_SQL,
     "lake_partition_prune": LAKE_PARTITION_PRUNE_SQL,
