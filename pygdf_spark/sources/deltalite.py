@@ -1490,6 +1490,51 @@ def compact_small_files(
             "files_total": len(live)}
 
 
+def maintain(
+    spark: SparkSession, table: str,
+    target_bytes: int = 128 << 20,
+    min_small_files: int = 4,
+    max_dv_fraction: float = 0.2,
+    keep_versions: int = 5,
+    checkpoint_every: int = 10,
+    stat_cols: list[str] | None = None,
+) -> dict:
+    """One-call table maintenance — the nightly job a production
+    lakehouse table runs, with the standard trigger policies:
+
+    - **bin-pack** when at least ``min_small_files`` live files sit
+      under ``target_bytes`` (compact_small_files);
+    - **REORG PURGE** when deletion vectors tombstone more than
+      ``max_dv_fraction`` of the DV-carrying files' rows (merge-on-read
+      reads pay the anti-join until then — purging too eagerly wastes
+      rewrites, too lazily taxes every scan);
+    - **vacuum** files beyond the ``keep_versions`` time-travel horizon.
+
+    Each step is its own atomic commit (a concurrent writer can
+    interleave; conflicts surface as ConcurrentWriteError from the
+    individual step, never partial corruption). Returns a summary of
+    what fired."""
+    out: dict = {"compacted": 0, "purged": 0, "vacuumed": 0}
+    live = live_files(table)
+    small = [a for a in live if a.get("bytes", 0) < target_bytes]
+    if len(small) >= min_small_files:
+        res = compact_small_files(
+            spark, table, target_bytes=target_bytes, stat_cols=stat_cols,
+            checkpoint_every=checkpoint_every,
+        )
+        out["compacted"] = res.get("files_compacted", 0)
+        live = live_files(table)
+    dvd = [a for a in live if a.get("dv")]
+    dv_rows = sum(d.get("count", 0) for d in _dv_entries(dvd))
+    phys_rows = sum(int(a.get("rows") or 0) for a in dvd)
+    if dvd and phys_rows and dv_rows / phys_rows > max_dv_fraction:
+        res = purge_dv(spark, table, stat_cols=stat_cols,
+                       checkpoint_every=checkpoint_every)
+        out["purged"] = res.get("files_purged", 0)
+    out["vacuumed"] = len(vacuum(table, keep_versions=keep_versions))
+    return out
+
+
 def vacuum(table: str, keep_versions: int = 1) -> list[str]:
     """Delete data files not referenced by any of the newest
     ``keep_versions`` versions; returns the deleted relative paths.
