@@ -73,6 +73,7 @@ _PRIORITY = [
     "sstream_lake_merge_live",  # streaming CDC MERGE apply, exactly-once
     "sim_knn_join",          # two-sided multi-probe LSH kNN join
     "lake_type_widening",    # metadata-only ALTER COLUMN TYPE
+    "mm_webdataset_jpeg",    # JPEG members through WebDataset shards
     # -- changed since last green (r7 edits):
     #    deltalite.py: LogStore seam + distributed stats harvest + bloom
     #    kind guard + null-count gating; late-r7: require_unchanged

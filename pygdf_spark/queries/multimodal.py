@@ -582,6 +582,84 @@ FROM tiles ORDER BY doc_id
 """
 
 
+def mm_webdataset_jpeg(spark, sf_dir):
+    """TWO real codecs through the training-data container path:
+    synthesized baseline JPEGs (quality 100, tiled — bit-exact
+    round-trip class) land as ``<doc>.jpg`` + ``<doc>.cls`` members in
+    WebDataset tar shards, are read back distributed, reassembled by
+    key, Huffman/IDCT-decoded, and rolled up per label. Any defect in
+    either codec or in the tar container shifts the pixel sums; the
+    oracle recomputes from the tile formula, codec- and
+    container-free."""
+    import shutil
+
+    from pygdf_spark.operators.multimodal import jpeg_decode
+    from pygdf_spark.queries.io_ml import _tmp
+    from pygdf_spark.sources.webdataset_lite import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 300) \
+        .select("doc_id")
+    payloads = (
+        d.mapInPandas(_gen_jpeg, "doc_id long, img_jpeg binary")
+        .select(
+            F.col("doc_id").cast("string").alias("k"),
+            "img_jpeg",
+            (F.col("doc_id") % 5).cast("string").alias("cls"),
+        )
+        .coalesce(4)
+    )
+    path = _tmp(sf_dir, "wds_jpg")
+    shutil.rmtree(path, ignore_errors=True)
+    write_webdataset(payloads, path, "k",
+                     {"img_jpeg": "jpg", "cls": "cls"})
+    back = read_webdataset(spark, f"{path}/shard-*.tar")
+    per = (
+        back.groupBy("key")
+        .pivot("ext", ["jpg", "cls"])
+        .agg(F.first("data"))
+    )
+    imgs = per.select(F.col("key").cast("long").alias("doc_id"),
+                      F.col("jpg").alias("img_jpeg"))
+    labels = per.select(F.col("key").cast("long").alias("doc_id"),
+                        F.decode("cls", "UTF-8").cast("int").alias("label"))
+    stats = jpeg_decode(imgs)
+    joined = stats.join(F.broadcast(labels), "doc_id")
+    return (
+        joined.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_imgs"),
+            F.sum("px_sum").alias("px_sum_total"),
+            F.sum(F.col("width").cast("long") * F.col("height"))
+            .alias("px_area"),
+        )
+        .orderBy("label")
+    )
+
+
+MM_WEBDATASET_JPEG_SQL = """
+WITH spec AS (
+  SELECT doc_id, 2 + doc_id % 3 AS wt, 1 + (doc_id // 3) % 3 AS ht,
+         doc_id % 5 AS label
+  FROM documents WHERE doc_id < 300
+),
+tiles AS (
+  SELECT s.doc_id, s.label, s.wt, s.ht,
+         SUM((s.doc_id + 11 * xx.x + 23 * yy.y) % 256) AS tsum
+  FROM spec s,
+       UNNEST(generate_series(0, s.wt - 1)) AS xx(x),
+       UNNEST(generate_series(0, s.ht - 1)) AS yy(y)
+  GROUP BY s.doc_id, s.label, s.wt, s.ht
+)
+SELECT CAST(label AS INT) AS label, COUNT(*) AS n_imgs,
+       CAST(SUM(tsum * 64) AS BIGINT) AS px_sum_total,
+       CAST(SUM(wt * 8 * ht * 8) AS BIGINT) AS px_area
+FROM tiles GROUP BY label ORDER BY label
+"""
+
+
 def mm_gif_frames(spark, sf_dir):
     """REAL animated-image frame sampling: synthesized multi-frame GIFs
     (16-color palette, per-frame delays) decoded by the spec LZW codec
@@ -630,6 +708,7 @@ FROM px ORDER BY doc_id, frame
 
 QUERIES = {
     "mm_jpeg_decode": mm_jpeg_decode,
+    "mm_webdataset_jpeg": mm_webdataset_jpeg,
     "mm_gif_frames": mm_gif_frames,
     "mm_binary_meta": mm_binary_meta,
     "mm_image_decode_stub": mm_image_decode_stub,
@@ -645,6 +724,7 @@ QUERIES = {
 
 ORACLE = {
     "mm_jpeg_decode": MM_JPEG_DECODE_SQL,
+    "mm_webdataset_jpeg": MM_WEBDATASET_JPEG_SQL,
     "mm_gif_frames": MM_GIF_FRAMES_SQL,
     "mm_webdataset_images": MM_WEBDATASET_SQL,
     "mm_binary_meta": MM_BINARY_META_SQL,
