@@ -198,3 +198,123 @@ def gif_frame_sample(
             })
 
     return df.mapInPandas(kernel, FRAME_META_SCHEMA)
+
+
+#: per-sampled-video-frame stats (one row per frame kept)
+VIDEO_FRAME_SCHEMA = (
+    "doc_id long, frame int, width int, height int, "
+    "px_sum long, px_first int, px_last int, us_per_frame int"
+)
+
+
+def video_frame_sample(
+    df: DataFrame, bytes_col: str = "video_avi", stride: int = 2
+) -> DataFrame:
+    """REAL video frame sampling: parse an AVI/MJPEG binary column
+    (sources/avi_lite.py — RIFF container, idx1-validated) and decode
+    every ``stride``-th frame with the baseline-JPEG codec
+    (sources/jpeg_lite.py — Huffman/zigzag/IDCT), emitting integer
+    pixel stats per kept frame — the video→frames→pixels stage of a
+    multimodal training pipeline, on real bitstreams end to end.
+
+    One Arrow crossing; cardinality grows inside mapInPandas (no
+    explode); container payloads never touch the driver. Malformed
+    containers or frames raise (fail-loud)."""
+    from pygdf_spark.sources.avi_lite import parse_avi
+    from pygdf_spark.sources.jpeg_lite import decode_jpeg
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc, buf in zip(pdf["doc_id"], pdf[bytes_col]):
+                vid = parse_avi(bytes(buf))
+                for i in range(0, vid["n_frames"], stride):
+                    px = decode_jpeg(vid["frames"][i])["pixels"]
+                    if px.ndim == 2:
+                        px = px[:, :, None]
+                    r = _img_stats(int(doc), px)
+                    del r["channels"]
+                    r["frame"] = i
+                    r["us_per_frame"] = vid["us_per_frame"]
+                    rows.append(r)
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame", "width", "height",
+                         "px_sum", "px_first", "px_last", "us_per_frame"],
+            ).astype({
+                "doc_id": "int64", "frame": "int32", "width": "int32",
+                "height": "int32", "px_sum": "int64", "px_first": "int32",
+                "px_last": "int32", "us_per_frame": "int32",
+            })
+
+    return df.mapInPandas(kernel, VIDEO_FRAME_SCHEMA)
+
+
+#: per-frame spectral features (one row per analysis frame)
+SPECTRO_SCHEMA = (
+    "doc_id long, frame int, pow_dc long, pow_quarter long, "
+    "pow_nyquist long, energy long"
+)
+
+
+def audio_spectrogram(
+    df: DataFrame, bytes_col: str = "audio_wav", frame_len: int = 8
+) -> DataFrame:
+    """REAL spectral analysis over a WAV binary column: decode PCM16,
+    frame into non-overlapping ``frame_len``-sample windows, run a full
+    real FFT per frame (numpy rfft — every bin computed), and emit the
+    integer-exact feature set: DC power, quarter-band power, Nyquist
+    power, and total spectral energy.
+
+    Exactness design (what makes this DuckDB-oracle-checkable): for
+    ``frame_len % 4 == 0`` the k ∈ {0, N/4, N/2} twiddles are exactly
+    {0, ±1}, so those bin powers are integers; and by Parseval the
+    total over ALL bins equals ``N·Σx²`` — an integer the oracle can
+    compute without any DFT. Emitting the Parseval sum therefore pins
+    every bin the FFT produced, not just the three integer-friendly
+    ones. All four outputs round from float64 at magnitudes ≪ 2⁵³
+    (≤ N²·32768² ≈ 2³⁶ for PCM16), so the rounding is exact.
+
+    One Arrow crossing; cardinality grows inside mapInPandas; a
+    trailing partial frame is dropped (standard STFT discipline)."""
+    if frame_len % 4:
+        raise ValueError("frame_len must be a multiple of 4")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc, buf in zip(pdf["doc_id"], pdf[bytes_col]):
+                _rate, ch, samples = decode_wav(bytes(buf))
+                x = samples[:, 0].astype(np.float64)  # channel 0
+                n_frames = len(x) // frame_len
+                if not n_frames:
+                    continue
+                fr = x[: n_frames * frame_len].reshape(n_frames, frame_len)
+                spec = np.fft.rfft(fr, axis=1)
+                power = (spec.real ** 2 + spec.imag ** 2)
+                # Parseval over the rfft half-spectrum: interior bins
+                # carry their conjugate twin's energy (×2).
+                w = np.full(power.shape[1], 2.0)
+                w[0] = 1.0
+                w[-1] = 1.0  # Nyquist bin is self-conjugate for even N
+                energy = power @ w
+                for f in range(n_frames):
+                    rows.append({
+                        "doc_id": int(doc),
+                        "frame": f,
+                        "pow_dc": int(round(power[f, 0])),
+                        "pow_quarter": int(round(power[f, frame_len // 4])),
+                        "pow_nyquist": int(round(power[f, frame_len // 2])),
+                        "energy": int(round(energy[f])),
+                    })
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame", "pow_dc", "pow_quarter",
+                         "pow_nyquist", "energy"],
+            ).astype({
+                "doc_id": "int64", "frame": "int32", "pow_dc": "int64",
+                "pow_quarter": "int64", "pow_nyquist": "int64",
+                "energy": "int64",
+            })
+
+    return df.mapInPandas(kernel, SPECTRO_SCHEMA)

@@ -706,8 +706,134 @@ FROM px ORDER BY doc_id, frame
 
 
 
+def mm_audio_spectrogram(spark, sf_dir):
+    """REAL spectral features: the PCM16 WAVs of ``mm_audio_decode_wav``
+    framed into 8-sample windows and pushed through a full real FFT per
+    frame (numpy rfft inside mapInPandas), emitting DC / quarter-band /
+    Nyquist power plus the Parseval total. The three emitted bins are
+    integer-exact (twiddles ∈ {0, ±1}) and the Parseval identity
+    (Σ_bins |X_k|² ≡ N·Σx²) pins the REST of the spectrum against the
+    oracle's DFT-free integer algebra — so a defect in any FFT bin, the
+    framing, or the WAV decode breaks the compare."""
+    from pygdf_spark.operators.multimodal import audio_spectrogram
+
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 120) \
+        .select("doc_id")
+    payloads = d.mapInPandas(_gen_wav, "doc_id long, audio_wav binary")
+    return audio_spectrogram(payloads, frame_len=8).orderBy("doc_id", "frame")
+
+
+MM_AUDIO_SPECTRO_SQL = """
+WITH spec AS (
+  SELECT doc_id, 800 + doc_id % 400 AS n
+  FROM documents WHERE doc_id < 120
+),
+fr AS (
+  SELECT s.doc_id, ff.f
+  FROM spec s, UNNEST(generate_series(0, s.n // 8 - 1)) AS ff(f)
+),
+sm AS (
+  SELECT fr.doc_id, fr.f,
+    SUM((31 * fr.doc_id + 7 * (8 * fr.f + mm.m)) % 4001 - 2000) AS s0,
+    SUM(((31 * fr.doc_id + 7 * (8 * fr.f + mm.m)) % 4001 - 2000)
+        * (CASE mm.m % 4 WHEN 0 THEN 1 WHEN 2 THEN -1 ELSE 0 END)) AS c2,
+    SUM(((31 * fr.doc_id + 7 * (8 * fr.f + mm.m)) % 4001 - 2000)
+        * (CASE mm.m % 4 WHEN 1 THEN 1 WHEN 3 THEN -1 ELSE 0 END)) AS s2,
+    SUM(((31 * fr.doc_id + 7 * (8 * fr.f + mm.m)) % 4001 - 2000)
+        * (CASE mm.m % 2 WHEN 0 THEN 1 ELSE -1 END)) AS c4,
+    SUM(((31 * fr.doc_id + 7 * (8 * fr.f + mm.m)) % 4001 - 2000)
+        * ((31 * fr.doc_id + 7 * (8 * fr.f + mm.m)) % 4001 - 2000)) AS e
+  FROM fr, UNNEST(generate_series(0, 7)) AS mm(m)
+  GROUP BY fr.doc_id, fr.f
+)
+SELECT doc_id, CAST(f AS INT) AS frame,
+       CAST(s0 * s0 AS BIGINT) AS pow_dc,
+       CAST(c2 * c2 + s2 * s2 AS BIGINT) AS pow_quarter,
+       CAST(c4 * c4 AS BIGINT) AS pow_nyquist,
+       CAST(8 * e AS BIGINT) AS energy
+FROM sm ORDER BY doc_id, frame
+"""
+
+
+def _gen_avi(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from pygdf_spark.sources.avi_lite import encode_avi
+    from pygdf_spark.sources.jpeg_lite import encode_jpeg
+
+    for pdf in batches:
+        bufs = []
+        for doc in pdf["doc_id"]:
+            doc = int(doc)
+            wt, ht = 2 + doc % 3, 1 + (doc // 3) % 3
+            nf = 2 + doc % 4
+            tx = np.arange(wt)[None, :]
+            ty = np.arange(ht)[:, None]
+            frames = []
+            for f in range(nf):
+                tiles = ((doc + 9 * f + 11 * tx + 23 * ty) % 256).astype("uint8")
+                img = np.repeat(np.repeat(tiles, 8, 0), 8, 1)
+                frames.append(encode_jpeg(img, quality=100))
+            bufs.append(
+                encode_avi(frames, wt * 8, ht * 8,
+                           us_per_frame=10000 * (1 + doc % 4))
+            )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "video_avi": bufs})
+
+
+def mm_video_mjpeg(spark, sf_dir):
+    """REAL video→frames→pixels: synthesized AVI/MJPEG containers
+    (sources/avi_lite.py — RIFF walk, hdrl parse, idx1 validation)
+    whose frames are quality-100 baseline JPEGs (bit-exact round-trip
+    class), frame-sampled at stride 2 and Huffman/IDCT-decoded inside
+    one mapInPandas kernel. Any defect in the container parse, the
+    frame index, or the image codec shifts the stats; the oracle
+    recomputes every kept frame from the tile formula, codec- and
+    container-free. The reference ships no video path (multimodal is
+    out of scope for a GPU dataframe engine); this tier serves the
+    training-data-pipeline contract."""
+    from pygdf_spark.operators.multimodal import video_frame_sample
+
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200) \
+        .select("doc_id")
+    payloads = d.mapInPandas(_gen_avi, "doc_id long, video_avi binary")
+    return video_frame_sample(payloads, stride=2).orderBy("doc_id", "frame")
+
+
+MM_VIDEO_MJPEG_SQL = """
+WITH spec AS (
+  SELECT doc_id, 2 + doc_id % 3 AS wt, 1 + (doc_id // 3) % 3 AS ht,
+         2 + doc_id % 4 AS nf, 10000 * (1 + doc_id % 4) AS upf
+  FROM documents WHERE doc_id < 200
+),
+fr AS (
+  SELECT s.doc_id, s.wt, s.ht, s.upf, ff.f
+  FROM spec s, UNNEST(generate_series(0, s.nf - 1)) AS ff(f)
+  WHERE ff.f % 2 = 0
+),
+px AS (
+  SELECT fr.doc_id, fr.f, fr.wt, fr.ht, fr.upf,
+         SUM((fr.doc_id + 9 * fr.f + 11 * xx.x + 23 * yy.y) % 256) AS tsum
+  FROM fr,
+       UNNEST(generate_series(0, fr.wt - 1)) AS xx(x),
+       UNNEST(generate_series(0, fr.ht - 1)) AS yy(y)
+  GROUP BY fr.doc_id, fr.f, fr.wt, fr.ht, fr.upf
+)
+SELECT doc_id, CAST(f AS INT) AS frame,
+       CAST(wt * 8 AS INT) AS width, CAST(ht * 8 AS INT) AS height,
+       CAST(tsum * 64 AS BIGINT) AS px_sum,
+       CAST((doc_id + 9 * f) % 256 AS INT) AS px_first,
+       CAST((doc_id + 9 * f + 11 * (wt - 1) + 23 * (ht - 1)) % 256 AS INT)
+         AS px_last,
+       CAST(upf AS INT) AS us_per_frame
+FROM px ORDER BY doc_id, frame
+"""
+
+
 QUERIES = {
     "mm_jpeg_decode": mm_jpeg_decode,
+    "mm_video_mjpeg": mm_video_mjpeg,
+    "mm_audio_spectrogram": mm_audio_spectrogram,
     "mm_webdataset_jpeg": mm_webdataset_jpeg,
     "mm_gif_frames": mm_gif_frames,
     "mm_binary_meta": mm_binary_meta,
@@ -724,6 +850,8 @@ QUERIES = {
 
 ORACLE = {
     "mm_jpeg_decode": MM_JPEG_DECODE_SQL,
+    "mm_video_mjpeg": MM_VIDEO_MJPEG_SQL,
+    "mm_audio_spectrogram": MM_AUDIO_SPECTRO_SQL,
     "mm_webdataset_jpeg": MM_WEBDATASET_JPEG_SQL,
     "mm_gif_frames": MM_GIF_FRAMES_SQL,
     "mm_webdataset_images": MM_WEBDATASET_SQL,
