@@ -130,6 +130,10 @@ EXTRA_BENCH = [
     "events_ewma_trend",      # exact integer Holt smoothing per series
     "sstream_lake_merge_live",  # streaming CDC MERGE apply
     "lake_type_widening",     # metadata-only ALTER COLUMN TYPE
+    # r7 continuation operators (same outside-headline rule):
+    "mm_video_mjpeg",         # AVI/MJPEG container + JPEG frame decode
+    "mm_audio_spectrogram",   # per-frame rfft spectral features
+    "lake_partition_evolution",  # spec evolution + hybrid metadata/DV DML
 ]
 
 

@@ -117,6 +117,19 @@ def main() -> None:
                                             "deletionVectors"])
     print("protocol:", dl.table_protocol(table))
 
+    # 12. PARTITION EVOLUTION: start unpartitioned, decide later that
+    #     user_id buckets should partition new data — a pure metadata
+    #     commit; old files stay readable, partition DML turns hybrid,
+    #     and OPTIMIZE migrates the history into the current spec
+    dl.set_partition_spec(table, ["bucket"], {"bucket": "user_id % 4"})
+    dl.append(events.filter("event_id % 97 = 0").select(
+        "event_id", "user_id", F.col("value").alias("amount")
+    ), table)
+    dl.compact(spark, table, stat_cols=["event_id"])  # migrate old eras
+    print(f"v{dl.table_version(table)}: evolved to bucket-partitioned —",
+          dl.show_partitions(spark, table)
+            .select("bucket", "n_rows").collect())
+
     shutil.rmtree(clone_t, ignore_errors=True)
     shutil.rmtree(table, ignore_errors=True)
 

@@ -140,6 +140,7 @@ def to_deltalite(df, table, mode="append", stat_cols=None, cluster_by=None,
 def deltalite_ddl():
     """The lakehouse DDL/maintenance toolbox on the compat surface:
     rename_column / drop_column (metadata-only schema evolution),
+    set_partition_spec (Iceberg-style partition evolution),
     clone (zero-copy snapshot), set_protocol / table_protocol
     (feature fencing), merge_into, delete_where, update_where,
     overwrite_where, compact, vacuum, restore, table_changes —

@@ -55,6 +55,10 @@ _PRIORITY = [
     # since its last green round, topped up with the rows whose latest
     # driver-green is OLDEST (all r1). Prior-green rows are cumulative —
     # queries rotated out keep their rows.
+    # -- never driver-checked (r7 continuation):
+    "mm_video_mjpeg",        # AVI/MJPEG container + JPEG frame decode
+    "mm_audio_spectrogram",  # per-frame rfft spectral features (Parseval)
+    "lake_partition_evolution",  # spec evolution + hybrid metadata/DV DML
     # -- never driver-checked (net-new r7):
     "mi_row_roundtrip",      # row MultiIndex set_index/groupby(level)/unstack
     "io_csv_options",        # skiprows/nrows/skipfooter/parse_dates

@@ -801,8 +801,71 @@ FROM sigs GROUP BY perm ORDER BY perm
 """
 
 
+def lake_partition_evolution(spark, sf_dir):
+    """Iceberg-style PARTITION EVOLUTION (sources/deltalite.py
+    set_partition_spec): land 1992-94 orders unpartitioned, evolve the
+    spec to partition by order year (a pure metadata commit), land
+    1995-98 hive-partitioned, then run DML across the mixed-era layout:
+    (a) DELETE yr=1996 touches only current-era files — pure metadata
+    (asserted: zero files added); (b) DELETE yr=1993 is HYBRID — the
+    log can't decide pre-spec files, so they take the deletion-vector
+    scan while current-era files classify log-only (asserted: a DV
+    appears on a pre-spec file); (c) OPTIMIZE migrates the survivors
+    into the current spec (asserted: every live file carries partition
+    values afterwards). The oracle recomputes the end state
+    algebraically — the hash pins that every era/path combination
+    deleted exactly the right rows."""
+    from pygdf_spark.sources import deltalite as dl
+
+    base = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        cents("o_totalprice").alias("cents"),
+    )
+    path = _tmp(sf_dir, "lake_pevo")
+    shutil.rmtree(path, ignore_errors=True)
+    dl.append(base.filter(F.col("yr") <= 1997), path)   # era 0: no spec
+    dl.set_partition_spec(path, ["yr"])
+    dl.append(base.filter(F.col("yr") >= 1998), path)   # era 1: hive
+    files_before = {a["path"] for a in dl.live_files(path)}
+    res_meta = dl.delete_where(spark, path, [("yr", "=", 1999)])
+    files_after = {a["path"] for a in dl.live_files(path)}
+    assert res_meta["rows_deleted"] > 0 and files_after < files_before, \
+        "current-era partition delete must stay pure metadata"
+    res_hybrid = dl.delete_where(spark, path, [("yr", "=", 1996)],
+                                 mode="dv")
+    assert res_hybrid["rows_deleted"] > 0
+    assert any(
+        a.get("dv") and "__p_yr=" not in a["path"]
+        for a in dl.live_files(path)
+    ), "pre-spec files must take the DV scan path"
+    dl.compact(spark, path)
+    assert all(
+        (a.get("partition") or {}).get("yr") is not None
+        for a in dl.live_files(path)
+    ), "OPTIMIZE must migrate pre-spec files into the current spec"
+    snap = dl.read_table(spark, path)
+    return (
+        snap.groupBy("yr")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum("cents").alias("total_cents"))
+        .orderBy("yr")
+    )
+
+
+LAKE_PARTITION_EVOLUTION_SQL = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+       COUNT(*) AS n_orders,
+       CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) AS total_cents
+FROM orders
+WHERE EXTRACT(year FROM o_orderdate) NOT IN (1996, 1999)
+GROUP BY 1 ORDER BY yr
+"""
+
+
 QUERIES = {
     "lake_partition_prune": lake_partition_prune,
+    "lake_partition_evolution": lake_partition_evolution,
     "lake_update_where": lake_update_where,
     "lake_replace_where": lake_replace_where,
     "lake_incremental_lsh": lake_incremental_lsh,
@@ -992,6 +1055,7 @@ ORACLE = {
     "lake_column_mapping": LAKE_COLUMN_MAPPING_SQL,
     "lake_shallow_clone": LAKE_SHALLOW_CLONE_SQL,
     "lake_partition_prune": LAKE_PARTITION_PRUNE_SQL,
+    "lake_partition_evolution": LAKE_PARTITION_EVOLUTION_SQL,
     "lake_update_where": LAKE_UPDATE_WHERE_SQL,
     "lake_replace_where": LAKE_REPLACE_WHERE_SQL,
     "lake_incremental_lsh": _lake_lsh_sql(),

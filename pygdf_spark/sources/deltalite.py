@@ -326,23 +326,27 @@ def live_files(table: str, version: int | None = None) -> list[dict]:
     return sorted(_snapshot(table, v)["adds"].values(), key=lambda a: a["path"])
 
 
-def table_partition_by(table: str) -> list[str] | None:
-    """The table's partition-column spec (None for unpartitioned) —
-    recorded in commit headers like the schema, immutable once set."""
-    v = table_version(table)
-    if v < 0:
+def table_partition_by(
+    table: str, version: int | None = None
+) -> list[str] | None:
+    """The table's partition-column spec at ``version`` (default: head;
+    None/[] for unpartitioned) — recorded in commit headers like the
+    schema; changes only through ``set_partition_spec`` (partition
+    evolution)."""
+    if table_version(table) < 0:
         return None
-    return _snapshot(table, v)["partition_by"]
+    return _snapshot(table, _resolve_version(table, version))["partition_by"]
 
 
-def table_partition_exprs(table: str) -> dict | None:
+def table_partition_exprs(
+    table: str, version: int | None = None
+) -> dict | None:
     """Generated-partition-column expressions ({col: SQL expr}, the
     Delta generated-columns partitioning pattern) — recorded with the
     spec; a write whose frame lacks a generated column derives it."""
-    v = table_version(table)
-    if v < 0:
+    if table_version(table) < 0:
         return None
-    return _snapshot(table, v)["partition_exprs"]
+    return _snapshot(table, _resolve_version(table, version))["partition_exprs"]
 
 
 # table features THIS build understands; a table whose protocol lists
@@ -863,35 +867,46 @@ def _eval_single(value, op: str, lit) -> bool | None:
     return None
 
 
-def _metadata_match_plan(
+def _metadata_match_split(
     table: str, adds: list[dict], predicate: list[tuple] | None
-) -> list[dict] | None:
-    """The partition fast path: when every conjunct references a
-    partition column and every candidate file is provably single-valued
-    on those columns, classify each file as wholly-matching from the
-    LOG alone — the shape that makes a partition-scoped DELETE /
-    replaceWhere on a 100 TB table a pure metadata commit (zero rows
-    scanned, zero rows moved). Returns the wholly-matching adds, or
-    None when anything is undecidable (callers run the normal scan)."""
+) -> tuple[list[dict], list[dict]]:
+    """Per-file LOG-only classification against a partition-column
+    predicate: ``(wholly_matching, undecidable)``. Files provably
+    single-valued on every conjunct land in the first list (match) or
+    in neither (non-match — they ride through untouched); files the log
+    cannot decide land in the second (callers scan only those).
+
+    The split is what makes DML correct AND cheap under PARTITION
+    EVOLUTION (``set_partition_spec``): files written before the
+    current spec usually carry no stats/partition values for the new
+    spec columns, so they classify as undecidable and take the scan
+    path, while current-era files still delete/backfill as pure
+    metadata — a hybrid commit instead of losing the fast path for the
+    whole table. A predicate touching any non-partition column sends
+    everything to the scan path (no file-level match proof exists)."""
     pcols = set(table_partition_by(table) or ())
-    if not pcols or not predicate:
-        return None
-    if any(col not in pcols for col, _op, _v in predicate):
-        return None
-    matched = []
+    if (
+        not pcols
+        or not predicate
+        or any(col not in pcols for col, _op, _v in predicate)
+    ):
+        return [], list(adds)
+    matched: list[dict] = []
+    undecided: list[dict] = []
     for a in adds:
-        verdict = True
+        verdict: bool | None = True
         for col, op, lit in predicate:
             decided, value = _single_value(a, col)
-            if not decided:
-                return None
-            r = _eval_single(value, op, lit)
+            r = _eval_single(value, op, lit) if decided else None
             if r is None:
-                return None
+                verdict = None
+                break
             verdict = verdict and r
-        if verdict:
+        if verdict is None:
+            undecided.append(a)
+        elif verdict:
             matched.append(a)
-    return matched
+    return matched, undecided
 
 
 def _predicate_to_expr(predicate: list[tuple]) -> str:
@@ -1029,13 +1044,16 @@ def _write_data_files(
         if partition_exprs is None:
             partition_exprs = table_partition_exprs(table) or {}
         # generated partition columns (the Delta generated-columns
-        # pattern): a frame that lacks a partition column whose SQL
-        # expression is recorded derives it here — writers keep landing
-        # raw frames while the table stays partitioned on the derived
-        # dimension. The derived column is materialized in the data
-        # (same as Delta stores generated columns).
+        # pattern): a partition column with a recorded SQL expression
+        # is ALWAYS recomputed by the engine — writers keep landing raw
+        # frames while the table stays partitioned on the derived
+        # dimension, and a mixed-era rewrite (compact after partition
+        # evolution reads pre-spec files whose rows carry the column as
+        # NULL through the schema union) re-derives instead of landing
+        # the nulls in __HIVE_DEFAULT_PARTITION__. The derived column
+        # is materialized in the data (same as Delta).
         for c in partition_by:
-            if c not in df.columns and c in partition_exprs:
+            if c in partition_exprs:
                 df = df.withColumn(c, F.expr(partition_exprs[c]))
         missing = [c for c in partition_by if c not in df.columns]
         if missing:
@@ -1186,6 +1204,29 @@ def _commit_retry(
             )
         if txn is not None and last_txn_batch(table, txn[0]) >= txn[1]:
             return table_version(table)  # duplicate micro-batch replay
+        # spec-revert fence: a write that resolved its partition spec
+        # BEFORE a concurrent set_partition_spec landed must not replay
+        # its (now stale) spec into the header — that would silently
+        # undo the evolution. Only the evolution commit itself may
+        # change a non-None spec; everyone else loses loudly.
+        if (
+            partition_by is not None
+            and operation != "set partition spec"
+            and version > 0
+        ):
+            prev = _snapshot(table, version - 1)
+            cur_pby, cur_pex = prev["partition_by"], prev["partition_exprs"]
+            # exprs compare only when this commit asserts them (the
+            # streaming sink carries partition_by alone and inherits
+            # exprs via header carry-forward)
+            if (cur_pby is not None and list(cur_pby) != list(partition_by)) \
+               or (partition_exprs is not None and cur_pex is not None
+                   and dict(cur_pex) != dict(partition_exprs)):
+                raise ConcurrentWriteError(
+                    f"{operation} on {table}: partition spec changed "
+                    f"({list(partition_by)} -> {cur_pby}) since this write "
+                    "was planned — re-plan against the current spec"
+                )
         if removes or require_unchanged:
             adds_now = (
                 _snapshot(table, version - 1)["adds"] if version else {}
@@ -1271,8 +1312,8 @@ def append(
     ``bloom_cols`` attaches per-file bloom indexes for equality-literal
     file skipping on unclustered high-cardinality columns.
 
-    ``partition_by`` (first commit only — the spec is immutable, like
-    Delta's) lays the table out hive-style with every data file
+    ``partition_by`` (first commit, or after ``set_partition_spec``
+    evolved the spec) lays the table out hive-style with every data file
     single-valued on the partition columns and per-file partition
     values in the log: predicates on partition columns then prune
     files from the LOG alone, and a partition-scoped DELETE /
@@ -1316,16 +1357,17 @@ def append(
 def _resolve_partition_by(
     table: str, requested: list[str] | None
 ) -> list[str] | None:
-    """Inherit-or-validate the partition spec: a table partitioned at
-    creation keeps its spec forever (every write inherits it); asking
-    for a DIFFERENT spec on an existing table raises."""
+    """Inherit-or-validate the partition spec: every write inherits the
+    table's CURRENT spec; asking for a DIFFERENT spec on a write raises
+    (the spec changes only through the explicit evolution commit)."""
     existing = table_partition_by(table)
     if requested is None:
         return existing
     if existing is not None and list(requested) != list(existing):
         raise ValueError(
             f"table is partitioned by {existing}; cannot write with "
-            f"partition_by={list(requested)} (the spec is immutable)"
+            f"partition_by={list(requested)} — evolve the spec first "
+            "with set_partition_spec()"
         )
     return list(requested)
 
@@ -1399,13 +1441,83 @@ def compact(
     )
 
 
+def set_partition_spec(
+    table: str, partition_by: list[str],
+    partition_exprs: dict | None = None, checkpoint_every: int = 10,
+) -> int:
+    """ALTER TABLE ... SET PARTITION SPEC — Iceberg-style PARTITION
+    EVOLUTION as a pure metadata commit (zero data scanned or moved).
+
+    The current spec changes for writes FROM NOW ON; existing files
+    keep their layout and their per-file partition values. This works
+    because the format never derives partition values from paths at
+    read time: pruning and the metadata-DML fast path consume PER-FILE
+    evidence (partition values + single-valued stats recorded at write
+    time), so a table whose files span several spec eras stays exactly
+    readable, and partition-predicate DML turns HYBRID — current-era
+    files classify from the log, pre-spec files fall back to the
+    scan path (see ``_metadata_match_split``). ``compact``/``optimize``
+    rewrites migrate old files into the current spec (the Iceberg
+    ``rewrite_data_files`` migration story); ``show_partitions``
+    reports pre-spec files under null partition values until then.
+
+    ``partition_by=[]`` evolves the table to unpartitioned. Columns
+    must exist in the declared schema or be derivable via
+    ``partition_exprs``; a column renamed under column mapping cannot
+    become a partition column (partition specs bind physical=logical —
+    same restriction that stops renaming a current partition column).
+    Concurrency: the commit is pinned to the head it validated against
+    (``expect_head``), so a racing writer loses loudly, never silently.
+    """
+    base = table_version(table)
+    if base < 0:
+        raise FileNotFoundError(f"no such table: {table}")
+    snap = _snapshot(table, base)
+    pex = dict(partition_exprs or {})
+    fields = (
+        {f["name"] for f in json.loads(snap["schema"])["fields"]}
+        if snap["schema"] else set()
+    )
+    cm = (snap["column_mapping"] or {}).get("map") or {}
+    for c in partition_by:
+        if c not in fields and c not in pex:
+            raise KeyError(
+                f"set_partition_spec {table}: no such column {c!r} "
+                "(declare a generated expression via partition_exprs "
+                "to partition on a derived dimension)"
+            )
+        if cm.get(c, c) != c:
+            raise ValueError(
+                f"set_partition_spec {table}: {c!r} was renamed under "
+                "column mapping (logical != physical) — partition specs "
+                "bind physical names; rewrite into a new table instead"
+            )
+    for c, e in pex.items():
+        if c not in partition_by:
+            raise ValueError(
+                f"set_partition_spec {table}: partition_exprs declares "
+                f"{c!r} which is not in partition_by"
+            )
+        for ref in fields:
+            if cm.get(ref, ref) != ref and _expr_references(e, ref):
+                raise ValueError(
+                    f"set_partition_spec {table}: expression for {c!r} "
+                    f"references renamed column {ref!r}"
+                )
+    return _commit_retry(
+        table, "set partition spec", [], [], snap["schema"], base,
+        checkpoint_every, partition_by=list(partition_by),
+        partition_exprs=pex, expect_head=base,
+    )
+
+
 def show_partitions(spark: SparkSession, table: str,
                     version: int | None = None) -> DataFrame:
     """SHOW PARTITIONS from the LOG alone (zero data I/O): one row per
     live partition-value combination with file/row/byte counts — the
     operational view a 100 TB table is managed by. Values are the hive
     string encoding (NULL partition → null)."""
-    pby = table_partition_by(table)
+    pby = table_partition_by(table, version)
     if not pby:
         raise ValueError(f"table is not partitioned: {table}")
     agg: dict = {}
@@ -1439,9 +1551,11 @@ def compact_where(
     base = table_version(table)
     live = live_files(table)
     predicate = _cm_tuples(table_column_mapping(table), predicate)
-    in_scope = _metadata_match_plan(table, live, predicate)
-    if in_scope is None:  # not partition-decidable: conservative stats prune
-        in_scope = [a for a in live if _file_may_match(a, predicate)]
+    matched, undecided = _metadata_match_split(table, live, predicate)
+    # hybrid scope: log-proven matches plus a conservative stats prune
+    # of whatever the log cannot decide (pre-evolution files, non-
+    # partition predicates)
+    in_scope = matched + [a for a in undecided if _file_may_match(a, predicate)]
     small = [a for a in in_scope if a.get("bytes", 0) < target_bytes]
     if len(small) < 2:
         return {"version": base, "files_compacted": 0,
@@ -1794,23 +1908,31 @@ def delete_where(
         return noop
     schema = _snapshot(table, base)["schema"]
 
-    # partition fast path (both modes): a predicate wholly decidable on
-    # partition columns deletes whole files as PURE METADATA — no scan,
-    # no sidecar, no rewrite. Concurrent fatter-DV re-adds are benign
-    # for whole-file drops (their tombstones are a subset of ours), so
-    # plain remove-liveness validation suffices.
-    plan = _metadata_match_plan(table, cands, tuples_p)
-    if plan is not None:
-        if not plan:
+    # partition fast path (both modes): files whose match the log can
+    # PROVE on partition columns are deleted as PURE METADATA — no
+    # scan, no sidecar, no rewrite. Concurrent fatter-DV re-adds are
+    # benign for whole-file drops (their tombstones are a subset of
+    # ours), so plain remove-liveness validation suffices. Under
+    # partition evolution the classification is HYBRID: current-era
+    # files drop as metadata while pre-spec files (no partition
+    # evidence in the log) fall through to the DV/rewrite scan below —
+    # one atomic commit covers both.
+    meta_matched, undecided = _metadata_match_split(table, cands, tuples_p)
+    meta_removes = [a["path"] for a in meta_matched]
+    meta_rows = int(sum(a["rows"] for a in meta_matched)) - sum(
+        d.get("count", 0) for d in _dv_entries(meta_matched)
+    )
+    if not undecided:
+        if not meta_matched:
             return noop
-        dv_deleted = sum(d.get("count", 0) for d in _dv_entries(plan))
         version = _commit_retry(
-            table, "delete", [], [a["path"] for a in plan], schema,
+            table, "delete", [], meta_removes, schema,
             base, checkpoint_every,
         )
-        return {"version": version,
-                "rows_deleted": int(sum(a["rows"] for a in plan)) - dv_deleted,
-                "files_touched": len(plan), "files_total": len(live)}
+        return {"version": version, "rows_deleted": meta_rows,
+                "files_touched": len(meta_matched),
+                "files_total": len(live)}
+    cands = undecided  # scan machinery below touches only these
 
     if mode == "rewrite":
         # touch detection: bounded collect — one row per candidate file
@@ -1820,20 +1942,27 @@ def delete_where(
             for r in scan.filter(F.expr(expr))
             .groupBy("__dl_file").agg(F.count("*").alias("n")).collect()
         }
-        if not per_file:
+        if not per_file and not meta_matched:
             return noop
         touched = [a for a in cands if _log_rel(a["path"]) in per_file]
-        survivors = _read_adds(spark, table, touched).filter(
-            ~F.coalesce(F.expr(expr), F.lit(False))
-        )
-        adds = _write_data_files(survivors, table, base + 1, stat_cols, None)
+        adds = []
+        if touched:
+            survivors = _read_adds(spark, table, touched).filter(
+                ~F.coalesce(F.expr(expr), F.lit(False))
+            )
+            adds = _write_data_files(
+                survivors, table, base + 1, stat_cols, None
+            )
         version = _commit_retry(
-            table, "delete", adds, [a["path"] for a in touched], schema,
+            table, "delete", adds,
+            meta_removes + [a["path"] for a in touched], schema,
             base, checkpoint_every,
             require_unchanged={a["path"]: a for a in touched},
         )
-        return {"version": version, "rows_deleted": sum(per_file.values()),
-                "files_touched": len(touched), "files_total": len(live)}
+        return {"version": version,
+                "rows_deleted": meta_rows + sum(per_file.values()),
+                "files_touched": len(meta_matched) + len(touched),
+                "files_total": len(live)}
 
     # ---- mode == "dv": harvest matching positions, consolidate, commit
     rs = _physical_read_schema(_snapshot(table, base))
@@ -1875,8 +2004,16 @@ def delete_where(
         .groupBy("file").agg(F.count("*").alias("n")).collect()
     }
     if not counts:
-        shutil.rmtree(out_dir, ignore_errors=True)  # nothing matched
-        return noop
+        shutil.rmtree(out_dir, ignore_errors=True)  # no scanned match
+        if not meta_matched:
+            return noop
+        version = _commit_retry(
+            table, "delete", [], meta_removes, schema,
+            base, checkpoint_every,
+        )
+        return {"version": version, "rows_deleted": meta_rows,
+                "files_touched": len(meta_matched),
+                "files_total": len(live)}
     new_adds = []
     for a in cands:
         n = counts.get(_log_rel(a["path"]), 0)
@@ -1885,7 +2022,8 @@ def delete_where(
             na["dv"] = [{"path": rel_dv, "count": int(n)}]
             new_adds.append(na)
     version = _commit_retry(
-        table, "delete_dv", new_adds, [], schema, base, checkpoint_every,
+        table, "delete_dv", new_adds, meta_removes, schema, base,
+        checkpoint_every,
         require_unchanged={
             a["path"]: next(c for c in cands if c["path"] == a["path"])
             for a in new_adds
@@ -1893,8 +2031,8 @@ def delete_where(
     )
     return {
         "version": version,
-        "rows_deleted": int(sum(counts.values())) - old_count,
-        "files_touched": len(new_adds),
+        "rows_deleted": meta_rows + int(sum(counts.values())) - old_count,
+        "files_touched": len(meta_matched) + len(new_adds),
         "files_total": len(live),
     }
 
@@ -2045,13 +2183,13 @@ def overwrite_where(
     removed_whole: list[str] = []
     boundary: list[dict] = []
     rows_deleted = 0
-    plan = _metadata_match_plan(table, cands, tuples_p)
-    if plan is not None:
-        removed_whole = [a["path"] for a in plan]
-        rows_deleted = int(sum(a["rows"] for a in plan)) - sum(
-            d.get("count", 0) for d in _dv_entries(plan)
+    meta_matched, cands = _metadata_match_split(table, cands, tuples_p)
+    if meta_matched:
+        removed_whole = [a["path"] for a in meta_matched]
+        rows_deleted = int(sum(a["rows"] for a in meta_matched)) - sum(
+            d.get("count", 0) for d in _dv_entries(meta_matched)
         )
-    elif cands:
+    if cands:
         scan = _read_adds(spark, table, cands, lineage=True)
         per_file = {
             r["__dl_file"]: (r["m"], r["n"])
@@ -2398,8 +2536,8 @@ def _mapping_ddl_guard(table: str, col: str, verb: str) -> dict:
     pex = snap["partition_exprs"] or {}
     if col in pby or col in pex:
         raise ValueError(
-            f"{verb} {table}: {col!r} is a partition column — the spec "
-            "is immutable (rewrite into a new table to repartition)"
+            f"{verb} {table}: {col!r} is a CURRENT partition column — "
+            "evolve it out of the spec first (set_partition_spec)"
         )
     for c, e in pex.items():
         if _expr_references(e, col):

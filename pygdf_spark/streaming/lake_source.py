@@ -488,6 +488,19 @@ class DeltaliteStreamWriter(DataSourceStreamWriter):
                 "mid-stream (rename_column/drop_column) — restart the "
                 "streaming query to pick up the new mapping"
             )
+        # same pin for the partition spec: shards were staged in the
+        # spec pinned at stream start, and the commit header re-asserts
+        # it — publishing after a mid-stream set_partition_spec would
+        # silently REVERT the evolution. Restart contract, like mapping.
+        pby_now = (dl.table_partition_by(self.table)
+                   if dl.table_version(self.table) >= 0
+                   else self.partition_by)
+        if (pby_now or None) != (self.partition_by or None):
+            raise dl.ConcurrentWriteError(
+                f"deltalite sink on {self.table}: partition spec changed "
+                f"mid-stream ({self.partition_by} -> {pby_now}) — restart "
+                "the streaming query to pick up the new spec"
+            )
         scols = [self.cm_pin["map"].get(c, c) for c in scols]
         adds = []
         for m in messages:

@@ -54,7 +54,7 @@ def test_partitioned_roundtrip_schema_and_content(spark, table):
 def test_spec_is_immutable_and_inherited(spark, table):
     _mk(spark, table)
     more = spark.createDataFrame([(100, "a", 1.0)], "id int, region string, v double")
-    with pytest.raises(ValueError, match="immutable"):
+    with pytest.raises(ValueError, match="set_partition_spec"):
         dl.append(more, table, partition_by=["id"])
     dl.append(more, table)  # inherits ["region"]
     newest = max(dl.live_files(table), key=lambda a: a["path"])

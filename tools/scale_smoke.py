@@ -86,7 +86,11 @@ TIMED = ["q1_pricing_summary", "join_inner_q3", "agg_basic_stats",
          "lake_column_mapping", "lake_shallow_clone", "graph_bfs_hops",
          "profile_documents", "mm_jpeg_decode",
          # r7 continuation (CDC merge stream, Holt smoothing, kNN join)
-         "sstream_lake_merge_live", "events_ewma_trend", "sim_knn_join"]
+         "sstream_lake_merge_live", "events_ewma_trend", "sim_knn_join",
+         # r7 late continuation (video codec, FFT spectrogram,
+         # partition evolution + hybrid DML)
+         "mm_video_mjpeg", "mm_audio_spectrogram",
+         "lake_partition_evolution"]
 
 
 def build(spark, n: int, dst: str) -> None:
