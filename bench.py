@@ -134,6 +134,7 @@ EXTRA_BENCH = [
     "mm_video_mjpeg",         # AVI/MJPEG container + JPEG frame decode
     "mm_audio_spectrogram",   # per-frame rfft spectral features
     "lake_partition_evolution",  # spec evolution + hybrid metadata/DV DML
+    "lake_sql_surface",       # SQL DELETE/UPDATE/INSERT/OPTIMIZE dispatch
 ]
 
 

@@ -150,6 +150,18 @@ def deltalite_ddl():
     return dl
 
 
+def lakehouse_sql(spark, statement: str, catalog: dict | None = None):
+    """Delta-style SQL statement surface over deltalite tables
+    (sources/lakehouse_sql.py): SELECT [VERSION/TIMESTAMP AS OF] /
+    INSERT INTO / DELETE / UPDATE / OPTIMIZE [ZORDER BY] / VACUUM /
+    RESTORE / ALTER TABLE (rename, drop, widen, partition spec,
+    constraints) / DESCRIBE HISTORY / SHOW PARTITIONS — simple WHERE
+    conjunctions compile to stats-prunable predicate tuples."""
+    from pygdf_spark.sources.lakehouse_sql import sql
+
+    return sql(spark, statement, catalog)
+
+
 def write_npy_dir(df, path, id_col="vec_id", vec_col="embedding") -> None:
     """(id, vector) frame → sharded .npy directory (one ids/vecs pair
     per partition, executor-local; sources/npy_lite.py)."""

@@ -59,6 +59,7 @@ _PRIORITY = [
     "mm_video_mjpeg",        # AVI/MJPEG container + JPEG frame decode
     "mm_audio_spectrogram",  # per-frame rfft spectral features (Parseval)
     "lake_partition_evolution",  # spec evolution + hybrid metadata/DV DML
+    "lake_sql_surface",      # Delta-style SQL statement dispatch
     # -- never driver-checked (net-new r7):
     "mi_row_roundtrip",      # row MultiIndex set_index/groupby(level)/unstack
     "io_csv_options",        # skiprows/nrows/skipfooter/parse_dates

@@ -863,9 +863,76 @@ GROUP BY 1 ORDER BY yr
 """
 
 
+def lake_sql_surface(spark, sf_dir):
+    """The Delta-style SQL statement surface
+    (sources/lakehouse_sql.py): the same lifecycle a Delta user types —
+    DELETE / UPDATE / INSERT INTO / OPTIMIZE / SELECT ... VERSION AS OF
+    — driven entirely through SQL strings and dispatched onto the
+    transaction protocol. The WHERE clauses compile to stats-prunable
+    predicate tuples (same file skipping as the Python API). The oracle
+    recomputes the end state algebraically, so the hash pins that every
+    statement's parse + dispatch did exactly what the SQL says."""
+    from pygdf_spark.sources import deltalite as dl
+    from pygdf_spark.sources.lakehouse_sql import sql
+
+    base = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        cents("o_totalprice").alias("cents"),
+    )
+    path = _tmp(sf_dir, "lake_sql")
+    shutil.rmtree(path, ignore_errors=True)
+    dl.append(base, path, stat_cols=["o_orderkey"],
+              cluster_by=["o_orderkey"])
+    cat = {"orders_lake": path}
+    r = sql(spark, "DELETE FROM orders_lake WHERE yr = 1999", cat)
+    assert r["rows_deleted"] > 0
+    v_after_delete = dl.table_version(path)
+    r = sql(spark, "UPDATE orders_lake SET cents = cents + 7 "
+                   "WHERE o_orderkey < 600", cat)
+    assert r["rows_updated"] > 0
+    sql(spark, "INSERT INTO orders_lake "
+               "SELECT CAST(-1 AS BIGINT) AS o_orderkey, 1995 AS yr, "
+               "12345 AS cents", cat)
+    sql(spark, "OPTIMIZE orders_lake", cat)
+    # time travel through SQL still sees the pre-update snapshot
+    old = sql(spark, f"SELECT o_orderkey FROM orders_lake "
+                     f"VERSION AS OF {v_after_delete} "
+                     f"WHERE o_orderkey < 600", cat)
+    now = sql(spark, "SELECT yr, cents FROM orders_lake", cat)
+    return (
+        now.groupBy("yr")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum("cents").alias("total_cents"))
+        .withColumn("n_pre_update_lowkeys", F.lit(old.count()))
+        .orderBy("yr")
+    )
+
+
+LAKE_SQL_SURFACE_SQL = f"""
+WITH final AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS yr,
+         {sql_cents('o_totalprice')}
+           + CASE WHEN o_orderkey < 600 THEN 7 ELSE 0 END AS cents
+  FROM orders
+  WHERE EXTRACT(year FROM o_orderdate) <> 1999
+  UNION ALL
+  SELECT 1995 AS yr, 12345 AS cents
+)
+SELECT CAST(yr AS INT) AS yr, COUNT(*) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST((SELECT COUNT(*) FROM orders
+             WHERE o_orderkey < 600
+               AND EXTRACT(year FROM o_orderdate) <> 1999) AS INT)
+         AS n_pre_update_lowkeys
+FROM final GROUP BY yr ORDER BY yr
+"""
+
+
 QUERIES = {
     "lake_partition_prune": lake_partition_prune,
     "lake_partition_evolution": lake_partition_evolution,
+    "lake_sql_surface": lake_sql_surface,
     "lake_update_where": lake_update_where,
     "lake_replace_where": lake_replace_where,
     "lake_incremental_lsh": lake_incremental_lsh,
@@ -1056,6 +1123,7 @@ ORACLE = {
     "lake_shallow_clone": LAKE_SHALLOW_CLONE_SQL,
     "lake_partition_prune": LAKE_PARTITION_PRUNE_SQL,
     "lake_partition_evolution": LAKE_PARTITION_EVOLUTION_SQL,
+    "lake_sql_surface": LAKE_SQL_SURFACE_SQL,
     "lake_update_where": LAKE_UPDATE_WHERE_SQL,
     "lake_replace_where": LAKE_REPLACE_WHERE_SQL,
     "lake_incremental_lsh": _lake_lsh_sql(),
