@@ -135,6 +135,7 @@ EXTRA_BENCH = [
     "mm_audio_spectrogram",   # per-frame rfft spectral features
     "lake_partition_evolution",  # spec evolution + hybrid metadata/DV DML
     "lake_sql_surface",       # SQL DELETE/UPDATE/INSERT/OPTIMIZE dispatch
+    "lake_copy_into",         # idempotent bulk-file ingestion
 ]
 
 

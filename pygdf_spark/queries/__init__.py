@@ -60,6 +60,7 @@ _PRIORITY = [
     "mm_audio_spectrogram",  # per-frame rfft spectral features (Parseval)
     "lake_partition_evolution",  # spec evolution + hybrid metadata/DV DML
     "lake_sql_surface",      # Delta-style SQL statement dispatch
+    "lake_copy_into",        # idempotent bulk-file ingestion (skip-set)
     # -- never driver-checked (net-new r7):
     "mi_row_roundtrip",      # row MultiIndex set_index/groupby(level)/unstack
     "io_csv_options",        # skiprows/nrows/skipfooter/parse_dates

@@ -929,10 +929,63 @@ FROM final GROUP BY yr ORDER BY yr
 """
 
 
+def lake_copy_into(spark, sf_dir):
+    """COPY INTO (sources/deltalite.py copy_into): Delta's idempotent
+    bulk ingestion. A landing directory fills in three batches; COPY
+    INTO runs after batch 2 and again (a) immediately — loading NOTHING
+    (per-file exactly-once via log-recorded source paths, asserted) —
+    and (b) after batch 3 lands — loading ONLY the new files. The
+    oracle recomputes the final table from the source algebra, so the
+    hash pins that the skip-set logic neither double-loads nor drops a
+    file, across commits and checkpoints."""
+    from pygdf_spark.sources import deltalite as dl
+
+    base = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        cents("o_totalprice").alias("cents"),
+    )
+    landing = _tmp(sf_dir, "lake_landing")
+    path = _tmp(sf_dir, "lake_copy")
+    shutil.rmtree(landing, ignore_errors=True)
+    shutil.rmtree(path, ignore_errors=True)
+    base.filter(F.col("yr") <= 1997).filter(F.col("o_orderkey") % 2 == 0) \
+        .write.parquet(os.path.join(landing, "batch0"))
+    base.filter(F.col("yr") <= 1997).filter(F.col("o_orderkey") % 2 == 1) \
+        .write.parquet(os.path.join(landing, "batch1"))
+    glob_pat = os.path.join(landing, "batch*", "*.parquet")
+    r1 = dl.copy_into(spark, path, glob_pat, stat_cols=["yr"])
+    assert r1["files_loaded"] > 0
+    r2 = dl.copy_into(spark, path, glob_pat)
+    assert r2["files_loaded"] == 0 and r2["files_skipped"] > 0, \
+        "COPY INTO re-run must load nothing"
+    base.filter(F.col("yr") >= 1998) \
+        .write.parquet(os.path.join(landing, "batch2"))
+    r3 = dl.copy_into(spark, path, glob_pat)
+    assert r3["files_loaded"] > 0 and r3["files_skipped"] >= \
+        r1["files_loaded"], "growing-directory re-run loads only new files"
+    snap = dl.read_table(spark, path)
+    return (
+        snap.groupBy("yr")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum("cents").alias("total_cents"))
+        .orderBy("yr")
+    )
+
+
+LAKE_COPY_INTO_SQL = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+       COUNT(*) AS n_orders,
+       CAST(SUM({sql_cents('o_totalprice')}) AS BIGINT) AS total_cents
+FROM orders GROUP BY 1 ORDER BY yr
+"""
+
+
 QUERIES = {
     "lake_partition_prune": lake_partition_prune,
     "lake_partition_evolution": lake_partition_evolution,
     "lake_sql_surface": lake_sql_surface,
+    "lake_copy_into": lake_copy_into,
     "lake_update_where": lake_update_where,
     "lake_replace_where": lake_replace_where,
     "lake_incremental_lsh": lake_incremental_lsh,
@@ -1124,6 +1177,7 @@ ORACLE = {
     "lake_partition_prune": LAKE_PARTITION_PRUNE_SQL,
     "lake_partition_evolution": LAKE_PARTITION_EVOLUTION_SQL,
     "lake_sql_surface": LAKE_SQL_SURFACE_SQL,
+    "lake_copy_into": LAKE_COPY_INTO_SQL,
     "lake_update_where": LAKE_UPDATE_WHERE_SQL,
     "lake_replace_where": LAKE_REPLACE_WHERE_SQL,
     "lake_incremental_lsh": _lake_lsh_sql(),

@@ -268,6 +268,7 @@ def _snapshot(table: str, version: int) -> dict:
     protocol = None
     type_widening = None
     constraints: dict[str, str] = {}
+    copy_sources: set[str] = set()
     start = 0
     ckpt = _latest_checkpoint_at_or_before(table, version)
     if ckpt is not None:
@@ -282,6 +283,7 @@ def _snapshot(table: str, version: int) -> dict:
         protocol = snap.get("protocol")
         type_widening = snap.get("type_widening")
         constraints = dict(snap.get("constraints") or {})
+        copy_sources = set(snap.get("copy_sources") or [])
         start = ckpt + 1
     for v in range(start, version + 1):
         p = _version_path(table, v)
@@ -303,6 +305,9 @@ def _snapshot(table: str, version: int) -> dict:
                 type_widening = action["commit"].get(
                     "type_widening", type_widening
                 )
+                copy_sources.update(
+                    action["commit"].get("copy_into") or ()
+                )
             elif "add" in action:
                 adds[action["add"]["path"]] = action["add"]
             elif "remove" in action:
@@ -317,7 +322,8 @@ def _snapshot(table: str, version: int) -> dict:
             "constraints": constraints, "partition_by": partition_by,
             "partition_exprs": partition_exprs,
             "column_mapping": column_mapping, "protocol": protocol,
-            "type_widening": type_widening}
+            "type_widening": type_widening,
+            "copy_sources": sorted(copy_sources)}
 
 
 def live_files(table: str, version: int | None = None) -> list[dict]:
@@ -1156,6 +1162,7 @@ def _maybe_checkpoint(table: str, version: int, every: int) -> None:
                 "protocol": snap["protocol"],
                 "type_widening": snap["type_widening"],
                 "constraints": snap["constraints"],
+                "copy_sources": snap["copy_sources"],
                 "adds": sorted(snap["adds"].values(), key=lambda a: a["path"]),
             },
         ).encode("utf-8")
@@ -1174,6 +1181,7 @@ def _commit_retry(
     column_mapping: dict | None = None,
     protocol: dict | None = None,
     type_widening: dict | None = None,
+    copy_into: list[str] | None = None,
 ) -> int:
     """Publish adds/removes, retrying version collisions. Appends
     (no removes) are always safe to replay at a later version; a
@@ -1259,6 +1267,8 @@ def _commit_retry(
             header["protocol"] = dict(protocol)
         if type_widening is not None:
             header["type_widening"] = dict(type_widening)
+        if copy_into is not None:
+            header["copy_into"] = list(copy_into)
         if txn is not None:
             header["txn"] = {"app": txn[0], "batch": int(txn[1])}
         actions = [{"commit": header}]
@@ -1413,6 +1423,71 @@ def overwrite(
         column_mapping=cm_hdr,
         expect_head=base if cm_hdr is not None else None,
     )
+
+
+def copy_into(
+    spark: SparkSession, table: str, source: str,
+    file_format: str = "parquet", options: dict | None = None,
+    stat_cols: list[str] | None = None, checkpoint_every: int = 10,
+) -> dict:
+    """COPY INTO — Delta's idempotent bulk-file ingestion: load the
+    files matching the ``source`` glob into the table EXACTLY ONCE.
+    Every loaded file's absolute path is recorded in the commit
+    (``copy_into`` header, accumulated through checkpoints), so
+    re-running the same statement after a partial failure, or on a
+    GROWING landing directory, ingests only the not-yet-loaded files —
+    the at-scale ingestion loop (`landing/ -> COPY INTO -> table`)
+    needs no external bookkeeping. ``file_format`` is any Spark
+    DataFrameReader format (parquet/json/csv/orc); ``options`` pass
+    through to the reader.
+
+    Concurrency: the commit is pinned to the head it computed its
+    skip-set against (``expect_head``) — two racing COPY INTOs of the
+    same files cannot double-load; the loser raises and a re-run
+    recomputes the skip-set (loading nothing if the winner covered it).
+    Returns {"version", "files_loaded", "files_skipped", "rows_loaded"}.
+    """
+    import glob as _glob
+
+    base = table_version(table)
+    already = (
+        set(_snapshot(table, base)["copy_sources"]) if base >= 0 else set()
+    )
+    files = sorted(
+        os.path.abspath(f)
+        for f in _glob.glob(source, recursive=True)
+        if os.path.isfile(f)
+    )
+    if not files:
+        raise FileNotFoundError(f"COPY INTO: no files match {source!r}")
+    new = [f for f in files if f not in already]
+    if not new:
+        return {"version": base, "files_loaded": 0,
+                "files_skipped": len(files), "rows_loaded": 0}
+    reader = spark.read
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    df = reader.format(file_format).load(new)
+    pby = _resolve_partition_by(table, None)
+    pex = _resolve_partition_exprs(table, None)
+    cm_w, cm_hdr = _evolve_column_mapping(table, df, base + 1)
+    adds = _write_data_files(df, table, base + 1, stat_cols, None,
+                             partition_by=pby, partition_exprs=pex,
+                             column_mapping=cm_w)
+    _validate_constraints(spark, table, adds)
+    snap_prev = _snapshot(table, base) if base >= 0 else None
+    decl = _union_decl_schema(
+        snap_prev["schema"] if snap_prev else None, df.schema
+    )
+    tw_hdr = _implicit_widenings(snap_prev, decl, cm_w)
+    version = _commit_retry(
+        table, "copy_into", adds, [], decl, base, checkpoint_every,
+        partition_by=pby, partition_exprs=pex, column_mapping=cm_hdr,
+        type_widening=tw_hdr, copy_into=new, expect_head=base,
+    )
+    return {"version": version, "files_loaded": len(new),
+            "files_skipped": len(files) - len(new),
+            "rows_loaded": int(sum(a["rows"] for a in adds))}
 
 
 def compact(

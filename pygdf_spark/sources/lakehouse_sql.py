@@ -15,6 +15,7 @@ Python calls. Statements:
     UPDATE t SET a = expr[, ...] WHERE <pred>
     OPTIMIZE t [WHERE <pred>] [ZORDER BY (c1[, ...])]
     VACUUM t [RETAIN n VERSIONS]
+    COPY INTO t FROM '<glob>' [FILEFORMAT = <fmt>]
     RESTORE TABLE t TO VERSION AS OF n
     ALTER TABLE t RENAME COLUMN a TO b
     ALTER TABLE t DROP COLUMN a
@@ -272,6 +273,15 @@ def sql(
         if m2:
             return dl.drop_check_constraint(table, m2[1])
         raise ValueError(f"unsupported ALTER TABLE clause: {rest!r}")
+
+    m = re.match(
+        r"COPY\s+INTO\s+(?P<t>\S+)\s+FROM\s+'(?P<src>[^']+)'"
+        r"(?:\s+FILEFORMAT\s*=\s*(?P<f>\w+))?$",
+        stmt, re.IGNORECASE,
+    )
+    if m:
+        return dl.copy_into(spark, t(m["t"]), m["src"],
+                            file_format=(m["f"] or "parquet").lower())
 
     m = re.match(r"DESCRIBE\s+HISTORY\s+(?P<t>\S+)$", stmt, re.IGNORECASE)
     if m:

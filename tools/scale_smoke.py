@@ -90,7 +90,8 @@ TIMED = ["q1_pricing_summary", "join_inner_q3", "agg_basic_stats",
          # r7 late continuation (video codec, FFT spectrogram,
          # partition evolution + hybrid DML)
          "mm_video_mjpeg", "mm_audio_spectrogram",
-         "lake_partition_evolution", "lake_sql_surface"]
+         "lake_partition_evolution", "lake_sql_surface",
+         "lake_copy_into"]
 
 
 def build(spark, n: int, dst: str) -> None:
