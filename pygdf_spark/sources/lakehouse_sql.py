@@ -24,6 +24,7 @@ Python calls. Statements:
     ALTER TABLE t ADD CONSTRAINT name CHECK (expr)
     ALTER TABLE t DROP CONSTRAINT name
     DESCRIBE HISTORY t
+    DESCRIBE DETAIL t
     SHOW PARTITIONS t
 
 Table resolution: ``catalog`` maps logical names to table paths; a
@@ -286,6 +287,22 @@ def sql(
     m = re.match(r"DESCRIBE\s+HISTORY\s+(?P<t>\S+)$", stmt, re.IGNORECASE)
     if m:
         return dl.history_df(spark, t(m["t"]))
+
+    m = re.match(r"DESCRIBE\s+DETAIL\s+(?P<t>\S+)$", stmt, re.IGNORECASE)
+    if m:
+        table = t(m["t"])
+        st = dl.table_stats(table)
+        return spark.createDataFrame(
+            [(
+                "deltalite", table, int(dl.table_version(table)),
+                int(st["files"]), int(st["bytes"]), int(st["rows"]),
+                bool(st["rows_exact"]),
+                ",".join(dl.table_partition_by(table) or []),
+            )],
+            "format string, location string, version long, num_files long, "
+            "size_bytes long, num_rows long, rows_exact boolean, "
+            "partition_columns string",
+        )
 
     m = re.match(r"SHOW\s+PARTITIONS\s+(?P<t>\S+)$", stmt, re.IGNORECASE)
     if m:

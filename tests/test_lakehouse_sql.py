@@ -126,3 +126,10 @@ def test_catalog_resolution_and_errors(spark, table):
         sql(spark, f"ALTER TABLE {table} SET TBLPROPERTIES (a=1)")
     with pytest.raises(ValueError, match="simple conjunction"):
         sql(spark, f"OPTIMIZE {table} WHERE id = 1 OR id = 2")
+
+
+def test_describe_detail(spark, table):
+    out = sql(spark, f"DESCRIBE DETAIL {table}")
+    row = out.collect()[0]
+    assert row["format"] == "deltalite" and row["num_rows"] == 30
+    assert row["rows_exact"] is True and row["partition_columns"] == ""
