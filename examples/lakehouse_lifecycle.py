@@ -130,6 +130,26 @@ def main() -> None:
           dl.show_partitions(spark, table)
             .select("bucket", "n_rows").collect())
 
+    # 13. the same protocol from SQL strings — and COPY INTO: the
+    #     idempotent landing-zone loop (re-runs load only new files)
+    from pygdf_spark.sources.lakehouse_sql import sql as lsql
+
+    landing = table + "_landing"
+    shutil.rmtree(landing, ignore_errors=True)
+    events.limit(40).write.parquet(os.path.join(landing, "drop1"))
+    glob_pat = os.path.join(landing, "drop*", "*.parquet")
+    t2 = table + "_sqldemo"
+    shutil.rmtree(t2, ignore_errors=True)
+    r = lsql(spark, f"COPY INTO {t2} FROM '{glob_pat}'")
+    r2 = lsql(spark, f"COPY INTO {t2} FROM '{glob_pat}'")  # no-op
+    lsql(spark, f"DELETE FROM {t2} WHERE event_type = 'view'")
+    print("SQL surface: copied", r["files_loaded"], "files, re-run loaded",
+          r2["files_loaded"], "—",
+          lsql(spark, f"DESCRIBE DETAIL {t2}").collect()[0]["num_rows"],
+          "rows after SQL DELETE")
+
+    shutil.rmtree(landing, ignore_errors=True)
+    shutil.rmtree(t2, ignore_errors=True)
     shutil.rmtree(clone_t, ignore_errors=True)
     shutil.rmtree(table, ignore_errors=True)
 
