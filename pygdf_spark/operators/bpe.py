@@ -141,19 +141,70 @@ def bpe_train(docs: DataFrame, tokens: Column, n_merges: int = 4,
     the vocab cache released (the IVF-probe leak lesson, ADVICE r5);
     ``materialize=False`` returns the lazy plan for plan-audit tooling
     and leaves the persist to the caller.
+
+    Optimization (r7, guide §1.2/§5): the materialized path runs the
+    iteration EAGERLY — each round collects its 1-row argmax (bounded:
+    n_merges rows total, the same collect the lazy path paid at the
+    end) and applies the winning pair as LITERALS, checkpointing the
+    vocab relation between rounds. The previous fully-lazy union
+    replayed round i's argmax subtree inside every later round's
+    broadcast chain (O(n²) pair-count jobs) and stacked i interpreted
+    merge folds per row; eager rounds run exactly one pair aggregate +
+    one vocab materialization each, with a single fold per round
+    (measured 3.19s → see OPTIMIZATION_r07.md). Identical output rows:
+    same tie-break, same greedy-leftmost fold, same schema.
     """
-    cached, _, bests = _train_chain(docs, tokens, n_merges)
-
-    out = bests[0]
-    for b in bests[1:]:
-        out = out.unionByName(b)
-    out = out.orderBy("merge_rank")
-
     if not materialize:
-        return out
-    rows = out.collect()  # bounded: exactly n_merges rows by construction
-    cached.unpersist()
-    return docs.sparkSession.createDataFrame(rows, out.schema)
+        cached, _, bests = _train_chain(docs, tokens, n_merges)
+        out = bests[0]
+        for b in bests[1:]:
+            out = out.unionByName(b)
+        return out.orderBy("merge_rank")
+
+    vocab = word_freq(docs, tokens).withColumn(
+        "syms", char_syms("w")
+    ).select("w", "freq", "syms")
+    cur = vocab.persist()
+    persisted = [cur]
+    schema = None
+    out_rows = []
+    try:
+        for i in range(1, n_merges + 1):
+            pc = (
+                cur.select(
+                    F.explode(adjacent_pairs("syms")).alias("p"), "freq"
+                )
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("freq").alias("cnt"))
+            )
+            best = pc.orderBy(
+                F.desc("cnt"), F.asc("a"), F.asc("b")
+            ).limit(1).select(
+                F.lit(i).alias("merge_rank"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.col("cnt").alias("pair_weight"),
+            )
+            if schema is None:
+                schema = best.schema
+            top = best.collect()  # bounded: 1 row per merge
+            if not top:
+                break  # no pairs left — the lazy chain also went empty
+            out_rows.append(top[0])
+            if i < n_merges:
+                # persist (not localCheckpoint): the cache populates
+                # inside the NEXT round's argmax job — no separate
+                # materialization job per merge — and unpersists below
+                cur = cur.withColumn(
+                    "syms",
+                    merge_pair("syms", F.lit(top[0].left_sym),
+                               F.lit(top[0].right_sym)),
+                ).persist()
+                persisted.append(cur)
+    finally:
+        for p in persisted:
+            p.unpersist()
+    return docs.sparkSession.createDataFrame(out_rows, schema)
 
 
 def _inmem_bpe(words: list[tuple[str, int]], n_merges: int):

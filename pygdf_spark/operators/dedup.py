@@ -113,11 +113,20 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
     on an 8× corpus). The star is linear per bucket, and for dedup it
     is transitively complete: every cluster member connects to the
     cluster representative. Shuffle keys stay (perm, minhash) — short
-    and uniform."""
-    sig = signatures.select("doc_id", "perm", "minhash")
-    bucket_min = sig.groupBy("perm", "minhash").agg(F.min("doc_id").alias("doc_a"))
+    and uniform.
+
+    The bucket minimum rides a WINDOW over (perm, minhash) (opt r7,
+    guide §2.4): the former groupBy + equi-join computed the signature
+    stream twice and shuffled it twice (aggregate build + probe side);
+    min(doc_id) over partitionBy(perm, minhash) attaches the
+    representative in the single exchange the pairing needs. Same
+    pairs, one exchange and one signature evaluation fewer."""
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("perm", "minhash")
     return (
-        sig.join(bucket_min, ["perm", "minhash"])
+        signatures.select("doc_id", "perm", "minhash")
+        .withColumn("doc_a", F.min("doc_id").over(wb))
         .filter(F.col("doc_id") > F.col("doc_a"))
         .select("doc_a", F.col("doc_id").alias("doc_b"))
         .distinct()
@@ -294,15 +303,20 @@ def substring_dedup(
         grams = grams.select(
             id_col, "pos", "ord", F.xxhash64("g").alias("g")
         )
-    winners = (
-        grams.groupBy("g")
-        .agg(F.min("ord").alias("first_ord"), F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("g", "first_ord")
-    )
+    # duplicate-span losers via ONE window over the span key (opt r7,
+    # guide §2.4): min(ord)/count(*) over partitionBy(g) computes the
+    # first-occurrence rule in the same exchange that used to feed the
+    # groupBy — the former groupBy(g)+equi-join shape shuffled the full
+    # gram stream TWICE (aggregate build + probe side) and re-ran the
+    # tokenize→zip_with gram pipeline once per branch. Same winners,
+    # same marks, one exchange, one gram-pipeline evaluation.
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy("g")
     marks = (
-        grams.join(winners, "g")
-        .filter(F.col("ord") != F.col("first_ord"))
+        grams.withColumn("first_ord", F.min("ord").over(wg))
+        .withColumn("n", F.count(F.lit(1)).over(wg))
+        .filter((F.col("n") >= 2) & (F.col("ord") != F.col("first_ord")))
         .select(id_col, "pos")
     )
     masks = marks.groupBy(id_col).agg(

@@ -40,7 +40,16 @@ def connected_components(
     label's label (pointer doubling, so chains collapse in O(log D)
     rounds, not O(D))."""
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # hash-partition the symmetrized edge table by the join key ONCE
+    # and persist: every round joins on u, and the cached partitioning
+    # satisfies the join's distribution requirement, so rounds 2..K
+    # skip re-shuffling the (unchanging) edge side entirely (opt r7,
+    # guide §2.4 "share one exchange"); unpersisted before return
+    sym = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition("u")
+        .persist()
+    )
     labels = (
         sym.select(F.col("u").alias("id")).distinct()
         .withColumn("label", F.col("id"))
@@ -53,35 +62,43 @@ def connected_components(
             .groupBy(F.col("v").alias("id"))
             .agg(F.min("label").alias("nmin"))
         )
+        # carry the pre-round label as ``old`` so the fixpoint test is
+        # a FILTER over the round's own output instead of a second
+        # keyed join against the previous labels (opt r7, guide §2.4);
+        # the lazy checkpoint folds cache population into the same
+        # ``changed`` probe job (an eager checkpoint + join-count ran
+        # two jobs and one extra shuffle per round)
         l1 = (
             labels.join(nbr_min, "id", "left")
-            .select("id", F.least("label", "nmin").alias("label"))
+            .select("id", F.col("label").alias("old"),
+                    F.least("label", "nmin").alias("label"))
         )
         # (2) path compression: label ← label's label
         ptr = l1.select(F.col("id").alias("pid"), F.col("label").alias("plabel"))
         l2 = (
             l1.join(ptr, l1.label == ptr.pid, "left")
-            .select("id", F.least("label", "plabel").alias("label"))
-            .localCheckpoint()
+            .select("id", "old", F.least("label", "plabel").alias("label"))
+            .localCheckpoint(eager=False)
         )
         changed = (
-            l2.join(labels.withColumnRenamed("label", "old"), "id")
-            .filter(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
+            l2.filter(F.col("label") != F.col("old")).limit(1).count()
         )
-        labels = l2
+        labels = l2.select("id", "label")
         if changed == 0:
             break
     else:
         # exhausted max_iter with labels still moving: returning them
         # would silently split one component into several (downstream
         # dedup would then KEEP duplicates) — fail loudly instead
+        sym.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
             "propagate+compress rounds (component diameter > 2^"
             f"{max_iter}); raise max_iter"
         )
+    # safe: the converged round's full count() materialized the final
+    # labels, so the returned frame reads cached blocks, not sym
+    sym.unpersist()
     return labels.select("id", F.col("label").alias("comp"))
 
 
@@ -101,23 +118,40 @@ def bfs_hops(
     per round: expand the frontier through the (symmetrized) edges —
     one keyed shuffle — then anti-join the visited set so each vertex
     settles exactly once, at its first (= minimum) hop. Rounds =
-    eccentricity of the source set, NOT O(V); lineage is truncated per
-    round with localCheckpoint like connected_components above, so the
-    plan stays O(1) per round at any scale. Unreachable vertices are
-    absent from the output (no sentinel hops).
+    eccentricity of the source set, NOT O(V); each round's frontier is
+    materialized once with localCheckpoint (truncating lineage like
+    connected_components above) and the visited set stays a LAZY union
+    of those checkpointed frontiers — re-materializing the growing
+    union every round would copy O(V) rows per round, O(V·rounds)
+    total, for zero information (opt r7, guide §1.2: the union's pieces
+    are already cached blocks). Unreachable vertices are absent from
+    the output (no sentinel hops).
 
     Raises after ``max_iter`` rounds with the frontier non-empty —
     a truncated BFS would silently report infinite distances as
     merely-unvisited."""
+    from functools import reduce
+
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    visited = (
+    # same one-time edge partitioning as connected_components above:
+    # every round's expansion joins on u, so the persisted layout lets
+    # rounds 2..K skip re-shuffling the edge side (guide §2.4)
+    sym = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition("u")
+        .persist()
+    )
+    parts = [
         sources.select(F.col(sources.columns[0]).alias("id")).distinct()
         .withColumn("hop", F.lit(0).cast("long"))
         .localCheckpoint()
-    )
-    frontier = visited
+    ]
+    frontier = parts[0]
     for hop in range(1, max_iter + 1):
+        visited = reduce(lambda a, b: a.union(b), parts)
+        # LAZY checkpoint + full count(): the expansion, the cache
+        # population, and the emptiness test share ONE job per round
+        # (an eager checkpoint followed by a count ran two)
         nxt = (
             sym.join(
                 frontier.select(F.col("id").alias("u")), "u"
@@ -125,12 +159,16 @@ def bfs_hops(
             .select(F.col("v").alias("id")).distinct()
             .join(visited.select("id"), "id", "left_anti")
             .withColumn("hop", F.lit(hop).cast("long"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        if nxt.limit(1).count() == 0:
+        if nxt.count() == 0:
+            # every part was fully materialized by its own count();
+            # the returned union reads cached blocks, not sym
+            sym.unpersist()
             return visited
-        visited = visited.union(nxt).localCheckpoint()
+        parts.append(nxt)
         frontier = nxt
+    sym.unpersist()
     raise RuntimeError(
         f"bfs_hops frontier still expanding after {max_iter} rounds; "
         "raise max_iter"

@@ -44,6 +44,23 @@ def _shards(df, rows_per_shard: int = 50_000) -> int:
     return max(4, -(-df.count() // rows_per_shard))
 
 
+def _shards_src(sf_dir: str, name: str, rows_per_shard: int = 50_000) -> int:
+    """``_shards`` from the source's parquet FOOTER row count — zero
+    Spark jobs (opt r7, guide §1.2). Only for UNFILTERED sources
+    (projections keep row count; every call site below qualifies)."""
+    import pyarrow.parquet as pq
+
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(p):
+        rows = sum(
+            pq.ParquetFile(os.path.join(p, f)).metadata.num_rows
+            for f in os.listdir(p) if f.endswith(".parquet")
+        )
+    else:
+        rows = pq.ParquetFile(p).metadata.num_rows
+    return max(4, -(-rows // rows_per_shard))
+
+
 def _vec_milli(col: str = "embedding"):
     """In-row order-independent checksum: Σ floor(1000·e) as BIGINT."""
     return F.aggregate(
@@ -64,7 +81,8 @@ def io_npy_roundtrip(spark, sf_dir):
     # (see _shards) — a few shards at test SF, parallelism grows with
     # the table at scale
     base = T(spark, sf_dir, "embeddings")
-    emb = base.select("vec_id", "embedding").repartition(_shards(base))
+    emb = base.select("vec_id", "embedding").repartition(
+        _shards_src(sf_dir, "embeddings"))
     path = _tmp(sf_dir, "npy_emb")
     import shutil
 
@@ -106,7 +124,7 @@ def io_safetensors_roundtrip(spark, sf_dir):
             F.col("vec_id").alias("vec_ids"),
         )
         .withColumnRenamed("embedding", "embeddings")
-        .repartition(_shards(base))  # data-scaled shard count
+        .repartition(_shards_src(sf_dir, "embeddings"))
     )
     path = _tmp(sf_dir, "st_emb")
     import shutil
@@ -168,7 +186,8 @@ def io_npz_roundtrip(spark, sf_dir):
     from pygdf_spark.sources.npy_lite import read_npz_dir, write_npz_dir
 
     base = T(spark, sf_dir, "embeddings")
-    emb = base.select("vec_id", "embedding").repartition(_shards(base))
+    emb = base.select("vec_id", "embedding").repartition(
+        _shards_src(sf_dir, "embeddings"))
     path = _tmp(sf_dir, "npz_emb")
     import shutil
 
@@ -204,7 +223,7 @@ def io_warc_roundtrip(spark, sf_dir):
         )
         # fixed-size shards, data-scaled COUNT (see _shards): the write
         # parallelism grows with the corpus instead of flooring at 4
-        .repartition(_shards(base))
+        .repartition(_shards_src(sf_dir, "documents"))
     )
     path = _tmp(sf_dir, "warc")
     shutil.rmtree(path, ignore_errors=True)
@@ -240,7 +259,7 @@ def io_webdataset_roundtrip(spark, sf_dir):
     base = T(spark, sf_dir, "documents")
     docs = (
         base.select(F.col("doc_id").cast("string").alias("k"), "text", "lang")
-        .repartition(_shards(base))  # data-scaled shard count
+        .repartition(_shards_src(sf_dir, "documents"))
     )
     path = _tmp(sf_dir, "wds")
     shutil.rmtree(path, ignore_errors=True)

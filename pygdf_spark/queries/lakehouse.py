@@ -34,6 +34,29 @@ def _shards(df, rows_per_shard: int = 50_000) -> int:
     return max(2, -(-df.count() // rows_per_shard))
 
 
+def _src_rows(sf_dir: str, name: str) -> int:
+    """Row count of a source table from its parquet FOOTER metadata —
+    no Spark job (opt r7, guide §1.2: every lake query used to pay one
+    full-scan ``count()`` action just to size its write fan-out when
+    the metadata already knows the answer). Only valid for an
+    UNFILTERED source frame (projections keep the row count — every
+    call site below qualifies)."""
+    import pyarrow.parquet as pq
+
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(p):
+        return sum(
+            pq.ParquetFile(os.path.join(p, f)).metadata.num_rows
+            for f in os.listdir(p) if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(p).metadata.num_rows
+
+
+def _shards_src(sf_dir: str, name: str, rows_per_shard: int = 50_000) -> int:
+    """``_shards`` from footer metadata — same value, no count() job."""
+    return max(2, -(-_src_rows(sf_dir, name) // rows_per_shard))
+
+
 def lake_snapshot_read(spark, sf_dir):
     """Three disjoint appends (o_orderkey mod 3) with a COMPACT between
     the second and third — read the LATEST snapshot and aggregate.
@@ -44,7 +67,7 @@ def lake_snapshot_read(spark, sf_dir):
     base = T(spark, sf_dir, "orders")
     path = _tmp(sf_dir, "lake_orders")
     shutil.rmtree(path, ignore_errors=True)
-    n = _shards(base)
+    n = _shards_src(sf_dir, "orders")
     for r in (0, 1):
         dl.append(base.filter(F.col("o_orderkey") % 3 == r).repartition(n), path)
     dl.compact(spark, path, num_files=max(1, n // 2))
@@ -79,7 +102,7 @@ def lake_time_travel(spark, sf_dir):
     )
     path = _tmp(sf_dir, "lake_events")
     shutil.rmtree(path, ignore_errors=True)
-    n = _shards(base)
+    n = _shards_src(sf_dir, "events")
     dl.append(base.filter(F.col("event_id") % 2 == 0).repartition(n), path)
     dl.append(base.filter(F.col("event_id") % 2 == 1).repartition(n), path)
     dl.overwrite(base.filter(F.col("event_type") == "view").repartition(n), path)
@@ -125,10 +148,11 @@ def lake_file_skipping(spark, sf_dir):
     path = _tmp(sf_dir, "lake_lineitem")
     shutil.rmtree(path, ignore_errors=True)
     dl.append(
-        base.repartition(max(4, _shards(base))),
+        base,
         path,
         stat_cols=["l_orderkey"],
         cluster_by=["l_orderkey"],
+        target_files=max(4, _shards_src(sf_dir, "lineitem")),
     )
     # bounded driver literal: one 1-row aggregate (the oracle mirrors it
     # as a scalar subquery) — the predicate cut is data-derived, not a
@@ -171,8 +195,9 @@ def lake_merge_upsert(spark, sf_dir):
     path = _tmp(sf_dir, "lake_merge")
     shutil.rmtree(path, ignore_errors=True)
     dl.append(
-        base.repartition(max(4, _shards(base))), path,
+        base, path,
         stat_cols=["o_orderkey"], cluster_by=["o_orderkey"],
+        target_files=max(4, _shards_src(sf_dir, "orders")),
     )
     mx = base.agg(F.max("o_orderkey")).first()[0]  # bounded 1-row agg
     band = int(mx) // 5
@@ -231,8 +256,9 @@ def lake_zorder_skip(spark, sf_dir):
     path = _tmp(sf_dir, "lake_zorder")
     shutil.rmtree(path, ignore_errors=True)
     dl.append_zorder(
-        base.repartition(max(4, _shards(base))), path,
+        base, path,
         ["o_custkey", "o_orderkey"],
+        num_files=max(4, _shards_src(sf_dir, "orders")),
     )
     outs = []
     for dim in ("o_custkey", "o_orderkey"):
@@ -281,8 +307,9 @@ def lake_change_feed(spark, sf_dir):
     path = _tmp(sf_dir, "lake_cdf")
     shutil.rmtree(path, ignore_errors=True)
     dl.append(
-        base.repartition(max(4, _shards(base))), path,
+        base, path,
         stat_cols=["event_id"], cluster_by=["event_id"],
+        target_files=max(4, _shards_src(sf_dir, "events")),
     )
     mx = int(base.agg(F.max("event_id")).first()[0])
     updates = base.filter(F.col("event_id") % 7 == 0).withColumn(
@@ -348,16 +375,16 @@ def lake_incremental_matview(spark, sf_dir):
     root = _tmp(sf_dir, "lake_mv")
     shutil.rmtree(root, ignore_errors=True)
     src, view = os.path.join(root, "src"), os.path.join(root, "view")
-    n = _shards(base)
-    dl.append(base.repartition(n), src, stat_cols=["event_id"],
-              cluster_by=["event_id"])                       # src v0
+    n = _shards_src(sf_dir, "events")
+    dl.append(base, src, stat_cols=["event_id"],
+              cluster_by=["event_id"], target_files=n)       # src v0
     create_agg_view(spark, src, view, "user_id", "value_cents")
     mx = int(base.agg(F.max("event_id")).first()[0])
     appended = base.withColumn(
         "event_id", F.col("event_id") + F.lit(mx + 1)
     ).withColumn("value_cents", F.col("value_cents") + 300)
-    dl.append(appended.repartition(n), src, stat_cols=["event_id"],
-              cluster_by=["event_id"])                       # src v1
+    dl.append(appended, src, stat_cols=["event_id"],
+              cluster_by=["event_id"], target_files=n)       # src v1
     updates = base.filter(F.col("event_id") % 11 == 0).withColumn(
         "value_cents", F.col("value_cents") + 200
     )
@@ -401,8 +428,9 @@ def lake_delete_dv(spark, sf_dir):
     path = _tmp(sf_dir, "lake_dv")
     shutil.rmtree(path, ignore_errors=True)
     dl.append(
-        base.repartition(max(4, _shards(base))), path,
+        base, path,
         stat_cols=["o_orderkey"], cluster_by=["o_orderkey"],
+        target_files=max(4, _shards_src(sf_dir, "orders")),
     )
     dl.delete_where(spark, path, [("o_orderstatus", "=", "F")])      # v1
     dl.delete_where(spark, path, "o_orderkey % 10 = 3")              # v2
@@ -443,9 +471,9 @@ def lake_restore(spark, sf_dir):
     )
     path = _tmp(sf_dir, "lake_restore")
     shutil.rmtree(path, ignore_errors=True)
-    n = _shards(base)
-    dl.append(base.repartition(n), path,
-              stat_cols=["o_orderkey"], cluster_by=["o_orderkey"])   # v0
+    n = _shards_src(sf_dir, "orders")
+    dl.append(base, path, stat_cols=["o_orderkey"],
+              cluster_by=["o_orderkey"], target_files=n)             # v0
     dl.delete_where(spark, path, [("o_orderstatus", "=", "O")])      # v1
     dl.overwrite(
         base.filter(F.col("o_orderstatus") == "P").repartition(n), path
@@ -499,7 +527,7 @@ def lake_bloom_skip(spark, sf_dir):
     )
     path = _tmp(sf_dir, "lake_bloom")
     shutil.rmtree(path, ignore_errors=True)
-    dl.append(base.repartition(max(8, _shards(base))), path,
+    dl.append(base.repartition(max(8, _shards_src(sf_dir, "orders"))), path,
               bloom_cols=["uk"])
     keys = [
         r[0] for r in base.filter(F.col("o_orderkey") % 83 == 0)
@@ -556,10 +584,11 @@ def lake_replace_where(spark, sf_dir):
     # >= 16 date-clustered files: the 12-month replace window then always
     # fully contains at least one file (orders span ~7 years), so the
     # whole-file metadata drop is exercised at every scale factor
-    n = min(256, max(16, base.count() // 10_000))
+    n = min(256, max(16, _src_rows(sf_dir, "orders") // 10_000))
     dl.append(
-        base.repartition(n), path,
+        base, path,
         stat_cols=["o_orderdate"], cluster_by=["o_orderdate"],
+        target_files=n,
     )
     lo, hi = "1995-01-01", "1996-01-01"
     amended = base.filter(
@@ -656,9 +685,9 @@ def lake_update_where(spark, sf_dir):
     )
     path = _tmp(sf_dir, "lake_upd")
     shutil.rmtree(path, ignore_errors=True)
-    n = min(256, max(16, base.count() // 10_000))
-    dl.append(base.repartition(n), path,
-              stat_cols=["o_orderkey"], cluster_by=["o_orderkey"])
+    n = min(256, max(16, _src_rows(sf_dir, "orders") // 10_000))
+    dl.append(base, path, stat_cols=["o_orderkey"],
+              cluster_by=["o_orderkey"], target_files=n)
     # fixed threshold: TPC-H orderkeys are a fixed low-end pattern, so
     # keys < 600 exist at EVERY scale factor while staying a small
     # fraction of the clustered key range (files_rewritten stays < total)
@@ -1020,7 +1049,7 @@ def lake_column_mapping(spark, sf_dir):
     )
     path = _tmp(sf_dir, "lake_colmap")
     shutil.rmtree(path, ignore_errors=True)
-    n = _shards(base)
+    n = _shards_src(sf_dir, "orders")
     dl.append(base.filter("o_orderkey % 2 = 0").repartition(n), path,
               stat_cols=["o_orderkey"])
     before = {a["path"] for a in dl.live_files(path)}
@@ -1072,9 +1101,9 @@ def lake_shallow_clone(spark, sf_dir):
     dst_t = _tmp(sf_dir, "lake_clone_dst")
     shutil.rmtree(src_t, ignore_errors=True)
     shutil.rmtree(dst_t, ignore_errors=True)
-    n = _shards(base)
-    dl.append(base.repartition(n), src_t,
-              stat_cols=["o_orderkey"], cluster_by=["o_orderkey"])
+    n = _shards_src(sf_dir, "orders")
+    dl.append(base, src_t, stat_cols=["o_orderkey"],
+              cluster_by=["o_orderkey"], target_files=n)
     dl.clone(src_t, dst_t)
     owned = [
         f for _d, _s, fs in os.walk(os.path.join(dst_t, "data"))
@@ -1134,7 +1163,7 @@ def lake_type_widening(spark, sf_dir):
     )
     path = _tmp(sf_dir, "lake_widen")
     shutil.rmtree(path, ignore_errors=True)
-    n = _shards(base)
+    n = _shards_src(sf_dir, "orders")
     dl.append(
         base.filter("o_orderkey % 2 = 0")
         .withColumn("v", F.col("v").cast("int")).repartition(n),

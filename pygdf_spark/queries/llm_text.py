@@ -565,11 +565,17 @@ def text_pmi_bigrams(spark, sf_dir):
     the unigram table is vocab-sized and broadcasts — at web scale
     swap the two marked broadcasts for shuffle joins."""
     d = T(spark, sf_dir, "documents")
+    # persisted: the vocab-sized unigram relation feeds THREE plan
+    # branches (tot, ux, uy) — without the cache boundary each branch
+    # re-runs the corpus explode+shuffle (opt r7, guide §5: reuse ≫
+    # recompute for a small, thrice-read intermediate; the bench and
+    # gates clear the cache between runs, so nothing survives a run)
     uni = (
         d.select(F.explode(X.tokens("text")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c_w"))
+        .persist()
     )
     big = (
         d.select(F.explode(X.ngrams("text", 2)).alias("bigram"))
@@ -666,22 +672,29 @@ def text_lm_perplexity(spark, sf_dir):
     reducers at runtime; operators/skew.salted_join is the explicit
     fallback shape."""
     d = T(spark, sf_dir, "documents")
+    # persisted: feeds two branches (vocab count + the broadcast
+    # scoring join) — one corpus explode instead of two (opt r7)
     uni = (
         d.select(F.explode(X.tokens("text")).alias("x"))
         .groupBy("x")
         .agg(F.count(F.lit(1)).alias("c_x"))
+        .persist()
     )
     vocab = uni.agg(F.count(F.lit(1)).alias("v"))  # 1 row
-    big = (
-        d.select(F.explode(X.ngrams("text", 2)).alias("bigram"))
-        .groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("c_xy"))
-    )
+    # c_xy via ONE window over the bigram stream (opt r7, guide §2.4):
+    # the former groupBy(bigram) + scoring equi-join shuffled the full
+    # exploded stream twice and ran the tokenize→ngram explode twice
+    # (once per branch); count(*) over partitionBy(bigram) attaches the
+    # corpus count in the same exchange. Same smoothing algebra, same
+    # per-occurrence rows — one exchange and one explode fewer.
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("bigram")
     doc_terms = d.select(
-        "doc_id", "source", F.explode(X.ngrams("text", 2)).alias("bigram")
+        "source", F.explode(X.ngrams("text", 2)).alias("bigram")
     )
     scored = (
-        doc_terms.join(big, "bigram")
+        doc_terms.withColumn("c_xy", F.count(F.lit(1)).over(wb))
         .withColumn("x", F.split("bigram", " ").getItem(0))
         .join(F.broadcast(uni), "x")
         .crossJoin(F.broadcast(vocab))

@@ -148,23 +148,44 @@ def ml_quality_score_apply(spark, sf_dir):
     every document against a fixed integer weight table (weight(j) =
     (j·2654435761) mod 1997 − 998 — an arithmetic fixture both engines
     derive identically; a trained model drops into the same plan) and
-    report per-source keep rates. Fully map-side except two bounded
-    keyed shuffles (feature groupBy, doc sum); the weight table rides
-    as an expression, so scoring 100 TB is a scan."""
-    from pygdf_spark.operators.linear_model import hashed_ngram_features
+    report per-source keep rates. The weight table rides as an
+    expression, so scoring 100 TB is a scan.
+
+    Optimized shape (r7, guide §2.3/§2.4): the former plan built the
+    (doc, bucket, cnt) feature relation (shuffle 1), re-aggregated it
+    per doc (shuffle 2) and LEFT-JOINED the result back onto the
+    documents scan (shuffle 3 + a second corpus scan). Since
+    score(doc) = Σ_terms weight(bucket(term)), the bucket grouping is
+    pure re-association: the weight expression now applies directly to
+    the exploded term stream carrying (doc, source), one partial-agg
+    keyed shuffle reduces it to per-doc scores (explode_outer keeps
+    empty documents, replacing the join-back), and the per-source
+    rollup is map-side-combinable. 3 shuffles + 2 scans → 2 shuffles
+    (the second over n_docs rows) + 1 scan; identical values (integer
+    sum re-association is exact)."""
+    from pygdf_spark.functions.hashing import md5_mod
+    from pygdf_spark.operators.text import tokens
 
     d = T(spark, sf_dir, "documents")
-    feats = hashed_ngram_features(d, d=4096)
-    wexpr = (F.col("bucket").cast("long") * 2654435761) % 1997 - 998
+    w = tokens("text")
+    m = F.greatest(F.size(w) - 1, F.lit(0))
+    bi = F.zip_with(
+        F.slice(w, 1, m), F.slice(w, 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    exploded = d.select(
+        F.col("doc_id").alias("doc"), "source",
+        F.explode_outer(F.concat(w, bi)).alias("term"),
+    )
+    bucket = md5_mod("term", 4096).cast("int")
+    wexpr = (bucket.cast("long") * 2654435761) % 1997 - 998
     scores = (
-        feats.groupBy("doc")
-        .agg(F.sum(F.col("cnt") * wexpr).alias("score"))
+        exploded.select("doc", "source", wexpr.alias("wt"))
+        .groupBy("doc", "source")
+        .agg(F.coalesce(F.sum("wt"), F.lit(0).cast("long")).alias("score"))
     )
     return (
-        d.select(F.col("doc_id").alias("doc"), "source")
-        .join(scores, "doc", "left")
-        .select("source", F.coalesce("score", F.lit(0)).alias("score"))
-        .groupBy("source")
+        scores.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum((F.col("score") > 0).cast("long")).alias("n_keep"),

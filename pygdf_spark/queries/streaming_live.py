@@ -415,8 +415,8 @@ def sstream_lake_merge_live(spark, sf_dir):
             F.lit(0).cast("long").alias("n_buys"),
         )
     )
-    dl.append(seed.repartition(4), table, stat_cols=["user_id"],
-              cluster_by=["user_id"])
+    dl.append(seed, table, stat_cols=["user_id"],
+              cluster_by=["user_id"], target_files=4)
 
     def delta(bdf):
         return (

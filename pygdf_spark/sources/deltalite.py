@@ -1021,6 +1021,7 @@ def _write_data_files(
     bloom_fpp: float = 0.01, partition_by: list[str] | None = None,
     partition_exprs: dict | None = None,
     column_mapping: dict | str | None = "inherit",
+    target_files: int | None = None,
 ) -> list[dict]:
     """Write the data files for one commit into a commit-unique subdir
     (no filename collisions across commits, ever) and return their
@@ -1084,9 +1085,14 @@ def _write_data_files(
             df = df.withColumn(d, F.col(c))
     if cluster_by:
         # tight, non-overlapping zone maps per file → skipping actually
-        # bites; explicit partition count (the incoming parallelism) so
-        # AQE can't coalesce the range exchange into one giant file
-        n = df.rdd.getNumPartitions()
+        # bites; explicit partition count so AQE can't coalesce the
+        # range exchange into one giant file. ``target_files`` is the
+        # preferred source of that count (opt r7, guide §1.2/§7.3): the
+        # ``df.rdd.getNumPartitions()`` fallback FORCES execution of
+        # every upstream query stage under AQE, so a caller-side
+        # ``repartition(n)`` seed shuffle ran twice — once for the
+        # count, once recomputed under the range exchange.
+        n = target_files or df.rdd.getNumPartitions()
         df = df.repartitionByRange(n, *cluster_by).sortWithinPartitions(
             *cluster_by
         )
@@ -1315,6 +1321,7 @@ def append(
     bloom_cols: list[str] | None = None, bloom_fpp: float = 0.01,
     partition_by: list[str] | None = None,
     partition_exprs: dict | None = None,
+    target_files: int | None = None,
 ) -> int:
     """Atomically append ``df`` as a new version; returns the version.
     ``txn=(app_id, batch_id)`` makes the append idempotent for
@@ -1340,7 +1347,8 @@ def append(
     cm_w, cm_hdr = _evolve_column_mapping(table, df, base + 1)
     adds = _write_data_files(df, table, base + 1, stat_cols, cluster_by,
                              bloom_cols, bloom_fpp, partition_by=pby,
-                             partition_exprs=pex, column_mapping=cm_w)
+                             partition_exprs=pex, column_mapping=cm_w,
+                             target_files=target_files)
     _validate_constraints(df.sparkSession, table, adds)
     snap_prev = _snapshot(table, base) if base >= 0 else None
     decl = _union_decl_schema(
@@ -1504,11 +1512,14 @@ def compact(
     # DV-aware: compacting a table with outstanding deletion vectors
     # must materialize the deletes, never resurrect the deleted rows
     df = _read_adds(spark, table, current)
-    if cluster_by:
-        df = df.repartitionByRange(num_files, *cluster_by)
-    else:
+    if not cluster_by:
+        # clustered compactions hand the count to the writer instead of
+        # pre-shuffling here: the writer's getNumPartitions fallback
+        # would force this exchange to run once for the count and again
+        # recomputed under its own range exchange (opt r7)
         df = df.coalesce(num_files)
-    adds = _write_data_files(df, table, base + 1, stat_cols, cluster_by)
+    adds = _write_data_files(df, table, base + 1, stat_cols, cluster_by,
+                             target_files=num_files if cluster_by else None)
     return _commit_retry(
         table, "compact", adds, removes, df.schema.json(), base,
         checkpoint_every,

@@ -104,7 +104,13 @@ def _csv_prefix_read(
     newlines in quoted fields) for positions to be line positions."""
     import csv as _pycsv
 
-    rdd = spark.sparkContext.textFile(filepath)
+    # minPartitions=1 (not the default 2): a file below one block still
+    # lands in a single partition, which makes zipWithIndex's offset
+    # pre-pass a NO-OP (it only launches its counting job when there is
+    # more than one partition — opt r7, guide §1.2). Large files are
+    # unaffected: minPartitions is a floor, block-size splitting still
+    # parallelizes them.
+    rdd = spark.sparkContext.textFile(filepath, 1)
 
     if byte_range is not None:
         if names is None:
