@@ -579,13 +579,16 @@ def _json_safe(v):
         return None
 
 
-def _file_stats(path: str, stat_cols: list[str]) -> dict:
+def _file_stats(path: str, stat_cols: list[str], pf=None) -> dict:
     """Per-file min/max/null-count from the parquet footer (metadata-only
     read: no data pages are touched). Columns whose chunks lack stats
-    get no entry — absence of stats means 'cannot skip', never 'skip'."""
+    get no entry — absence of stats means 'cannot skip', never 'skip'.
+    ``pf`` reuses an already-open ParquetFile (opt r7: the harvest used
+    to open each file's footer three times — rows, stats, bloom — which
+    is three metadata GETs per file on an object store)."""
     import pyarrow.parquet as pq
 
-    meta = pq.ParquetFile(path).metadata
+    meta = (pf or pq.ParquetFile(path)).metadata
     names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
     out: dict[str, dict] = {}
     for col in stat_cols:
@@ -664,7 +667,7 @@ def _bloom_hashes(value, m: int, k: int) -> list[int]:
     return [(h1 + i * h2) % m for i in range(k)]
 
 
-def _file_bloom(path: str, cols: list[str], fpp: float) -> dict:
+def _file_bloom(path: str, cols: list[str], fpp: float, pf=None) -> dict:
     """Per-column bloom bitsets over a written file's DISTINCT values —
     one columnar read of just ``cols`` (the write-time cost of a
     point-lookup index min/max stats cannot give on unclustered
@@ -678,7 +681,7 @@ def _file_bloom(path: str, cols: list[str], fpp: float) -> dict:
 
     import pyarrow.parquet as pq
 
-    avail = set(pq.ParquetFile(path).schema_arrow.names)
+    avail = set((pf or pq.ParquetFile(path)).schema_arrow.names)
     out: dict[str, dict] = {}
     for col in cols:
         if col not in avail:
@@ -977,15 +980,18 @@ def _harvest_add(
     null-count stats + optional bloom bitsets. Pure function of the
     file — safe to run on EXECUTORS (only os/pyarrow inside), which is
     where a large commit runs it."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(full)  # ONE footer open for rows+stats+bloom
     add = {
         "path": rel,
         "bytes": os.path.getsize(full),
-        "rows": _file_rows(full),
+        "rows": int(pf.metadata.num_rows),
     }
     if stat_cols:
-        add["stats"] = _file_stats(full, stat_cols)
+        add["stats"] = _file_stats(full, stat_cols, pf=pf)
     if bloom_cols:
-        bloom = _file_bloom(full, bloom_cols, bloom_fpp)
+        bloom = _file_bloom(full, bloom_cols, bloom_fpp, pf=pf)
         if bloom:
             add["bloom"] = bloom
     return add
