@@ -1350,6 +1350,7 @@ def append(
     pex = _resolve_partition_exprs(table, partition_exprs)
     if txn is not None and last_txn_batch(table, txn[0]) >= txn[1]:
         return table_version(table)  # replayed micro-batch: no-op
+    df = _derive_generated_cols(df, pby, pex)
     cm_w, cm_hdr = _evolve_column_mapping(table, df, base + 1)
     adds = _write_data_files(df, table, base + 1, stat_cols, cluster_by,
                              bloom_cols, bloom_fpp, partition_by=pby,
@@ -1376,6 +1377,23 @@ def append(
             base if (cm_hdr is not None or tw_hdr is not None) else None
         ),
     )
+
+
+def _derive_generated_cols(df: DataFrame, pby, pex) -> DataFrame:
+    """Derive GENERATED partition columns onto the incoming frame
+    before schema/mapping resolution: generated columns are part of the
+    table's declared schema (the Delta generated-columns model), and
+    the log's schema is the read authority (_physical_read_schema) —
+    a derived column that lived only in file bytes would be invisible
+    to explicit-schema reads. Engine-recomputed even when present
+    (user-supplied values are never trusted); _write_data_files
+    re-derives identically at write time (idempotent)."""
+    from pyspark.sql import functions as F
+
+    for c in pby or []:
+        if pex and c in pex:
+            df = df.withColumn(c, F.expr(pex[c]))
+    return df
 
 
 def _resolve_partition_by(
@@ -1426,6 +1444,7 @@ def overwrite(
     pby = _resolve_partition_by(table, partition_by)
     pex = _resolve_partition_exprs(table, partition_exprs)
     removes = [a["path"] for a in live_files(table)] if base >= 0 else []
+    df = _derive_generated_cols(df, pby, pex)
     cm_w, cm_hdr = _evolve_column_mapping(table, df, base + 1)
     adds = _write_data_files(df, table, base + 1, stat_cols, cluster_by,
                              partition_by=pby, partition_exprs=pex,
@@ -1484,6 +1503,7 @@ def copy_into(
     df = reader.format(file_format).load(new)
     pby = _resolve_partition_by(table, None)
     pex = _resolve_partition_exprs(table, None)
+    df = _derive_generated_cols(df, pby, pex)
     cm_w, cm_hdr = _evolve_column_mapping(table, df, base + 1)
     adds = _write_data_files(df, table, base + 1, stat_cols, None,
                              partition_by=pby, partition_exprs=pex,
@@ -1518,6 +1538,13 @@ def compact(
     # DV-aware: compacting a table with outstanding deletion vectors
     # must materialize the deletes, never resurrect the deleted rows
     df = _read_adds(spark, table, current)
+    # OPTIMIZE is the migration op for a spec evolved to GENERATED
+    # columns: derive them here so the committed declared schema —
+    # the read authority — gains the column even when no append ran
+    # between the evolution and this rewrite
+    df = _derive_generated_cols(
+        df, table_partition_by(table), table_partition_exprs(table)
+    )
     if not cluster_by:
         # clustered compactions hand the count to the writer instead of
         # pre-shuffling here: the writer's getNumPartitions fallback
@@ -1829,7 +1856,11 @@ def _read_dv_positions(spark: SparkSession, table: str, adds: list[dict]):
     sidecars = sorted({d["path"] for d in _dv_entries(adds)})
     if not sidecars:
         return None
-    return spark.read.parquet(*[os.path.join(table, p) for p in sidecars])
+    # fixed sidecar schema (written by delete_where below): explicit so
+    # the read never pays a footer-inference job
+    return spark.read.schema("file string, pos bigint").parquet(
+        *[os.path.join(table, p) for p in sidecars]
+    )
 
 
 def _read_adds(
@@ -1851,9 +1882,9 @@ def _read_adds(
     plain = [a for a in adds if not a.get("dv")]
     dvd = [a for a in adds if a.get("dv")]
     if read_schema == "auto":
-        # widened tables need the explicit-schema read (mergeSchema
-        # cannot reconcile int32/int64 eras of the same column);
-        # version-aware callers pass their snapshot's schema instead
+        # schema from the LOG (zero inference jobs; reconciles widened
+        # and pre-evolution files); version-aware callers pass their
+        # own snapshot's schema instead
         read_schema = _physical_read_schema(
             _snapshot(table, table_version(table))
         )
@@ -2092,7 +2123,8 @@ def delete_where(
     all_pos.write.mode("overwrite").parquet(out_dir)
     counts = {
         r["file"]: r["n"]
-        for r in spark.read.parquet(out_dir)
+        for r in spark.read.schema("file string, pos bigint")
+        .parquet(out_dir)
         .groupBy("file").agg(F.count("*").alias("n")).collect()
     }
     if not counts:
@@ -2533,13 +2565,17 @@ def widen_column(table: str, col: str, new_type: str,
 
 
 def _physical_read_schema(snap: dict):
-    """The explicit PHYSICAL-name read schema when type widening is
-    active at a snapshot (None otherwise): explicit-schema parquet
-    reads both upcast narrow files natively and null-fill columns a
-    pre-evolution file lacks — the read contract mergeSchema cannot
-    express once a column's type changed across files."""
-    if not snap.get("type_widening"):
-        return None
+    """The explicit PHYSICAL-name read schema of a snapshot (None only
+    when the snapshot has no declared schema). The LOG is the schema
+    authority — the Delta read contract — so every internal scan passes
+    this schema explicitly instead of letting Spark infer one from
+    footers: mergeSchema inference is a distributed footer-read job per
+    read (at 100 TB, a listing + footer GET per file per scan), and the
+    inferred union is also WRONG once a column's type changed across
+    files (widening) or a dropped column's physical bytes linger.
+    Explicit-schema reads upcast widened narrow-era files natively,
+    null-fill columns a pre-evolution file lacks, and exclude retired
+    physicals — and cost zero jobs."""
     from pyspark.sql import types as ST
 
     if not snap.get("schema"):
