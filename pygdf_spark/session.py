@@ -50,6 +50,13 @@ def get_spark(app_name: str = "pygdf-spark", **overrides: str) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
     conf = dict(_DEFAULTS)
+    # deployment seam: ';'-separated k=v pairs override the local
+    # defaults (a cluster submit would use --conf; this keeps local
+    # experiments and scale-dependent settings parameterised)
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in filter(None, extra.split(";")):
+        k, _, v = pair.partition("=")
+        conf[k.strip()] = v.strip()
     conf.update(overrides)
     for k, v in conf.items():
         builder = builder.config(k, v)

@@ -1828,15 +1828,65 @@ _REL_FILE_RE = r"data/\d{5,}-[0-9a-f]{8}(?:/[^/]+)*/[^/]+$"
 
 def _log_rel(path: str) -> str:
     """The lineage-matching key of a log path: a CLONED add references
-    its source file by ABSOLUTE path, but ``__dl_file`` lineage and DV
-    sidecar keys always carry the ``data/<commit>/...`` tail — reduce
-    absolute paths to that tail so DV anti-joins and touch detection
-    match on clones exactly as on the source."""
-    if os.path.isabs(path):
-        m = _re.search(_REL_FILE_RE, path)
-        if m:
-            return m.group(0)
-    return path
+    its source file by ABSOLUTE path, and scan-collected lineage values
+    carry the full ``scheme:/...`` scan path — but DV sidecar keys and
+    the log always match on the ``data/<commit>/...`` tail. Reduce any
+    absolute path or scan URI to that tail so DV anti-joins and touch
+    detection match on clones exactly as on the source."""
+    if path.startswith("data/"):
+        return path
+    m = _re.search(_REL_FILE_RE, path)
+    return m.group(0) if m else path
+
+
+def _qualified_root(spark: SparkSession, table: str) -> str:
+    """The table root exactly as Spark's ``_metadata.file_path`` will
+    print it (Hadoop ``Path.toString`` of the FS-qualified path, e.g.
+    ``file:/tmp/tbl``) — one py4j call per operation."""
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(table)
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs.makeQualified(p).toString()
+
+
+def _scan_path_pairs(
+    spark: SparkSession, table: str, adds: list[dict]
+) -> list[tuple[str, str]]:
+    """(rel-tail lineage key, qualified scan path) per add — the
+    O(files) metadata-sized translation table that lets every per-row
+    lineage join/selection key on the RAW ``_metadata.file_path``
+    column. The old shape ran ``regexp_extract`` over the path string
+    for EVERY data row (measured ~1s per million rows inside DV scans,
+    merge/update touch detection and merge-on-read reads); translating
+    the handful of file names on the metadata side instead moves that
+    cost from O(rows) to O(files)."""
+    root = _qualified_root(spark, table)
+    scheme = root.split(":", 1)[0]
+    out = []
+    for a in adds:
+        p = a["path"]
+        absq = f"{scheme}:{p}" if os.path.isabs(p) else f"{root}/{p}"
+        out.append((_log_rel(p), absq))
+    return out
+
+
+# path-translation map literals stay under this many entries; bigger
+# commits fall back to a broadcast join (a literal map that size would
+# bloat the plan and the task closure)
+_PATH_MAP_LITERAL_MAX = 1000
+
+
+def _path_map_col(pairs: list[tuple[str, str]], key_col):
+    """Literal-map lookup translating a path column through O(files)
+    (key, value) pairs — zero extra Spark jobs, unlike a broadcast
+    join (one broadcast-build job per read). Unmatched keys yield
+    NULL; callers filter or rely on join/anti-join null semantics."""
+    from pyspark.sql import functions as F
+
+    return F.element_at(
+        F.create_map(*[F.lit(x) for k, v in pairs for x in (k, v)]),
+        key_col,
+    )
 
 # below this many total deleted positions the DV anti-join broadcasts
 # (positions are 2 small columns; 4M rows ≈ tens of MB)
@@ -1873,7 +1923,8 @@ def _read_adds(
     vectors scan plain; files with DVs scan with ``_metadata.row_index``
     lineage and anti-join their deleted positions out (broadcast when
     the total deleted count is small, shuffle anti-join otherwise).
-    ``lineage=True`` keeps ``__dl_file`` (the log-relative path) on the
+    ``lineage=True`` keeps ``__dl_file`` (the RAW scan path; reduce
+    collected values with _log_rel for log matching) on the
     output — used by merge's touch detection."""
     from pyspark.sql import functions as F
 
@@ -1894,10 +1945,9 @@ def _read_adds(
         reader = spark.read.option("mergeSchema", "true")
 
     def with_file(df):
-        return df.withColumn(
-            "__dl_file",
-            F.regexp_extract(F.col("_metadata.file_path"), _REL_FILE_RE, 0),
-        )
+        # RAW scan path as the lineage key — zero per-row string work;
+        # driver-side consumers reduce collected values via _log_rel
+        return df.withColumn("__dl_file", F.col("_metadata.file_path"))
 
     parts = []
     if plain:
@@ -1907,9 +1957,26 @@ def _read_adds(
         df = with_file(
             reader.parquet(*[os.path.join(table, a["path"]) for a in dvd])
         ).withColumn("__dl_pos", F.col("_metadata.row_index"))
-        dv = _read_dv_positions(spark, table, dvd).select(
-            F.col("file").alias("__dl_file"), F.col("pos").alias("__dl_pos")
-        )
+        # sidecars key the rel tail; translate rel → scan path on the
+        # O(files) metadata side so the anti-join probes the raw
+        # _metadata.file_path. Sidecar rows for files outside this
+        # read translate to NULL (or drop in the join fallback) — a
+        # NULL key matches nothing in the anti-join, so they stay
+        # harmless exactly as before.
+        pairs = _scan_path_pairs(spark, table, dvd)
+        dv = _read_dv_positions(spark, table, dvd)
+        if len(pairs) <= _PATH_MAP_LITERAL_MAX:
+            dv = dv.select(
+                _path_map_col(pairs, F.col("file")).alias("__dl_file"),
+                F.col("pos").alias("__dl_pos"),
+            )
+        else:
+            pmap = spark.createDataFrame(
+                pairs, "file string, __dl_file string"
+            )
+            dv = dv.join(F.broadcast(pmap), "file", "inner").select(
+                "__dl_file", F.col("pos").alias("__dl_pos")
+            )
         if sum(d.get("count", 0) for d in _dv_entries(dvd)) <= _DV_BROADCAST_MAX:
             dv = F.broadcast(dv)
         df = df.join(dv, on=["__dl_file", "__dl_pos"], how="left_anti")
@@ -2061,7 +2128,7 @@ def delete_where(
         # touch detection: bounded collect — one row per candidate file
         scan = _read_adds(spark, table, cands, lineage=True)
         per_file = {
-            r["__dl_file"]: r["n"]
+            _log_rel(r["__dl_file"]): r["n"]
             for r in scan.filter(F.expr(expr))
             .groupBy("__dl_file").agg(F.count("*").alias("n")).collect()
         }
@@ -2095,15 +2162,24 @@ def delete_where(
     ).parquet(
         *[os.path.join(table, a["path"]) for a in cands]
     ).withColumn(
-        "__dl_f",
-        F.regexp_extract(F.col("_metadata.file_path"), _REL_FILE_RE, 0),
+        "__dl_f", F.col("_metadata.file_path")
     ).withColumn("__dl_p", F.col("_metadata.row_index"))
     # the predicate is LOGICAL; the raw scan carries physical names —
     # translate after the _metadata lineage columns are materialized
     raw = _to_logical_df(raw, cm, keep=("__dl_f", "__dl_p"))
-    new_pos = raw.filter(F.expr(expr)).select(
-        F.col("__dl_f").alias("file"), F.col("__dl_p").alias("pos")
-    )
+    # sidecars store the rel tail: translate scan path → rel on the
+    # O(files) metadata side (no per-row regex over the path string)
+    rev = [(absq, rel) for rel, absq in _scan_path_pairs(spark, table, cands)]
+    if len(rev) <= _PATH_MAP_LITERAL_MAX:
+        new_pos = raw.filter(F.expr(expr)).select(
+            _path_map_col(rev, F.col("__dl_f")).alias("file"),
+            F.col("__dl_p").alias("pos"),
+        )
+    else:
+        relmap = spark.createDataFrame(rev, "__dl_f string, file string")
+        new_pos = raw.filter(F.expr(expr)).join(
+            F.broadcast(relmap), "__dl_f", "inner"
+        ).select("file", F.col("__dl_p").alias("pos"))
     old_dv = _read_dv_positions(spark, table, cands)
     old_count = sum(d.get("count", 0) for d in _dv_entries(cands))
     if old_dv is not None:
@@ -2213,7 +2289,7 @@ def update_where(
             "(UPDATE cannot add columns — use a schema-evolving append)"
         )
     per_file = {
-        r["__dl_file"]: r["n"]
+        _log_rel(r["__dl_file"]): r["n"]
         for r in scan.filter(F.expr(expr))
         .groupBy("__dl_file").agg(F.count("*").alias("n")).collect()
     }
@@ -2316,7 +2392,7 @@ def overwrite_where(
     if cands:
         scan = _read_adds(spark, table, cands, lineage=True)
         per_file = {
-            r["__dl_file"]: (r["m"], r["n"])
+            _log_rel(r["__dl_file"]): (r["m"], r["n"])
             for r in scan.groupBy("__dl_file").agg(
                 F.sum(
                     F.coalesce(F.expr(expr), F.lit(False)).cast("long")
@@ -2971,7 +3047,7 @@ def merge_into(
         # DV-aware lineage scan: a key whose only occurrence is already
         # deleted by a DV must NOT mark its file touched.
         touched_rel = sorted(
-            r[0]
+            _log_rel(r[0])
             for r in _read_adds(spark, table, candidates, lineage=True)
             .select("__dl_file", *keys)
             .join(F.broadcast(src_keys), on=keys, how="inner")
