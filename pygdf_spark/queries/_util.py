@@ -47,6 +47,37 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the scan would carry fewer
+    partitions than the session's parallelism (guide §2.5 input skew):
+    a small single-row-group parquet input scans as ONE partition, so
+    heavy per-row pipelines (tokenize/explode/hash over documents)
+    serialize onto one core — measured as a single 2.6s task under
+    ml_quality_score_apply at sf0.1. At scale the scan is already
+    many-partition/many-file and this is a no-op, so the extra
+    exchange never ships big data. The split estimate replicates
+    Spark's own math from file sizes (driver metadata — cheaper than
+    forcing an RDD conversion for getNumPartitions). Round-robin keeps
+    determinism (Spark sorts before repartition); consumers must be
+    keyed/ordered operations, so results are layout-independent."""
+    sess = df.sparkSession
+    n = min_parts or sess.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+        mpb = int(sess.conf.get(
+            "spark.sql.files.maxPartitionBytes", str(128 << 20)
+        ).rstrip("b"))
+        est = sum(
+            -(-os.path.getsize(f.removeprefix("file:")) // mpb)
+            for f in files
+        )
+    except Exception:
+        est = df.rdd.getNumPartitions()  # non-local FS: ask Spark
+    if est < n:
+        return df.repartition(n)
+    return df
+
+
 def pin_session_confs(spark: SparkSession) -> None:
     """Pin the runtime confs every query's semantics assume (see T's
     docstring) — callable from any entry point that bypasses T, e.g.

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from pygdf_spark.queries._util import T, dec
+from pygdf_spark.queries._util import T, dec, spread
 
 
 def agg_basic_stats(spark, sf_dir):

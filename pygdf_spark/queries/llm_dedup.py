@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from pygdf_spark.functions.hashing import MERSENNE_P, md5_mod, minhash_perm_sql
 from pygdf_spark.operators import dedup as D
 from pygdf_spark.operators.text import ngrams
-from pygdf_spark.queries._util import T
+from pygdf_spark.queries._util import T, spread
 
 _SHINGLE_SQL = r"""
 shingles AS (
@@ -76,7 +76,7 @@ ORDER BY n DESC, prefix ASC
 
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(6 perms) + band-1 LSH candidates + exact Jaccard verify."""
-    d = T(spark, sf_dir, "documents")
+    d = spread(T(spark, sf_dir, "documents"))  # 1-task scan: guide §2.5
     out = D.minhash_lsh_dedup(d, num_perms=6, threshold=0.05)
     return out.orderBy(F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()).limit(50)
 
@@ -916,7 +916,7 @@ def dedup_substring_remove(spark, sf_dir):
     ANY document breaks the hash."""
     from pygdf_spark.operators.dedup import substring_dedup
 
-    d = T(spark, sf_dir, "documents")
+    d = spread(T(spark, sf_dir, "documents"))  # 1-task scan: guide §2.5
     cleaned = substring_dedup(d, "doc_id", "text", k=6, carry=["source"])
     fp = md5_mod("clean_text")
     return (

@@ -8,11 +8,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from pygdf_spark.operators import text as X
-from pygdf_spark.queries._util import T
+from pygdf_spark.queries._util import T, spread
 
 
 def text_token_stats(spark, sf_dir):
-    d = T(spark, sf_dir, "documents")
+    d = spread(T(spark, sf_dir, "documents"))  # 1-task scan: guide §2.5
     toks = X.tokens("text")
     return d.select(
         "doc_id",
@@ -564,7 +564,7 @@ def text_pmi_bigrams(spark, sf_dir):
     in both engines. Two corpus shuffles (unigram + bigram counts);
     the unigram table is vocab-sized and broadcasts — at web scale
     swap the two marked broadcasts for shuffle joins."""
-    d = T(spark, sf_dir, "documents")
+    d = spread(T(spark, sf_dir, "documents"))  # 1-task scan: guide §2.5
     # persisted: the vocab-sized unigram relation feeds THREE plan
     # branches (tot, ux, uy) — without the cache boundary each branch
     # re-runs the corpus explode+shuffle (opt r7, guide §5: reuse ≫
@@ -671,7 +671,7 @@ def text_lm_perplexity(spark, sf_dir):
     AQE skew-join splitting (on in the session config) splits hot
     reducers at runtime; operators/skew.salted_join is the explicit
     fallback shape."""
-    d = T(spark, sf_dir, "documents")
+    d = spread(T(spark, sf_dir, "documents"))  # 1-task scan: guide §2.5
     # persisted: feeds two branches (vocab count + the broadcast
     # scoring join) — one corpus explode instead of two (opt r7)
     uni = (

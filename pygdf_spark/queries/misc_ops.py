@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from pygdf_spark.queries._util import T, dec
+from pygdf_spark.queries._util import T, dec, spread
 
 
 def transpose_small(spark, sf_dir):

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from pygdf_spark.operators import text as X
-from pygdf_spark.queries._util import T
+from pygdf_spark.queries._util import T, spread
 
 def _features(d):
     """x0=1 (intercept), x1=n_chars, x2=n_tokens, x3=longest-token
@@ -47,7 +47,7 @@ def ml_gram_suffstats(spark, sf_dir):
     reduce). This IS the distributed training step: with these 21
     numbers the normal equations (X'X)β = X'y are solved in O(d³)
     anywhere."""
-    f = _features(T(spark, sf_dir, "documents"))
+    f = _features(spread(T(spark, sf_dir, "documents")))  # §2.5
     cols = ["x0", "x1", "x2", "x3", "x4"]
     aggs = [
         F.sum(F.col(a) * F.col(b)).alias(f"s_{a[1]}{b[1]}")
@@ -166,7 +166,9 @@ def ml_quality_score_apply(spark, sf_dir):
     from pygdf_spark.functions.hashing import md5_mod
     from pygdf_spark.operators.text import tokens
 
-    d = T(spark, sf_dir, "documents")
+    # tiny-input scans serialize the tokenize/explode/hash pipeline
+    # onto one task (guide §2.5) — spread() is a no-op at scale
+    d = spread(T(spark, sf_dir, "documents"))
     w = tokens("text")
     m = F.greatest(F.size(w) - 1, F.lit(0))
     bi = F.zip_with(

@@ -19,7 +19,7 @@ import os
 from pyspark.sql import functions as F
 
 from pygdf_spark.operators.text import tokens
-from pygdf_spark.queries._util import T
+from pygdf_spark.queries._util import T, spread
 
 _STOPLIST = ("the", "and", "of", "to", "a")
 
@@ -216,7 +216,7 @@ def nlp_bpe_train(spark, sf_dir):
     pins the whole training loop, not just the final projection."""
     from pygdf_spark.operators.bpe import bpe_train
 
-    d = T(spark, sf_dir, "documents")
+    d = spread(T(spark, sf_dir, "documents"))  # 1-task scan: guide §2.5
     return bpe_train(d, tokens("text"), n_merges=4)
 
 
@@ -231,7 +231,7 @@ def nlp_bpe_train_fast(spark, sf_dir):
     against true sequential BPE is what the hash pins."""
     from pygdf_spark.operators.bpe import bpe_train_fast
 
-    d = T(spark, sf_dir, "documents")
+    d = spread(T(spark, sf_dir, "documents"))  # 1-task scan: guide §2.5
     return bpe_train_fast(d, tokens("text"), n_merges=48)
 
 

@@ -41,9 +41,9 @@ def q1_pricing_summary(spark, sf_dir):
     32×sf0.1 (the decimal path's per-row BigDecimal work swamps the
     scan; the cents plan keeps the whole row pipeline in codegen'd
     int64)."""
-    li = T(spark, sf_dir, "lineitem")
+    from pygdf_spark.queries._util import cents, spread
 
-    from pygdf_spark.queries._util import cents
+    li = spread(T(spark, sf_dir, "lineitem"))  # 1-task scan: guide §2.5
 
     qc, pc = cents("l_quantity"), cents("l_extendedprice")
     dc, tc = cents("l_discount"), cents("l_tax")

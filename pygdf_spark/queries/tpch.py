@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from pygdf_spark.queries._util import T, cents as _util_cents, sql_cents
+from pygdf_spark.queries._util import T, cents as _util_cents, sql_cents, spread
 
 D25 = "decimal(25,0)"
 

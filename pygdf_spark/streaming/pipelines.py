@@ -34,6 +34,9 @@ from pygdf_spark.queries._util import dec
 
 _MEM_IDS = itertools.count()
 
+# path → parquet schema (immutable source METADATA; see read_events_stream)
+_EVENTS_SCHEMA_MEMO: dict = {}
+
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a file-source stream with its TIMESTAMP(NANOS)
@@ -43,7 +46,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pin_session_confs(spark)  # window starts are session-tz-dependent
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = _EVENTS_SCHEMA_MEMO.get(path)
+    if schema is None:
+        # schema METADATA only (never results): the source parquet is
+        # immutable test data, and every streaming query used to pay a
+        # full batch-read analysis just to learn the same schema
+        schema = spark.read.parquet(path).schema
+        _EVENTS_SCHEMA_MEMO[path] = schema
     if os.path.isdir(path):
         # multi-file layout (Spark-written table dir, e.g. the sf1
         # fixture): stream the table directory itself. pathGlobFilter
