@@ -23,6 +23,8 @@ native readers, not in Python shims.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as ST
 
@@ -82,6 +84,34 @@ def _s3_write(write_fn, path: str) -> None:
         stage = tempfile.mkdtemp(prefix="pygdf_s3_out_")
         write_fn(stage)
         remote_upload(stage, path)
+
+
+def _local_prefix_line(filepath: str, lineno: int) -> str | None:
+    """Line ``lineno`` of a LOCAL single file, read driver-side.
+
+    Returns None (caller falls back to the distributed fetch) unless
+    ``filepath`` is a plain or ``file://`` path naming one regular
+    file. Newline handling matches Hadoop's line reader: the ``\\n``
+    terminator and at most one preceding ``\\r`` are stripped."""
+    p = filepath
+    if "://" in p:
+        if not p.startswith("file://"):
+            return None
+        p = p[len("file://"):] or "/"
+    if not os.path.isfile(p):
+        return None
+    try:
+        with open(p, encoding="utf-8", newline="\n") as f:
+            for i, line in enumerate(f):
+                if i == lineno:
+                    if line.endswith("\n"):
+                        line = line[:-1]
+                    if line.endswith("\r"):
+                        line = line[:-1]
+                    return line
+    except (OSError, UnicodeDecodeError):
+        return None
+    return None
 
 
 def _csv_prefix_read(
@@ -151,7 +181,17 @@ def _csv_prefix_read(
     data_start = skiprows
     cols = names
     if header_used:
-        hdr = idx.filter(lambda t: t[1] == skiprows).map(lambda t: t[0]).first()
+        # header fetch: O(skiprows+1) prefix lines. For a LOCAL single
+        # file that is pure driver-side metadata work (zero Spark jobs
+        # — the same class as the parquet footer-rows shortcut); any
+        # other path (remote scheme, glob, directory) keeps the
+        # distributed fetch, whose cost at scale is one partition-0
+        # prefix scan either way.
+        hdr = _local_prefix_line(filepath, skiprows)
+        if hdr is None:
+            hdr = idx.filter(
+                lambda t: t[1] == skiprows
+            ).map(lambda t: t[0]).first()
         cols = next(_pycsv.reader([hdr], delimiter=sep, quotechar=quotechar))
         data_start = skiprows + 1
     hi = None

@@ -468,3 +468,34 @@ def test_csv_byte_range_partitions_exactly(spark, csv_file):
 def test_csv_byte_range_requires_names(spark, csv_file):
     with pytest.raises(ValueError, match="names"):
         IO.read_csv(spark, csv_file, byte_range=(0, 100))
+
+
+def test_local_prefix_line_contract(tmp_path, spark, csv_file):
+    """The driver-side header fetch (opt r7: zero Spark jobs for local
+    files) must return byte-for-byte what the distributed fetch
+    returns, including Hadoop's newline rule (one \\r stripped before
+    the \\n), and must decline (None → fallback) anything that is not
+    one local regular file."""
+    # \r\n terminators: Hadoop's LineRecordReader strips one \r
+    crlf = tmp_path / "crlf.csv"
+    crlf.write_bytes(b"# junk\r\nk,v\r\n1,2\r\n")
+    assert IO._local_prefix_line(str(crlf), 0) == "# junk"
+    assert IO._local_prefix_line(str(crlf), 1) == "k,v"
+    # parity with what the RDD path yields for the same line
+    got_rdd = spark.sparkContext.textFile(str(crlf), 1).take(2)
+    assert IO._local_prefix_line(str(crlf), 1) == got_rdd[1]
+    # file:// scheme resolves; foreign schemes and directories decline
+    assert IO._local_prefix_line(f"file://{crlf}", 1) == "k,v"
+    assert IO._local_prefix_line("s3a://bucket/x.csv", 0) is None
+    assert IO._local_prefix_line(str(tmp_path), 0) is None
+    # past-EOF line: None (the distributed fallback raises, as before)
+    assert IO._local_prefix_line(str(crlf), 99) is None
+    # end-to-end: forcing the fallback reads the same frame
+    base = IO.read_csv(spark, csv_file, skiprows=2, nrows=5).toPandas()
+    real = IO._local_prefix_line
+    IO._local_prefix_line = lambda *a: None
+    try:
+        fb = IO.read_csv(spark, csv_file, skiprows=2, nrows=5).toPandas()
+    finally:
+        IO._local_prefix_line = real
+    assert base.equals(fb)
