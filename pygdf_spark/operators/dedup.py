@@ -15,7 +15,7 @@ Scale design (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pygdf_spark.functions.hashing import MERSENNE_P, md5_mod, minhash_perm
@@ -115,18 +115,26 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
     cluster representative. Shuffle keys stay (perm, minhash) — short
     and uniform.
 
-    The bucket minimum rides a WINDOW over (perm, minhash) (opt r7,
-    guide §2.4): the former groupBy + equi-join computed the signature
-    stream twice and shuffled it twice (aggregate build + probe side);
-    min(doc_id) over partitionBy(perm, minhash) attaches the
-    representative in the single exchange the pairing needs. Same
-    pairs, one exchange and one signature evaluation fewer."""
-    from pyspark.sql import Window
-
-    wb = Window.partitionBy("perm", "minhash")
+    The bucket minimum is a PARTIAL-AGGREGABLE groupBy merged back by
+    an equi-join (opt r8, guide §2.5): the r7 shape computed it as
+    min(doc_id) OVER (PARTITION BY perm, minhash), which put every
+    member of a hot bucket — exactly the large near-dup cluster dedup
+    exists for — into ONE window task with no map-side combine and no
+    AQE help (skew splitting covers joins only). The groupBy side
+    map-combines (a hot bucket contributes one row per map task), only
+    buckets with ≥2 members survive to the join, and a skewed probe
+    partition is AQE-splittable. Locally measured within noise of the
+    window (1.28 vs 1.38 s min-of-5 interleaved at sf0.1); at scale
+    the skew axis disappears. Same pairs bit-for-bit."""
+    sig = signatures.select("doc_id", "perm", "minhash")
+    bmin = (
+        sig.groupBy("perm", "minhash")
+        .agg(F.min("doc_id").alias("doc_a"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .drop("n")
+    )
     return (
-        signatures.select("doc_id", "perm", "minhash")
-        .withColumn("doc_a", F.min("doc_id").over(wb))
+        sig.join(bmin, ["perm", "minhash"])
         .filter(F.col("doc_id") > F.col("doc_a"))
         .select("doc_a", F.col("doc_id").alias("doc_b"))
         .distinct()
@@ -303,20 +311,31 @@ def substring_dedup(
         grams = grams.select(
             id_col, "pos", "ord", F.xxhash64("g").alias("g")
         )
-    # duplicate-span losers via ONE window over the span key (opt r7,
-    # guide §2.4): min(ord)/count(*) over partitionBy(g) computes the
-    # first-occurrence rule in the same exchange that used to feed the
-    # groupBy — the former groupBy(g)+equi-join shape shuffled the full
-    # gram stream TWICE (aggregate build + probe side) and re-ran the
-    # tokenize→zip_with gram pipeline once per branch. Same winners,
-    # same marks, one exchange, one gram-pipeline evaluation.
-    from pyspark.sql import Window
-
-    wg = Window.partitionBy("g")
+    # duplicate-span losers via PARTIAL-AGG groupBy(g) + join-back
+    # (opt r8, guide §2.5): the r7 window shape — min(ord)/count(*)
+    # OVER (PARTITION BY g) — shuffled the FULL occurrence stream by g
+    # and put every occurrence of a hot span (boilerplate sentences:
+    # the corpus-dedup hot case) into ONE window task, with no
+    # map-side combine and no AQE help (skew splitting covers joins
+    # only). Here the aggregate side map-combines (a hot g yields one
+    # row per map task before the exchange), only spans with n ≥ 2
+    # survive to the join — the sparse duplicated subset — and a
+    # skewed probe partition is AQE-splittable. The price is a second
+    # evaluation of the map-side gram pipeline (the agg branch);
+    # measured +0.15-0.2 s on a ~1.5 s noisy-band row at sf0.1
+    # (interleaved min-of-5: window 1.53 / join 1.77 / join+persist
+    # 1.84 — persisting the gram stream costs more than the re-eval,
+    # and is not a 100 TB option anyway), bought back many times over
+    # at scale by never shuffling the occurrence stream. Same winners,
+    # same marks, bit-identical rows (pytest + oracle pin it).
+    dups = (
+        grams.groupBy("g")
+        .agg(F.min("ord").alias("first_ord"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
     marks = (
-        grams.withColumn("first_ord", F.min("ord").over(wg))
-        .withColumn("n", F.count(F.lit(1)).over(wg))
-        .filter((F.col("n") >= 2) & (F.col("ord") != F.col("first_ord")))
+        grams.join(dups, "g")
+        .filter(F.col("ord") != F.col("first_ord"))
         .select(id_col, "pos")
     )
     masks = marks.groupBy(id_col).agg(

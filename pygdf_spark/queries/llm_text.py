@@ -681,25 +681,34 @@ def text_lm_perplexity(spark, sf_dir):
         .persist()
     )
     vocab = uni.agg(F.count(F.lit(1)).alias("v"))  # 1 row
-    # c_xy via ONE window over the bigram stream (opt r7, guide §2.4):
-    # the former groupBy(bigram) + scoring equi-join shuffled the full
-    # exploded stream twice and ran the tokenize→ngram explode twice
-    # (once per branch); count(*) over partitionBy(bigram) attaches the
-    # corpus count in the same exchange. Same smoothing algebra, same
-    # per-occurrence rows — one exchange and one explode fewer.
+    # Occurrences pre-aggregate to (source, bigram, k) BEFORE anything
+    # shuffles (opt r8, guide §2.3/§2.5): every occurrence of a bigram
+    # contributes the IDENTICAL nll_micro (it depends only on the
+    # corpus-global c_xy, c_x, V), so the per-occurrence stream never
+    # needs to move — one partial-agg keyed shuffle (map-side combine
+    # tames hot stop-bigrams; the r7 shape's count(*) OVER
+    # (PARTITION BY bigram) put every occurrence of a hot bigram into
+    # ONE window task with no combine — the 100 TB skew axis the r7
+    # verdict flagged). c_xy then rides a window over the AGGREGATED
+    # relation, where a hot bigram holds at most n_sources rows, and
+    # the final per-source sums weight by k (exact integer algebra:
+    # k·round(x) ≡ Σ_k round(x)).
     from pyspark.sql import Window
 
     wb = Window.partitionBy("bigram")
-    doc_terms = d.select(
-        "source", F.explode(X.ngrams("text", 2)).alias("bigram")
+    sb = (
+        d.select("source", F.explode(X.ngrams("text", 2)).alias("bigram"))
+        .groupBy("source", "bigram")
+        .agg(F.count(F.lit(1)).alias("k"))
     )
     scored = (
-        doc_terms.withColumn("c_xy", F.count(F.lit(1)).over(wb))
+        sb.withColumn("c_xy", F.sum("k").over(wb))
         .withColumn("x", F.split("bigram", " ").getItem(0))
         .join(F.broadcast(uni), "x")
         .crossJoin(F.broadcast(vocab))
         .select(
             "source",
+            "k",
             F.round(
                 -F.log(
                     (F.col("c_xy") + 1).cast("double")
@@ -713,8 +722,8 @@ def text_lm_perplexity(spark, sf_dir):
     return (
         scored.groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("nll_micro").alias("nll_micro_sum"),
+            F.sum("k").alias("n_bigrams"),
+            F.sum(F.col("k") * F.col("nll_micro")).alias("nll_micro_sum"),
         )
         .orderBy("source")
     )
