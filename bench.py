@@ -136,6 +136,10 @@ EXTRA_BENCH = [
     "lake_partition_evolution",  # spec evolution + hybrid metadata/DV DML
     "lake_sql_surface",       # SQL DELETE/UPDATE/INSERT/OPTIMIZE dispatch
     "lake_copy_into",         # idempotent bulk-file ingestion
+    # r8 additions (r7 verdict #1: the iterative ML operators were the
+    # last unmeasured query paths; same outside-headline rule):
+    "ml_logreg_grad0",        # hashed-ngram featurize + first GD step
+    "sim_kmeans_ivf",         # distributed Lloyd's k-means (2 iters)
 ]
 
 

@@ -39,13 +39,6 @@ from pygdf_spark.operators.similarity import _int_vec
 _MAX_DRIVER_CELLS = 4_000_000
 
 
-def _dim_probe(vecs: DataFrame, vec_col: str) -> int:
-    """Vector dimensionality from one row (cached per call site by the
-    guard's immediate use; one tiny job)."""
-    row = vecs.select(F.size(vec_col).alias("d")).first()
-    return int(row["d"]) if row else 0
-
-
 def _dist2(vec_col, centroid: list[float], quantize: bool = False):
     """Squared L2 distance from a µ-unit int64 array column to a
     literal double centroid, folded in array order (IEEE-identical in
@@ -210,18 +203,6 @@ def kmeans(vecs: DataFrame, k: int = 4, iters: int = 2,
     but it silently grows with k·d; the ``_MAX_DRIVER_CELLS`` guard
     makes the bound explicit instead of letting a huge k×d collect OOM
     the driver (same philosophy as options.max_driver_rows)."""
-    dim = _dim_probe(vecs, vec_col)
-    if dim == 0:
-        raise ValueError(
-            "kmeans needs a non-empty input with non-empty vectors "
-            f"(probe of {vec_col!r} found none)"
-        )
-    if k * dim > _MAX_DRIVER_CELLS:
-        raise ValueError(
-            f"kmeans driver state is k*d = {k}*{dim} centroid cells per "
-            f"iteration, above the {_MAX_DRIVER_CELLS:,} cap; reduce k or "
-            "use a hierarchical/coreset quantizer for this dimensionality"
-        )
     # persisted for the ITERATIONS only: each round re-reads the
     # quantized vectors (seed collect + iters×(update agg + assignment))
     # — the same cache MLlib keeps. Released before returning: the
@@ -232,8 +213,26 @@ def kmeans(vecs: DataFrame, k: int = 4, iters: int = 2,
         F.col(id_col).alias("vid"), _int_vec(vec_col).alias("vec")
     ).persist()
     try:
-        d = dim  # already probed above — no second dimension job
+        # dimensionality comes from the SEED rows (opt r8, guide §1.2:
+        # the former 1-row _dim_probe was a whole extra job per call
+        # just to learn len(vec)). The k×d driver-cells guard now fires
+        # right after this collect instead of before it — the seed pull
+        # is a single k·d-cell transfer bounded by
+        # spark.driver.maxResultSize, and the guard still protects what
+        # it was built for: the per-ITERATION k·d update collects.
         seeds = iv.orderBy("vid").limit(k).collect()
+        if not seeds or len(seeds[0]["vec"]) == 0:
+            raise ValueError(
+                "kmeans needs a non-empty input with non-empty vectors "
+                f"(probe of {vec_col!r} found none)"
+            )
+        d = len(seeds[0]["vec"])
+        if k * d > _MAX_DRIVER_CELLS:
+            raise ValueError(
+                f"kmeans driver state is k*d = {k}*{d} centroid cells per "
+                f"iteration, above the {_MAX_DRIVER_CELLS:,} cap; reduce k or "
+                "use a hierarchical/coreset quantizer for this dimensionality"
+            )
         centroids = [(i, [float(x) for x in r["vec"]]) for i, r in enumerate(seeds)]
         assigned = assign_clusters(iv, centroids)
         for _ in range(iters):

@@ -85,20 +85,41 @@ def logreg_fit(
     rtol 1e-6). The gradient is the mean so ``lr`` is scale-free."""
     import numpy as np
 
-    n = labels.count()
-    if n == 0:
-        raise ValueError("logreg_fit: empty label set")
-    feats = feats.persist()
     labels = labels.select(
         F.col(id_col).alias("doc"), F.col(label_col).cast("double").alias("y")
-    ).persist()
+    )
+    # ONE job per iteration (opt r8, guide §1.2/§5; the r7 verdict's
+    # last multi-job-per-round operator). The old loop ran TWO actions
+    # per iteration — the per-bucket gradient collect plus a separate
+    # sum(r) for the bias — and the second recomputed the whole
+    # margins→residual chain. A sentinel bias bucket (-1, cnt=1, one
+    # row per labeled doc) added to the feature relation makes the bias
+    # gradient fall out of the SAME per-bucket aggregate: g[-1] =
+    # Σ_docs r. The weight join drops the sentinel (wdf holds buckets
+    # 0..d-1 only), so margins are unchanged. Both persisted relations
+    # are additionally hash-partitioned by doc so the margin groupBy
+    # and the gradient/residual joins reuse ONE exchange layout across
+    # all iterations instead of re-shuffling the feature table every
+    # round (§2.4: operations keyed the same way share the exchange).
+    feats_aug = feats.select(
+        "doc", F.col("bucket").cast("int").alias("bucket"),
+        F.col("cnt").cast("long").alias("cnt"),
+    ).unionByName(
+        labels.select(
+            "doc", F.lit(-1).alias("bucket"), F.lit(1).cast("long").alias("cnt")
+        )
+    ).repartition("doc").persist()
+    labels = labels.repartition("doc").persist()
     try:
+        n = labels.count()
+        if n == 0:
+            raise ValueError("logreg_fit: empty label set")
         w = np.zeros(d, dtype="float64")
         b = 0.0
         for _ in range(iters):
             wdf = _weight_df(spark, w.tolist())
             margins = (
-                feats.join(F.broadcast(wdf), "bucket")
+                feats_aug.join(F.broadcast(wdf), "bucket")
                 .groupBy("doc")
                 .agg(F.sum(F.col("cnt") * F.col("w")).alias("m"))
             )
@@ -114,20 +135,23 @@ def logreg_fit(
                 )
             )
             grad_rows = (
-                feats.join(resid, "doc")
+                feats_aug.join(resid, "doc")
                 .groupBy("bucket")
                 .agg(F.sum(F.col("cnt") * F.col("r")).alias("g"))
                 .collect()
             )
-            gb = resid.agg(F.sum("r")).first()[0] or 0.0
             g = np.zeros(d, dtype="float64")
+            gb = 0.0
             for row in grad_rows:
-                g[row["bucket"]] = row["g"]
+                if row["bucket"] < 0:
+                    gb = row["g"] or 0.0
+                else:
+                    g[row["bucket"]] = row["g"]
             w = w + lr * (g / n - l2 * w)
             b = b + lr * (gb / n)
         return {"w": w.tolist(), "b": float(b), "iters": iters}
     finally:
-        feats.unpersist()
+        feats_aug.unpersist()
         labels.unpersist()
 
 
