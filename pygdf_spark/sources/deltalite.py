@@ -116,6 +116,15 @@ class LogStore:
     def exists(self, path: str) -> bool:
         raise NotImplementedError
 
+    def stat_token(self, path: str):
+        """Cheap identity token of a log file, or None when the backend
+        cannot provide one. Used ONLY to key the snapshot memo: a
+        published commit file's CONTENT at a path is immutable
+        (put-if-absent), so a changed token means the whole table was
+        replaced on disk (a test/bench rmtree+rebuild) and any memo
+        entry must miss. None disables memoization — always safe."""
+        return None
+
 
 class LocalLogStore(LogStore):
     """POSIX backend: exclusive create via ``os.link`` (hard-link to a
@@ -155,6 +164,13 @@ class LocalLogStore(LogStore):
 
     def exists(self, path: str) -> bool:
         return os.path.exists(path)
+
+    def stat_token(self, path: str):
+        try:
+            st = os.stat(path)
+        except OSError:
+            return None
+        return (st.st_ino, st.st_mtime_ns, st.st_size)
 
 
 _LOG_STORE: LogStore = LocalLogStore()
@@ -255,7 +271,40 @@ def _latest_checkpoint_at_or_before(table: str, version: int) -> int | None:
     return best
 
 
+# (table, version) → (stat token of the version file, snapshot).
+# METADATA-ONLY memo (r8, r7-verdict #5; guide §6 — the table-format
+# analogue of Spark's own catalog/file-index caching, never rows or
+# results): a snapshot at a FIXED version is logically immutable —
+# commit files are published put-if-absent and never rewritten, and
+# vacuum/checkpoint only change which PHYSICAL files the replay reads,
+# not the replayed content. The one way a (table, version) pair can go
+# stale is the whole table being replaced on disk (tests and the bench
+# rmtree+rebuild per run) — caught by keying on the version file's
+# identity token (inode, mtime_ns, size): the rebuilt file is a new
+# inode, so the memo misses and replays fresh. New commits create new
+# versions (new keys), so writers invalidate by construction. Backends
+# that return no token (base LogStore) skip memoization entirely.
+# Bounded FIFO so long sessions over many tables cannot grow it.
+_SNAPSHOT_MEMO: dict = {}
+_SNAPSHOT_MEMO_MAX = 64
+
+
 def _snapshot(table: str, version: int) -> dict:
+    key = (table, version)
+    token = _LOG_STORE.stat_token(_version_path(table, version))
+    if token is not None:
+        hit = _SNAPSHOT_MEMO.get(key)
+        if hit is not None and hit[0] == token:
+            return hit[1]
+    snap = _snapshot_replay(table, version)
+    if token is not None:
+        if len(_SNAPSHOT_MEMO) >= _SNAPSHOT_MEMO_MAX:
+            _SNAPSHOT_MEMO.pop(next(iter(_SNAPSHOT_MEMO)))
+        _SNAPSHOT_MEMO[key] = (token, snap)
+    return snap
+
+
+def _snapshot_replay(table: str, version: int) -> dict:
     """Replay the log up to ``version``: {'adds': {relpath: add-action},
     'schema': ddl, 'version': v}. Starts from the newest checkpoint at
     or before the target so replay cost is bounded by the checkpoint

@@ -961,3 +961,25 @@ def test_compact_zorder_reclusters_and_prunes(spark, sf_dir, table):
     sel_k, tot = dl.plan_files(table, predicate=[("o_orderkey", "<=", k_mid)])
     sel_c, _ = dl.plan_files(table, predicate=[("o_custkey", "<=", c_mid)])
     assert len(sel_k) < tot and len(sel_c) < tot
+
+
+def test_snapshot_memo_identity(spark, sf_dir, table):
+    """The (table, version) snapshot memo must (a) serve hits for an
+    unchanged log, (b) MISS when the table is wholesale replaced on
+    disk at the same path (the bench/test rmtree+rebuild pattern), and
+    (c) never change what read_table reconstructs."""
+    src = _orders(spark, sf_dir).limit(100)
+    dl.append(src.filter("o_orderkey % 2 = 0"), table)
+    dl.append(src.filter("o_orderkey % 2 = 1"), table)
+    first = _ids(dl.read_table(spark, table))
+    # same key twice: second call is a memo hit and bit-equal
+    s1 = dl._snapshot(table, 1)
+    assert dl._snapshot(table, 1) is s1
+    # rebuild the table at the SAME path with different content
+    shutil.rmtree(table)
+    dl.append(src.filter("o_orderkey % 3 = 0"), table)
+    dl.append(src.filter("o_orderkey % 3 != 0"), table)
+    s2 = dl._snapshot(table, 1)
+    assert s2 is not s1  # identity token changed -> replayed fresh
+    assert _ids(dl.read_table(spark, table)) == _ids(src)
+    assert first != _ids(dl.read_table(spark, table, version=0))
